@@ -1,0 +1,445 @@
+"""CDC-core operators — the reference's semantics, operator-ized.
+
+The driver's `events` table is stream-shaped (`event_id ≙ sequence`,
+`user_id ≙ primary key`, `event_type`, `props ≙ raw payload`); a shared
+deterministic mapping (`cdc_view` / `CDC_SQL`) lifts it into the
+reference's envelope shape so every operator here exercises the real
+CDC semantics: dispatch (client.go:410-412), GTID synthesis
+(event.go:216-218), resume position (client.go:122-126), payload
+anti-projection (event.go:220-236), total ordering (event.go:189-200),
+duplicate-delivery dedup, update-pairing (event.go:177-183), latest-
+state materialization and SCD2 history.
+
+Scale notes (100 TB): every operator below is a narrow map or a single
+keyed shuffle on the primary key / GTID domain — the natural partition
+key of a CDC stream.  Windows partition by `pk` (never a global
+unpartitioned window); dedup and latest-state are map-side-combinable
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.sources.envelope import gtid_col
+from maxscale_cdc_spark.sources.schema_registry import decode_ddl
+from maxscale_cdc_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Shared CDC envelope view over the `events` table — identical semantics in
+# Spark (cdc_view) and DuckDB (CDC_SQL).
+# ---------------------------------------------------------------------------
+
+#: event_type → DML type mapping (deterministic; covers all 4 DML kinds,
+#: event.go:167-183).
+_DML_CASE_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'purchase' THEN 'insert' "
+    "WHEN 'view' THEN 'update_before' WHEN 'click' THEN 'update_after' "
+    "ELSE 'delete' END"
+)
+
+CDC_SQL = f"""
+WITH cdc AS (
+  SELECT CAST(0 AS INT) AS domain,
+         CAST(3000 AS INT) AS server_id,
+         event_id AS sequence,
+         CAST(1 AS INT) AS event_number,
+         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix,
+         {_DML_CASE_SQL} AS dml_type,
+         user_id AS pk,
+         value,
+         props,
+         ts
+  FROM events
+)
+"""
+
+
+def cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.lit(0).cast("int").alias("domain"),
+        F.lit(3000).cast("int").alias("server_id"),
+        F.col("event_id").alias("sequence"),
+        F.lit(1).cast("int").alias("event_number"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.col("props"),
+        F.col("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_event_dispatch — DML/DDL/ERR line classification (client.go:253-287,
+# 410-412).  Wire lines are synthesized deterministically from the event id
+# so both engines build byte-identical strings.
+# ---------------------------------------------------------------------------
+
+_DISPATCH_ORACLE = f"""
+{CDC_SQL}
+, raw_lines AS (
+  SELECT CASE
+           WHEN sequence % 50 = 0 THEN '{{"namespace": "MaxScaleChangeDataSchema.avro", "version": ' || CAST(sequence / 50 AS VARCHAR) || '}}'
+           WHEN sequence % 97 = 13 THEN 'ERR stream error at ' || CAST(sequence AS VARCHAR)
+           ELSE '{{"domain": 0, "server_id": 3000, "sequence": ' || CAST(sequence AS VARCHAR) || '}}'
+         END AS raw
+  FROM cdc
+)
+SELECT CASE WHEN raw LIKE 'ERR%' THEN 'err'
+            WHEN raw LIKE '{{"domain":%' THEN 'dml'
+            ELSE 'ddl' END AS event_class,
+       CAST(count(*) AS BIGINT) AS n
+FROM raw_lines
+GROUP BY 1
+"""
+
+
+@register("cdc_event_dispatch", _DISPATCH_ORACLE)
+def cdc_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    seq_str = F.col("sequence").cast("string")
+    raw = (
+        F.when(
+            F.col("sequence") % 50 == 0,
+            F.concat(
+                F.lit('{"namespace": "MaxScaleChangeDataSchema.avro", "version": '),
+                (F.col("sequence") / F.lit(50)).cast("long").cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            F.col("sequence") % 97 == 13,
+            F.concat(F.lit("ERR stream error at "), seq_str),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"domain": 0, "server_id": 3000, "sequence": '),
+                seq_str,
+                F.lit("}"),
+            )
+        )
+    )
+    lines = cdc.select(raw.alias("raw"))
+    classified = lines.withColumn(
+        "event_class",
+        F.when(F.col("raw").startswith("ERR"), F.lit("err"))
+        .when(F.col("raw").startswith('{"domain":'), F.lit("dml"))
+        .otherwise(F.lit("ddl")),
+    )
+    return classified.groupBy("event_class").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_gtid — GTID synthesis "%d-%d-%d" (event.go:216-218).
+# ---------------------------------------------------------------------------
+
+_GTID_ORACLE = f"""
+{CDC_SQL}
+SELECT sequence,
+       CAST(domain AS VARCHAR) || '-' || CAST(server_id AS VARCHAR) || '-' || CAST(sequence AS VARCHAR) AS gtid
+FROM cdc
+"""
+
+
+@register("cdc_gtid", _GTID_ORACLE)
+def cdc_gtid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    return cdc.select("sequence", gtid_col().alias("gtid"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_gtid_filter — resume-from-GTID (client.go:122-126; semantics per
+# client_test.go:169-266: keep events at/after the position).  The position
+# compare is the lexicographic struct order (domain, server_id, sequence).
+# ---------------------------------------------------------------------------
+
+_RESUME_AT = (0, 3000, 500)
+
+_GTID_FILTER_ORACLE = f"""
+{CDC_SQL}
+SELECT CAST(domain AS VARCHAR) || '-' || CAST(server_id AS VARCHAR) || '-' || CAST(sequence AS VARCHAR) AS gtid,
+       pk, dml_type
+FROM cdc
+WHERE domain > {_RESUME_AT[0]}
+   OR (domain = {_RESUME_AT[0]} AND (server_id > {_RESUME_AT[1]}
+   OR (server_id = {_RESUME_AT[1]} AND sequence >= {_RESUME_AT[2]})))
+"""
+
+
+@register("cdc_gtid_filter", _GTID_FILTER_ORACLE)
+def cdc_gtid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    pos = F.struct(F.col("domain"), F.col("server_id"), F.col("sequence"))
+    start = F.struct(
+        F.lit(_RESUME_AT[0]).cast("int"),
+        F.lit(_RESUME_AT[1]).cast("int"),
+        F.lit(_RESUME_AT[2]).cast("long"),
+    )
+    return cdc.filter(pos >= start).select(
+        gtid_col().alias("gtid"), "pk", "dml_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_payload_project — strip the envelope, keep the dynamic payload
+# (event.go:220-236).  The `props` JSON column plays the raw payload.
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_ORACLE = f"""
+{CDC_SQL}
+SELECT sequence, CAST(json_extract_string(props, '$.k') AS INT) AS payload_k
+FROM cdc
+"""
+
+
+@register("cdc_payload_project", _PAYLOAD_ORACLE)
+def cdc_payload_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    return cdc.select(
+        "sequence",
+        F.get_json_object("props", "$.k").cast("int").alias("payload_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_order — total order by (domain, server_id, sequence, event_number)
+# (event.go:189-200).  Partitioned by pk: per-key delivery order is what
+# downstream apply needs, and a partitioned window scales (a global window
+# would single-task at 100 TB).
+# ---------------------------------------------------------------------------
+
+_ORDER_ORACLE = f"""
+{CDC_SQL}
+SELECT pk, sequence,
+       CAST(row_number() OVER (PARTITION BY pk ORDER BY domain, server_id, sequence, event_number) AS BIGINT) AS rn
+FROM cdc
+"""
+
+
+@register("cdc_order", _ORDER_ORACLE)
+def cdc_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy("domain", "server_id", "sequence", "event_number")
+    return cdc.select(
+        "pk", "sequence", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_dedup_exact — at-least-once delivery dedup on the event key
+# (client.go:253-287 delivers at-least-once on reconnect).  The stream is
+# doubled to simulate redelivery; dedup is dropDuplicates on the position
+# key, which Spark executes as a map-side-combinable hash aggregate.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+{CDC_SQL}
+, doubled AS (SELECT * FROM cdc UNION ALL SELECT * FROM cdc),
+  deduped AS (
+    SELECT DISTINCT domain, server_id, sequence, event_number, pk, dml_type
+    FROM doubled
+)
+SELECT pk, CAST(count(*) AS BIGINT) AS n_events
+FROM deduped
+GROUP BY pk
+"""
+
+
+@register("cdc_dedup_exact", _DEDUP_ORACLE)
+def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir).select(
+        "domain", "server_id", "sequence", "event_number", "pk", "dml_type"
+    )
+    doubled = cdc.unionAll(cdc)
+    deduped = doubled.dropDuplicates(
+        ["domain", "server_id", "sequence", "event_number"]
+    )
+    return deduped.groupBy("pk").agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_update_pair — UPDATE arrives as two events (before-image, after-image)
+# (event.go:177-183); pair them via lead() over the per-key delivery order.
+# One keyed shuffle; no self-join.
+# ---------------------------------------------------------------------------
+
+_UPDATE_PAIR_ORACLE = f"""
+{CDC_SQL}
+, ordered AS (
+  SELECT pk, sequence, dml_type, value,
+         lead(dml_type) OVER (PARTITION BY pk ORDER BY domain, server_id, sequence, event_number) AS next_type,
+         lead(sequence) OVER (PARTITION BY pk ORDER BY domain, server_id, sequence, event_number) AS next_seq,
+         lead(value)    OVER (PARTITION BY pk ORDER BY domain, server_id, sequence, event_number) AS next_value
+  FROM cdc
+)
+SELECT pk, sequence AS before_seq, next_seq AS after_seq,
+       value AS before_value, next_value AS after_value
+FROM ordered
+WHERE dml_type = 'update_before' AND next_type = 'update_after'
+"""
+
+
+@register("cdc_update_pair", _UPDATE_PAIR_ORACLE)
+def cdc_update_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy("domain", "server_id", "sequence", "event_number")
+    paired = cdc.select(
+        "pk",
+        "sequence",
+        "dml_type",
+        "value",
+        F.lead("dml_type").over(w).alias("next_type"),
+        F.lead("sequence").over(w).alias("next_seq"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+    return paired.filter(
+        (F.col("dml_type") == "update_before") & (F.col("next_type") == "update_after")
+    ).select(
+        "pk",
+        F.col("sequence").alias("before_seq"),
+        F.col("next_seq").alias("after_seq"),
+        F.col("value").alias("before_value"),
+        F.col("next_value").alias("after_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_latest_state — materialize current table state: last image per PK,
+# dropping PKs whose last event is a delete.  This is THE CDC-apply
+# operator (north star).  row_number over (pk, position desc): a single
+# keyed shuffle, skew-safe under AQE.
+# ---------------------------------------------------------------------------
+
+_LATEST_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, sequence, dml_type, value, ts_unix,
+         row_number() OVER (PARTITION BY pk ORDER BY domain DESC, server_id DESC, sequence DESC, event_number DESC) AS rn
+  FROM cdc
+)
+SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
+FROM ranked
+WHERE rn = 1 AND dml_type <> 'delete'
+"""
+
+
+@register("cdc_latest_state", _LATEST_ORACLE)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_state(cdc_view(spark, sf_dir))
+
+
+def latest_state(cdc: DataFrame) -> DataFrame:
+    """Reusable CDC-apply over any envelope-shaped DataFrame."""
+    w = W.partitionBy("pk").orderBy(
+        F.col("domain").desc(),
+        F.col("server_id").desc(),
+        F.col("sequence").desc(),
+        F.col("event_number").desc(),
+    )
+    ranked = cdc.withColumn("rn", F.row_number().over(w))
+    return ranked.filter((F.col("rn") == 1) & (F.col("dml_type") != "delete")).select(
+        "pk",
+        F.col("sequence").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("ts_unix").alias("last_ts_unix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2 — slowly-changing-dimension type-2 history: validity interval per
+# row image (schema-version semantics, event.go:35-36).  lead() over the
+# per-key order gives valid_to; the open interval is NULL.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+{CDC_SQL}
+, images AS (
+  SELECT pk, sequence, value, ts_unix
+  FROM cdc
+  WHERE dml_type IN ('insert', 'update_after')
+)
+SELECT pk, sequence, value,
+       ts_unix AS valid_from,
+       lead(ts_unix) OVER (PARTITION BY pk ORDER BY sequence) AS valid_to
+FROM images
+"""
+
+
+@register("cdc_scd2", _SCD2_ORACLE)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    images = cdc.filter(F.col("dml_type").isin("insert", "update_after"))
+    w = W.partitionBy("pk").orderBy("sequence")
+    return images.select(
+        "pk",
+        "sequence",
+        "value",
+        F.col("ts_unix").alias("valid_from"),
+        F.lead("ts_unix").over(w).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_schema_registry — polymorphic DDL field decode (event.go:58-137)
+# re-expressed as the pure-Python StructType builder; the query surfaces
+# the decoded registry as rows.  Oracle = golden VALUES (the decode is a
+# driver-side metadata operation, like the reference's unmarshaller).
+# ---------------------------------------------------------------------------
+
+_DDL_FIXTURES = [
+    # v1 — reference integration fixture (client_test.go:82-134).
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record",
+        "name": "ChangeRecord", "table": "tests", "database": "test",
+        "version": 1, "gtid": "0-3000-6", "fields": [
+          {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1}]}""",
+    # v2 — ALTER adds a nullable varchar and an unsigned int.
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record",
+        "name": "ChangeRecord", "table": "tests", "database": "test",
+        "version": 2, "gtid": "0-3000-20", "fields": [
+          {"name": "id", "type": ["null", "int"], "real_type": "int", "length": -1},
+          {"name": "name", "type": ["null", "string"], "real_type": "varchar", "length": 64},
+          {"name": "flags", "type": ["null", "long"], "real_type": "int", "length": -1, "unsigned": true},
+          {"name": "state", "type": {"type": "enum", "name": "STATES", "symbols": ["a", "b"]}}]}""",
+]
+
+_REGISTRY_ORACLE = """
+SELECT * FROM (VALUES
+  ('test', 'tests', 1, 'id',    0, 'int',    TRUE),
+  ('test', 'tests', 2, 'id',    0, 'int',    TRUE),
+  ('test', 'tests', 2, 'name',  1, 'string', TRUE),
+  ('test', 'tests', 2, 'flags', 2, 'bigint', TRUE),
+  ('test', 'tests', 2, 'state', 3, 'string', FALSE)
+) AS t(database_name, table_name, version, field_name, field_pos, spark_type, nullable)
+"""
+
+
+@register("cdc_schema_registry", _REGISTRY_ORACLE)
+def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for line in _DDL_FIXTURES:
+        ts = decode_ddl(line)
+        for pos, fd in enumerate(ts.payload_fields()):
+            rows.append(
+                (
+                    ts.database,
+                    ts.table,
+                    ts.version,
+                    fd.name,
+                    pos,
+                    fd.spark_type().simpleString(),
+                    fd.nullable,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "database_name string, table_name string, version int, field_name string, "
+        "field_pos int, spark_type string, nullable boolean",
+    )

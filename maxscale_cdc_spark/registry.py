@@ -1,0 +1,33 @@
+"""Query/oracle registry backing `__spark_entry__.py`.
+
+Each operator module registers its driver-facing query wrappers here:
+a callable `(spark, sf_dir) -> DataFrame` plus (when SQL-expressible)
+the equivalent DuckDB oracle SQL.  Keys are the SURVEY.md §2B ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from maxscale_cdc_spark.operators import cdc, relational, llm, multimodal  # noqa: F401
+    from maxscale_cdc_spark.streaming import ops  # noqa: F401
