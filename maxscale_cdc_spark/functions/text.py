@@ -1,0 +1,47 @@
+"""Text-analysis column expressions (shingles, hashes, token stats).
+
+Shared by the LLM-pipeline operators.  Everything is built-in Catalyst
+expressions; hex-string MD5 minima serve as order-free "random
+permutation" min-hashes (lexicographic min over a cryptographic hash of
+the element is a valid MinHash permutation, and both engines order
+ASCII hex identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_bigrams(w: Column) -> Column:
+    """2-gram word shingles, 1-based element_at (mirrors DuckDB w[i])."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+
+
+def char_ngrams_md5_min(text: Column, n: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the minimum MD5 over all
+    character n-grams.  array_min over a transform — no explode, no
+    shuffle; one pass per row."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.md5(text.substr(i, F.lit(n))),
+        )
+    )
+
+
+def minhash(shingle: Column, perm: int) -> Column:
+    """MinHash for permutation `perm`: min(md5(perm || ':' || shingle))
+    — aggregate with F.min after grouping."""
+    return F.md5(F.concat(F.lit(str(perm)), F.lit(":"), shingle))
+
+
+SQL_WORDS = "string_split({col}, ' ')"

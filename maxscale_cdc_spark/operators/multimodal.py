@@ -1,1 +1,142 @@
-"""Multimodal column operators (filled in M4)."""
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: media lives in `binary` columns
+(or object-store pointers) beside typed metadata; decode/feature steps
+are Arrow-batched Pandas functions over `mapInPandas`, so bytes stream
+through executors in columnar batches and never concentrate on the
+driver.
+
+The container has no image/audio codecs, so the decode itself is a
+clearly-marked deterministic STUB (`_fake_decode`) — the Spark-side
+plumbing (binary schema, Arrow transfer, batch iteration, partition
+behavior, frame fan-out) is real and oracle-checked.  A real build
+replaces `_fake_decode` with PIL/ffmpeg and keeps everything else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import table
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table: documents' text bytes standing in
+    for media blobs, with typed metadata columns."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+        "n_chars",
+    )
+
+
+@register(
+    "mm_meta",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash,
+           'image/fake' AS mime
+    FROM documents
+    """,
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction (size + content hash) — computed
+    JVM-side on the binary column; the dedup/key step for media blobs."""
+    m = media_frame(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_hash"),
+        "mime",
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+    """STUB decode — deterministic stand-in for an image/video codec.
+
+    Returns (width, height, n_frames) derived from the byte length.  A
+    real deployment decodes `blob` with PIL/ffmpeg here; everything
+    around this function (Arrow batching, schema, fan-out) is unchanged.
+    """
+    n = len(blob)
+    return 16 + n % 32, 16 + n % 24, 1 + n % 4
+
+
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(16 + length(text) % 32 AS INT) AS width,
+       CAST(16 + length(text) % 24 AS INT) AS height,
+       CAST(1 + length(text) % 4 AS INT) AS n_frames,
+       CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@register("mm_decode_stub", _DECODE_ORACLE)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode via mapInPandas: binary column in, typed metadata out, in
+    Arrow batches.  Partition-parallel, constant memory per batch — the
+    shape of every heavy media step (decode, resize, feature-extract)."""
+    m = media_frame(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: no by-reference pickle of module globals
+        fake_decode = _fake_decode
+        for pdf in batches:
+            dims = pdf["content"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "n_frames": dims.map(lambda t: t[2]).astype("int32"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                }
+            )
+
+    return m.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, n_frames int, n_bytes bigint",
+    )
+
+
+_FRAME_ORACLE = """
+WITH decoded AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         CAST(1 + length(text) % 4 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       md5(content_hash || '-' || CAST(f AS VARCHAR)) AS frame_key
+FROM decoded, unnest(generate_series(0, n_frames - 1)) AS t(f)
+"""
+
+
+@register("mm_frame_sample", _FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out: one row per decoded frame, keyed for
+    downstream dedup/embedding.  Explode happens executor-side after the
+    narrow decode — the fan-out never touches the driver and inherits
+    the scan's partitioning."""
+    decoded = mm_decode_stub(spark, sf_dir).join(
+        mm_meta(spark, sf_dir).select("doc_id", "content_hash"), "doc_id"
+    )
+    return decoded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        "content_hash",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.concat(F.col("content_hash"), F.lit("-"), F.col("frame_idx").cast("string"))
+        ).alias("frame_key"),
+    )

@@ -382,12 +382,16 @@ def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
     """,
 )
 def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join kept non-trivially non-empty at every SF (customers with
+    no *finished* order) so the check distinguishes a broken join from a
+    correct one."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -665,6 +669,21 @@ def rel_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     # subtract == EXCEPT DISTINCT (exceptAll is bag semantics — wrong here)
     return c.subtract(s)
+
+
+@register(
+    "rel_set_except_all",
+    """
+    SELECT l_returnflag AS flag FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders
+    """,
+)
+def rel_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware), non-empty at all SFs."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("flag"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("flag"))
+    return li.exceptAll(o)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,209 @@
+"""Source/sink operators — the reference's ingest surface, Spark-first.
+
+`src_json_events` / `src_cdc_stream` exercise the full wire-format
+pipeline (render → scan → dispatch → envelope+payload decode), batch and
+streaming; `snk_append` / `snk_upsert` are the two materialization
+sinks (append log vs MERGE-style latest-state upsert).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.operators.cdc import CDC_SQL, cdc_view
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.sources.cdc_source import classify_lines, parse_dml
+from maxscale_cdc_spark.streaming.runners import run_foreach_batch_upsert, run_to_memory
+from maxscale_cdc_spark.tables import table
+
+_PAYLOAD_DDL = "pk bigint, value double"
+
+
+def _render_wire_lines(spark: SparkSession, sf_dir: str) -> str:
+    """Render the CDC view as reference-wire-format JSON lines
+    (envelope first — the DML dispatch prefix rule needs `domain` as the
+    first key, client.go:410-412) into a temp text dir.  Executor-side
+    `to_json`: the render scales with the cluster, no driver collect."""
+    cdc = cdc_view(spark, sf_dir)
+    line = F.to_json(
+        F.struct(
+            F.col("domain"),
+            F.col("server_id"),
+            F.col("sequence"),
+            F.col("event_number"),
+            F.col("ts_unix").alias("timestamp"),
+            F.col("dml_type").alias("event_type"),
+            F.lit("events").alias("table_name"),
+            F.lit("app").alias("table_schema"),
+            F.col("pk"),
+            F.col("value"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="cdc_wire_")
+    cdc.select(line.alias("value")).repartition(4).write.mode("overwrite").text(out)
+    return out
+
+
+_SRC_ORACLE = f"""
+{CDC_SQL}
+SELECT dml_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(max(sequence) AS BIGINT) AS max_seq
+FROM cdc
+GROUP BY dml_type
+"""
+
+
+def _decoded_agg(decoded: DataFrame) -> DataFrame:
+    return decoded.groupBy(F.col("event_type").alias("dml_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+        F.max("sequence").alias("max_seq"),
+    )
+
+
+@register("src_json_events", _SRC_ORACLE)
+def src_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch wire-format round trip: render JSON event lines, then run
+    the reference decode pipeline (classify → from_json envelope+payload,
+    client.go:253-314) and aggregate the recovered payload — lossless
+    iff the result matches the direct aggregation oracle."""
+    wire_dir = _render_wire_lines(spark, sf_dir)
+    raw = spark.read.text(wire_dir)
+    dml = classify_lines(raw).filter(F.col("event_class") == "dml")
+    decoded = parse_dml(dml, spark.createDataFrame([], _PAYLOAD_DDL).schema)
+    return _decoded_agg(decoded)
+
+
+@register("src_cdc_stream", _SRC_ORACLE)
+def src_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming `RequestData` analogue (client.go:144-162): the same
+    wire lines consumed via a Structured Streaming text source with the
+    identical declarative decode — one code path, two execution modes."""
+    wire_dir = _render_wire_lines(spark, sf_dir)
+    raw = spark.readStream.format("text").load(wire_dir)
+    dml = classify_lines(raw).filter(F.col("event_class") == "dml")
+    decoded = parse_dml(dml, spark.createDataFrame([], _PAYLOAD_DDL).schema)
+    out = run_to_memory(decoded, "append")
+    return _decoded_agg(out)
+
+
+@register(
+    "src_parquet_scan",
+    """
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 5
+    """,
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot scan (the table state before CDC tailing).  Filter and
+    projection reach the parquet reader — tests/test_plans.py asserts
+    PushedFilters and a 4-column ReadSchema."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_quantity") < 5)
+    ).select("l_orderkey", "l_extendedprice")
+
+
+@register(
+    "snk_append",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append sink: stream → partitioned parquet files with a checkpoint
+    (restart-safe, the durable event log), then read the files back."""
+    from maxscale_cdc_spark.streaming.runners import read_stream, stage_as_stream
+
+    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    stream = read_stream(spark, staged)
+    out_dir = tempfile.mkdtemp(prefix="snk_append_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(out_dir, "data"))
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+_UPSERT_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, sequence, value, dml_type,
+         row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+  FROM cdc
+)
+SELECT pk, sequence AS last_seq, value AS last_value
+FROM ranked
+WHERE rn = 1 AND dml_type <> 'delete'
+"""
+
+
+@register("snk_upsert", _UPSERT_ORACLE)
+def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MERGE-style) sink: replay the CDC stream and maintain
+    latest-state per PK across micro-batches in foreachBatch — keep the
+    highest-sequence image per key, drop keys whose last image is a
+    delete.  Idempotent per key ⇒ exactly-once under checkpoint replay
+    (the Stop()/resume contract, client.go:166-181).  At scale the merge
+    target is a keyed table (Delta MERGE / partition overwrite); the
+    per-batch reduction below is the same algorithm."""
+    from maxscale_cdc_spark.streaming.runners import read_stream, stage_as_stream
+
+    staged = stage_as_stream(table(spark, sf_dir, "events"), n_files=4)
+    stream = read_stream(spark, staged, max_files_per_trigger=2)
+
+    state: dict[int, tuple] = {}
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-batch map-side reduction first: only one row per key
+        # crosses to the merge target
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        for row in latest:
+            prev = state.get(row.user_id)
+            if prev is None or row.event_id > prev[0]:
+                state[row.user_id] = (row.event_id, row.value, row.event_type)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dml_map = {
+        "signup": "insert",
+        "purchase": "insert",
+        "view": "update_before",
+        "click": "update_after",
+    }
+    rows = [
+        (pk, seq, val)
+        for pk, (seq, val, etype) in state.items()
+        if dml_map.get(etype, "delete") != "delete"
+    ]
+    return spark.createDataFrame(rows, "pk bigint, last_seq bigint, last_value double")

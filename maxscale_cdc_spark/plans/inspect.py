@@ -44,4 +44,17 @@ def read_schema(df: DataFrame) -> str:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of whole-stage-codegen stages (the `*(n)` markers).  Under
+    AQE the final plan only exists after execution, so this runs the
+    plan (noop sink) before reading it."""
+    import re
+
+    df.collect()  # materializes THIS QueryExecution's adaptive final plan
+    return len(set(re.findall(r"\*\((\d+)\)", simple_plan(df))))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle count in the executed plan (each Exchange node once)."""
+    import re
+
+    return len(re.findall(r"\bExchange (?:hash|range|Single)", simple_plan(df)))

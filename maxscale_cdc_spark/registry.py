@@ -29,5 +29,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from maxscale_cdc_spark.operators import cdc, relational, llm, multimodal  # noqa: F401
+    from maxscale_cdc_spark.operators import (  # noqa: F401
+        cdc,
+        llm,
+        multimodal,
+        relational,
+        sources,
+        udfs,
+    )
     from maxscale_cdc_spark.streaming import ops  # noqa: F401

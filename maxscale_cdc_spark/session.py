@@ -47,4 +47,26 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `maxscale_cdc_spark` importable on Python workers regardless
+    of the driver's cwd: UDF closures that touch module-level helpers
+    are pickled by reference, so executors must be able to import the
+    package.  Zipped once per SparkContext and shipped via addPyFile."""
+    sc = spark.sparkContext
+    if getattr(sc, "_maxscale_pkg_shipped", False):
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="pkg_ship_")
+    zip_base = os.path.join(staging, "maxscale_cdc_spark")
+    shutil.copytree(pkg_dir, os.path.join(zip_base, "maxscale_cdc_spark"))
+    zip_path = shutil.make_archive(zip_base, "zip", zip_base)
+    sc.addPyFile(zip_path)
+    sc._maxscale_pkg_shipped = True

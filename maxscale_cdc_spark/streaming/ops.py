@@ -1,1 +1,267 @@
-"""Structured Streaming operators (filled in M3)."""
+"""Structured Streaming operators — the stream surface of the engine.
+
+Each `queries()` entry here runs a REAL streaming query (file-source
+replay of the events table standing in for the MaxScale socket,
+`availableNow` trigger, memory / foreachBatch sink) to completion inside
+the callable and returns the result as a batch DataFrame, so the
+driver's DuckDB oracle still applies.
+
+Windows are 6 h tumbling / 12 h-by-6 h sliding over the events table's
+30-day span; window starts are epoch-aligned in both engines
+(`floor(epoch/21600)*21600`), avoiding any engine-specific bucketing
+origin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.numeric import dec
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.streaming.runners import (
+    read_stream,
+    run_foreach_batch_upsert,
+    run_to_memory,
+    stage_as_stream,
+)
+from maxscale_cdc_spark.tables import table
+
+_WIN_SQL = "make_timestamp(CAST(floor(extract(epoch FROM ts) / 21600) AS BIGINT) * 21600 * 1000000)"
+_WIN_END_SQL = "make_timestamp((CAST(floor(extract(epoch FROM ts) / 21600) AS BIGINT) + 1) * 21600 * 1000000)"
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_tumbling",
+    f"""
+    SELECT {_WIN_SQL} AS wstart, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def str_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    stream = read_stream(spark, staged)
+    agg = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+
+
+@register(
+    "str_sliding",
+    """
+    WITH win AS (
+      SELECT e.*,
+             make_timestamp((CAST(floor((extract(epoch FROM ts) - off.o) / 43200) AS BIGINT) * 43200 + off.o) * 1000000) AS wstart
+      FROM events e
+      CROSS JOIN (SELECT unnest([0, 21600]) AS o) off
+    )
+    SELECT wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM win
+    GROUP BY 1, 2
+    """,
+)
+def str_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding by 6h — each event lands in exactly 2 windows."""
+    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    stream = read_stream(spark, staged)
+    agg = stream.groupBy(
+        F.window("ts", "12 hours", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("wstart"), "event_type", "n")
+
+
+@register(
+    "str_session",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def str_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) via Spark's session_window operator —
+    the same operator Structured Streaming uses for streaming sessions
+    (run in batch here for an exact oracle; the streaming path is
+    exercised in tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "str_watermark_late",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+         g AS (
+           SELECT {_WIN_SQL} AS wstart, {_WIN_END_SQL} AS wend, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3
+         )
+    SELECT g.wstart, g.event_type, g.n
+    FROM g, wm
+    WHERE g.wend <= wm.w
+    """,
+)
+def str_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-gated finalization (append mode): a window emits only
+    once the watermark (max event time − 1 h) passes its end; trailing
+    windows that could still receive data are withheld.  This is the
+    event-time realization of the reference's ordered-delivery contract:
+    results are published only for stream positions the source can no
+    longer rewrite.  (Late-arriving input within the horizon still
+    merges; rows for already-finalized windows are discarded.)"""
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev)
+    stream = read_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+    return run_to_memory(agg, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup / stateful / joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_dedup_stream",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def str_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery collapsed to exactly-once: the staged
+    stream carries every event twice; streaming dropDuplicates on the
+    event key (the reference's (gtid, event_number) analogue) restores
+    the exact set.  At scale: dropDuplicatesWithinWatermark bounds the
+    dedup state to the watermark horizon."""
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev.unionAll(ev))
+    stream = read_stream(spark, staged)
+    deduped = stream.dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
+
+
+@register(
+    "str_stateful",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(max(event_id) AS BIGINT) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-key state (count, integer-cents total, latest event id) — the
+    streaming CDC-apply building block (client.go:219-251's pump loop,
+    state per table key).  Integer-cent accumulation keeps the state
+    order-independent, so any arrival order converges to the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev)
+    stream = read_stream(spark, staged)
+
+    def update_state(key, pdf_iter, state):
+        if state.exists:
+            n, cents, last_id = state.get
+        else:
+            n, cents, last_id = 0, 0, -1
+        for pdf in pdf_iter:
+            # numpy on the Arrow batch: the per-key callback is the hot
+            # path, and rounding BEFORE summation keeps the integer-cent
+            # state exact and order-independent (float sums are neither)
+            v = pdf["value"].to_numpy()
+            n += v.size
+            cents += int(np.rint(v * 100).sum())
+            last_id = max(last_id, int(pdf["event_id"].to_numpy().max()))
+        state.update((n, cents, last_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_cents": [cents],
+                "last_event_id": [last_id],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update_state,
+        "user_id bigint, n_events bigint, sum_value_cents bigint, last_event_id bigint",
+        "n bigint, cents bigint, last_id bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    # single availableNow batch ⇒ update-mode emits each key once; the
+    # multi-batch upsert path is exercised in tests/test_streaming.py
+    return run_to_memory(out, "update").select(
+        "user_id", "n_events", "sum_value_cents", "last_event_id"
+    )
+
+
+@register(
+    "str_stream_static_join",
+    """
+    SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def str_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment: the dim is broadcast to every task, so
+    the stream never shuffles — the standard pattern for decorating a
+    CDC firehose with reference data."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    staged = stage_as_stream(ev)
+    stream = read_stream(spark, staged)
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).select("event_id", "event_type", "c_mktsegment")
+    out = run_to_memory(joined, "append")
+    return out.groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))

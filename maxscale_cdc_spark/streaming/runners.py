@@ -1,0 +1,141 @@
+"""Streaming execution helpers for the operator surface.
+
+The reference's stream lifecycle — RequestData starts a pump goroutine,
+Stop() drains and closes (client.go:144-181) — maps to Structured
+Streaming queries: `trigger(availableNow=True)` processes everything
+currently available then stops (a bounded replay of the stream), memory
+sinks collect results, and `foreachBatch` upsert gives the
+exactly-once materialization sink.
+
+The `queries()` wrappers here run a REAL streaming query to completion
+inside the callable, so the driver's batch-style check still applies.
+Each run uses a unique temp checkpoint/source dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_as_stream(df: DataFrame, n_files: int = 4) -> str:
+    """Write a batch DataFrame into a temp dir of parquet files so a file
+    source can replay it as a stream (stand-in for the CDC socket)."""
+    out = tempfile.mkdtemp(prefix="cdc_stream_")
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stage_as_stream_ordered(df: DataFrame, late: Column) -> str:
+    """Stage two arrival batches with deterministic order: rows where
+    `late` is false arrive first (older file mtime), late rows second.
+    The file source processes files oldest-first, so batch boundaries —
+    and therefore watermark advancement — are reproducible."""
+    tmp = tempfile.mkdtemp(prefix="cdc_stage_")
+    early_dir, late_dir = os.path.join(tmp, "b0"), os.path.join(tmp, "b1")
+    df.filter(~late).coalesce(1).write.mode("overwrite").parquet(early_dir)
+    df.filter(late).coalesce(1).write.mode("overwrite").parquet(late_dir)
+    flat = tempfile.mkdtemp(prefix="cdc_stream_")
+    i = 0
+    for sub, mtime in ((early_dir, 1_000_000_000), (late_dir, 2_000_000_000)):
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"part-{i:05d}.parquet")
+                shutil.copy(os.path.join(sub, f), dst)
+                os.utime(dst, (mtime, mtime))
+                i += 1
+    shutil.rmtree(tmp)
+    return flat
+
+
+def read_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    schema: str = EVENTS_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(staged_dir)
+
+
+class _few_state_partitions:
+    """Bounded-run streaming uses few state-store partitions: each one
+    costs a store instance (and a Python worker round trip for pandas
+    state ops) per micro-batch.  A long-lived production query on a big
+    cluster would size this to cores; checkpoints pin it at creation."""
+
+    N = "8"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink; return
+    the sink contents as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = "snk_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    with _few_state_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    output_mode: str = "update",
+) -> list[tuple]:
+    """Run a streaming query with a foreachBatch upsert sink: each
+    micro-batch's rows overwrite prior values for their key — the
+    MERGE-style exactly-once materialization pattern (idempotent per
+    key, so checkpoint replays converge).  Returns the final state rows.
+
+    The driver-side dict holds the *aggregated* result (small by
+    construction); the at-scale version writes to a keyed table (Delta
+    MERGE / partition overwrite) inside the same callback.
+    """
+    state: dict[tuple, tuple] = {}
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            key = tuple(row[k] for k in key_cols)
+            state[key] = tuple(row)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    with _few_state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return list(state.values())

@@ -1,0 +1,70 @@
+"""Physical-plan property tests — the 100 TB checklist enforced in CI:
+filters push into the parquet scan, projections prune the read schema,
+dims broadcast, nothing goes cartesian, hot paths stay in codegen."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from maxscale_cdc_spark.plans.inspect import (
+    codegen_stage_count,
+    exchange_count,
+    formatted_plan,
+    has_broadcast_join,
+    has_cartesian,
+    pushed_filters,
+    read_schema,
+)
+
+
+def _q(name, spark, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = _q("src_parquet_scan", spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+    rs = read_schema(df)
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in rs and "l_returnflag" not in rs, rs
+
+
+def test_filter_query_pushdown(spark, sf_dir):
+    df = _q("rel_filter", spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, pf
+
+
+def test_broadcast_join_chosen(spark, sf_dir):
+    assert has_broadcast_join(_q("rel_join_broadcast", spark, sf_dir))
+    assert not has_cartesian(_q("rel_join_broadcast", spark, sf_dir))
+
+
+def test_entry_flagship_plan(spark):
+    df = entrymod.entry(spark)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_agg_stays_in_codegen(spark, sf_dir):
+    df = _q("rel_agg_hash", spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+    plan = formatted_plan(df)
+    # partial aggregation before the exchange (map-side combine)
+    assert "HashAggregate" in plan
+
+
+def test_no_cartesian_anywhere_in_relational(spark, sf_dir):
+    for name in ["rel_join_inner", "rel_join_theta", "rel_join_asof", "rel_topk"]:
+        assert not has_cartesian(_q(name, spark, sf_dir)), name
+
+
+def test_minhash_plan_has_no_python_udf(spark, sf_dir):
+    plan = formatted_plan(_q("llm_dedup_near", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    # one exchange for the keyed window — no extra shuffles
+    df = _q("cdc_latest_state", spark, sf_dir)
+    assert exchange_count(df) == 1, df._jdf.queryExecution().executedPlan().toString()
