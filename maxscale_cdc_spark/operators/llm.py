@@ -419,16 +419,17 @@ WITH vecs AS (
   SELECT vec_id, v,
          list_sum(list_transform(v, x -> x * x)) AS nsq,
          list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 1 + 3) % 7 - 3))) AS p1,
-         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 2 + 3) % 7 - 3))) AS p2
+         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 2 + 3) % 7 - 3))) AS p2,
+         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 3 + 3) % 7 - 3))) AS p3
   FROM vecs
 ), bucketed AS (
-  SELECT vec_id, v, nsq, (p1 > 0) AS s1, (p2 > 0) AS s2 FROM proj
+  SELECT vec_id, v, nsq, (p1 > 0) AS s1, (p2 > 0) AS s2, (p3 > 0) AS s3 FROM proj
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
                / sqrt(a.nsq * b.nsq) AS DOUBLE), 6) AS cos_sim
   FROM bucketed a JOIN bucketed b
-    ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.vec_id < b.vec_id
+    ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3 AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {_EMB_THRESHOLD}
 """
@@ -464,6 +465,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_sq(F.col("v")).alias("nsq"),
         (proj(1) > 0).alias("s1"),
         (proj(2) > 0).alias("s2"),
+        (proj(3) > 0).alias("s3"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -477,6 +479,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.s1") == F.col("b.s1"))
             & (F.col("a.s2") == F.col("b.s2"))
+            & (F.col("a.s3") == F.col("b.s3"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

@@ -861,6 +861,32 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map",
+    """
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed payload access: the reference's dynamic row payload
+    (map[string]interface{}, event.go:220-236) as a Spark MapType with
+    key/value/containment operations."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        m.getItem("k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@register(
     "fn_explode",
     """
     SELECT l_orderkey, CAST(line_no AS INT) AS line_no
