@@ -388,6 +388,56 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cdc_snapshot_tail — initial snapshot + CDC tail merge: the "request the
+# table, then follow changes" consumption pattern (client_test.go:75-80
+# consumes seeded inserts, then the live tail).  The snapshot is the
+# materialized state below a cutover position; the tail is every event at or
+# after it; applying the tail over the snapshot must equal latest-state over
+# the full stream.
+# ---------------------------------------------------------------------------
+
+_CUTOVER = 500
+
+_SNAPSHOT_TAIL_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, sequence, dml_type, value, ts_unix,
+         row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+  FROM cdc
+)
+SELECT pk, sequence AS last_seq, value AS last_value
+FROM ranked
+WHERE rn = 1 AND dml_type <> 'delete'
+"""
+
+
+@register("cdc_snapshot_tail", _SNAPSHOT_TAIL_ORACLE)
+def cdc_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_view(spark, sf_dir)
+    snap_events = cdc.filter(F.col("sequence") < _CUTOVER)
+    w = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    snapshot = (
+        snap_events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pk", "sequence", "dml_type", "value")
+    )
+    tail = cdc.filter(F.col("sequence") >= _CUTOVER).select(
+        "pk", "sequence", "dml_type", "value"
+    )
+    merged = snapshot.unionByName(tail)
+    w2 = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w2))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # cdc_schema_registry — polymorphic DDL field decode (event.go:58-137)
 # re-expressed as the pure-Python StructType builder; the query surfaces
 # the decoded registry as rows.  Oracle = golden VALUES (the decode is a

@@ -1,0 +1,241 @@
+"""Relational surface, part 2: subqueries, conditionals, casts, range
+frames, correlation, and the salted-skew-join pattern.
+
+Same contract as operators/relational.py — every entry is declarative
+DataFrame/SQL with a DuckDB oracle; scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.numeric import dec
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import table
+
+DEC12 = "decimal(12,4)"
+
+
+def _d12(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC12)
+
+
+@register(
+    "rel_subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+)
+def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst evaluates it once and
+    broadcasts the scalar into the filter — one extra job, no join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "rel_subquery_corr",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def rel_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's own
+    average).  Catalyst decorrelates this into an aggregate + join —
+    never a per-row re-execution, which is what makes it viable at
+    scale."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "fn_cond",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS finished_price,
+           least(greatest(o_totalprice, 50000.0), 400000.0) AS clamped
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 200000, "big").when(p > 100000, "mid").otherwise("small").alias(
+            "size_class"
+        ),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_orderstatus") == "F", p).otherwise(F.lit(0.0)).alias(
+            "finished_price"
+        ),
+        F.least(F.greatest(p, F.lit(50000.0)), F.lit(400000.0)).alias("clamped"),
+    )
+
+
+@register(
+    "fn_cast",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS id_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           CAST(trunc(value) AS BIGINT) AS value_trunc,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_2dp,
+           CAST(event_id % 2 = 0 AS BOOLEAN) AS is_even
+    FROM events
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast surface.  Note the portability trap this encodes: Spark's
+    double→int cast truncates while DuckDB's rounds, so cross-engine
+    casts go through explicit trunc/floor."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+        F.col("value").cast("long").alias("value_trunc"),
+        F.floor("value").cast("long").alias("value_floor"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("value_2dp"),
+        ((F.col("event_id") % 2) == 0).alias("is_even"),
+    )
+
+
+@register(
+    "rel_win_range",
+    """
+    SELECT event_id, user_id, value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_10,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_within_10
+    FROM events
+    """,
+)
+def rel_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): all peers within 10.0
+    below the current value.  Ties share a frame in both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value").rangeBetween(-10, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n_within_10"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_within_10"),
+    )
+
+
+@register(
+    "rel_corr",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qi,
+             CAST(round(l_extendedprice, 0) AS BIGINT) AS pi
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(
+             (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * pi) AS DOUBLE)
+              - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(pi) AS DOUBLE))
+             / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qi) AS DOUBLE)
+                     - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qi) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(pi * pi) AS DOUBLE)
+                       - CAST(SUM(pi) AS DOUBLE) * CAST(SUM(pi) AS DOUBLE))), 6) AS qty_price_corr
+    FROM q
+    GROUP BY l_returnflag
+    """,
+)
+def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer sums (quantities/prices
+    rounded to whole units; Σx, Σx², Σxy all fit int64) — the textbook
+    formula on identical operands, engine-stable where native corr()
+    accumulators are not."""
+    li = table(spark, sf_dir, "lineitem")
+    qi = F.round("l_quantity", 0).cast("long")
+    pi = F.round("l_extendedprice", 0).cast("long")
+    base = li.select("l_returnflag", qi.alias("qi"), pi.alias("pi"))
+    n = F.count("*").cast("double")
+    sq = F.sum("qi").cast("double")
+    sp = F.sum("pi").cast("double")
+    sqp = F.sum(F.col("qi") * F.col("pi")).cast("double")
+    sqq = F.sum(F.col("qi") * F.col("qi")).cast("double")
+    spp = F.sum(F.col("pi") * F.col("pi")).cast("double")
+    corr = F.round(
+        (n * sqp - sq * sp)
+        / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)),
+        6,
+    )
+    return base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), corr.alias("qty_price_corr")
+    )
+
+
+@register(
+    "rel_join_skew_salt",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern made explicit: the probe side carries a
+    deterministic salt (l_linenumber % 8), the build side is exploded
+    ×8, and the join key becomes (key, salt) — a hot key's rows now
+    spread over 8 reducers.  Result is provably identical to the plain
+    join (the oracle).  In production AQE's skew-join handles the common
+    case; explicit salting is for stateful/streaming joins where AQE
+    can't re-plan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    n_salt = 8
+    li_s = li.withColumn("salt", (F.col("l_linenumber") % n_salt).cast("int"))
+    o_s = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    joined = li_s.join(
+        o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s.salt == o_s.salt)
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

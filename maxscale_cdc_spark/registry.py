@@ -34,6 +34,7 @@ def load_all() -> None:
         llm,
         multimodal,
         relational,
+        relational2,
         sources,
         udfs,
     )

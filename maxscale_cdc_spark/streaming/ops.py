@@ -245,6 +245,54 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+)
+def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each
+    purchase joins signups of the same user within the preceding 7 days.
+    Watermarks on both sides bound the join state — rows older than
+    (watermark − interval) are evicted, which is what makes an unbounded
+    two-stream join feasible; without them state grows forever."""
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev)
+    purchases = (
+        read_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        read_stream(spark, staged)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    out = run_to_memory(joined, "append")
+    return out.select("purchase_id", "signup_id", "user_id")
+
+
+@register(
     "str_stream_static_join",
     """
     SELECT c_mktsegment, event_type, CAST(COUNT(*) AS BIGINT) AS n
