@@ -78,12 +78,11 @@ _JACCARD_MIN = 0.5
 
 _SH_SQL = """
   docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-  sh0 AS (
-    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-                                         i -> w[i] || ' ' || w[i + 1])) AS sh
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1]))) AS sh
     FROM docw
-  ),
-  sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+  )
 """
 
 _MH_COLS_SQL = ", ".join(
@@ -92,7 +91,8 @@ _MH_COLS_SQL = ", ".join(
 
 _NEAR_ORACLE = f"""
 WITH {_SH_SQL},
-  mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+  mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
+         FROM sh GROUP BY doc_id),
   bands AS (
     SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
     UNION ALL
@@ -109,22 +109,24 @@ WITH {_SH_SQL},
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
     GROUP BY c.doc_a, c.doc_b
-  ),
-  sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id)
+  )
 SELECT i.doc_a, i.doc_b, i.n_common,
        round(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
 FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
+JOIN mh sa ON sa.doc_id = i.doc_a
+JOIN mh sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {_JACCARD_MIN}
 """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shingles per doc via row-local array_distinct BEFORE the
+    explode — set semantics with zero shuffle (a global `.distinct()`
+    here would shuffle every (doc, shingle) pair)."""
     d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("sh"))
-        .distinct()
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_bigrams(words("text")))).alias("sh"),
     )
 
 
@@ -146,11 +148,13 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's long-lived session; the shingle scan is recomputed
     # (cheap, narrow) where referenced
     sh = _shingles(spark, sf_dir)
+    # one keyed aggregation yields BOTH the 8 minhashes and the set size
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
             for j in range(_K)
-        ]
+        ],
+        F.count("*").alias("sz"),
     )
     bands = None
     for b in range(_BANDS):
@@ -183,7 +187,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = mh.select("doc_id", "sz")
     jac = F.col("n_common").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )
