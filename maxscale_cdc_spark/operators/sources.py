@@ -93,6 +93,35 @@ def src_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decoded_agg(out)
 
 
+@register("src_cdc_datasource", _SRC_ORACLE.replace("dml_type,", "dml_type,", 1))
+def src_cdc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom `maxscale_cdc` Python DataSource end-to-end: wire
+    lines → streaming source with GTID offsets → envelope rows →
+    aggregate.  Same oracle as the other wire round trips: the source
+    must be lossless."""
+    from maxscale_cdc_spark.sources.cdc_datasource import SOURCE_NAME, register as reg
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    reg(spark)
+    wire_dir = _render_wire_lines(spark, sf_dir)
+    stream = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("path", wire_dir)
+        .option("database", "app")
+        .option("table", "events")
+        .load()
+    )
+    out = run_to_memory(stream, "append")
+    return out.groupBy(F.col("event_type").alias("dml_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.get_json_object("payload", "$.value").cast("double") * 100, 0)
+            .cast("long")
+        ).alias("sum_value_cents"),
+        F.max("sequence").alias("max_seq"),
+    )
+
+
 @register(
     "src_parquet_scan",
     """

@@ -1,0 +1,88 @@
+"""Tests for the custom `maxscale_cdc` streaming data source: delivery,
+GTID resume via option, incremental burst pickup, and checkpoint
+restart continuity (the reference's RequestData/Stop lifecycle)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.sources.cdc_datasource import SOURCE_NAME, register
+from maxscale_cdc_spark.sources.cdc_source import render_dml_line, write_stream_files
+
+
+def _lines(n0: int, n1: int) -> list[str]:
+    return [
+        render_dml_line("test", "tests", 0, 3000, seq, 1, 1693300000 + seq,
+                        "insert", {"id": seq, "val": seq * 1.5})
+        for seq in range(n0, n1)
+    ] + ["ERR transient"]
+
+
+@pytest.fixture()
+def spool(tmp_path):
+    d = str(tmp_path / "spool")
+    write_stream_files(_lines(0, 20), d, files=2)
+    return d
+
+
+def _read(spark, spool_dir, **opts):
+    register(spark)
+    reader = spark.readStream.format(SOURCE_NAME).option("path", spool_dir)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_delivers_all_events(spark, spool):
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    out = run_to_memory(_read(spark, spool, table="tests"), "append")
+    assert out.count() == 20
+    row = out.filter(F.col("sequence") == 3).collect()[0]
+    assert row["event_type"] == "insert"
+    assert '"id": 3' in row["payload"] or '"id":3' in row["payload"]
+
+
+def test_starting_gtid_resume(spark, spool):
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    out = run_to_memory(
+        _read(spark, spool, table="tests", startingGtid="0-3000-8"), "append"
+    )
+    seqs = sorted(r["sequence"] for r in out.collect())
+    assert seqs == list(range(8, 20))
+
+
+def test_incremental_burst_pickup(spark, spool):
+    """Files appearing between micro-batches are picked up by the next
+    offset range — the socket-pump analogue (client.go:253-287)."""
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="dsrc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dsrc_ckpt_")
+
+    def run():
+        q = (
+            _read(spark, spool, table="tests")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = spark.read.parquet(sink).count()
+    assert got1 == 20
+    # new burst arrives; restart from checkpoint picks up ONLY the new file
+    with open(os.path.join(spool, "events-burst2.jsonl"), "w") as f:
+        f.write("\n".join(_lines(20, 25)[:-1]) + "\n")
+    run()
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == 25
+    assert got2.select("sequence").distinct().count() == 25
