@@ -175,6 +175,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Verify joins run as shuffle joins here: broadcasting `cand` would
+    # re-execute the whole minhash pipeline per broadcast subtree (no
+    # cross-query caching in a registered query), which measures slower
+    # than the shuffles.  In a persistent pipeline, materialize `cand`
+    # (cache/table) and broadcast it — then the shingle table never
+    # shuffles.
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (

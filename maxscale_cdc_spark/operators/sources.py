@@ -44,7 +44,9 @@ def _render_wire_lines(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     out = tempfile.mkdtemp(prefix="cdc_wire_")
-    cdc.select(line.alias("value")).repartition(4).write.mode("overwrite").text(out)
+    # 16 files → 16-way parallel decode in the readers (the Python
+    # data source maps one partition per burst file)
+    cdc.select(line.alias("value")).repartition(16).write.mode("overwrite").text(out)
     return out
 
 

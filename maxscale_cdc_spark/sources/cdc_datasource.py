@@ -117,7 +117,12 @@ def build_cdc_datasource():
             pass
 
         def read(self, partition):
+            # Yields Arrow RecordBatches, not tuples: per-row pickling
+            # is the Python data source's slow path; columnar batches
+            # move through the JVM boundary ~10× faster.
             import json
+
+            import pyarrow as pa
 
             envelope_keys = (
                 "domain",
@@ -129,8 +134,26 @@ def build_cdc_datasource():
                 "table_name",
                 "table_schema",
             )
+            arrow_types = [
+                pa.int32(), pa.int32(), pa.int64(), pa.int32(), pa.int64(),
+                pa.string(), pa.string(), pa.string(), pa.string(),
+            ]
+            names = [
+                "domain", "server_id", "sequence", "event_number",
+                "timestamp", "event_type", "table_name", "table_schema",
+                "payload",
+            ]
             max_bytes = 1 << 20
+            batch_rows = 20_000
             start = tuple(partition.start_gtid)
+            cols: list[list] = [[] for _ in names]
+
+            def flush():
+                arrays = [
+                    pa.array(c, type=t) for c, t in zip(cols, arrow_types)
+                ]
+                return pa.RecordBatch.from_arrays(arrays, names=names)
+
             with open(partition.path, "rb") as fh:
                 for raw in fh:
                     line = raw.rstrip(b"\n")
@@ -158,17 +181,26 @@ def build_cdc_datasource():
                     payload = {
                         k: v for k, v in obj.items() if k not in envelope_keys
                     }
-                    yield (
-                        pos[0],
-                        pos[1],
-                        pos[2],
-                        int(obj.get("event_number", 0)),
-                        int(obj.get("timestamp", 0)),
-                        obj.get("event_type"),
-                        obj.get("table_name"),
-                        obj.get("table_schema"),
-                        json.dumps(payload, sort_keys=True),
-                    )
+                    for col, v in zip(
+                        cols,
+                        (
+                            pos[0],
+                            pos[1],
+                            pos[2],
+                            int(obj.get("event_number", 0)),
+                            int(obj.get("timestamp", 0)),
+                            obj.get("event_type"),
+                            obj.get("table_name"),
+                            obj.get("table_schema"),
+                            json.dumps(payload, sort_keys=True),
+                        ),
+                    ):
+                        col.append(v)
+                    if len(cols[0]) >= batch_rows:
+                        yield flush()
+                        cols = [[] for _ in names]
+            if cols[0]:
+                yield flush()
 
     class CDCDataSource(DataSource):
         @classmethod
