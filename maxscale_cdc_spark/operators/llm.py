@@ -267,6 +267,94 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total
 
 
+_SIM32_BITS = 32
+
+_SIM32_SQL_BITS = ", ".join(
+    f"CASE WHEN SUM(((hv >> {j}) & 1) * 2 - 1) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END AS b{j}"
+    for j in range(_SIM32_BITS)
+)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv FROM tok
+), bits AS (
+  SELECT doc_id, {_SIM32_SQL_BITS} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {" + ".join(f"b{j}" for j in range(_SIM32_BITS))} AS sh FROM bits
+), bands AS (
+  SELECT doc_id, sh, b.band, (sh >> (8 * b.band)) & 255 AS bv
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register("llm_dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via Hamming-distance LSH: 32-bit signature,
+    4 bands of 8 bits — by pigeonhole, any pair within Hamming distance
+    3 shares at least one intact band, so the band-bucket self-join
+    finds every such pair; the exact bit_count(xor) check then filters
+    false candidates.  The same pattern indexes billions of documents:
+    banding turns an O(n²) Hamming search into per-bucket joins."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    hv = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    votes = [
+        F.when(
+            F.sum((F.shiftright("hv", j).bitwiseAND(F.lit(1)) * 2 - 1)) > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(_SIM32_BITS)
+    ]
+    sig = (
+        hv.groupBy("doc_id")
+        .agg(*votes)
+        .select(
+            "doc_id",
+            sum([F.col(f"b{j}") for j in range(_SIM32_BITS)], F.lit(0).cast("long")).alias("sh"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(sh, band * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprint (rolling-hash / winnowing style)
 # ---------------------------------------------------------------------------

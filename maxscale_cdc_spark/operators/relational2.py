@@ -209,6 +209,59 @@ def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack(): wide measures → long (measure, val)
+    rows, executor-side — the lateral inverse of pivot."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) "
+            "AS (measure, val)"
+        ),
+    )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 21845) AS xored,
+           event_id << 2 AS shl2,
+           event_id >> 3 AS shr3,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (note: DuckDB's ^ is exponentiation — the oracle
+    uses xor())."""
+    ev = table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+        F.bit_count(e).cast("int").alias("popcount"),
+    )
+
+
+@register(
     "rel_join_skew_salt",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,

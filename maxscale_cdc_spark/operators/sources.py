@@ -155,7 +155,7 @@ def snk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (restart-safe, the durable event log), then read the files back."""
     from maxscale_cdc_spark.streaming.runners import read_stream, stage_as_stream
 
-    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
     out_dir = tempfile.mkdtemp(prefix="snk_append_")
     ckpt = os.path.join(out_dir, "_ckpt")
@@ -195,7 +195,7 @@ def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch reduction below is the same algorithm."""
     from maxscale_cdc_spark.streaming.runners import read_stream, stage_as_stream
 
-    staged = stage_as_stream(table(spark, sf_dir, "events"), n_files=4)
+    staged = stage_as_stream(table(spark, sf_dir, "events"), n_files=4, cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged, max_files_per_trigger=2)
 
     state: dict[int, tuple] = {}

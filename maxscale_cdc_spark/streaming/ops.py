@@ -46,7 +46,7 @@ _WIN_END_SQL = "make_timestamp((CAST(floor(extract(epoch FROM ts) / 21600) AS BI
     """,
 )
 def str_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
     agg = stream.groupBy(
         F.window("ts", "6 hours").alias("w"), "event_type"
@@ -73,7 +73,7 @@ def str_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def str_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12h windows sliding by 6h — each event lands in exactly 2 windows."""
-    staged = stage_as_stream(table(spark, sf_dir, "events"))
+    staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
     agg = stream.groupBy(
         F.window("ts", "12 hours", "6 hours").alias("w"), "event_type"
@@ -145,7 +145,7 @@ def str_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer rewrite.  (Late-arriving input within the horizon still
     merges; rows for already-finalized windows are discarded.)"""
     ev = table(spark, sf_dir, "events")
-    staged = stage_as_stream(ev)
+    staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -175,7 +175,7 @@ def str_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact set.  At scale: dropDuplicatesWithinWatermark bounds the
     dedup state to the watermark horizon."""
     ev = table(spark, sf_dir, "events")
-    staged = stage_as_stream(ev.unionAll(ev))
+    staged = stage_as_stream(ev.unionAll(ev), cache_key=f"events2x:{sf_dir}")
     stream = read_stream(spark, staged)
     deduped = stream.dropDuplicates(["event_id"])
     out = run_to_memory(deduped, "append")
@@ -204,7 +204,7 @@ def str_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = table(spark, sf_dir, "events")
-    staged = stage_as_stream(ev)
+    staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
 
     def update_state(key, pdf_iter, state):
@@ -261,7 +261,7 @@ def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark − interval) are evicted, which is what makes an unbounded
     two-stream join feasible; without them state grows forever."""
     ev = table(spark, sf_dir, "events")
-    staged = stage_as_stream(ev)
+    staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
     purchases = (
         read_stream(spark, staged)
         .filter(F.col("event_type") == "purchase")
@@ -306,7 +306,7 @@ def str_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC firehose with reference data."""
     ev = table(spark, sf_dir, "events")
     cust = table(spark, sf_dir, "customer")
-    staged = stage_as_stream(ev)
+    staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
     joined = stream.join(
         F.broadcast(cust), stream.user_id == cust.c_custkey

@@ -27,11 +27,22 @@ EVENTS_DDL = (
 )
 
 
-def stage_as_stream(df: DataFrame, n_files: int = 4) -> str:
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def stage_as_stream(df: DataFrame, n_files: int = 4, cache_key: str | None = None) -> str:
     """Write a batch DataFrame into a temp dir of parquet files so a file
-    source can replay it as a stream (stand-in for the CDC socket)."""
+    source can replay it as a stream (stand-in for the CDC socket).
+
+    With `cache_key`, the staged dir is memoized for the process — the
+    replay input is immutable, so every streaming operator over the same
+    table reuses one staging write instead of re-materializing it."""
+    if cache_key is not None and cache_key in _STAGE_CACHE:
+        return _STAGE_CACHE[cache_key]
     out = tempfile.mkdtemp(prefix="cdc_stream_")
     df.repartition(n_files).write.mode("overwrite").parquet(out)
+    if cache_key is not None:
+        _STAGE_CACHE[cache_key] = out
     return out
 
 
