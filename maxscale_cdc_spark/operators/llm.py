@@ -590,6 +590,71 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding aggregation + dataset split
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_embed_centroid",
+    """
+    WITH flat AS (
+      SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM flat
+    GROUP BY label, dim
+    """,
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) in long format: posexplode
+    → (label, dim) keyed aggregation — the distributed formulation of a
+    k-means/update step or class-prototype computation.  Decimal sums
+    keep the means identical at any partitioning."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select("label", (F.col("dim0") + 1).cast("int").alias("dim"), "val")
+    return flat.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,12)")).cast("double") / F.count("*"),
+            6,
+        ).alias("centroid")
+    )
+
+
+@register(
+    "llm_train_split",
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-free
+    hash bucketing of the key — reproducible on any cluster, stable
+    under re-partitioning and re-runs, no RNG state to ship."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

@@ -209,6 +209,26 @@ def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS sample_order
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: integer bin index from floor division —
+    the exact (and exactly-comparable) building block under approximate
+    distribution sketches; one map-side-combinable aggregation."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("bin")
+    ).agg(F.count("*").alias("n"), F.min("o_orderkey").alias("sample_order"))
+
+
+@register(
     "rel_unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
