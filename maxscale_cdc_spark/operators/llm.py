@@ -111,7 +111,7 @@ WITH {_SH_SQL},
     GROUP BY c.doc_a, c.doc_b
   )
 SELECT i.doc_a, i.doc_b, i.n_common,
-       round(CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
 FROM inter i
 JOIN mh sa ON sa.doc_id = i.doc_a
 JOIN mh sb ON sb.doc_id = i.doc_b
@@ -207,7 +207,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .filter(jac >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
 
@@ -597,11 +597,12 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_centroid",
     """
     WITH flat AS (
-      SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+      SELECT label, i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1073741824.0) AS BIGINT) AS q30
       FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
     )
     SELECT label, CAST(dim AS INT) AS dim,
-           round(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS centroid
+           CAST(SUM(q30) AS DOUBLE) / (COUNT(*) * 1073741824.0) AS centroid
     FROM flat
     GROUP BY label, dim
     """,
@@ -609,17 +610,27 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (elementwise mean) in long format: posexplode
     → (label, dim) keyed aggregation — the distributed formulation of a
-    k-means/update step or class-prototype computation.  Decimal sums
-    keep the means identical at any partitioning."""
+    k-means/update step or class-prototype computation.
+
+    Exactness: values are quantized to Q1.30 fixed point BEFORE
+    summation — ×2³⁰ is a power-of-two multiply (never rounds in IEEE)
+    and floor has no ties, so the integer sums are identical at any
+    partitioning and in any engine.  (High-scale DECIMAL casts are NOT
+    cross-engine exact: DuckDB's double→DECIMAL goes through a float
+    multiply.)  Quantization error ≤ 2⁻³⁰ per element, far below
+    float32 input precision."""
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
-    ).select("label", (F.col("dim0") + 1).cast("int").alias("dim"), "val")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+    )
     return flat.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.col("val").cast("decimal(18,12)")).cast("double") / F.count("*"),
-            6,
+        (
+            F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))
         ).alias("centroid")
     )
 
@@ -698,12 +709,11 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_words, n_uniq,
-           round(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_ratio,
-           round(CAST(sum_wlen AS DOUBLE) / n_words, 6) AS mean_wlen,
-           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
-           round(0.5 * round(CAST(n_uniq AS DOUBLE) / n_words, 6)
-               + 0.3 * (1.0 - round(CAST(n_stop AS DOUBLE) / n_words, 6))
-               + 0.2 * least(1.0, round(CAST(sum_wlen AS DOUBLE) / n_words, 6) / 8.0), 6) AS quality
+           CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+           CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CAST(20 * n_uniq + 12 * (n_words - n_stop) + least(8 * n_words, sum_wlen) AS DOUBLE)
+             / (40.0 * n_words) AS quality
     FROM m
     """,
 )
@@ -722,13 +732,19 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_wlen"),
         F.size(F.filter(w, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
     )
-    uniq_ratio = F.round(F.col("n_uniq").cast("double") / F.col("n_words"), 6)
-    mean_wlen = F.round(F.col("sum_wlen").cast("double") / F.col("n_words"), 6)
-    stop_ratio = F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6)
-    quality = F.round(
-        0.5 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * F.least(F.lit(1.0), mean_wlen / 8.0),
-        6,
-    )
+    # no round(): these are divisions of IDENTICAL integers in both
+    # engines, so the doubles are bitwise equal — while round-at-6 on
+    # rationals hits exact decimal ties that Spark (BigDecimal HALF_UP)
+    # and DuckDB (float multiply) resolve differently.  The composite
+    # quality is one integer numerator over one integer denominator.
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_words")
+    mean_wlen = F.col("sum_wlen").cast("double") / F.col("n_words")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    quality = (
+        20 * F.col("n_uniq")
+        + 12 * (F.col("n_words") - F.col("n_stop"))
+        + F.least(8 * F.col("n_words"), F.col("sum_wlen"))
+    ).cast("double") / (40.0 * F.col("n_words").cast("double"))
     return base.select(
         "doc_id",
         "n_words",

@@ -149,11 +149,10 @@ def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           round(
-             (CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
               - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-             / CAST(COUNT(*) - 1 AS DOUBLE), 6) AS var_qty
+             / CAST(COUNT(*) - 1 AS DOUBLE) AS var_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -169,7 +168,7 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         s.alias("sum_qty"),
-        F.round((sum_sq - s * s / n) / (n - F.lit(1.0)), 6).alias("var_qty"),
+        ((sum_sq - s * s / n) / (n - F.lit(1.0))).alias("var_qty"),
     )
 
 

@@ -23,11 +23,18 @@ from maxscale_cdc_spark.tables import table
 _PAYLOAD_DDL = "pk bigint, value double"
 
 
+_WIRE_CACHE: dict[str, str] = {}
+
+
 def _render_wire_lines(spark: SparkSession, sf_dir: str) -> str:
     """Render the CDC view as reference-wire-format JSON lines
     (envelope first — the DML dispatch prefix rule needs `domain` as the
     first key, client.go:410-412) into a temp text dir.  Executor-side
-    `to_json`: the render scales with the cluster, no driver collect."""
+    `to_json`: the render scales with the cluster, no driver collect.
+    Memoized per sf_dir — the spool is immutable input shared by every
+    wire-format operator."""
+    if sf_dir in _WIRE_CACHE:
+        return _WIRE_CACHE[sf_dir]
     cdc = cdc_view(spark, sf_dir)
     line = F.to_json(
         F.struct(
@@ -47,6 +54,7 @@ def _render_wire_lines(spark: SparkSession, sf_dir: str) -> str:
     # 16 files → 16-way parallel decode in the readers (the Python
     # data source maps one partition per burst file)
     cdc.select(line.alias("value")).repartition(16).write.mode("overwrite").text(out)
+    _WIRE_CACHE[sf_dir] = out
     return out
 
 

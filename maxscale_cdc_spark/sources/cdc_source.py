@@ -37,6 +37,67 @@ from maxscale_cdc_spark.sources.schema_registry import SchemaRegistry, TableSche
 
 
 # ---------------------------------------------------------------------------
+# Protocol handshake helpers (socket-transport layer).
+# ---------------------------------------------------------------------------
+
+def format_authentication_command(user: str, password: str) -> bytes:
+    """``hex(user + ":" + sha1(password))`` — the CDC protocol auth
+    message (client.go:324-347).  Pure function so the socket transport
+    and tests share it; Spark's own `sha1`/`hex` expressions reproduce
+    it for parity checks."""
+    import hashlib
+
+    digest = hashlib.sha1(password.encode("utf-8")).digest()
+    return (user.encode("utf-8") + b":" + digest).hex().encode("ascii")
+
+
+def format_register_command(uuid: str) -> bytes:
+    """``REGISTER UUID=<uuid>, TYPE=JSON`` — selects JSON rendering
+    (client.go:211-216)."""
+    return f"REGISTER UUID={uuid}, TYPE=JSON".encode("ascii")
+
+
+def format_request_data_command(
+    database: str, table: str, version: str | None = None, gtid: str | None = None
+) -> bytes:
+    """``REQUEST-DATA db.table[.version] [gtid]`` (client.go:349-369)."""
+    if not database or not table:
+        raise ValueError("database and table are required")
+    cmd = f"REQUEST-DATA {database}.{table}"
+    if version:
+        cmd += f".{version}"
+    if gtid:
+        cmd += f" {gtid}"
+    return cmd.encode("ascii")
+
+
+class TransportOptions:
+    """Connection options for the socket transport — dial/read/write
+    timeouts are three INDEPENDENT fields (the reference's option
+    setters have a bug where WithDialTimeout and WithWriteTimeout both
+    write readTimeout, client.go:49-53, 63-67 — deliberately NOT
+    reproduced; see SURVEY §4)."""
+
+    DEFAULT_TIMEOUT_S = 5.0  # client.go:31-35
+
+    def __init__(
+        self,
+        dial_timeout_s: float | None = None,
+        read_timeout_s: float | None = None,
+        write_timeout_s: float | None = None,
+    ) -> None:
+        self.dial_timeout_s = (
+            self.DEFAULT_TIMEOUT_S if dial_timeout_s is None else float(dial_timeout_s)
+        )
+        self.read_timeout_s = (
+            self.DEFAULT_TIMEOUT_S if read_timeout_s is None else float(read_timeout_s)
+        )
+        self.write_timeout_s = (
+            self.DEFAULT_TIMEOUT_S if write_timeout_s is None else float(write_timeout_s)
+        )
+
+
+# ---------------------------------------------------------------------------
 # Simulator (writer side) — renders the reference wire format.
 # ---------------------------------------------------------------------------
 
