@@ -388,6 +388,48 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cdc_gap_detect — ordered-delivery monitoring: sequence gaps per stream
+# partition reveal lost events (the reference's total order,
+# event.go:189-200, makes gaps detectable; its at-least-once channel can
+# drop nothing silently — a gap means upstream loss).
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = f"""
+{CDC_SQL}
+, seq AS (
+  SELECT pk, sequence,
+         lag(sequence) OVER (PARTITION BY pk ORDER BY sequence) AS prev_seq
+  FROM cdc
+)
+SELECT pk, prev_seq AS gap_start, sequence AS gap_end,
+       CAST(sequence - prev_seq - 1 AS BIGINT) AS missing
+FROM seq
+WHERE prev_seq IS NOT NULL AND sequence - prev_seq > 20
+"""
+
+
+@register("cdc_gap_detect", _GAP_ORACLE)
+def cdc_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequence-gap detection via lag(): one keyed shuffle, no
+    self-join.  (Threshold 20 because the synthetic stream interleaves
+    keys — per-key deltas are ~n_keys on average; a real CDC stream
+    checks per-domain global sequence with threshold 1.)"""
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy("sequence")
+    seq = cdc.select(
+        "pk", "sequence", F.lag("sequence").over(w).alias("prev_seq")
+    )
+    return seq.filter(
+        F.col("prev_seq").isNotNull() & (F.col("sequence") - F.col("prev_seq") > 20)
+    ).select(
+        "pk",
+        F.col("prev_seq").alias("gap_start"),
+        F.col("sequence").alias("gap_end"),
+        (F.col("sequence") - F.col("prev_seq") - 1).alias("missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cdc_snapshot_tail — initial snapshot + CDC tail merge: the "request the
 # table, then follow changes" consumption pattern (client_test.go:75-80
 # consumes seeded inserts, then the live tail).  The snapshot is the

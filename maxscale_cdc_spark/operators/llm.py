@@ -636,6 +636,51 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id
+    FROM runs
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: assign documents (per language, in
+    deterministic doc_id order) to ~512-token packs via a running token
+    cumsum — the greedy first-fit-in-order packer as one window
+    function.  The pack id is derived from the cumsum BEFORE the doc so
+    a document starts the pack it lands in.  One keyed shuffle; at
+    100 TB this is how pretraining shards are laid out without a
+    driver-side loop."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.expr(
+        "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return runs.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.col("cum_tok") - F.col("n_tok")) / 512.0).cast("long").alias("pack_id"),
+    )
+
+
+@register(
     "llm_train_split",
     """
     WITH b AS (

@@ -209,6 +209,53 @@ def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_join_range_bucket",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+    """,
+)
+def rel_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (pairs of a user's events within 1 hour) via
+    TIME-BUCKETIZATION: each row joins on (user, bucket) for its own
+    and both adjacent 1h buckets, then the exact |Δt| filter runs as a
+    join residual.  The naive theta join is O(n²) per user; bucketing
+    makes it an equi-join whose cost is Σ bucket² — the standard range-
+    join decomposition (DuckDB's native ASOF/IEJoin does this
+    internally; the oracle states the naive form, proving equivalence).
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600)
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+        # probe side replicated into its own + both adjacent buckets so
+        # every in-range pair co-locates in at least one bucket
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("bk"),
+    )
+    joined = a.join(
+        b,
+        (F.col("u_a") == F.col("u_b"))
+        & (a.bk == b.bk)
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR")),
+    )
+    # a pair can co-locate in up to 2 of the 3 replicated buckets
+    return joined.select("id_a", "id_b").distinct()
+
+
+@register(
     "rel_histogram",
     """
     SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bin,
