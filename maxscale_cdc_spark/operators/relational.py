@@ -758,9 +758,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(extract(month FROM o_orderdate) AS INT) AS order_mon,
            CAST(extract(day FROM o_orderdate) AS INT) AS order_day,
            CAST(isodow(o_orderdate) AS INT) AS order_isodow,
-           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders
     """,
 )
@@ -773,11 +773,13 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_mon"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("order_isodow"),
-        F.date_add(F.to_date("o_orderdate"), 30).alias("plus_30d"),
+        # DATE results surface as TIMESTAMP: both engines then hand
+        # pandas a datetime64 column (dates arrive as mixed objects)
+        F.date_add(F.to_date("o_orderdate"), 30).cast("timestamp").alias("plus_30d"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
         .cast("int")
         .alias("days_since_95"),
-        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.last_day(F.to_date("o_orderdate")).cast("timestamp").alias("month_end"),
     )
 
 
@@ -787,12 +789,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            abs(value - 100.0) AS dist_100,
            round(value, 1) AS val_round1,
-           floor(value) AS val_floor,
-           ceil(value) AS val_ceil,
+           CAST(floor(value) AS BIGINT) AS val_floor,
+           CAST(ceil(value) AS BIGINT) AS val_ceil,
            sqrt(abs(value)) AS val_sqrt,
            CAST(event_id % 7 AS BIGINT) AS id_mod7,
            round(ln(value + 1.0), 6) AS val_ln,
-           sign(value - 100.0) AS val_sign,
+           CAST(sign(value - 100.0) AS DOUBLE) AS val_sign,
            greatest(value, 50.0) AS val_hi,
            least(value, 50.0) AS val_lo
     FROM events
