@@ -209,6 +209,136 @@ def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_agg_median",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def rel_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation — both engines average
+    identical middle elements, so results are bit-equal).  Exact
+    percentile is a sort-based aggregate: fine per group, and the
+    approximate sketch (rel_agg_approx) is the 100 TB default."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+@register(
+    "rel_agg_mode",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, v) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, v AS mode_qty, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def rel_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with an EXPLICIT deterministic tiebreak (max count, then
+    smallest value) — native mode() functions break ties arbitrarily,
+    which is unacceptable for reproducible pipelines.  Two
+    map-combinable aggregations, no sort."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "v")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "fn_stragg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey < 40
+    GROUP BY c_nationkey
+    """,
+)
+def fn_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list carries no order
+    guarantee under parallelism, so the value is collected WITH its sort
+    key and sorted row-locally (sort_array on structs) before joining —
+    deterministic at any partitioning."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40)
+    ordered = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))),
+            lambda s: s.getField("c_name"),
+        ),
+        ",",
+    )
+    return c.groupBy("c_nationkey").agg(
+        ordered.alias("names"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "rel_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(floor(extract(epoch FROM min(ts)) / 86400) AS BIGINT) AS d0,
+             CAST(floor(extract(epoch FROM max(ts)) / 86400) AS BIGINT) AS d1
+      FROM events
+    ), days AS (
+      SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds
+    ), actual AS (
+      SELECT CAST(floor(extract(epoch FROM ts) / 86400) AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT make_timestamp(days.day_idx * 86400 * 1000000) AS day,
+           coalesce(actual.n, 0) AS n_events
+    FROM days LEFT JOIN actual ON days.day_idx = actual.day_idx
+    """,
+)
+def rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: generate the full day spine with
+    `sequence()` (executor-side — never a driver loop), left-join actual
+    counts, zero-fill.  The spine generation is O(range) rows, not
+    O(data), so it is scale-free."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_idx")
+    )
+    actual = ev.groupBy(day.alias("day_idx")).agg(F.count("*").alias("n"))
+    return (
+        spine.join(actual, "day_idx", "left")
+        .select(
+            F.timestamp_seconds(F.col("day_idx") * 86400).alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "rel_join_range_bucket",
     """
     SELECT a.event_id AS id_a, b.event_id AS id_b
