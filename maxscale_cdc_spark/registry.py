@@ -36,6 +36,7 @@ def load_all() -> None:
         relational,
         relational2,
         sources,
+        tpch,
         udfs,
     )
     from maxscale_cdc_spark.streaming import ops  # noqa: F401

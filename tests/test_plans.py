@@ -59,6 +59,17 @@ def test_no_cartesian_anywhere_in_relational(spark, sf_dir):
         assert not has_cartesian(_q(name, spark, sf_dir)), name
 
 
+def test_tpch_plans(spark, sf_dir):
+    """The multi-join anchors: dims broadcast, no cartesian, filters at
+    the scans."""
+    for name in ["tpch_q3", "tpch_q5", "tpch_q10"]:
+        df = _q(name, spark, sf_dir)
+        assert not has_cartesian(df), name
+    q5 = _q("tpch_q5", spark, sf_dir)
+    assert has_broadcast_join(q5)
+    assert "o_orderdate" in pushed_filters(_q("tpch_q3", spark, sf_dir))
+
+
 def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     plan = formatted_plan(_q("llm_dedup_near", spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
