@@ -119,15 +119,17 @@ def src_cdc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", wire_dir)
         .option("database", "app")
         .option("table", "events")
+        # schema known (from the DDL registry) → typed-payload fast path:
+        # C++ JSON parse, payload arrives as native columns
+        .option("payloadSchema", "pk bigint, value double")
         .load()
     )
     out = run_to_memory(stream, "append")
     return out.groupBy(F.col("event_type").alias("dml_type")).agg(
         F.count("*").alias("n"),
-        F.sum(
-            F.round(F.get_json_object("payload", "$.value").cast("double") * 100, 0)
-            .cast("long")
-        ).alias("sum_value_cents"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
         F.max("sequence").alias("max_seq"),
     )
 

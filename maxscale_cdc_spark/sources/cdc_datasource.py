@@ -21,6 +21,13 @@ Options:
   path            spool directory (required)
   database,table  stream selection (``REQUEST-DATA db.table``)
   startingGtid    resume position "d-s-seq" (default: from the beginning)
+  payloadSchema   optional DDL string (e.g. "pk bigint, value double") —
+                  when the schema is known (from the DDL registry, like
+                  the reference after its first schema event), bursts
+                  are parsed by PyArrow's C++ JSON reader with typed
+                  payload COLUMNS in the output (no per-row Python, no
+                  payload re-serialization); without it, the generic
+                  mode emits the payload as a JSON string.
 
 Spool contract: burst files are append-only with lexicographically
 increasing names (binlog-style numbering) — the offset is a count over
@@ -77,6 +84,9 @@ def build_cdc_datasource():
             self.path = options["path"]
             self.database = options.get("database")
             self.table = options.get("table")
+            self.payload_ddl = options.get("payloadschema") or options.get(
+                "payloadSchema"
+            )
             start = options.get("startinggtid") or options.get("startingGtid")
             if start:
                 d, sv, q = start.split("-")
@@ -117,6 +127,94 @@ def build_cdc_datasource():
             pass
 
         def read(self, partition):
+            if self.payload_ddl:
+                yield from self._read_typed(partition)
+            else:
+                yield from self._read_generic(partition)
+
+        def _read_typed(self, partition):
+            """Schema-known fast path: one Python pass for the line-level
+            protocol rules (DML prefix, ERR skip, 1 MiB cap — byte ops
+            only), then PyArrow's C++ JSON reader parses the burst into
+            typed columns and pyarrow.compute applies the table/GTID
+            filters.  No per-row Python, no payload re-serialization."""
+            import io
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.json as pj
+
+            type_map = {
+                "int": pa.int32(), "integer": pa.int32(),
+                "bigint": pa.int64(), "long": pa.int64(),
+                "double": pa.float64(), "float": pa.float32(),
+                "string": pa.string(), "varchar": pa.string(),
+                "boolean": pa.bool_(), "bool": pa.bool_(),
+            }
+            payload_fields = []
+            for part in self.payload_ddl.split(","):
+                name, typ = part.strip().split()
+                payload_fields.append(
+                    pa.field(name, type_map.get(typ.lower(), pa.string()))
+                )
+            envelope_fields = [
+                pa.field("domain", pa.int32()),
+                pa.field("server_id", pa.int32()),
+                pa.field("sequence", pa.int64()),
+                pa.field("event_number", pa.int32()),
+                pa.field("timestamp", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("table_name", pa.string()),
+                pa.field("table_schema", pa.string()),
+            ]
+            explicit = pa.schema(envelope_fields + payload_fields)
+
+            max_bytes = 1 << 20
+            keep = []
+            with open(partition.path, "rb") as fh:
+                for raw in fh:
+                    line = raw.rstrip(b"\n")
+                    # protocol line rules (client.go:17, 261-267, 410-412)
+                    if (
+                        line
+                        and len(line) <= max_bytes
+                        and line.startswith(b'{"domain":')
+                    ):
+                        keep.append(line)
+            if not keep:
+                return
+            tbl = pj.read_json(
+                io.BytesIO(b"\n".join(keep)),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=explicit,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            d0, s0, q0 = self.start_gtid
+            # lexicographic (domain, server_id, sequence) >= start
+            dd, ss, qq = tbl["domain"], tbl["server_id"], tbl["sequence"]
+            mask = pc.or_(
+                pc.greater(dd, pa.scalar(d0, pa.int32())),
+                pc.and_(
+                    pc.equal(dd, pa.scalar(d0, pa.int32())),
+                    pc.or_(
+                        pc.greater(ss, pa.scalar(s0, pa.int32())),
+                        pc.and_(
+                            pc.equal(ss, pa.scalar(s0, pa.int32())),
+                            pc.greater_equal(qq, pa.scalar(q0, pa.int64())),
+                        ),
+                    ),
+                ),
+            )
+            if self.table:
+                mask = pc.and_(mask, pc.equal(tbl["table_name"], pa.scalar(self.table)))
+            if self.database:
+                mask = pc.and_(
+                    mask, pc.equal(tbl["table_schema"], pa.scalar(self.database))
+                )
+            yield from tbl.filter(mask).to_batches(max_chunksize=20_000)
+
+        def _read_generic(self, partition):
             # Yields Arrow RecordBatches, not tuples: per-row pickling
             # is the Python data source's slow path; columnar batches
             # move through the JVM boundary ~10× faster.
@@ -208,6 +306,15 @@ def build_cdc_datasource():
             return "maxscale_cdc"
 
         def schema(self):
+            pds = self.options.get("payloadschema") or self.options.get(
+                "payloadSchema"
+            )
+            if pds:
+                return (
+                    "domain INT, server_id INT, sequence BIGINT, "
+                    "event_number INT, timestamp BIGINT, event_type STRING, "
+                    "table_name STRING, table_schema STRING, " + pds
+                )
             return source_schema
 
         def streamReader(self, schema):

@@ -48,6 +48,37 @@ def test_delivers_all_events(spark, spool):
     assert '"id": 3' in row["payload"] or '"id":3' in row["payload"]
 
 
+def test_typed_payload_fast_path(spark, spool):
+    """payloadSchema option: PyArrow C++ parse, typed payload columns."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    out = run_to_memory(
+        _read(
+            spark,
+            spool,
+            table="tests",
+            payloadSchema="id bigint, val double",
+        ),
+        "append",
+    )
+    assert out.schema["val"].dataType.typeName() == "double"
+    rows = {r["sequence"]: r for r in out.collect()}
+    assert len(rows) == 20
+    assert rows[3]["id"] == 3 and rows[3]["val"] == 4.5
+    # resume works identically on the typed path
+    out2 = run_to_memory(
+        _read(
+            spark,
+            spool,
+            table="tests",
+            payloadSchema="id bigint, val double",
+            startingGtid="0-3000-8",
+        ),
+        "append",
+    )
+    assert sorted(r["sequence"] for r in out2.collect()) == list(range(8, 20))
+
+
 def test_starting_gtid_resume(spark, spool):
     from maxscale_cdc_spark.streaming.runners import run_to_memory
 
