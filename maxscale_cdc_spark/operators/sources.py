@@ -181,6 +181,29 @@ def snk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+@register(
+    "snk_partitioned",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink: events written `partitionBy(day)` — the layout
+    that makes later day-ranged scans prune whole directories (hive
+    partitioning; see tests/test_plans.py::test_partition_pruning).
+    Read back and aggregate per partition to prove losslessness."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="snk_part_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+
+
 _UPSERT_ORACLE = f"""
 {CDC_SQL}
 , ranked AS (

@@ -75,6 +75,26 @@ def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Day-partitioned layout → a day filter becomes a PartitionFilter
+    (directory pruning), not a data filter: at 100 TB a one-day query
+    touches 1/30th of the files before any I/O."""
+    import pyspark.sql.functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    out = str(tmp_path / "part")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = formatted_plan(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0], plan
+    assert q.count() > 0
+
+
 def test_latest_state_single_shuffle(spark, sf_dir):
     # one exchange for the keyed window — no extra shuffles
     df = _q("cdc_latest_state", spark, sf_dir)
