@@ -152,6 +152,58 @@ def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice")
 
 
+_FMT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("src_csv_roundtrip", _FMT_ORACLE)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (never inferSchema in a
+    pipeline: one extra full scan and type drift).  Timestamps ride as
+    ISO strings; losslessness proven by re-aggregation."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="src_csv_")
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+@register("src_orc_roundtrip", _FMT_ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the second columnar format with native
+    pushdown/pruning; same losslessness contract as parquet."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="src_orc_")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
 @register(
     "snk_append",
     """
