@@ -1,0 +1,44 @@
+"""Driver-contract self-checks: registry consistency and column-name
+hygiene (the driver's compare sorts columns BY NAME before hashing, so
+duplicate or mismatched names are silent failures)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    missing = sorted(set(os_) - set(qs))
+    assert not missing, f"oracle keys without queries: {missing}"
+
+
+def test_rows_only_queries_are_known():
+    """Queries intentionally without an oracle (non-SQL-expressible) —
+    keep this list explicit so a forgotten oracle is caught."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    rows_only = sorted(set(qs) - set(os_))
+    assert rows_only == ["rel_agg_approx"], rows_only
+
+
+def test_no_duplicate_output_columns(spark, sf_dir):
+    qs = entrymod.queries()
+    for name, fn in sorted(qs.items()):
+        cols = fn(spark, sf_dir).columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+        assert len(cols) >= 1, name
+
+
+def test_oracle_sql_references_known_tables():
+    """Oracles may only reference the driver's pre-registered views."""
+    import re
+
+    from maxscale_cdc_spark.tables import TABLE_NAMES
+
+    os_ = entrymod.oracle_sql()
+    for name, sql in os_.items():
+        for m in re.findall(r"FROM\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE):
+            tok = m.lower()
+            # CTE names and derived aliases are fine; only sanity-check a
+            # known-bad case: referencing a table that looks like a typo
+            assert tok.isidentifier(), f"{name}: odd FROM target {tok}"
