@@ -209,6 +209,72 @@ def rel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_struct",
+    """
+    WITH nested AS (
+      SELECT o_custkey,
+             list_sort(list({'ok': o_orderkey, 'price': o_totalprice})) AS orders_arr
+      FROM orders
+      WHERE o_custkey < 30
+      GROUP BY o_custkey
+    ), exploded AS (
+      SELECT o_custkey, unnest(orders_arr) AS o FROM nested
+    )
+    SELECT o_custkey, o.ok AS o_orderkey, o.price AS o_totalprice
+    FROM exploded
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: rows → array<struct> per key (sorted
+    row-locally for determinism) → explode → flattened fields.  The
+    collect/nest/flatten cycle is how denormalized documents are built
+    and unbuilt; field access and ordering survive both engines."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    nested = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("ok"),
+                    F.col("o_totalprice").alias("price"),
+                )
+            )
+        ).alias("orders_arr")
+    )
+    return nested.select(
+        "o_custkey", F.explode("orders_arr").alias("o")
+    ).select(
+        "o_custkey",
+        F.col("o.ok").alias("o_orderkey"),
+        F.col("o.price").alias("o_totalprice"),
+    )
+
+
+@register(
+    "fn_try",
+    """
+    SELECT event_id,
+           try_cast(event_type AS INT) AS bad_cast,
+           try_cast(json_extract_string(props, '$.k') AS INT) AS good_cast,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value / (event_id % 5) END AS guarded_div
+    FROM events
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casts/arithmetic: malformed input becomes NULL, not
+    a task failure — mandatory posture for 100 TB ingest where one bad
+    record must not kill a stage."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("good_cast"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value") / (F.col("event_id") % 5)
+        ).alias("guarded_div"),
+    )
+
+
+@register(
     "rel_agg_median",
     """
     SELECT o_orderstatus,
