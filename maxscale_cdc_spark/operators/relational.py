@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.numeric import DEC, davg, dec, dsum
 from maxscale_cdc_spark.registry import register
-from maxscale_cdc_spark.tables import table, register_views
+from maxscale_cdc_spark.tables import table
 
 DEC12 = "decimal(12,4)"
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from maxscale_cdc_spark.operators.cdc import CDC_SQL, cdc_view
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.sources.cdc_source import classify_lines, parse_dml
-from maxscale_cdc_spark.streaming.runners import run_foreach_batch_upsert, run_to_memory
+from maxscale_cdc_spark.streaming.runners import run_to_memory
 from maxscale_cdc_spark.tables import table
 
 _PAYLOAD_DDL = "pk bigint, value double"

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maxscale_cdc_spark.functions.numeric import dsum
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.tables import table
 

@@ -29,7 +29,6 @@ from pyspark.sql import types as T
 from maxscale_cdc_spark.sources.envelope import (
     ENVELOPE_SCHEMA,
     MAX_EVENT_BYTES,
-    gtid_struct,
     is_dml_line,
     is_error_line,
 )

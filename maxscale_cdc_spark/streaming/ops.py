@@ -21,7 +21,6 @@ from maxscale_cdc_spark.functions.numeric import dec
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.streaming.runners import (
     read_stream,
-    run_foreach_batch_upsert,
     run_to_memory,
     stage_as_stream,
 )
