@@ -108,6 +108,53 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(least(16 + length(text) % 32, 24) AS INT) AS resized_w,
+       CAST(least(16 + length(text) % 24, 24) AS INT) AS resized_h,
+       CAST(CAST(('0x' || substr(sha256(text), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS feat_0,
+       CAST(CAST(('0x' || substr(sha256(text), 5, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS feat_1,
+       CAST(CAST(('0x' || substr(sha256(text), 9, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS feat_2,
+       CAST(CAST(('0x' || substr(sha256(text), 13, 4)) AS INTEGER) AS DOUBLE) / 65536.0 AS feat_3
+FROM documents
+"""
+
+
+@register("mm_features", _FEATURES_ORACLE)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + feature-extract over binary media via mapInPandas —
+    the STUBBED model step (no codecs/models in this container): resize
+    clamps the fake decode dims to a 24px thumbnail edge; "features"
+    are 4 deterministic floats from the content hash (a stand-in for an
+    embedding head).  The plumbing is the real thing: binary in, Arrow
+    batches through Python, fixed-width feature columns out, partition-
+    parallel.  A real deployment swaps the two inner lambdas for
+    PIL.resize and a model forward pass."""
+    import hashlib
+
+    m = media_frame(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fake_decode = _fake_decode
+        for pdf in batches:
+            dims = pdf["content"].map(fake_decode)
+            hashes = pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest())
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["resized_w"] = dims.map(lambda t: min(t[0], 24)).astype("int32")
+            out["resized_h"] = dims.map(lambda t: min(t[1], 24)).astype("int32")
+            for i in range(4):
+                out[f"feat_{i}"] = hashes.map(
+                    lambda h, i=i: int(h[i * 4 : i * 4 + 4], 16) / 65536.0
+                )
+            yield out
+
+    return m.mapInPandas(
+        extract,
+        "doc_id bigint, resized_w int, resized_h int, "
+        "feat_0 double, feat_1 double, feat_2 double, feat_3 double",
+    )
+
+
 _FRAME_ORACLE = """
 WITH decoded AS (
   SELECT doc_id, sha256(text) AS content_hash,
