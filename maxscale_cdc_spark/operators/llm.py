@@ -211,6 +211,113 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_ORACLE = f"""
+WITH {_SH_SQL},
+  mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
+         FROM sh GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+  ),
+  neighbors AS (
+    SELECT doc_a AS doc_id, doc_b AS nb FROM cand
+    UNION ALL
+    SELECT doc_b, doc_a FROM cand
+  ),
+  reps AS (
+    SELECT doc_id, least(doc_id, min(nb)) AS cluster_rep
+    FROM neighbors GROUP BY doc_id
+  )
+SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper
+FROM reps
+"""
+
+
+@register("llm_dedup_cluster", _CLUSTER_ORACLE)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: each near-dup candidate takes the
+    minimum doc_id in its 1-hop neighborhood as cluster representative;
+    the representative is the keeper, the rest drop.  One hop suffices
+    when near-dup groups are cliques under the LSH bands (the common
+    case); deeper chains iterate the same min-propagation join to a
+    fixed point (label propagation — each round is one shuffle)."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+            for j in range(_K)
+        ]
+    )
+    bands = None
+    for b in range(_BANDS):
+        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+        one = mh.select("doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key"))
+        bands = one if bands is None else bands.unionByName(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    neighbors = cand.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nb")
+    ).unionByName(cand.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nb")))
+    reps = neighbors.groupBy("doc_id").agg(
+        F.least(F.col("doc_id"), F.min("nb")).alias("cluster_rep")
+    )
+    return reps.select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_keeper"),
+    )
+
+
+@register(
+    "llm_ngram_top",
+    """
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+      FROM documents
+    ), counts AS (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY lang, bigram
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM counts
+    )
+    SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def llm_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 word bigrams (the n-gram frequency profile
+    behind language models and lang-ID): explode n-grams executor-side,
+    one keyed count, one windowed top-k.  Deterministic tiebreak on the
+    gram itself."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select("lang", F.explode(word_bigrams(words("text"))).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures
 # ---------------------------------------------------------------------------
