@@ -9,7 +9,7 @@ sinks (append log vs MERGE-style latest-state upsert).
 from __future__ import annotations
 
 import os
-import tempfile
+from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +50,7 @@ def _render_wire_lines(spark: SparkSession, sf_dir: str) -> str:
             F.col("value"),
         )
     )
-    out = tempfile.mkdtemp(prefix="cdc_wire_")
+    out = _mkdtemp(prefix="cdc_wire_")
     # 16 files → 16-way parallel decode in the readers (the Python
     # data source maps one partition per burst file)
     cdc.select(line.alias("value")).repartition(16).write.mode("overwrite").text(out)
@@ -169,7 +169,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="src_csv_")
+    out = _mkdtemp(prefix="src_csv_")
     ev.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.schema(
@@ -193,7 +193,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="src_orc_")
+    out = _mkdtemp(prefix="src_orc_")
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("event_type").agg(
@@ -219,7 +219,7 @@ def snk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged)
-    out_dir = tempfile.mkdtemp(prefix="snk_append_")
+    out_dir = _mkdtemp(prefix="snk_append_")
     ckpt = os.path.join(out_dir, "_ckpt")
     q = (
         stream.writeStream.format("parquet")
@@ -250,7 +250,7 @@ def snk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn(
         "day", F.to_date(F.date_trunc("day", "ts"))
     )
-    out_dir = tempfile.mkdtemp(prefix="snk_part_")
+    out_dir = _mkdtemp(prefix="snk_part_")
     ev.write.mode("overwrite").partitionBy("day").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     return back.groupBy("day", "event_type").agg(F.count("*").alias("n"))
@@ -301,7 +301,7 @@ def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             if prev is None or row.event_id > prev[0]:
                 state[row.user_id] = (row.event_id, row.value, row.event_type)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _mkdtemp(prefix="ckpt_")
     q = (
         stream.writeStream.outputMode("append")
         .foreachBatch(merge)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -39,7 +39,7 @@ def stage_as_stream(df: DataFrame, n_files: int = 4, cache_key: str | None = Non
     table reuses one staging write instead of re-materializing it."""
     if cache_key is not None and cache_key in _STAGE_CACHE:
         return _STAGE_CACHE[cache_key]
-    out = tempfile.mkdtemp(prefix="cdc_stream_")
+    out = _mkdtemp(prefix="cdc_stream_")
     df.repartition(n_files).write.mode("overwrite").parquet(out)
     if cache_key is not None:
         _STAGE_CACHE[cache_key] = out
@@ -51,11 +51,11 @@ def stage_as_stream_ordered(df: DataFrame, late: Column) -> str:
     `late` is false arrive first (older file mtime), late rows second.
     The file source processes files oldest-first, so batch boundaries —
     and therefore watermark advancement — are reproducible."""
-    tmp = tempfile.mkdtemp(prefix="cdc_stage_")
+    tmp = _mkdtemp(prefix="cdc_stage_")
     early_dir, late_dir = os.path.join(tmp, "b0"), os.path.join(tmp, "b1")
     df.filter(~late).coalesce(1).write.mode("overwrite").parquet(early_dir)
     df.filter(late).coalesce(1).write.mode("overwrite").parquet(late_dir)
-    flat = tempfile.mkdtemp(prefix="cdc_stream_")
+    flat = _mkdtemp(prefix="cdc_stream_")
     i = 0
     for sub, mtime in ((early_dir, 1_000_000_000), (late_dir, 2_000_000_000)):
         for f in sorted(os.listdir(sub)):
@@ -104,7 +104,7 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     the sink contents as a batch DataFrame."""
     spark = stream_df.sparkSession
     name = "snk_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _mkdtemp(prefix="ckpt_")
     with _few_state_partitions(spark):
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -139,7 +139,7 @@ def run_foreach_batch_upsert(
             key = tuple(row[k] for k in key_cols)
             state[key] = tuple(row)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _mkdtemp(prefix="ckpt_")
     with _few_state_partitions(stream_df.sparkSession):
         q = (
             stream_df.writeStream.outputMode(output_mode)
