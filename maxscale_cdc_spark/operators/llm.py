@@ -879,7 +879,9 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).cast("long").alias("n_words"),
         F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
-        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        # long seed: an int seed would overflow at 2^31 total chars per
+        # doc while the DuckDB oracle sums in BIGINT
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
         .cast("long")
         .alias("sum_wlen"),
         F.size(F.filter(w, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),

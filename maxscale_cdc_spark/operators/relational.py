@@ -135,11 +135,17 @@ def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("rel_agg_approx")  # approximate sketches: no exact oracle (rows-only check)
 def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + approximate quantiles — the 100 TB substitutes for
-    exact distinct/percentile (single pass, fixed memory, mergeable)."""
+    exact distinct/percentile (single pass, fixed memory, mergeable).
+
+    Scalar columns only: the driver's canonicalizer sorts rows with pandas
+    and cannot hash an array<double> cell, so the two quantiles are emitted
+    as separate double columns (price_p50, price_p95)."""
     li = table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
     )
 
 

@@ -27,7 +27,15 @@ Options:
                   are parsed by PyArrow's C++ JSON reader with typed
                   payload COLUMNS in the output (no per-row Python, no
                   payload re-serialization); without it, the generic
-                  mode emits the payload as a JSON string.
+                  mode emits the payload as a JSON string.  Parameterized
+                  types (decimal(p,s), varchar(n)) and two-word types
+                  ("double precision") are accepted; an unsupported type
+                  fails at reader construction, not mid-batch.
+  badRecords      "fail" (default) or "skip".  The reference terminates
+                  the event pump on a decode error (client.go:240-246);
+                  "fail" mirrors that on BOTH read paths.  "skip" counts
+                  malformed DML lines and reports the count per burst on
+                  stderr (a dead-letter-style metric) instead of dying.
 
 Spool contract: burst files are append-only with lexicographically
 increasing names (binlog-style numbering) — the offset is a count over
@@ -75,6 +83,42 @@ def build_cdc_datasource():
             self.path = path
             self.start_gtid = start_gtid
 
+    def _parse_payload_ddl(ddl):
+        """Validate + normalize a payload DDL string into (name, type)
+        pairs at construction time.  Splits each item on the FIRST
+        whitespace only, so parameterized (`decimal(18,4)`) and two-word
+        (`double precision`) types survive; an unknown type raises here,
+        not mid-micro-batch."""
+        import re
+
+        known = {
+            "int", "integer", "bigint", "long", "double", "float", "real",
+            "string", "varchar", "text", "boolean", "bool",
+            "double precision",
+        }
+        out = []
+        for part in ddl.split(","):
+            item = part.strip()
+            if not item:
+                continue
+            bits = item.split(None, 1)
+            if len(bits) != 2:
+                raise ValueError(
+                    f"payloadSchema item {item!r}: expected 'name type'"
+                )
+            name, typ = bits[0], " ".join(bits[1].lower().split())
+            if typ in known or re.fullmatch(
+                r"decimal\s*\(\s*\d+\s*,\s*\d+\s*\)|varchar\s*\(\s*\d+\s*\)", typ
+            ):
+                out.append((name, typ))
+            else:
+                raise ValueError(
+                    f"payloadSchema: unsupported type {typ!r} for column "
+                    f"{name!r} (supported: {sorted(known)}, decimal(p,s), "
+                    "varchar(n))"
+                )
+        return out
+
     class CDCStreamReader(DataSourceStreamReader):
         """Offset = {"gtid": [d, s, seq], "files": n} over the sorted
         spool listing.  Replaying a committed range yields identical
@@ -87,6 +131,16 @@ def build_cdc_datasource():
             self.payload_ddl = options.get("payloadschema") or options.get(
                 "payloadSchema"
             )
+            # fail fast on a bad schema string (reader construction, not
+            # mid-batch on an executor)
+            self.payload_fields = (
+                _parse_payload_ddl(self.payload_ddl) if self.payload_ddl else []
+            )
+            self.bad_records = (
+                options.get("badrecords") or options.get("badRecords") or "fail"
+            ).lower()
+            if self.bad_records not in ("fail", "skip"):
+                raise ValueError("badRecords must be 'fail' or 'skip'")
             start = options.get("startinggtid") or options.get("startingGtid")
             if start:
                 d, sv, q = start.split("-")
@@ -139,6 +193,7 @@ def build_cdc_datasource():
             typed columns and pyarrow.compute applies the table/GTID
             filters.  No per-row Python, no payload re-serialization."""
             import io
+            import re
 
             import pyarrow as pa
             import pyarrow.compute as pc
@@ -147,16 +202,25 @@ def build_cdc_datasource():
             type_map = {
                 "int": pa.int32(), "integer": pa.int32(),
                 "bigint": pa.int64(), "long": pa.int64(),
-                "double": pa.float64(), "float": pa.float32(),
+                "double": pa.float64(), "double precision": pa.float64(),
+                "float": pa.float32(), "real": pa.float32(),
                 "string": pa.string(), "varchar": pa.string(),
+                "text": pa.string(),
                 "boolean": pa.bool_(), "bool": pa.bool_(),
             }
-            payload_fields = []
-            for part in self.payload_ddl.split(","):
-                name, typ = part.strip().split()
-                payload_fields.append(
-                    pa.field(name, type_map.get(typ.lower(), pa.string()))
-                )
+
+            def to_arrow(typ):
+                m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", typ)
+                if m:
+                    return pa.decimal128(int(m.group(1)), int(m.group(2)))
+                if re.fullmatch(r"varchar\s*\(\s*\d+\s*\)", typ):
+                    return pa.string()
+                return type_map[typ]  # validated at construction
+
+            payload_fields = [
+                pa.field(name, to_arrow(typ))
+                for name, typ in self.payload_fields
+            ]
             envelope_fields = [
                 pa.field("domain", pa.int32()),
                 pa.field("server_id", pa.int32()),
@@ -183,13 +247,40 @@ def build_cdc_datasource():
                         keep.append(line)
             if not keep:
                 return
-            tbl = pj.read_json(
-                io.BytesIO(b"\n".join(keep)),
-                parse_options=pj.ParseOptions(
-                    explicit_schema=explicit,
-                    unexpected_field_behavior="ignore",
-                ),
+            parse_opts = pj.ParseOptions(
+                explicit_schema=explicit,
+                unexpected_field_behavior="ignore",
             )
+            try:
+                tbl = pj.read_json(io.BytesIO(b"\n".join(keep)), parse_options=parse_opts)
+            except pa.ArrowInvalid as exc:
+                # Decode-error policy, uniform with _read_generic: the
+                # reference terminates the pump on a decode error
+                # (client.go:240-246) — default "fail" mirrors that.
+                if self.bad_records != "skip":
+                    raise ValueError(
+                        f"malformed CDC line in {partition.path}: {exc}"
+                    ) from exc
+                import json as _json
+                import sys as _sys
+
+                good = []
+                skipped = 0
+                for line in keep:
+                    try:
+                        _json.loads(line)
+                        good.append(line)
+                    except ValueError:
+                        skipped += 1
+                if skipped:
+                    print(
+                        f"maxscale_cdc: skipped {skipped} malformed line(s) "
+                        f"in {partition.path}",
+                        file=_sys.stderr,
+                    )
+                if not good:
+                    return
+                tbl = pj.read_json(io.BytesIO(b"\n".join(good)), parse_options=parse_opts)
             d0, s0, q0 = self.start_gtid
             # lexicographic (domain, server_id, sequence) >= start
             dd, ss, qq = tbl["domain"], tbl["server_id"], tbl["sequence"]
@@ -245,6 +336,7 @@ def build_cdc_datasource():
             batch_rows = 20_000
             start = tuple(partition.start_gtid)
             cols: list[list] = [[] for _ in names]
+            skipped = 0
 
             def flush():
                 arrays = [
@@ -263,7 +355,14 @@ def build_cdc_datasource():
                         continue  # DDL → schema registry path, not rows
                     try:
                         obj = json.loads(line)
-                    except ValueError:
+                    except ValueError as exc:
+                        # uniform decode-error policy (see _read_typed)
+                        if self.bad_records != "skip":
+                            raise ValueError(
+                                f"malformed CDC line in {partition.path}: "
+                                f"{line[:120]!r}"
+                            ) from exc
+                        skipped += 1
                         continue
                     if self.table and obj.get("table_name") != self.table:
                         continue
@@ -297,6 +396,14 @@ def build_cdc_datasource():
                     if len(cols[0]) >= batch_rows:
                         yield flush()
                         cols = [[] for _ in names]
+            if skipped:
+                import sys as _sys
+
+                print(
+                    f"maxscale_cdc: skipped {skipped} malformed line(s) "
+                    f"in {partition.path}",
+                    file=_sys.stderr,
+                )
             if cols[0]:
                 yield flush()
 

@@ -63,10 +63,18 @@ def gtid_col(
     server_id: str | Column = "server_id",
     sequence: str | Column = "sequence",
 ) -> Column:
-    """GTID string synthesis — `"%d-%d-%d"` (event.go:216-218)."""
-    return F.concat_ws("-", F.col(domain) if isinstance(domain, str) else domain,
-                       F.col(server_id) if isinstance(server_id, str) else server_id,
-                       F.col(sequence) if isinstance(sequence, str) else sequence)
+    """GTID string synthesis — `"%d-%d-%d"` (event.go:216-218).
+
+    Uses concat (not concat_ws): concat_ws silently skips NULL
+    components, so a null sequence would yield a malformed "0-3000"
+    that then misparses in gtid_struct-based resume compares.  With
+    concat, any null component propagates to a NULL GTID."""
+    d = F.col(domain) if isinstance(domain, str) else domain
+    s = F.col(server_id) if isinstance(server_id, str) else server_id
+    q = F.col(sequence) if isinstance(sequence, str) else sequence
+    return F.concat(
+        d.cast("string"), F.lit("-"), s.cast("string"), F.lit("-"), q.cast("string")
+    )
 
 
 def gtid_struct(gtid: Column) -> Column:

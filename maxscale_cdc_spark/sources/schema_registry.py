@@ -121,8 +121,10 @@ def decode_field(obj: dict) -> FieldDescriptor:
             type_name=wire,
             nullable=nullable,
             real_type=obj.get("real_type"),
-            length=int(obj.get("length", -1)),
-            unsigned=bool(obj.get("unsigned", False)),
+            # `or` guards explicit JSON nulls ("length": null is valid on
+            # the wire; the Go reference decodes it as the zero value)
+            length=int(obj.get("length") or -1),
+            unsigned=bool(obj.get("unsigned") or False),
         )
     if isinstance(typ, dict):
         # Encoding 3 — enum object (event.go:79-90, 121-130); Spark has
