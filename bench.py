@@ -1,11 +1,19 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (the LAST stdout line): {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The per-query timing dict is also written to BENCH_DETAIL.json next to
+this file, so the summary survives even if a log collector truncates the
+long stdout line (round-1 lesson: a ~3.5 KB line got tail-truncated and
+the driver recorded parsed:null).
 
 Each query materializes fully through the `noop` sink (forces every
 operator to execute; no output-write cost).  Set BENCH_QUERIES=a,b,c to
-bench a subset; BENCH_REPEAT=n to take the min of n runs.
+bench a subset; BENCH_REPEAT=n to take the min of n runs (use 3 when
+recording baselines — host load makes single runs vary 94-157s on
+identical code).  Shuffle partitions are pinned by session.get_spark()
+so runs compare like with like.
 """
 
 from __future__ import annotations
@@ -15,7 +23,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 
 def main() -> None:
@@ -51,17 +60,38 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "repeat": repeat,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact summary as the LAST stdout line; keep it short enough that
+    # tail-truncating log collectors still capture the whole line.  The
+    # "queries" dict holds only the 10 slowest (name -> sec); the full
+    # per-query dict is in BENCH_DETAIL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
