@@ -275,31 +275,61 @@ def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-state per PK across micro-batches in foreachBatch — keep the
     highest-sequence image per key, drop keys whose last image is a
     delete.  Idempotent per key ⇒ exactly-once under checkpoint replay
-    (the Stop()/resume contract, client.go:166-181).  At scale the merge
-    target is a keyed table (Delta MERGE / partition overwrite); the
-    per-batch reduction below is the same algorithm."""
+    (the Stop()/resume contract, client.go:166-181).
+
+    Scale design — ALL per-key state lives executor-side in a
+    hash-bucketed parquet MERGE target (`b = pmod(hash(pk), NB)`); each
+    micro-batch (1) reduces to latest-per-key map-side, (2) reads ONLY
+    the touched buckets of the current target generation, (3) re-merges
+    and overwrites just those buckets into a new generation directory
+    (write-new-then-flip, so the read and the overwrite never race on
+    one path).  The driver holds a bucket→generation manifest — O(NB)
+    ints (what Delta keeps in its transaction log), never O(keys); the
+    only per-batch collect is the ≤NB distinct touched bucket ids."""
+    from collections import defaultdict
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
     from maxscale_cdc_spark.streaming.runners import read_stream, stage_as_stream
 
     staged = stage_as_stream(table(spark, sf_dir, "events"), n_files=4, cache_key=f"events:{sf_dir}")
     stream = read_stream(spark, staged, max_files_per_trigger=2)
 
-    state: dict[int, tuple] = {}
+    n_buckets = 8  # at 100 TB: thousands; manifest stays driver-trivial
+    root = _mkdtemp(prefix="snk_upsert_tgt_")
+    gen_of: dict[int, str] = {}  # bucket -> generation dir holding its state
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        # per-batch map-side reduction first: only one row per key
-        # crosses to the merge target
-        from pyspark.sql import Window as W
-
         w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
         latest = (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .collect()
+            .select("user_id", "event_id", "value", "event_type")
+            .withColumn("b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
         )
-        for row in latest:
-            prev = state.get(row.user_id)
-            if prev is None or row.event_id > prev[0]:
-                state[row.user_id] = (row.event_id, row.value, row.event_type)
+        # bounded collect: ≤ n_buckets ints, independent of key count
+        touched = sorted(r["b"] for r in latest.select("b").distinct().collect())
+        if not touched:
+            return
+        by_gen: dict[str, list[int]] = defaultdict(list)
+        for b in touched:
+            if b in gen_of:
+                by_gen[gen_of[b]].append(b)
+        sides = [latest] + [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ]
+        merged = reduce(lambda a, x: a.unionByName(x), sides)
+        merged = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        gen_dir = os.path.join(root, f"gen_{epoch_id}")
+        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        for b in touched:
+            gen_of[b] = gen_dir
 
     ckpt = _mkdtemp(prefix="ckpt_")
     q = (
@@ -311,15 +341,24 @@ def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    dml_map = {
-        "signup": "insert",
-        "purchase": "insert",
-        "view": "update_before",
-        "click": "update_after",
-    }
-    rows = [
-        (pk, seq, val)
-        for pk, (seq, val, etype) in state.items()
-        if dml_map.get(etype, "delete") != "delete"
-    ]
-    return spark.createDataFrame(rows, "pk bigint, last_seq bigint, last_value double")
+    if not gen_of:
+        return spark.createDataFrame([], "pk bigint, last_seq bigint, last_value double")
+    by_gen_final: dict[str, list[int]] = defaultdict(list)
+    for b, g in gen_of.items():
+        by_gen_final[g].append(b)
+    state = reduce(
+        lambda a, x: a.unionByName(x),
+        [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen_final.items()
+        ],
+    )
+    # keys whose LAST image is a delete leave the materialized state
+    return (
+        state.filter(F.col("event_type").isin("signup", "purchase", "view", "click"))
+        .select(
+            F.col("user_id").alias("pk"),
+            F.col("event_id").alias("last_seq"),
+            F.col("value").alias("last_value"),
+        )
+    )
