@@ -1,0 +1,330 @@
+"""Live TCP transport for the MaxScale CDC protocol.
+
+The reference's whole reason for existing is this layer: dial a MaxScale
+avrorouter CDC listener, authenticate, register, request one table's
+change stream, and pump newline-delimited JSON events (client.go:144-162,
+184-216).  This module is the socket side of our engine; it feeds the
+spool directory that the `maxscale_cdc` Python DataSource
+(cdc_datasource.py) and the file-based streaming readers consume — so
+Spark's scale model (partitioned spool, executor-parallel decode) stays
+unchanged and the transport is a thin, testable edge.
+
+Parity map (reference file:line):
+  connect            client.go:184-194  dial with dial timeout
+  authenticate       client.go:197-208  hex(user:sha1(pw)), ERR check
+  register           client.go:211-216  REGISTER UUID=…, TYPE=JSON
+  request_data       client.go:144-162  full handshake + command
+  pump               client.go:219-287  blocking scan loop, 1 MiB cap,
+                                        pre-schema ERR tolerance
+  stop               client.go:166-181  close socket → unblock reader,
+                                        join thread, ErrNotConnected
+  deadline rules     client.go:371-404 (bounded handshake I/O) vs
+                     client.go:232-234 (unbounded streaming read)
+
+The three timeouts are independent — the reference's option-aliasing bug
+(WithDialTimeout/WithWriteTimeout both writing readTimeout,
+client.go:49-53,63-67) is deliberately NOT reproduced.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+
+from maxscale_cdc_spark.sources.cdc_source import (
+    TransportOptions,
+    format_authentication_command,
+    format_register_command,
+    format_request_data_command,
+)
+
+MAX_EVENT_BYTES = 1 << 20  # maxScanTokenSize (client.go:17)
+
+
+class NotConnectedError(RuntimeError):
+    """Stop() before connect() — ErrNotConnected (client.go:20-23)."""
+
+
+class AuthenticationError(ConnectionError):
+    """Server answered ERR during the handshake (client.go:406-408)."""
+
+
+class OversizeEventError(RuntimeError):
+    """A line exceeded the 1 MiB token cap; like bufio.Scanner's
+    ErrTooLong this terminates the pump (client.go:17, 256-257)."""
+
+
+class CDCTransport:
+    """Socket client for the CDC protocol, pumping events to a spool.
+
+    Usage::
+
+        t = CDCTransport("host:4001", "user", "pw", uuid)
+        t.request_data("db", "table", spool_dir=spool)   # handshake + pump thread
+        ... consume spool via the maxscale_cdc DataSource ...
+        t.stop()
+
+    The pump appends bursts to ``spool_dir`` as lexicographically
+    increasing file names (write-to-temp + atomic rename, so readers
+    never observe a partial burst) — exactly the spool contract the
+    DataSource documents.
+    """
+
+    def __init__(
+        self,
+        address: str,
+        user: str,
+        password: str,
+        uuid: str,
+        options: TransportOptions | None = None,
+    ) -> None:
+        self.address = address
+        self.user = user
+        self.password = password
+        self.uuid = uuid
+        self.options = options or TransportOptions()
+        self._sock: socket.socket | None = None
+        self._rfile = None
+        self._thread: threading.Thread | None = None
+        self._pump_error: BaseException | None = None
+        self.err_lines = 0  # tolerated pre-schema ERR count (client.go:261-267)
+        self.events_pumped = 0
+
+    # -- handshake steps (client.go:184-216) --------------------------------
+
+    def connect(self) -> None:
+        host, _, port = self.address.rpartition(":")
+        if not host or not port.isdigit():
+            raise ConnectionError(f"invalid address {self.address!r}")
+        try:
+            self._sock = socket.create_connection(
+                (host, int(port)), timeout=self.options.dial_timeout_s
+            )
+        except OSError as exc:  # dial failure (client_test.go:19-27)
+            raise ConnectionError(f"dial {self.address}: {exc}") from exc
+        self._rfile = self._sock.makefile("rb")
+
+    def _write(self, payload: bytes) -> None:
+        # deadline-bounded write (client.go:371-381)
+        assert self._sock is not None
+        self._sock.settimeout(self.options.write_timeout_s)
+        self._sock.sendall(payload)
+
+    def _read_response(self) -> bytes:
+        # one deadline-bounded line; ERR → error (client.go:383-404)
+        assert self._sock is not None and self._rfile is not None
+        self._sock.settimeout(self.options.read_timeout_s)
+        line = self._rfile.readline(MAX_EVENT_BYTES).rstrip(b"\n")
+        if line.startswith(b"ERR"):
+            raise AuthenticationError(line.decode("utf-8", "replace"))
+        return line
+
+    def authenticate(self) -> None:
+        self._write(format_authentication_command(self.user, self.password))
+        self._read_response()
+
+    def register(self) -> None:
+        self._write(format_register_command(self.uuid))
+        self._read_response()
+
+    # -- entry point (client.go:144-162) -------------------------------------
+
+    def request_data(
+        self,
+        database: str,
+        table: str,
+        spool_dir: str,
+        version: str | None = None,
+        gtid: str | None = None,
+        burst_lines: int = 10_000,
+    ) -> None:
+        """connect → authenticate → register → REQUEST-DATA, then spawn
+        the pump thread appending bursts to ``spool_dir``."""
+        cmd = format_request_data_command(database, table, version, gtid)
+        self.connect()
+        self.authenticate()
+        self.register()
+        self._write(cmd)
+        # streaming read blocks forever — deadline cleared (client.go:232-234)
+        assert self._sock is not None
+        self._sock.settimeout(None)
+        os.makedirs(spool_dir, exist_ok=True)
+        self._thread = threading.Thread(
+            target=self._pump, args=(spool_dir, burst_lines), daemon=True
+        )
+        self._thread.start()
+
+    # -- pump (client.go:253-287) --------------------------------------------
+
+    def _pump(self, spool_dir: str, burst_lines: int) -> None:
+        buf: list[bytes] = []
+        burst_no = 0
+
+        def flush() -> None:
+            nonlocal burst_no, buf
+            if not buf:
+                return
+            tmp = os.path.join(spool_dir, f".burst-{burst_no:09d}.tmp")
+            dst = os.path.join(spool_dir, f"burst-{burst_no:09d}.jsonl")
+            with open(tmp, "wb") as f:
+                f.write(b"\n".join(buf) + b"\n")
+            os.replace(tmp, dst)  # atomic: readers never see partial bursts
+            burst_no += 1
+            buf = []
+
+        try:
+            assert self._rfile is not None
+            while True:
+                line = self._rfile.readline(MAX_EVENT_BYTES + 1)
+                if not line:
+                    break  # connection closed (Stop() or server gone)
+                if not line.endswith(b"\n") and len(line) > MAX_EVENT_BYTES:
+                    raise OversizeEventError(
+                        f"event exceeds {MAX_EVENT_BYTES} bytes"
+                    )
+                line = line.rstrip(b"\n")
+                if not line:
+                    continue
+                if line.startswith(b"ERR"):
+                    # tolerated: table may not exist yet (client.go:261-267,
+                    # 137-140) — log-equivalent counter, keep reading
+                    self.err_lines += 1
+                    continue
+                buf.append(line)
+                self.events_pumped += 1
+                if len(buf) >= burst_lines:
+                    flush()
+        except (OSError, ValueError):
+            pass  # socket closed under us during stop()
+        except BaseException as exc:  # decode/cap error ends the stream
+            self._pump_error = exc
+        finally:
+            flush()
+
+    # -- graceful stop (client.go:166-181) ------------------------------------
+
+    def stop(self) -> None:
+        if self._sock is None:
+            raise NotConnectedError("not connected")
+        try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self._sock.close()  # unblocks the reader like conn.Close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        if self._pump_error is not None:
+            raise self._pump_error
+
+    def drain(self, timeout_s: float = 30.0) -> None:
+        """Wait for the pump thread to finish (server closed the stream)."""
+        if self._thread is not None:
+            self._thread.join(timeout=timeout_s)
+            if self._pump_error is not None:
+                raise self._pump_error
+
+
+class FakeMaxScaleServer:
+    """In-process stand-in for the MaxScale avrorouter CDC listener —
+    the docker fixture of the reference's integration tests
+    (docker-compose.yml:33-44), shrunk to a thread.
+
+    Speaks the server side of the handshake: validates the auth hex
+    against hex(user:sha1(password)), validates REGISTER (non-empty
+    UUID, TYPE=JSON), answers REQUEST-DATA by streaming its seeded
+    lines.  Negative paths mirror client_test.go:19-66: bad credentials
+    → "ERR access denied"; empty/None UUID → "ERR invalid uuid";
+    unknown table → a burst of tolerated "ERR" lines first (the
+    missing-table wait) followed by the stream once "created".
+    """
+
+    def __init__(
+        self,
+        user: str,
+        password: str,
+        tables: dict[str, list[str]] | None = None,
+        pre_schema_errs: int = 0,
+    ) -> None:
+        self.user = user
+        self.password = password
+        self.tables = tables or {}
+        self.pre_schema_errs = pre_schema_errs
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self.address = f"127.0.0.1:{self.port}"
+        self._threads: list[threading.Thread] = []
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._closing = False
+        self._accept_thread.start()
+
+    def _accept(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve(self, conn: socket.socket) -> None:
+        from maxscale_cdc_spark.sources.cdc_source import (
+            format_authentication_command,
+        )
+
+        rfile = conn.makefile("rb")
+        try:
+            # -- auth: one hex token (no newline framing in the protocol;
+            # the fake reads a bounded chunk)
+            conn.settimeout(5.0)
+            auth = conn.recv(4096)
+            expected = format_authentication_command(self.user, self.password)
+            if auth != expected:
+                conn.sendall(b"ERR access denied\n")
+                return
+            conn.sendall(b"OK\n")
+            # -- REGISTER
+            reg = conn.recv(4096).decode("ascii", "replace")
+            if not reg.startswith("REGISTER UUID=") or "TYPE=JSON" not in reg:
+                conn.sendall(b"ERR malformed REGISTER\n")
+                return
+            uuid = reg[len("REGISTER UUID=") :].split(",")[0].strip()
+            if not uuid:
+                conn.sendall(b"ERR invalid uuid\n")
+                return
+            conn.sendall(b"OK\n")
+            # -- REQUEST-DATA db.table[.version] [gtid] → stream
+            req = conn.recv(4096).decode("ascii", "replace")
+            if not req.startswith("REQUEST-DATA "):
+                conn.sendall(b"ERR malformed request\n")
+                return
+            target = req[len("REQUEST-DATA ") :].split(" ")[0]
+            db_table = ".".join(target.split(".")[:2])
+            for _ in range(self.pre_schema_errs):
+                conn.sendall(b"ERR table not found yet\n")
+            lines = self.tables.get(db_table)
+            if lines is None:
+                # missing table: reference waits on tolerated ERRs
+                # (client.go:137-140); the fake just closes after them
+                conn.sendall(b"ERR no such table\n")
+                return
+            payload = ("\n".join(lines) + "\n").encode("utf-8")
+            conn.sendall(payload)
+        except OSError:
+            pass
+        finally:
+            try:
+                rfile.close()
+                conn.close()
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=5)
