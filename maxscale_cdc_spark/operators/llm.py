@@ -211,8 +211,70 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_closure(
+    spark: SparkSession, neighbors: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Connected-component representative via min-label propagation to a
+    FIXED POINT: rep(v) starts as min(v, neighbors(v)) and each round
+    takes the min over the neighbors' current reps, until no label
+    changes (or `max_rounds`).  Chained near-dup groups (a~b~c without
+    a~c) therefore collapse to one keeper, matching a reachability
+    (transitive-closure) oracle.
+
+    Scale: each round is one keyed shuffle join + aggregation — the
+    standard distributed label-propagation CC.  Round state is
+    materialized to parquet between iterations (the GraphX-style
+    checkpoint: keeps lineage flat and makes the convergence check a
+    cheap re-read, never a driver collect of labels).  Rounds needed =
+    graph diameter; dedup components are tiny cliques/chains, so this
+    converges in 1-3 rounds."""
+    import os as _os
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    labels = neighbors.groupBy("doc_id").agg(
+        F.least(F.col("doc_id"), F.min("nb")).alias("cluster_rep")
+    )
+    base = _mkdtemp(prefix="dedup_cc_")
+    cur = _os.path.join(base, "r0")
+    labels.write.mode("overwrite").parquet(cur)
+    labels = spark.read.parquet(cur)
+    for i in range(1, max_rounds + 1):
+        prop = (
+            neighbors.join(
+                labels.select(
+                    F.col("doc_id").alias("nb"), F.col("cluster_rep").alias("nb_rep")
+                ),
+                "nb",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nb_rep").alias("min_nb_rep"))
+        )
+        new = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_rep"),
+                F.coalesce(F.col("min_nb_rep"), F.col("cluster_rep")),
+            ).alias("cluster_rep"),
+        )
+        nxt = _os.path.join(base, f"r{i}")
+        new.write.mode("overwrite").parquet(nxt)
+        new = spark.read.parquet(nxt)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_rep") != F.col("o.cluster_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 _CLUSTER_ORACLE = f"""
-WITH {_SH_SQL},
+WITH RECURSIVE {_SH_SQL},
   mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
          FROM sh GROUP BY doc_id),
   bands AS (
@@ -230,9 +292,14 @@ WITH {_SH_SQL},
     UNION ALL
     SELECT doc_b, doc_a FROM cand
   ),
+  reach(doc_id, nb) AS (
+    SELECT doc_id, nb FROM neighbors
+    UNION
+    SELECT r.doc_id, n.nb FROM reach r JOIN neighbors n ON r.nb = n.doc_id
+  ),
   reps AS (
     SELECT doc_id, least(doc_id, min(nb)) AS cluster_rep
-    FROM neighbors GROUP BY doc_id
+    FROM reach GROUP BY doc_id
   )
 SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper
 FROM reps
@@ -241,12 +308,11 @@ FROM reps
 
 @register("llm_dedup_cluster", _CLUSTER_ORACLE)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cluster assignment: each near-dup candidate takes the
-    minimum doc_id in its 1-hop neighborhood as cluster representative;
-    the representative is the keeper, the rest drop.  One hop suffices
-    when near-dup groups are cliques under the LSH bands (the common
-    case); deeper chains iterate the same min-propagation join to a
-    fixed point (label propagation — each round is one shuffle)."""
+    """Dedup cluster assignment to a FIXED POINT: min-label propagation
+    (min_label_closure) until convergence, so chained near-dup groups
+    (a~b~c without a direct a~c edge) collapse to one keeper — the
+    oracle is a recursive reachability CTE, i.e. true connected
+    components, not 1-hop neighborhoods."""
     sh = _shingles(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
@@ -273,9 +339,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors = cand.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nb")
     ).unionByName(cand.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nb")))
-    reps = neighbors.groupBy("doc_id").agg(
-        F.least(F.col("doc_id"), F.min("nb")).alias("cluster_rep")
-    )
+    reps = min_label_closure(spark, neighbors)
     return reps.select(
         "doc_id",
         "cluster_rep",
@@ -553,25 +617,49 @@ def llm_sim_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CELLS = 8
+_KMEANS_ITERS = 2
+_Q30 = "1073741824.0"  # 2^30: power-of-two multiply never rounds in IEEE
+
+
+def _sql_kmeans_ctes() -> str:
+    """CTE chain for k-means cells: cent0 = first K vectors, then
+    `_KMEANS_ITERS` Lloyd rounds of (assign to nearest by cosine, update
+    centroid as the Q1.30-quantized elementwise mean — see
+    llm_embed_centroid for why Q1.30 makes the mean cross-engine exact)."""
+    parts = [
+        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id < {_N_CELLS})",
+    ]
+    for it in range(_KMEANS_ITERS + 1):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT v.vec_id, v.v, c.cid, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {sql_cosine('v.v', 'c.cv')} DESC, c.cid"
+            f") AS rn FROM vecs v CROSS JOIN cent{it} c) WHERE rn = 1)"
+        )
+        if it == _KMEANS_ITERS:
+            break
+        parts.append(
+            f"u{it} AS (SELECT cid, i.i AS dim, "
+            f"CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)"
+            f" / (COUNT(*) * {_Q30}) AS m "
+            f"FROM a{it}, (SELECT unnest(generate_series(1, 64)) AS i) i "
+            f"GROUP BY cid, i.i)"
+        )
+        parts.append(
+            f"cent{it + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv "
+            f"FROM u{it} GROUP BY cid)"
+        )
+    return ",\n".join(parts)
+
 
 _IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {_N_CELLS}
-), vecs AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), assign0 AS (
-  SELECT v.vec_id, c.cid, {sql_cosine("v.v", "c.cv")} AS sim
-  FROM vecs v CROSS JOIN cent c
-), assigned AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-    FROM assign0
-  ) WHERE rn = 1
-), qcell AS (SELECT cid FROM assigned WHERE vec_id = 0),
+WITH {_sql_kmeans_ctes()},
+qcell AS (SELECT cid FROM a{_KMEANS_ITERS} WHERE vec_id = 0),
 q AS {_QV_SQL}
 SELECT a.vec_id, {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim
-FROM assigned a
+FROM a{_KMEANS_ITERS} a
 JOIN qcell ON a.cid = qcell.cid
 JOIN embeddings e ON e.vec_id = a.vec_id
 CROSS JOIN q
@@ -583,34 +671,65 @@ LIMIT 5
 
 @register("llm_sim_ivf", _IVF_ORACLE)
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
-    centroids (here: the first 8 vectors — a real build would k-means),
-    then search ONLY the query's cell.  The scan cost drops from N to
-    N/cells; at 100 TB the assignment is written once (partitioned by
-    cell) and each query touches one partition — this is the
-    partition-pruning pattern for vector search."""
+    """IVF-style ANN with k-means cells: seed centroids from the first
+    K vectors, run Lloyd's iterations (assign to nearest centroid by
+    cosine → recompute centroid as the elementwise mean), then search
+    ONLY the query's cell.  The scan cost drops from N to ~N/cells.
+
+    Scale/exactness notes: every Lloyd round is one broadcast-join
+    assignment (centroids are tiny) plus one keyed aggregation — the
+    textbook distributed k-means; no driver loop over data, only over
+    the fixed iteration count.  Centroid means are Q1.30 fixed-point
+    (power-of-two scaling, no rounding; see llm_embed_centroid) so both
+    engines iterate from bitwise-identical centroids.  At 100 TB the
+    final assignment is written once partitioned by cell and each query
+    touches one partition — the partition-pruning pattern for vector
+    search."""
     e = table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < _N_CELLS).select(
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
     )
-    vecs = e.select("vec_id", as_double("embedding").alias("v"))
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def update(assigned_df: DataFrame) -> DataFrame:
+        flat = assigned_df.select(
+            "cid", F.posexplode("v").alias("dim0", "val")
+        ).select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+        )
+        m = flat.groupBy("cid", "dim").agg(
+            (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias("m")
+        )
+        return m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+
+    assigned = assign(cents)
+    for _ in range(_KMEANS_ITERS):
+        assigned = assign(update(assigned))
+
     qcell = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     cand = (
         assigned.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
         .filter(F.col("vec_id") != 0)
-        .join(e, "vec_id")
         .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine(as_double("embedding"), F.col("qv")).alias("cos_sim"))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
     )
     return cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
 

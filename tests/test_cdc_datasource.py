@@ -117,3 +117,79 @@ def test_incremental_burst_pickup(spark, spool):
     got2 = spark.read.parquet(sink)
     assert got2.count() == 25
     assert got2.select("sequence").distinct().count() == 25
+
+
+def test_crash_resume_no_dupes_no_gaps(spark, tmp_path):
+    """Stop() mid-stream under concurrent burst arrival, then restart
+    from the checkpoint (client.go:166-181 Stop contract + WithGTID
+    resume): the sink must hold every event EXACTLY once — no replayed
+    duplicates, no gaps — matching the batch read of the full spool."""
+    import threading
+
+    register(spark)
+    spool_dir = str(tmp_path / "spool")
+    os.makedirs(spool_dir)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    n_bursts, per = 10, 5
+
+    def burst(i):
+        return [
+            render_dml_line("test", "tests", 0, 3000, i * per + j, 1,
+                            1693300000, "insert",
+                            {"id": i * per + j, "val": float(j)})
+            for j in range(per)
+        ]
+
+    # two bursts exist up front; the rest arrive while the query runs
+    for i in range(2):
+        write_stream_files(burst(i), spool_dir)
+        os.rename(os.path.join(spool_dir, "events-00000.jsonl"),
+                  os.path.join(spool_dir, f"burst-{i:05d}.jsonl"))
+
+    stop_writer = threading.Event()
+
+    def writer():
+        for i in range(2, n_bursts):
+            if stop_writer.is_set():
+                return
+            write_stream_files(burst(i), spool_dir)
+            os.rename(os.path.join(spool_dir, "events-00000.jsonl"),
+                      os.path.join(spool_dir, f"burst-{i:05d}.jsonl"))
+            time.sleep(0.15)
+
+    def start_query(trigger_kwargs):
+        return (
+            _read(spark, spool_dir, table="tests")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    w = threading.Thread(target=writer, daemon=True)
+    q = start_query({"processingTime": "200 milliseconds"})
+    w.start()
+    # let it commit a few micro-batches, then kill it mid-stream
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= per * 2:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()  # conn.Close() analogue: abrupt, between/inside batches
+    w.join(timeout=10)
+
+    # restart from the same checkpoint; drain everything that arrived
+    q2 = start_query({"availableNow": True})
+    q2.awaitTermination()
+
+    got = spark.read.parquet(sink)
+    seqs = sorted(r["sequence"] for r in got.collect())
+    assert seqs == list(range(n_bursts * per)), (
+        f"dupes/gaps after crash-resume: {len(seqs)} rows"
+    )

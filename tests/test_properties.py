@@ -114,3 +114,24 @@ def test_dedup_idempotent(spark, keys):
     assert sorted(
         r["k"] for r in doubled.dropDuplicates(["k"]).collect()
     ) == sorted(set(keys))
+
+
+def test_min_label_closure_collapses_chains(spark):
+    """A 3-chain (1-2, 2-3) and a 5-chain must collapse to ONE keeper
+    each under the fixed-point propagation — the 1-hop shortcut would
+    leave 3 thinking its rep is 2."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.operators.llm import min_label_closure
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)]
+    cand = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    neighbors = cand.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nb")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nb"))
+    )
+    reps = {r["doc_id"]: r["cluster_rep"] for r in min_label_closure(spark, neighbors).collect()}
+    assert reps == {1: 1, 2: 1, 3: 1,
+                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                    20: 20, 21: 20}
