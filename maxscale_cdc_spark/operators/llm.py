@@ -232,13 +232,20 @@ def min_label_closure(
 
     from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
 
+    base = _mkdtemp(prefix="dedup_cc_")
+    # materialize the edge list ONCE: every round joins against it, and
+    # without this each round's job would re-run the whole upstream
+    # candidate-generation lineage (minhash + band join) from scratch
+    edges_dir = _os.path.join(base, "edges")
+    neighbors.write.mode("overwrite").parquet(edges_dir)
+    neighbors = spark.read.parquet(edges_dir)
     labels = neighbors.groupBy("doc_id").agg(
         F.least(F.col("doc_id"), F.min("nb")).alias("cluster_rep")
     )
-    base = _mkdtemp(prefix="dedup_cc_")
     cur = _os.path.join(base, "r0")
     labels.write.mode("overwrite").parquet(cur)
     labels = spark.read.parquet(cur)
+    prev_sum = labels.agg(F.sum("cluster_rep")).collect()[0][0]
     for i in range(1, max_rounds + 1):
         prop = (
             neighbors.join(
@@ -260,16 +267,14 @@ def min_label_closure(
         nxt = _os.path.join(base, f"r{i}")
         new.write.mode("overwrite").parquet(nxt)
         new = spark.read.parquet(nxt)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_rep") != F.col("o.cluster_rep"))
-            .limit(1)
-            .count()
-        )
+        # convergence check: labels only ever DECREASE (min-propagation
+        # is monotone), so sum(rep) is strictly decreasing until the
+        # fixed point — one scalar aggregate per round, no join
+        new_sum = new.agg(F.sum("cluster_rep")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

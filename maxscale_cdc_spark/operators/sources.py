@@ -134,6 +134,49 @@ def src_cdc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("src_tcp_transport", _SRC_ORACLE)
+def src_tcp_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE lifecycle as one driver-checkable query
+    (client.go:144-181): wire-format lines served by an in-process fake
+    MaxScale listener → real TCP handshake (auth hex(user:sha1(pw)),
+    REGISTER, REQUEST-DATA; client.go:184-216) → pump thread appends
+    bursts to a spool → `maxscale_cdc` streaming DataSource decodes
+    with typed payload → aggregate.  Lossless iff it matches the direct
+    aggregation oracle.
+
+    Scale note: the socket edge is single-stream because the protocol
+    is (one TCP stream per table, client.go:236-248); Spark-side decode
+    parallelism comes from the burst files, so N tables = N transports
+    feeding one partitioned spool."""
+    from maxscale_cdc_spark.sources.cdc_datasource import SOURCE_NAME, register as reg
+    from maxscale_cdc_spark.sources.transport import CDCTransport, FakeMaxScaleServer
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    reg(spark)
+    wire_dir = _render_wire_lines(spark, sf_dir)
+    server = FakeMaxScaleServer(
+        "cdcuser", "cdcpw", file_tables={"app.events": wire_dir}
+    )
+    spool = _mkdtemp(prefix="tcp_spool_")
+    transport = CDCTransport(server.address, "cdcuser", "cdcpw", "engine-uuid")
+    try:
+        transport.request_data("app", "events", spool_dir=spool)
+        transport.drain(timeout_s=120)
+        transport.stop()
+    finally:
+        server.close()
+    stream = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("path", spool)
+        .option("database", "app")
+        .option("table", "events")
+        .option("payloadSchema", "pk bigint, value double")
+        .load()
+    )
+    out = run_to_memory(stream, "append")
+    return _decoded_agg(out)
+
+
 @register(
     "src_parquet_scan",
     """

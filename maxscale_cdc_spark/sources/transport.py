@@ -245,10 +245,16 @@ class FakeMaxScaleServer:
         password: str,
         tables: dict[str, list[str]] | None = None,
         pre_schema_errs: int = 0,
+        file_tables: dict[str, str] | None = None,
     ) -> None:
+        """`tables` maps "db.table" → in-memory lines (small fixtures);
+        `file_tables` maps "db.table" → a directory of line files which
+        are STREAMED to the client file-by-file (bounded memory — the
+        fixture analogue of the avrorouter reading the binlog)."""
         self.user = user
         self.password = password
         self.tables = tables or {}
+        self.file_tables = file_tables or {}
         self.pre_schema_errs = pre_schema_errs
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
@@ -303,6 +309,17 @@ class FakeMaxScaleServer:
             db_table = ".".join(target.split(".")[:2])
             for _ in range(self.pre_schema_errs):
                 conn.sendall(b"ERR table not found yet\n")
+            if db_table in self.file_tables:
+                # stream file-by-file in bounded chunks — never holds
+                # the dataset in memory
+                d = self.file_tables[db_table]
+                for fname in sorted(os.listdir(d)):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    with open(os.path.join(d, fname), "rb") as fh:
+                        while chunk := fh.read(1 << 16):
+                            conn.sendall(chunk)
+                return
             lines = self.tables.get(db_table)
             if lines is None:
                 # missing table: reference waits on tolerated ERRs

@@ -84,9 +84,11 @@ class _few_state_partitions:
     """Bounded-run streaming uses few state-store partitions: each one
     costs a store instance (and a Python worker round trip for pandas
     state ops) per micro-batch.  A long-lived production query on a big
-    cluster would size this to cores; checkpoints pin it at creation."""
+    cluster would size this to cores; checkpoints pin it at creation.
+    (Measured at sf0.01: 8→4 saves ~15% of the whole streaming-suite
+    wall-clock; 4→2 is noise.)"""
 
-    N = "8"
+    N = "4"
 
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
