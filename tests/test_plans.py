@@ -99,3 +99,17 @@ def test_latest_state_single_shuffle(spark, sf_dir):
     # one exchange for the keyed window — no extra shuffles
     df = _q("cdc_latest_state", spark, sf_dir)
     assert exchange_count(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_plan_no_python_udf_and_broadcasts(spark, sf_dir):
+    """K-means IVF must stay JVM-side (Lloyd rounds are pure Catalyst
+    expressions) and every assignment join must broadcast the
+    KB-sized centroid side, never shuffle the vectors."""
+    plan = formatted_plan(_q("llm_sim_ivf", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_broadcast_join(_q("llm_sim_ivf", spark, sf_dir))
+
+
+def test_dedup_cluster_plan_no_python_udf(spark, sf_dir):
+    plan = formatted_plan(_q("llm_dedup_cluster", spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

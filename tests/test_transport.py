@@ -198,3 +198,26 @@ def test_end_to_end_through_datasource(spark, tmp_path):
         assert rows == [(i + 2, i, i * 1.5) for i in range(40)]
     finally:
         server.close()
+
+
+def test_file_streamed_tables(tmp_path):
+    """file_tables mode: the server streams a directory of line files in
+    bounded chunks (never loads the dataset) — the path src_tcp_transport
+    uses at scale."""
+    lines = _wire_lines(30)
+    d = tmp_path / "serve"
+    d.mkdir()
+    (d / "part-00.txt").write_text("\n".join(lines[:15]) + "\n")
+    (d / "part-01.txt").write_text("\n".join(lines[15:]) + "\n")
+    (d / "_SUCCESS").write_text("")  # marker files must be skipped
+    server = FakeMaxScaleServer("user", "pw", file_tables={"test.tests": str(d)})
+    try:
+        t, spool = _drain_to_spool(server, tmp_path)
+        got = []
+        for f in sorted(os.listdir(spool)):
+            with open(os.path.join(spool, f)) as fh:
+                got.extend(fh.read().splitlines())
+        assert got == lines
+        t.stop()
+    finally:
+        server.close()
