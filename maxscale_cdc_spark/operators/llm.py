@@ -387,6 +387,73 @@ def llm_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+  FROM documents
+), bgc AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS cbg FROM grams GROUP BY bg
+), w1c AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(cbg) AS BIGINT) AS cw
+  FROM bgc GROUP BY 1
+), scored AS (
+  SELECT g.doc_id,
+         CAST(round(ln(CAST(b.cbg AS DOUBLE) / c.cw) * 1000000, 0) AS BIGINT) AS ulog
+  FROM grams g
+  JOIN bgc b ON g.bg = b.bg
+  JOIN w1c c ON string_split(g.bg, ' ')[1] = c.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(ulog) AS BIGINT) AS sum_microlog,
+       CAST(SUM(ulog) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("llm_lm_score", _LM_ORACLE)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-style quality filter (CCNet/KenLM pattern) expressed as
+    pure aggregations: P(w2|w1) = count(w1 w2)/count(w1 ·), score =
+    mean log-prob over a doc's bigrams.  Every observed bigram exists
+    in the corpus counts (the model is trained on the corpus itself),
+    so no smoothing branch is needed.
+
+    Exactness: each per-bigram log is quantized to integer micro-units
+    (round(ln·1e6)) BEFORE summation, so per-doc totals are exact
+    integer sums — order-independent and identical cross-engine (ln of
+    identical rational doubles; micro-unit tie probability negligible).
+    Scale: two keyed counts + two hash joins on the bigram/word key —
+    all map-side combinable; no UDFs, no explode beyond the gram list."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("bg"))
+    bgc = grams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    w1c = bgc.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
+        F.sum("cbg").alias("cw")
+    )
+    scored = (
+        grams.join(bgc, "bg")
+        .join(w1c, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .select(
+            "doc_id",
+            F.round(F.ln(F.col("cbg").cast("double") / F.col("cw")) * 1000000.0, 0)
+            .cast("long")
+            .alias("ulog"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("ulog").alias("sum_microlog"),
+        (F.sum("ulog").cast("double") / (F.count("*") * F.lit(1000000.0))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures
 # ---------------------------------------------------------------------------
@@ -674,23 +741,15 @@ LIMIT 5
 """
 
 
-@register("llm_sim_ivf", _IVF_ORACLE)
-def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with k-means cells: seed centroids from the first
-    K vectors, run Lloyd's iterations (assign to nearest centroid by
-    cosine → recompute centroid as the elementwise mean), then search
-    ONLY the query's cell.  The scan cost drops from N to ~N/cells.
-
-    Scale/exactness notes: every Lloyd round is one broadcast-join
-    assignment (centroids are tiny) plus one keyed aggregation — the
-    textbook distributed k-means; no driver loop over data, only over
-    the fixed iteration count.  Centroid means are Q1.30 fixed-point
-    (power-of-two scaling, no rounding; see llm_embed_centroid) so both
-    engines iterate from bitwise-identical centroids.  At 100 TB the
-    final assignment is written once partitioned by cell and each query
-    touches one partition — the partition-pruning pattern for vector
-    search."""
-    e = table(spark, sf_dir, "embeddings")
+def _kmeans_cells(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run `_KMEANS_ITERS` Lloyd rounds; return (final centroids,
+    final assignment with the vector payload).  Every round is one
+    broadcast-join assignment (centroids are KB-sized) plus one keyed
+    aggregation — the textbook distributed k-means; no driver loop over
+    data, only over the fixed iteration count.  Centroid means are
+    Q1.30 fixed-point (power-of-two scaling, no rounding; see
+    llm_embed_centroid) so both engines iterate from bitwise-identical
+    centroids."""
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
@@ -726,12 +785,78 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = assign(cents)
     for _ in range(_KMEANS_ITERS):
-        assigned = assign(update(assigned))
+        cents = update(assigned)
+        assigned = assign(cents)
+    return cents, assigned
 
+
+@register("llm_sim_ivf", _IVF_ORACLE)
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with k-means cells: seed centroids from the first
+    K vectors, run Lloyd's iterations (assign to nearest centroid by
+    cosine → recompute centroid as the elementwise mean), then search
+    ONLY the query's cell.  The scan cost drops from N to ~N/cells.
+    At 100 TB the final assignment is written once partitioned by cell
+    and each query touches one partition — the partition-pruning
+    pattern for vector search.  (See _kmeans_cells for the exactness
+    and shuffle structure.)"""
+    e = table(spark, sf_dir, "embeddings")
+    _, assigned = _kmeans_cells(e)
     qcell = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     cand = (
         assigned.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    return cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
+
+
+_N_PROBE = 2
+
+_IVF_PROBE_ORACLE = f"""
+WITH {_sql_kmeans_ctes()},
+q AS {_QV_SQL},
+qcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM cent{_KMEANS_ITERS} c CROSS JOIN q
+  ) WHERE rn <= {_N_PROBE}
+)
+SELECT a.vec_id, {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim
+FROM a{_KMEANS_ITERS} a
+JOIN qcells ON a.cid = qcells.cid
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
+@register("llm_sim_ivf_probe", _IVF_PROBE_ORACLE)
+def llm_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): rank cells by query↔centroid cosine
+    and scan the top 2 — the standard recall knob for IVF indexes (a
+    query near a cell boundary misses neighbors in the adjacent cell at
+    nprobe=1).  Scan cost is nprobe·N/cells; at 100 TB this reads
+    nprobe partitions instead of one, still pruning the rest."""
+    e = table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e)
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    ranked = cents.crossJoin(F.broadcast(q)).select(
+        "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
+    )
+    w = W.orderBy(F.col("qsim").desc(), "cid")
+    qcells = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(F.col("cid").alias("qcid"))
+    )
+    cand = (
+        assigned.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))

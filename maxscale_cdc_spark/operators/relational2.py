@@ -562,3 +562,27 @@ def rel_join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "rel_sample_hash",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 7
+    """,
+)
+def rel_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 7% sample by key-hash bucketing — the sampling
+    primitive for pipeline development and data QA at 100 TB:
+    reproducible on any cluster, stable under re-partitioning and
+    re-runs (unlike TABLESAMPLE/rand(), which change with the physical
+    layout and seed plumbing), and consistent ACROSS TABLES for the
+    same key, so sampled fact rows keep their sampled dimension rows."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return o.filter(bucket < 7).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -312,3 +312,30 @@ def str_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "c_mktsegment")
     out = run_to_memory(joined, "append")
     return out.groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "str_dedup_within_watermark",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def str_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE variant of streaming dedup:
+    dropDuplicatesWithinWatermark keeps a key in state only until the
+    watermark passes its event time, so state size is O(keys per
+    horizon) instead of O(all keys ever) — the form that survives an
+    unbounded 100 TB stream (str_dedup_stream's plain dropDuplicates
+    is exact but grows state forever).  The replayed duplicates here
+    share the duplicate's event time, so a horizon covering the staged
+    span removes every copy and the result matches the exact oracle."""
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev.unionAll(ev), cache_key=f"events2x:{sf_dir}")
+    stream = read_stream(spark, staged)
+    deduped = stream.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
