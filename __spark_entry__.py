@@ -48,6 +48,42 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries that already earned a green driver CORRECTNESS row in round 1
+# (the round-1 sweep was cut off by its time budget after these 50).
+# queries() orders the dict so still-unverified queries run FIRST —
+# if a budget truncates the sweep again, it verifies new ground instead
+# of re-verifying these.  Nothing else changes: every query runs the
+# same oracle check whenever it is reached.
+_R1_DRIVER_GREEN = {
+    "cdc_event_dispatch", "cdc_gtid", "cdc_gtid_filter", "cdc_payload_project",
+    "cdc_order", "cdc_dedup_exact", "cdc_update_pair", "cdc_latest_state",
+    "cdc_scd2", "cdc_gap_detect", "cdc_snapshot_tail", "cdc_schema_registry",
+    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster", "llm_ngram_top",
+    "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_fingerprint",
+    "llm_sim_cosine", "llm_sim_topk_pergroup", "llm_sim_ivf", "llm_dedup_embed",
+    "llm_embed_centroid", "llm_pack_sequences", "llm_train_split",
+    "llm_text_stats", "llm_quality_score", "llm_lang_id", "llm_token_count",
+    "mm_meta", "mm_decode_stub", "mm_features", "mm_frame_sample",
+    "rel_project", "rel_filter", "rel_agg_hash", "rel_agg_distinct",
+    "rel_agg_approx", "rel_agg_stats", "rel_agg_rollup", "rel_agg_cube",
+    "rel_agg_gsets", "rel_having", "rel_join_inner", "rel_join_left",
+    "rel_join_right", "rel_join_full", "rel_join_semi", "rel_join_anti",
+}
+
+# Long-pole queries (streaming setup / Python DataSource cold start /
+# iterative algorithms) — within each group they run after the cheap
+# ones so a time-budgeted sweep maximizes rows checked.
+_HEAVY = {
+    "src_cdc_datasource", "src_tcp_transport", "src_cdc_stream", "snk_append",
+    "snk_upsert", "snk_partitioned", "str_stream_stream_join", "str_tumbling",
+    "str_sliding", "str_watermark_late", "str_dedup_stream",
+    "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",
+    "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
+    "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
+    "mm_decode_stub",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
 
@@ -58,7 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(fn) for name, fn in registry.QUERIES.items()}
+    names = sorted(
+        registry.QUERIES,
+        key=lambda n: (n in _R1_DRIVER_GREEN, n in _HEAVY, n),
+    )
+    return {name: _wrap(registry.QUERIES[name]) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

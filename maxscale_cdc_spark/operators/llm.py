@@ -435,16 +435,19 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1c = bgc.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
         F.sum("cbg").alias("cw")
     )
-    scored = (
-        grams.join(bgc, "bg")
-        .join(w1c, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+    # build the MODEL first (bigram → ulog): joins two |vocab|-sized
+    # aggregates and computes each ln once per DISTINCT bigram, so the
+    # big gram fact is shuffled into exactly one join, not two
+    model = (
+        bgc.join(w1c, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
         .select(
-            "doc_id",
+            "bg",
             F.round(F.ln(F.col("cbg").cast("double") / F.col("cw")) * 1000000.0, 0)
             .cast("long")
             .alias("ulog"),
         )
     )
+    scored = grams.join(model, "bg").select("doc_id", "ulog")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("ulog").alias("sum_microlog"),
