@@ -96,8 +96,21 @@ def build_cdc_datasource():
             "string", "varchar", "text", "boolean", "bool",
             "double precision",
         }
+        # split on top-level commas only — decimal(18,4) carries one
+        items, depth, cur = [], 0, []
+        for ch in ddl:
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth = max(0, depth - 1)
+                cur.append(ch)
+        items.append("".join(cur))
         out = []
-        for part in ddl.split(","):
+        for part in items:
             item = part.strip()
             if not item:
                 continue
@@ -407,6 +420,29 @@ def build_cdc_datasource():
             if cols[0]:
                 yield flush()
 
+    def _normalize_spark_ddl(pairs):
+        """(name, normalized type) pairs → Spark-parseable DDL.  Wire
+        types Spark's DDL parser lacks ('double precision', 'text',
+        'long', 'real') map to their Spark equivalents."""
+        spark_type = {
+            "int": "int", "integer": "int",
+            "bigint": "bigint", "long": "bigint",
+            "double": "double", "double precision": "double",
+            "float": "float", "real": "float",
+            "string": "string", "text": "string", "varchar": "string",
+            "boolean": "boolean", "bool": "boolean",
+        }
+        cols = []
+        for name, typ in pairs:
+            t = "".join(typ.split()) if typ.startswith(("decimal", "varchar")) else typ
+            if t.startswith("decimal"):
+                cols.append(f"{name} {t}")
+            elif t.startswith("varchar"):
+                cols.append(f"{name} {t}")
+            else:
+                cols.append(f"{name} {spark_type[typ]}")
+        return ", ".join(cols)
+
     class CDCDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -420,7 +456,8 @@ def build_cdc_datasource():
                 return (
                     "domain INT, server_id INT, sequence BIGINT, "
                     "event_number INT, timestamp BIGINT, event_type STRING, "
-                    "table_name STRING, table_schema STRING, " + pds
+                    "table_name STRING, table_schema STRING, "
+                    + _normalize_spark_ddl(_parse_payload_ddl(pds))
                 )
             return source_schema
 

@@ -193,3 +193,78 @@ def test_crash_resume_no_dupes_no_gaps(spark, tmp_path):
     assert seqs == list(range(n_bursts * per)), (
         f"dupes/gaps after crash-resume: {len(seqs)} rows"
     )
+
+
+def test_bad_records_fail_default_generic_path(spark, tmp_path):
+    """Default badRecords=fail mirrors the reference: a decode error
+    terminates the stream (client.go:240-246) on the generic path."""
+    d = str(tmp_path / "spool")
+    write_stream_files(['{"domain": 0, "server_id": 1, "sequence": 1}',
+                        '{"domain": THIS IS NOT JSON'], d)
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as ei:
+        run_to_memory(_read(spark, d), "append")
+    assert "malformed CDC line" in str(ei.value)
+
+
+def test_bad_records_skip_counts(spark, tmp_path):
+    """badRecords=skip keeps the stream alive and drops only the
+    malformed lines (both read paths share the policy)."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    d = str(tmp_path / "spool")
+    good = [
+        render_dml_line("test", "tests", 0, 3000, s, 1, 1693300000, "insert",
+                        {"id": s, "val": 1.0})
+        for s in range(3)
+    ]
+    write_stream_files(good + ['{"domain": BROKEN'], d)
+    out = run_to_memory(
+        _read(spark, d, table="tests", badRecords="skip"), "append"
+    )
+    assert sorted(r["sequence"] for r in out.collect()) == [0, 1, 2]
+    # typed path, same spool
+    out2 = run_to_memory(
+        _read(spark, d, table="tests", badRecords="skip",
+              payloadSchema="id bigint, val double"),
+        "append",
+    )
+    assert sorted(r["sequence"] for r in out2.collect()) == [0, 1, 2]
+
+
+def test_typed_decimal_and_two_word_types(spark, tmp_path):
+    """payloadSchema accepts decimal(p,s) and 'double precision'
+    (split on first whitespace only); values arrive typed."""
+    from decimal import Decimal
+
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    d = str(tmp_path / "spool")
+    write_stream_files([
+        render_dml_line("test", "tests", 0, 3000, 1, 1, 1693300000, "insert",
+                        {"amt": 12.3456, "ratio": 0.5}),
+    ], d)
+    out = run_to_memory(
+        _read(spark, d, table="tests",
+              payloadSchema="amt decimal(18,4), ratio double precision"),
+        "append",
+    )
+    row = out.collect()[0]
+    assert row["amt"] == Decimal("12.3456")
+    assert row["ratio"] == 0.5
+
+
+def test_bad_payload_schema_fails_at_construction(spark, tmp_path):
+    """An unsupported payload type errors when the stream starts, not
+    mid-micro-batch on an executor."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    d = str(tmp_path / "spool")
+    write_stream_files(['{"domain": 0, "server_id": 1, "sequence": 1}'], d)
+    with pytest.raises(Exception) as ei:
+        run_to_memory(
+            _read(spark, d, payloadSchema="x sometype"), "append"
+        )
+    assert "unsupported type" in str(ei.value)
