@@ -36,6 +36,9 @@ Options:
                   "fail" mirrors that on BOTH read paths.  "skip" counts
                   malformed DML lines and reports the count per burst on
                   stderr (a dead-letter-style metric) instead of dying.
+  maxFilesPerTrigger  backpressure bound: at most N burst files per
+                  micro-batch — the cap-1 channel analogue
+                  (client.go:220); consumption rate bounds ingest rate.
 
 Spool contract: burst files are append-only with lexicographically
 increasing names (binlog-style numbering) — the offset is a count over
@@ -154,6 +157,16 @@ def build_cdc_datasource():
             ).lower()
             if self.bad_records not in ("fail", "skip"):
                 raise ValueError("badRecords must be 'fail' or 'skip'")
+            mft = options.get("maxfilespertrigger") or options.get(
+                "maxFilesPerTrigger"
+            )
+            self.max_files = int(mft) if mft else None
+            # rate-limit window, advanced by latestOffset itself: Spark
+            # plans batches sequentially (one latestOffset per batch),
+            # and the runner does NOT deliver commit() back to this
+            # planner-side instance — so the planner's own call cadence
+            # is the reliable clock
+            self._planned_files = 0
             start = options.get("startinggtid") or options.get("startingGtid")
             if start:
                 d, sv, q = start.split("-")
@@ -177,21 +190,34 @@ def build_cdc_datasource():
             return {"gtid": list(self.start_gtid), "files": 0}
 
         def latestOffset(self):
-            return {"gtid": list(self.start_gtid), "files": len(self._spool_files())}
+            avail = len(self._spool_files())
+            if self.max_files:
+                # backpressure: advance at most maxFilesPerTrigger per
+                # planned batch (cap-1 channel analogue, client.go:220)
+                self._planned_files = min(avail, self._planned_files + self.max_files)
+                avail = self._planned_files
+            return {"gtid": list(self.start_gtid), "files": avail}
 
         def partitions(self, start, end):
             import os
 
             files = self._spool_files()
             lo, hi = start.get("files", 0), end.get("files", 0)
+            # restart safety for the rate limit: the checkpointed start
+            # is the true committed floor — fast-forward the window so
+            # a restarted query resumes from it (a transiently lower
+            # planned end yields an empty [lo:hi] slice, never a
+            # re-read)
+            self._planned_files = max(self._planned_files, lo, hi)
             sg = tuple(start.get("gtid", [-1, -1, -1]))
             return [
                 _FileSlice(os.path.join(self.path, f), sg) for f in files[lo:hi]
             ]
 
         def commit(self, end):
-            # spool retention is external (like the binlog's)
-            pass
+            # spool retention is external (like the binlog's); if the
+            # runner does route commit here, use it as a window floor
+            self._planned_files = max(self._planned_files, end.get("files", 0))
 
         def read(self, partition):
             if self.payload_ddl:

@@ -268,3 +268,44 @@ def test_bad_payload_schema_fails_at_construction(spark, tmp_path):
             _read(spark, d, payloadSchema="x sometype"), "append"
         )
     assert "unsupported type" in str(ei.value)
+
+
+def test_max_files_per_trigger_backpressure(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch (cap-1 channel
+    analogue, client.go:220): 6 burst files at cap 2 need >= 3 batches,
+    and the result is still exactly-once."""
+    spool_dir = str(tmp_path / "spool")
+    os.makedirs(spool_dir)
+    for i in range(6):
+        write_stream_files(
+            [render_dml_line("test", "tests", 0, 3000, i * 5 + j, 1,
+                             1693300000, "insert", {"id": j, "val": 1.0})
+             for j in range(5)],
+            spool_dir,
+        )
+        os.rename(os.path.join(spool_dir, "events-00000.jsonl"),
+                  os.path.join(spool_dir, f"burst-{i:05d}.jsonl"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        _read(spark, spool_dir, table="tests", maxFilesPerTrigger="2")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() == 30:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q.stop()
+    got = spark.read.parquet(sink)
+    assert sorted(r["sequence"] for r in got.collect()) == list(range(30))
+    n_batches = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches >= 3, f"expected >=3 rate-limited batches, got {n_batches}"
