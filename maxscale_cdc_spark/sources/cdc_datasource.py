@@ -31,6 +31,14 @@ Options:
                   types (decimal(p,s), varchar(n)) and two-word types
                   ("double precision") are accepted; an unsupported type
                   fails at reader construction, not mid-batch.
+  schemaFromSpool "true" to DISCOVER the payload schema from the
+                  spool's DDL (schema) events — the reference's
+                  readSchema behavior (client.go:254-271): the stream
+                  itself carries its schema; the client declares
+                  nothing.  The latest version wins unless
+                  schemaVersion pins one (client.go:114-119).  An
+                  explicit payloadSchema overrides discovery.
+  schemaVersion   with schemaFromSpool: pin a specific schema version.
   badRecords      "fail" (default) or "skip".  The reference terminates
                   the event pump on a decode error (client.go:240-246);
                   "fail" mirrors that on BOTH read paths.  "skip" counts
@@ -446,6 +454,83 @@ def build_cdc_datasource():
             if cols[0]:
                 yield flush()
 
+    def _discover_payload_ddl(path, database, table, version):
+        """Scan the spool's DDL (non-DML, non-ERR) lines and build the
+        payload DDL for the requested table — the reference's dynamic
+        schema discovery (client.go:254-271) with its polymorphic
+        field-type decode (event.go:58-137) reduced to the wire types
+        the avrorouter emits.  Latest version wins unless pinned.
+        Self-contained: the planner worker cannot import the package,
+        so this mirrors (not imports) sources/schema_registry.py."""
+        import json
+        import os
+
+        envelope = {
+            "domain", "server_id", "sequence", "event_number",
+            "timestamp", "event_type", "table_name", "table_schema",
+        }
+        wire_to_ddl = {
+            "int": "int", "integer": "int", "tinyint": "int",
+            "smallint": "int", "mediumint": "int",
+            "bigint": "bigint", "long": "bigint",
+            "double": "double", "float": "float",
+            "decimal": "double",  # wire JSON renders decimals as numbers
+            "string": "string", "varchar": "string", "char": "string",
+            "text": "string", "bytes": "string",
+            "boolean": "boolean", "bool": "boolean",
+        }
+        best = None  # (version, fields)
+        try:
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith((".jsonl", ".txt"))
+            )
+        except FileNotFoundError:
+            return None
+        for fname in files:
+            with open(os.path.join(path, fname), "rb") as fh:
+                for raw in fh:
+                    line = raw.strip()
+                    if (
+                        not line
+                        or line.startswith(b"ERR")
+                        or line.startswith(b'{"domain":')
+                    ):
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "fields" not in obj:
+                        continue
+                    if database and obj.get("database") != database:
+                        continue
+                    if table and obj.get("table") != table:
+                        continue
+                    v = int(obj.get("version", 1))
+                    if version is not None and v != int(version):
+                        continue
+                    if best is None or v > best[0]:
+                        best = (v, obj.get("fields", []))
+        if best is None:
+            return None
+        cols = []
+        for f in best[1]:
+            name = f.get("name", "")
+            if not name or name in envelope:
+                continue
+            t = f.get("type")
+            if isinstance(t, str):          # plain string type
+                wire = t
+            elif isinstance(t, list):       # Avro union array (nullable)
+                non_null = [x for x in t if x != "null"]
+                wire = f.get("real_type") or (
+                    non_null[0] if non_null and isinstance(non_null[0], str) else "string"
+                )
+            else:                           # enum object (or unknown)
+                wire = "string"
+            cols.append((name, wire_to_ddl.get(str(wire).lower(), "string")))
+        return ", ".join(f"{n} {t}" for n, t in cols) or None
+
     def _normalize_spark_ddl(pairs):
         """(name, normalized type) pairs → Spark-parseable DDL.  Wire
         types Spark's DDL parser lacks ('double precision', 'text',
@@ -474,10 +559,31 @@ def build_cdc_datasource():
         def name(cls):
             return "maxscale_cdc"
 
-        def schema(self):
+        def _payload_ddl(self):
             pds = self.options.get("payloadschema") or self.options.get(
                 "payloadSchema"
             )
+            if pds:
+                return pds
+            discover = (
+                self.options.get("schemafromspool")
+                or self.options.get("schemaFromSpool")
+                or ""
+            ).lower()
+            if discover in ("true", "1"):
+                ver = self.options.get("schemaversion") or self.options.get(
+                    "schemaVersion"
+                )
+                return _discover_payload_ddl(
+                    self.options["path"],
+                    self.options.get("database"),
+                    self.options.get("table"),
+                    int(ver) if ver else None,
+                )
+            return None
+
+        def schema(self):
+            pds = self._payload_ddl()
             if pds:
                 return (
                     "domain INT, server_id INT, sequence BIGINT, "
@@ -488,7 +594,13 @@ def build_cdc_datasource():
             return source_schema
 
         def streamReader(self, schema):
-            return CDCStreamReader(self.options)
+            opts = dict(self.options)
+            pds = self._payload_ddl()
+            if pds:
+                # pass the (possibly discovered) schema to the reader so
+                # the typed Arrow fast path engages
+                opts["payloadschema"] = pds
+            return CDCStreamReader(opts)
 
     return CDCDataSource
 

@@ -309,3 +309,40 @@ def test_max_files_per_trigger_backpressure(spark, tmp_path):
     n_batches = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
                      if not f.startswith(".")])
     assert n_batches >= 3, f"expected >=3 rate-limited batches, got {n_batches}"
+
+
+def test_schema_from_spool_discovery(spark, tmp_path):
+    """schemaFromSpool: the payload schema comes from the stream's own
+    DDL events (client.go:254-271 readSchema) — nothing declared by the
+    consumer; ALTER bumps the version and the latest wins; an explicit
+    schemaVersion pins the old shape (client.go:114-119)."""
+    from maxscale_cdc_spark.sources.cdc_source import render_ddl_line
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    d = str(tmp_path / "spool")
+    lines = [
+        render_ddl_line("test", "tests", 1, "0-3000-1",
+                        [("id", "int"), ("val", "double")]),
+        render_dml_line("test", "tests", 0, 3000, 1, 1, 1693300000, "insert",
+                        {"id": 1, "val": 1.5}),
+        render_ddl_line("test", "tests", 2, "0-3000-2",
+                        [("id", "int"), ("val", "double"), ("tag", "varchar")]),
+        render_dml_line("test", "tests", 0, 3000, 2, 1, 1693300001, "insert",
+                        {"id": 2, "val": 2.5, "tag": "x"}),
+    ]
+    write_stream_files(lines, d)
+    out = run_to_memory(
+        _read(spark, d, table="tests", database="test", schemaFromSpool="true"),
+        "append",
+    )
+    assert "tag" in out.columns  # latest version discovered
+    rows = {r["sequence"]: r for r in out.collect()}
+    assert rows[1]["tag"] is None and rows[2]["tag"] == "x"
+    assert rows[2]["val"] == 2.5 and rows[2]["id"] == 2
+    # pinned version: v1 shape, no tag column
+    out1 = run_to_memory(
+        _read(spark, d, table="tests", database="test",
+              schemaFromSpool="true", schemaVersion="1"),
+        "append",
+    )
+    assert "tag" not in out1.columns and "val" in out1.columns
