@@ -48,8 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries that already earned a green driver CORRECTNESS row in round 1
-# (the round-1 sweep was cut off by its time budget after these 50).
+# Queries that earned a green driver CORRECTNESS row in round 1 AND are
+# unchanged since (the round-1 sweep was cut off by its time budget
+# after 50 entries; queries rewritten in round 2 — llm_dedup_near,
+# llm_dedup_cluster, llm_sim_ivf, llm_quality_score, rel_agg_approx —
+# are deliberately NOT listed: their old green rows no longer certify
+# the current code, so they sort with the unverified group).
 # queries() orders the dict so still-unverified queries run FIRST —
 # if a budget truncates the sweep again, it verifies new ground instead
 # of re-verifying these.  Nothing else changes: every query runs the
@@ -58,14 +62,14 @@ _R1_DRIVER_GREEN = {
     "cdc_event_dispatch", "cdc_gtid", "cdc_gtid_filter", "cdc_payload_project",
     "cdc_order", "cdc_dedup_exact", "cdc_update_pair", "cdc_latest_state",
     "cdc_scd2", "cdc_gap_detect", "cdc_snapshot_tail", "cdc_schema_registry",
-    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster", "llm_ngram_top",
+    "llm_dedup_exact", "llm_ngram_top",
     "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_fingerprint",
-    "llm_sim_cosine", "llm_sim_topk_pergroup", "llm_sim_ivf", "llm_dedup_embed",
+    "llm_sim_cosine", "llm_sim_topk_pergroup", "llm_dedup_embed",
     "llm_embed_centroid", "llm_pack_sequences", "llm_train_split",
-    "llm_text_stats", "llm_quality_score", "llm_lang_id", "llm_token_count",
+    "llm_text_stats", "llm_lang_id", "llm_token_count",
     "mm_meta", "mm_decode_stub", "mm_features", "mm_frame_sample",
     "rel_project", "rel_filter", "rel_agg_hash", "rel_agg_distinct",
-    "rel_agg_approx", "rel_agg_stats", "rel_agg_rollup", "rel_agg_cube",
+    "rel_agg_stats", "rel_agg_rollup", "rel_agg_cube",
     "rel_agg_gsets", "rel_having", "rel_join_inner", "rel_join_left",
     "rel_join_right", "rel_join_full", "rel_join_semi", "rel_join_anti",
 }

@@ -275,6 +275,13 @@ def min_label_closure(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # diverging silently from the transitive-closure oracle would be
+        # a data bug masquerading as a perf cap — fail loudly instead
+        raise RuntimeError(
+            f"min_label_closure: not converged after {max_rounds} rounds "
+            "(component diameter exceeds the round budget; raise max_rounds)"
+        )
     return labels
 
 

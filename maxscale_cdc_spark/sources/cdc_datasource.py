@@ -47,6 +47,13 @@ Options:
   maxFilesPerTrigger  backpressure bound: at most N burst files per
                   micro-batch — the cap-1 channel analogue
                   (client.go:220); consumption rate bounds ingest rate.
+                  The FIRST batch of a (re)started query is uncapped:
+                  the Python stream API gives the planner no durable
+                  committed position, so capping the first window could
+                  plan an end offset below the checkpointed start and
+                  re-deliver data on restart — draining the backlog
+                  once, then capping, is the exactly-once-safe form
+                  (it also makes availableNow runs complete).
 
 Spool contract: burst files are append-only with lexicographically
 increasing names (binlog-style numbering) — the offset is a count over
@@ -173,8 +180,11 @@ def build_cdc_datasource():
             # plans batches sequentially (one latestOffset per batch),
             # and the runner does NOT deliver commit() back to this
             # planner-side instance — so the planner's own call cadence
-            # is the reliable clock
-            self._planned_files = 0
+            # is the reliable clock.  None = first call, which returns
+            # everything available (see maxFilesPerTrigger docstring:
+            # a capped first window could regress below a checkpointed
+            # start the planner cannot see and re-deliver data).
+            self._planned_files: int | None = None
             start = options.get("startinggtid") or options.get("startingGtid")
             if start:
                 d, sv, q = start.split("-")
@@ -201,8 +211,14 @@ def build_cdc_datasource():
             avail = len(self._spool_files())
             if self.max_files:
                 # backpressure: advance at most maxFilesPerTrigger per
-                # planned batch (cap-1 channel analogue, client.go:220)
-                self._planned_files = min(avail, self._planned_files + self.max_files)
+                # planned batch (cap-1 channel analogue, client.go:220);
+                # first call drains the backlog uncapped (restart safety)
+                if self._planned_files is None:
+                    self._planned_files = avail
+                else:
+                    self._planned_files = min(
+                        avail, self._planned_files + self.max_files
+                    )
                 avail = self._planned_files
             return {"gtid": list(self.start_gtid), "files": avail}
 
@@ -211,12 +227,10 @@ def build_cdc_datasource():
 
             files = self._spool_files()
             lo, hi = start.get("files", 0), end.get("files", 0)
-            # restart safety for the rate limit: the checkpointed start
-            # is the true committed floor — fast-forward the window so
-            # a restarted query resumes from it (a transiently lower
-            # planned end yields an empty [lo:hi] slice, never a
-            # re-read)
-            self._planned_files = max(self._planned_files, lo, hi)
+            # the checkpointed start is the true committed floor —
+            # fast-forward the rate-limit window so it never plans
+            # backwards from here on
+            self._planned_files = max(self._planned_files or 0, lo, hi)
             sg = tuple(start.get("gtid", [-1, -1, -1]))
             return [
                 _FileSlice(os.path.join(self.path, f), sg) for f in files[lo:hi]
@@ -225,7 +239,7 @@ def build_cdc_datasource():
         def commit(self, end):
             # spool retention is external (like the binlog's); if the
             # runner does route commit here, use it as a window floor
-            self._planned_files = max(self._planned_files, end.get("files", 0))
+            self._planned_files = max(self._planned_files or 0, end.get("files", 0))
 
         def read(self, partition):
             if self.payload_ddl:
@@ -308,16 +322,22 @@ def build_cdc_datasource():
                     raise ValueError(
                         f"malformed CDC line in {partition.path}: {exc}"
                     ) from exc
-                import json as _json
                 import sys as _sys
 
-                good = []
+                # skip mode: find the bad records by parsing each line
+                # individually — a line can be valid JSON yet still fail
+                # the Arrow schema conversion (e.g. a string where the
+                # schema says double), so a json.loads prefilter is not
+                # enough.  Per-line Arrow parse only runs on the rare
+                # burst that contains bad records.
+                good_tables = []
                 skipped = 0
                 for line in keep:
                     try:
-                        _json.loads(line)
-                        good.append(line)
-                    except ValueError:
+                        good_tables.append(
+                            pj.read_json(io.BytesIO(line), parse_options=parse_opts)
+                        )
+                    except pa.ArrowInvalid:
                         skipped += 1
                 if skipped:
                     print(
@@ -325,9 +345,9 @@ def build_cdc_datasource():
                         f"in {partition.path}",
                         file=_sys.stderr,
                     )
-                if not good:
+                if not good_tables:
                     return
-                tbl = pj.read_json(io.BytesIO(b"\n".join(good)), parse_options=parse_opts)
+                tbl = pa.concat_tables(good_tables)
             d0, s0, q0 = self.start_gtid
             # lexicographic (domain, server_id, sequence) >= start
             dd, ss, qq = tbl["domain"], tbl["server_id"], tbl["sequence"]
@@ -485,8 +505,10 @@ def build_cdc_datasource():
                 f for f in os.listdir(path) if f.endswith((".jsonl", ".txt"))
             )
         except FileNotFoundError:
-            return None
+            files = []
         for fname in files:
+            if best is not None and version is not None:
+                break  # pinned version found — no need to scan further
             with open(os.path.join(path, fname), "rb") as fh:
                 for raw in fh:
                     line = raw.strip()
@@ -511,8 +533,19 @@ def build_cdc_datasource():
                         continue
                     if best is None or v > best[0]:
                         best = (v, obj.get("fields", []))
+                    if version is not None:
+                        break
         if best is None:
-            return None
+            # failing loudly beats silently pinning the generic
+            # string-payload schema for the query's lifetime: schemas
+            # are fixed at stream construction, so a discovery that
+            # raced the writer would never self-correct
+            raise ValueError(
+                f"schemaFromSpool: no DDL (schema) event found in {path!r}"
+                + (f" for version {version}" if version is not None else "")
+                + " — the spool has no schema yet (start the transport "
+                "first, or pass payloadSchema explicitly)"
+            )
         cols = []
         for f in best[1]:
             name = f.get("name", "")
@@ -546,11 +579,12 @@ def build_cdc_datasource():
         cols = []
         for name, typ in pairs:
             t = "".join(typ.split()) if typ.startswith(("decimal", "varchar")) else typ
-            if t.startswith("decimal"):
-                cols.append(f"{name} {t}")
-            elif t.startswith("varchar"):
+            if "(" in t and t.startswith(("decimal", "varchar")):
+                # parameterized forms are valid Spark DDL as-is
                 cols.append(f"{name} {t}")
             else:
+                # bare 'varchar' (no length) is NOT valid Spark DDL —
+                # it maps to string like 'text' does
                 cols.append(f"{name} {spark_type[typ]}")
         return ", ".join(cols)
 
@@ -571,15 +605,19 @@ def build_cdc_datasource():
                 or ""
             ).lower()
             if discover in ("true", "1"):
-                ver = self.options.get("schemaversion") or self.options.get(
-                    "schemaVersion"
-                )
-                return _discover_payload_ddl(
-                    self.options["path"],
-                    self.options.get("database"),
-                    self.options.get("table"),
-                    int(ver) if ver else None,
-                )
+                # cache: schema() and streamReader() both need this, and
+                # discovery scans spool files on the driver
+                if not hasattr(self, "_discovered_ddl"):
+                    ver = self.options.get("schemaversion") or self.options.get(
+                        "schemaVersion"
+                    )
+                    self._discovered_ddl = _discover_payload_ddl(
+                        self.options["path"],
+                        self.options.get("database"),
+                        self.options.get("table"),
+                        int(ver) if ver else None,
+                    )
+                return self._discovered_ddl
             return None
 
         def schema(self):

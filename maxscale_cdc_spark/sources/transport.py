@@ -218,9 +218,18 @@ class CDCTransport:
             raise self._pump_error
 
     def drain(self, timeout_s: float = 30.0) -> None:
-        """Wait for the pump thread to finish (server closed the stream)."""
+        """Wait for the pump thread to finish (server closed the stream).
+
+        Raises TimeoutError if the pump is still running when the
+        timeout expires — silently returning would let a caller stop()
+        mid-stream and read a truncated spool as if it were complete."""
         if self._thread is not None:
             self._thread.join(timeout=timeout_s)
+            if self._thread.is_alive():
+                raise TimeoutError(
+                    f"pump still draining after {timeout_s}s "
+                    f"({self.events_pumped} events so far)"
+                )
             if self._pump_error is not None:
                 raise self._pump_error
 
@@ -279,19 +288,44 @@ class FakeMaxScaleServer:
             format_authentication_command,
         )
 
+        def recv_command(n_expected=None, complete=None):
+            """Accumulate a command across TCP segments: the protocol
+            frames nothing (the reference writes raw bytes), so read
+            until the known length / completeness predicate is met, or
+            a short quiet gap follows some data (REQUEST-DATA has no
+            terminator)."""
+            buf = b""
+            conn.settimeout(5.0)
+            while True:
+                if n_expected is not None and len(buf) >= n_expected:
+                    return buf
+                if complete is not None and buf and complete(buf):
+                    return buf
+                if n_expected is None and complete is None and buf:
+                    conn.settimeout(0.2)  # quiet-gap mode
+                try:
+                    chunk = conn.recv(4096)
+                except TimeoutError:
+                    return buf
+                except OSError:
+                    return buf
+                if not chunk:
+                    return buf
+                buf += chunk
+
         rfile = conn.makefile("rb")
         try:
-            # -- auth: one hex token (no newline framing in the protocol;
-            # the fake reads a bounded chunk)
-            conn.settimeout(5.0)
-            auth = conn.recv(4096)
+            # -- auth: one hex token, length known server-side
             expected = format_authentication_command(self.user, self.password)
+            auth = recv_command(n_expected=len(expected))
             if auth != expected:
                 conn.sendall(b"ERR access denied\n")
                 return
             conn.sendall(b"OK\n")
-            # -- REGISTER
-            reg = conn.recv(4096).decode("ascii", "replace")
+            # -- REGISTER ... TYPE=JSON (suffix marks completeness)
+            reg = recv_command(complete=lambda b: b.endswith(b"TYPE=JSON")).decode(
+                "ascii", "replace"
+            )
             if not reg.startswith("REGISTER UUID=") or "TYPE=JSON" not in reg:
                 conn.sendall(b"ERR malformed REGISTER\n")
                 return
@@ -301,7 +335,8 @@ class FakeMaxScaleServer:
                 return
             conn.sendall(b"OK\n")
             # -- REQUEST-DATA db.table[.version] [gtid] → stream
-            req = conn.recv(4096).decode("ascii", "replace")
+            # (no terminator: quiet-gap accumulation)
+            req = recv_command().decode("ascii", "replace")
             if not req.startswith("REQUEST-DATA "):
                 conn.sendall(b"ERR malformed request\n")
                 return

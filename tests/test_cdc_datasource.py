@@ -271,12 +271,16 @@ def test_bad_payload_schema_fails_at_construction(spark, tmp_path):
 
 
 def test_max_files_per_trigger_backpressure(spark, tmp_path):
-    """maxFilesPerTrigger bounds each micro-batch (cap-1 channel
-    analogue, client.go:220): 6 burst files at cap 2 need >= 3 batches,
-    and the result is still exactly-once."""
+    """maxFilesPerTrigger bounds each micro-batch after the initial
+    drain (cap-1 channel analogue, client.go:220): 1 initial file, then
+    6 more arriving at cap 2 need >= 3 additional batches; a restart
+    with yet more files re-delivers nothing (the first window of a
+    restarted query is uncapped precisely so the planner can never
+    regress below the checkpointed start)."""
     spool_dir = str(tmp_path / "spool")
     os.makedirs(spool_dir)
-    for i in range(6):
+
+    def burst(i):
         write_stream_files(
             [render_dml_line("test", "tests", 0, 3000, i * 5 + j, 1,
                              1693300000, "insert", {"id": j, "val": 1.0})
@@ -285,30 +289,86 @@ def test_max_files_per_trigger_backpressure(spark, tmp_path):
         )
         os.rename(os.path.join(spool_dir, "events-00000.jsonl"),
                   os.path.join(spool_dir, f"burst-{i:05d}.jsonl"))
+
+    burst(0)
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
-    q = (
-        _read(spark, spool_dir, table="tests", maxFilesPerTrigger="2")
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="150 milliseconds")
-        .start()
-    )
+
+    def start():
+        return (
+            _read(spark, spool_dir, table="tests", maxFilesPerTrigger="2")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 30
+    while time.time() < deadline:  # initial drain commits file 0
+        try:
+            if spark.read.parquet(sink).count() >= 5:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    for i in range(1, 7):  # 6 more bursts arrive mid-stream
+        burst(i)
     deadline = time.time() + 60
     while time.time() < deadline:
         try:
-            if spark.read.parquet(sink).count() == 30:
+            if spark.read.parquet(sink).count() == 35:
                 break
         except Exception:
             pass
         time.sleep(0.2)
     q.stop()
-    got = spark.read.parquet(sink)
-    assert sorted(r["sequence"] for r in got.collect()) == list(range(30))
+    got = sorted(r["sequence"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(35))
     n_batches = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
                      if not f.startswith(".")])
-    assert n_batches >= 3, f"expected >=3 rate-limited batches, got {n_batches}"
+    # 1 drain batch + >=3 capped batches for the 6 late files (+ empty ticks)
+    assert n_batches >= 4, f"expected >=4 batches, got {n_batches}"
+
+    # restart with two more bursts: everything new arrives exactly once
+    burst(7)
+    burst(8)
+    q2 = start()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= 45:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    q2.stop()
+    got = sorted(r["sequence"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(45)), "duplicates or gaps after capped restart"
+
+
+def test_bad_records_skip_type_mismatch_typed_path(spark, tmp_path):
+    """badRecords=skip must survive lines that are VALID JSON but fail
+    the Arrow schema conversion (string where the schema says double) —
+    a json.loads prefilter alone cannot catch these."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory
+
+    d = str(tmp_path / "spool")
+    good = [
+        render_dml_line("test", "tests", 0, 3000, s, 1, 1693300000, "insert",
+                        {"id": s, "val": 1.5})
+        for s in range(3)
+    ]
+    bad = render_dml_line("test", "tests", 0, 3000, 99, 1, 1693300000,
+                          "insert", {"id": 99, "val": "oops"})
+    write_stream_files(good + [bad], d)
+    out = run_to_memory(
+        _read(spark, d, table="tests", badRecords="skip",
+              payloadSchema="id bigint, val double"),
+        "append",
+    )
+    assert sorted(r["sequence"] for r in out.collect()) == [0, 1, 2]
 
 
 def test_schema_from_spool_discovery(spark, tmp_path):
