@@ -535,3 +535,43 @@ def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "database_name string, table_name string, version int, field_name string, "
         "field_pos int, spark_type string, nullable boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# flagship_cdc_segment — the repo's flagship pipeline (the same query
+# `__spark_entry__.entry()` runs at sf0.001), registered so the driver
+# certifies it like any other operator: CDC-apply (latest image per PK,
+# deletes dropped) → broadcast-join the customer dim → hash-aggregate
+# per market segment.  scan → keyed window → broadcast join → partial
+# agg: one shuffle on pk, one on c_mktsegment (5 groups, map-side
+# combined), dim broadcast — the canonical CDC-consumer shape at 100 TB.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, value, dml_type,
+         row_number() OVER (PARTITION BY pk ORDER BY domain DESC, server_id DESC, sequence DESC, event_number DESC) AS rn
+  FROM cdc
+), state AS (
+  SELECT pk, value AS last_value FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(s.last_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM state s JOIN customer c ON s.pk = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("flagship_cdc_segment", _FLAGSHIP_ORACLE)
+def flagship_cdc_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_spark.functions.numeric import dsum
+
+    state = latest_state(cdc_view(spark, sf_dir))
+    cust = table(spark, sf_dir, "customer")
+    return (
+        state.join(F.broadcast(cust), state.pk == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_users"), dsum("last_value", "sum_value"))
+    )

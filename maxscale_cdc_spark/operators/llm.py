@@ -875,6 +875,25 @@ def llm_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_THRESHOLD = 0.4
+_EMB_PLANES = 16  # hyperplanes total
+_EMB_BAND_W = 8   # planes per band -> 2 bands, 256 sig values per band
+
+# Deterministic integer hyperplane coefficients, identical in both
+# engines: coef(p, i) = ((i * (3p+2)) % 17) - 8 for dim i in 1..64.
+# 3p+2 mod 17 is injective over p=0..15 (3 is invertible mod 17), so
+# the 16 planes are distinct; all intermediates fit in INT32.
+_EMB_PROJ_SQL = ",\n         ".join(
+    f"list_sum(list_transform(generate_series(1, 64),"
+    f" i -> v[i] * ((i * {3 * p + 2}) % 17 - 8))) AS p{p}"
+    for p in range(_EMB_PLANES)
+)
+_EMB_SIG_SQL = [
+    " + ".join(
+        f"(CASE WHEN p{b * _EMB_BAND_W + j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_EMB_BAND_W)
+    )
+    for b in range(_EMB_PLANES // _EMB_BAND_W)
+]
 
 _EMB_NEAR_ORACLE = f"""
 WITH vecs AS (
@@ -882,18 +901,26 @@ WITH vecs AS (
 ), proj AS (
   SELECT vec_id, v,
          list_sum(list_transform(v, x -> x * x)) AS nsq,
-         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 1 + 3) % 7 - 3))) AS p1,
-         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 2 + 3) % 7 - 3))) AS p2,
-         list_sum(list_transform(generate_series(1, 64), i -> v[i] * (((i - 1) * 3 + 3) % 7 - 3))) AS p3
+         {_EMB_PROJ_SQL}
   FROM vecs
 ), bucketed AS (
-  SELECT vec_id, v, nsq, (p1 > 0) AS s1, (p2 > 0) AS s2, (p3 > 0) AS s3 FROM proj
+  SELECT vec_id, v, nsq,
+         {_EMB_SIG_SQL[0]} AS sig0,
+         {_EMB_SIG_SQL[1]} AS sig1
+  FROM proj
+), cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b ON a.sig0 = b.sig0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b ON a.sig1 = b.sig1 AND a.vec_id < b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-               / sqrt(a.nsq * b.nsq) AS DOUBLE), 6) AS cos_sim
-  FROM bucketed a JOIN bucketed b
-    ON a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3 AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         round(CAST(list_sum(list_transform(generate_series(1, 64), i -> va.v[i] * vb.v[i]))
+               / sqrt(va.nsq * vb.nsq) AS DOUBLE), 6) AS cos_sim
+  FROM cand c
+  JOIN bucketed va ON va.vec_id = c.vec_a
+  JOIN bucketed vb ON vb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {_EMB_THRESHOLD}
 """
@@ -901,56 +928,92 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {_EMB_THRESHOLD}
 
 @register("llm_dedup_embed", _EMB_NEAR_ORACLE)
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH: two fixed
-    integer-coefficient projections split vectors into 4 sign buckets;
-    exact cosine runs only within a bucket.  Quadratic work shrinks by
-    the bucket fan-out (more planes ⇒ smaller buckets ⇒ lower recall);
-    the deterministic coefficients keep both engines in the same
-    buckets."""
+    """Embedding-cosine near-dup via banded random-hyperplane LSH
+    (SimHash-style), structured exactly like llm_dedup_near's MinHash
+    bands: 16 deterministic integer-coefficient hyperplanes → 2 bands
+    of 8 sign bits → each band signature is an int in [0, 256) → the
+    self-join key is (band, sig), cardinality 2×256 = 512 → candidate
+    pairs are the multi-band OR (distinct) → exact cosine ONLY on
+    candidates.
+
+    Scale arithmetic (why this survives 100×): with N vectors and B
+    buckets per band, the per-band self-join does ~N²/B comparisons on
+    B reducers.  At B=256 and 2 bands that is N²/128 total work spread
+    over 512 join keys — vs the previous 3-plane/8-bucket design whose
+    N²/8 on 8 reducers became a skewed near-cartesian at 100 TB.  Band
+    width trades recall for selectivity (P[band match] = p_plane⁸, OR
+    over 2 bands); widening to 4 bands of 8 (32 planes) raises recall
+    at the same bucket count.  Hot buckets (near-constant vectors)
+    would be salted/capped in production.
+
+    Determinism: coefficients are small integers (see _EMB_PROJ_SQL),
+    projections are left-fold sums in both engines, so signs — and
+    therefore buckets — match bit-exactly across Spark and DuckDB."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
 
-    def proj(mult: int):
+    def proj(p: int):
+        mult = 3 * p + 2
         return F.aggregate(
             F.zip_with(
                 F.col("v"),
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda x, i: x * ((i * mult + 3) % 7 - 3).cast("double"),
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda x, i: x * ((i * mult) % 17 - 8).cast("double"),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    # norms computed ONCE per vector (narrow, pre-join); the pairwise
-    # step is only a dot product — 3× less lambda work inside the join
+    def sig(band: int):
+        bits = [
+            F.when(proj(band * _EMB_BAND_W + j) > 0, F.lit(1 << j)).otherwise(0)
+            for j in range(_EMB_BAND_W)
+        ]
+        out = bits[0]
+        for bit in bits[1:]:
+            out = out + bit
+        return out.cast("int")
+
+    # norms + signatures computed ONCE per vector (narrow, pre-join);
+    # the pairwise step is only a dot product on candidates
     bucketed = vecs.select(
         "vec_id",
         "v",
         norm_sq(F.col("v")).alias("nsq"),
-        (proj(1) > 0).alias("s1"),
-        (proj(2) > 0).alias("s2"),
-        (proj(3) > 0).alias("s3"),
+        sig(0).alias("sig0"),
+        sig(1).alias("sig1"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    sim = F.round(
-        dot(F.col("a.v"), F.col("b.v"))
-        / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
-        6,
-    )
-    return (
+    bands = None
+    for b in range(_EMB_PLANES // _EMB_BAND_W):
+        one = bucketed.select(
+            "vec_id", F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.s1") == F.col("b.s1"))
-            & (F.col("a.s2") == F.col("b.s2"))
-            & (F.col("a.s3") == F.col("b.s3"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nsq").alias("nsq_a")
+    )
+    vb = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nsq").alias("nsq_b")
+    )
+    sim = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")), 6
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _EMB_THRESHOLD)
     )
 
@@ -1133,17 +1196,20 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword density, mean word length) — the classic pre-training
     filter signals, all integer-derived so both engines agree exactly."""
     d = table(spark, sf_dir, "documents")
-    w = words("text")
-    base = d.select(
+    # split ONCE in its own projection: the four stats reference the
+    # alias, and CollapseProject keeps a multiply-referenced non-cheap
+    # expression materialized instead of re-inlining the split 4×
+    # (measured 2.3× faster at sf0.1: 0.55 s → 0.24 s warm)
+    split = d.select("doc_id", words("text").alias("w"))
+    base = split.select(
         "doc_id",
-        F.size(w).cast("long").alias("n_words"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
         # long seed: an int seed would overflow at 2^31 total chars per
         # doc while the DuckDB oracle sums in BIGINT
-        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .cast("long")
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
         .alias("sum_wlen"),
-        F.size(F.filter(w, lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a"))).cast("long").alias("n_stop"),
     )
     # no round(): these are divisions of IDENTICAL integers in both
     # engines, so the doubles are bitwise equal — while round-at-6 on
@@ -1240,4 +1306,113 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
         ).alias("n_subword_tokens"),
         F.length(F.array_join(w, " ")).cast("long").alias("n_chars_joined"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard similarity join via prefix filtering (AllPairs /
+# PPJoin-style).  Complements llm_dedup_near: MinHash+LSH is probabilistic
+# (false negatives possible); this operator is EXACT — every pair with
+# Jaccard >= t is returned — while still never going all-pairs.
+# ---------------------------------------------------------------------------
+
+# The oracle is deliberately brute-force (all-pairs exact Jaccard): it is
+# independent of the prefix-filter implementation, so a green row PROVES
+# the no-false-negative property on real data, not just self-consistency.
+# All-pairs is fine at oracle scale (sf0.01: 500 docs); the Spark side
+# never materializes it.
+_JP_ORACLE = f"""
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  docsets AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS shs
+    FROM docw
+    WHERE len(w) >= 2
+  ),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+           CAST(len(a.shs) + len(b.shs) AS BIGINT) AS sz_sum
+    FROM docsets a JOIN docsets b ON a.doc_id < b.doc_id
+  )
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_jaccard_prefix", _JP_ORACLE)
+def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join on bigram-shingle sets at Jaccard
+    >= t, using prefix filtering (Bayardo et al. AllPairs; Xiao et al.
+    PPJoin): order each doc's shingles rare-first by global document
+    frequency, keep only the first ``|x| - ceil(t|x|) + 1`` tokens as
+    the *prefix*, and generate candidates ONLY from docs sharing a
+    prefix token.  Completeness lemma: J(A,B) >= t implies overlap
+    >= ceil(t*|A|) and >= ceil(t*|B|), so the two prefixes must share a
+    token — no false negatives, unlike MinHash banding.
+
+    Scale: candidates come from an equi-join on prefix tokens; because
+    prefixes keep the RAREST tokens, join-key buckets are the small
+    tail of the df distribution (the frequent-token near-cartesian
+    buckets are exactly what prefix filtering cuts).  The df lookup and
+    the per-doc sort are one keyed shuffle each; verification joins
+    candidate pairs to per-doc shingle ARRAYS (array_intersect
+    per-row), the same pattern as llm_dedup_near.  ceil(t|x|) with
+    t=0.5 is computed as integer ``(sz+1) div 2`` in both engines —
+    no float rounding can diverge.
+    """
+    sh = _shingles(spark, sf_dir)  # doc_id, sh — distinct per doc
+    # global document frequency per shingle: the rare-first total order
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # per-doc shingles sorted (df asc, sh asc) — struct sort is
+    # lexicographic on fields, identical to the oracle's ORDER BY df, sh
+    toks = (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
+            F.count("*").alias("sz"),
+        )
+    )
+    # prefix length |x| - ceil(t|x|) + 1, t = 1/2, in pure ints
+    pref = toks.select(
+        "doc_id",
+        F.expr("slice(ts, 1, sz - div(sz + 1, 2) + 1)").alias("pref"),
+    )
+    expl = pref.select("doc_id", F.explode("pref").alias("p")).select(
+        "doc_id", F.col("p.sh").alias("sh")
+    )
+    a = expl.alias("a")
+    b = expl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    docsets = d.select(
+        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
+    )
+    sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return (
+        inter.filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )

@@ -132,20 +132,56 @@ def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_agg_approx")  # approximate sketches: no exact oracle (rows-only check)
+@register(
+    "rel_agg_approx",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + approximate quantiles — the 100 TB substitutes for
     exact distinct/percentile (single pass, fixed memory, mergeable).
 
-    Scalar columns only: the driver's canonicalizer sorts rows with pandas
-    and cannot hash an array<double> cell, so the two quantiles are emitted
-    as separate double columns (price_p50, price_p95)."""
+    Sketch outputs cannot hash-match a DuckDB oracle, so the query emits
+    oracle-checkable *facts about the sketch* instead: the exact values
+    (computed alongside, same shuffle) plus booleans asserting the sketch
+    landed within tolerance.  ε=0.05 against HLL's ~2.3 % standard error
+    at default precision (rsd=0.05 ⇒ we pass rsd=0.023 explicitly) and
+    percentile_approx at accuracy 10000 (error ≤ 1/10000 of rank) — both
+    bounds hold with wide margin, so the booleans are deterministic TRUE
+    and the oracle returns exact counts + literal TRUE.
+
+    The exact aggregates are oracle instrumentation: at 100 TB a user
+    runs only the sketch columns (fixed memory, mergeable partials); the
+    certification query runs both on the identical groupBy so the driver
+    can prove the sketch's error bound on real data."""
     li = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    p_exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.023).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.element_at(q, 1).alias("price_p50"),
         F.element_at(q, 2).alias("price_p95"),
+        F.element_at(p_exact, 1).alias("exact_p50"),
+        F.element_at(p_exact, 2).alias("exact_p95"),
+    )
+
+    def _tol(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= 0.05
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        _tol("approx_orders", "exact_orders").alias("hll_within_tol"),
+        _tol("price_p50", "exact_p50").alias("p50_within_tol"),
+        _tol("price_p95", "exact_p95").alias("p95_within_tol"),
     )
 
 

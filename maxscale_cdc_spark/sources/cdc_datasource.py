@@ -175,7 +175,14 @@ def build_cdc_datasource():
             mft = options.get("maxfilespertrigger") or options.get(
                 "maxFilesPerTrigger"
             )
-            self.max_files = int(mft) if mft else None
+            # '0' must be a loud error, not a silent "uncapped": a user
+            # asking for the tightest bound would otherwise lose all
+            # backpressure (Spark's own maxFilesPerTrigger requires >=1)
+            self.max_files = int(mft) if mft is not None else None
+            if self.max_files is not None and self.max_files < 1:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be >= 1, got {mft!r}"
+                )
             # rate-limit window, advanced by latestOffset itself: Spark
             # plans batches sequentially (one latestOffset per batch),
             # and the runner does NOT deliver commit() back to this

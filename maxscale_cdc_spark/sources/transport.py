@@ -28,7 +28,9 @@ client.go:49-53,63-67) is deliberately NOT reproduced.
 
 from __future__ import annotations
 
+import logging
 import os
+import re
 import socket
 import threading
 
@@ -55,6 +57,12 @@ class OversizeEventError(RuntimeError):
     ErrTooLong this terminates the pump (client.go:17, 256-257)."""
 
 
+class MidStreamServerError(RuntimeError):
+    """Server sent ERR after events had already flowed.  The reference
+    tolerates ERR only before the schema is read (client.go:253-267);
+    afterwards an ERR token is a decode error that ends the stream."""
+
+
 class CDCTransport:
     """Socket client for the CDC protocol, pumping events to a spool.
 
@@ -78,16 +86,21 @@ class CDCTransport:
         password: str,
         uuid: str,
         options: TransportOptions | None = None,
+        logger: logging.Logger | None = None,
     ) -> None:
         self.address = address
         self.user = user
         self.password = password
         self.uuid = uuid
         self.options = options or TransportOptions()
+        # WithLogger analogue (client.go:70-74): callers inject their
+        # own logger; the default is the module logger, not silence
+        self.log = logger or logging.getLogger("maxscale_cdc_spark.transport")
         self._sock: socket.socket | None = None
         self._rfile = None
         self._thread: threading.Thread | None = None
         self._pump_error: BaseException | None = None
+        self._closing = False
         self.err_lines = 0  # tolerated pre-schema ERR count (client.go:261-267)
         self.events_pumped = 0
 
@@ -159,7 +172,16 @@ class CDCTransport:
 
     def _pump(self, spool_dir: str, burst_lines: int) -> None:
         buf: list[bytes] = []
-        burst_no = 0
+        # resume AFTER any existing bursts: a restarted transport (or a
+        # second one) against a non-empty spool must append, never
+        # os.replace() burst-000000000.jsonl — overwriting would replay
+        # different rows under a committed DataSource offset range
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(spool_dir)
+            if (m := re.fullmatch(r"burst-(\d{9})\.jsonl", f))
+        ]
+        burst_no = max(existing, default=-1) + 1
 
         def flush() -> None:
             nonlocal burst_no, buf
@@ -187,18 +209,31 @@ class CDCTransport:
                 if not line:
                     continue
                 if line.startswith(b"ERR"):
-                    # tolerated: table may not exist yet (client.go:261-267,
-                    # 137-140) — log-equivalent counter, keep reading
-                    self.err_lines += 1
-                    continue
+                    if self.events_pumped == 0:
+                        # tolerated ONLY before the first event — the
+                        # table may not exist yet (client.go:253-267,
+                        # 137-140); logged like the reference's slog
+                        self.err_lines += 1
+                        self.log.warning(
+                            "pre-schema ERR tolerated (%d so far): %s",
+                            self.err_lines,
+                            line.decode("utf-8", "replace"),
+                        )
+                        continue
+                    raise MidStreamServerError(line.decode("utf-8", "replace"))
                 buf.append(line)
                 self.events_pumped += 1
                 if len(buf) >= burst_lines:
                     flush()
-        except (OSError, ValueError):
-            pass  # socket closed under us during stop()
+        except (OSError, ValueError) as exc:
+            # a mid-stream reset is a truncated stream, NOT a clean end;
+            # only stop() closing the socket under us is expected
+            if not self._closing:
+                self._pump_error = exc
+                self.log.error("pump failed mid-stream: %s", exc)
         except BaseException as exc:  # decode/cap error ends the stream
             self._pump_error = exc
+            self.log.error("pump terminated: %s", exc)
         finally:
             flush()
 
@@ -207,6 +242,7 @@ class CDCTransport:
     def stop(self) -> None:
         if self._sock is None:
             raise NotConnectedError("not connected")
+        self._closing = True  # set BEFORE close: the pump's OSError is expected now
         try:
             self._sock.shutdown(socket.SHUT_RDWR)
         except OSError:
@@ -214,6 +250,13 @@ class CDCTransport:
         self._sock.close()  # unblocks the reader like conn.Close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+            if self._thread.is_alive():
+                # a hung flush would keep writing to the spool after we
+                # report "stopped" — mirror drain()'s loud behavior
+                raise TimeoutError(
+                    f"pump still running 10s after stop() "
+                    f"({self.events_pumped} events so far)"
+                )
         if self._pump_error is not None:
             raise self._pump_error
 
@@ -255,16 +298,20 @@ class FakeMaxScaleServer:
         tables: dict[str, list[str]] | None = None,
         pre_schema_errs: int = 0,
         file_tables: dict[str, str] | None = None,
+        reset_after: int | None = None,
     ) -> None:
         """`tables` maps "db.table" → in-memory lines (small fixtures);
         `file_tables` maps "db.table" → a directory of line files which
         are STREAMED to the client file-by-file (bounded memory — the
-        fixture analogue of the avrorouter reading the binlog)."""
+        fixture analogue of the avrorouter reading the binlog).
+        `reset_after=N` aborts the connection with a TCP RST (SO_LINGER
+        0) after N lines — the mid-stream-failure fixture."""
         self.user = user
         self.password = password
         self.tables = tables or {}
         self.file_tables = file_tables or {}
         self.pre_schema_errs = pre_schema_errs
+        self.reset_after = reset_after
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
         self.address = f"127.0.0.1:{self.port}"
@@ -360,6 +407,20 @@ class FakeMaxScaleServer:
                 # missing table: reference waits on tolerated ERRs
                 # (client.go:137-140); the fake just closes after them
                 conn.sendall(b"ERR no such table\n")
+                return
+            if self.reset_after is not None:
+                head = lines[: self.reset_after]
+                conn.sendall(("\n".join(head) + "\n").encode("utf-8"))
+                # RST, not FIN: linger-0 close aborts the connection so
+                # the client sees ECONNRESET mid-stream, not a clean EOF
+                import struct
+
+                conn.setsockopt(
+                    socket.SOL_SOCKET,
+                    socket.SO_LINGER,
+                    struct.pack("ii", 1, 0),
+                )
+                conn.close()
                 return
             payload = ("\n".join(lines) + "\n").encode("utf-8")
             conn.sendall(payload)

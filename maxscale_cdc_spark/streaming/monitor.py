@@ -37,6 +37,29 @@ def progress_frame(spark: SparkSession, query) -> DataFrame:
     )
 
 
+def transport_frame(spark: SparkSession, transport) -> DataFrame:
+    """One-row health frame for a CDCTransport: delivered vs skipped
+    (tolerated pre-schema ERR) event counts, pump liveness, and the
+    terminal pump error if any — the dead-letter surface a deployment
+    alerts on alongside the streaming progress frame."""
+    alive = transport._thread is not None and transport._thread.is_alive()
+    err = transport._pump_error
+    return spark.createDataFrame(
+        [
+            (
+                transport.address,
+                int(transport.events_pumped),
+                int(transport.err_lines),
+                bool(alive),
+                type(err).__name__ if err is not None else None,
+                str(err) if err is not None else None,
+            )
+        ],
+        "address string, events_pumped bigint, skipped_err_lines bigint, "
+        "pump_alive boolean, pump_error_type string, pump_error string",
+    )
+
+
 def summarize(progress_df: DataFrame) -> DataFrame:
     """Per-query health summary (throughput, latency, state growth)."""
     from pyspark.sql import functions as F

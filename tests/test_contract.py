@@ -18,7 +18,7 @@ def test_rows_only_queries_are_known():
     keep this list explicit so a forgotten oracle is caught."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(os_))
-    assert rows_only == ["rel_agg_approx"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_no_duplicate_output_columns(spark, sf_dir):

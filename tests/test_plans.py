@@ -113,3 +113,15 @@ def test_ivf_plan_no_python_udf_and_broadcasts(spark, sf_dir):
 def test_dedup_cluster_plan_no_python_udf(spark, sf_dir):
     plan = formatted_plan(_q("llm_dedup_cluster", spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_embed_banded_join(spark, sf_dir):
+    """The embedding-LSH self-join must key on (band, sig) — 512-value
+    composite, not the old 8-bucket sign triple — and never go
+    cartesian or drop to Python."""
+    df = _q("llm_dedup_embed", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the candidate join's equality key carries band AND sig
+    assert "band" in plan and "sig" in plan

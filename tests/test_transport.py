@@ -221,3 +221,126 @@ def test_file_streamed_tables(tmp_path):
         t.stop()
     finally:
         server.close()
+
+
+def test_restart_appends_after_existing_bursts(tmp_path):
+    """A transport started against a non-empty spool must continue the
+    burst numbering, never overwrite burst-000000000.jsonl — a committed
+    DataSource offset range would otherwise replay different rows."""
+    lines_a = _wire_lines(5)
+    server = FakeMaxScaleServer("user", "pw", {"test.tests": lines_a})
+    try:
+        t, spool = _drain_to_spool(server, tmp_path)
+        t.stop()
+        first = sorted(os.listdir(spool))
+        assert first == ["burst-000000000.jsonl"]
+        # second session, same spool dir
+        t2 = CDCTransport(server.address, "user", "pw", UUID)
+        t2.request_data("test", "tests", spool_dir=spool)
+        t2.drain()
+        t2.stop()
+        assert sorted(os.listdir(spool)) == [
+            "burst-000000000.jsonl",
+            "burst-000000001.jsonl",
+        ]
+        with open(os.path.join(spool, "burst-000000000.jsonl")) as fh:
+            assert fh.read().splitlines() == lines_a  # untouched
+    finally:
+        server.close()
+
+
+def test_pre_schema_err_logged_and_counted(tmp_path, caplog):
+    """WithLogger parity (client.go:70-74, 240-246): tolerated ERRs are
+    logged and surfaced in the monitor's transport frame."""
+    import logging
+
+    lines = _wire_lines(3)
+    server = FakeMaxScaleServer("user", "pw", {"test.tests": lines}, pre_schema_errs=2)
+    try:
+        with caplog.at_level(logging.WARNING, "maxscale_cdc_spark.transport"):
+            t, spool = _drain_to_spool(server, tmp_path)
+        assert t.err_lines == 2
+        tolerated = [r for r in caplog.records if "pre-schema ERR" in r.message]
+        assert len(tolerated) == 2
+        t.stop()
+    finally:
+        server.close()
+
+
+def test_transport_frame_surfaces_skips(spark, tmp_path):
+    from maxscale_cdc_spark.streaming.monitor import transport_frame
+
+    lines = _wire_lines(4)
+    server = FakeMaxScaleServer("user", "pw", {"test.tests": lines}, pre_schema_errs=3)
+    try:
+        t, _ = _drain_to_spool(server, tmp_path)
+        t.stop()
+        row = transport_frame(spark, t).collect()[0]
+        assert row.events_pumped == len(lines)
+        assert row.skipped_err_lines == 3
+        assert row.pump_alive is False
+        assert row.pump_error is None
+    finally:
+        server.close()
+
+
+def test_mid_stream_err_terminates_pump(tmp_path):
+    """After the first event an ERR is a decode error (readSchema gate,
+    client.go:253-267) — the pump must end with MidStreamServerError,
+    not silently swallow a server-side failure."""
+    from maxscale_cdc_spark.sources.transport import MidStreamServerError
+
+    lines = _wire_lines(3) + ["ERR binlog corrupted"]
+    server = FakeMaxScaleServer("user", "pw", {"test.tests": lines})
+    try:
+        spool = str(tmp_path / "spool")
+        t = CDCTransport(server.address, "user", "pw", UUID)
+        t.request_data("test", "tests", spool_dir=spool)
+        with pytest.raises(MidStreamServerError):
+            t.drain()
+        assert t.events_pumped == 4  # DDL + 3 DML delivered before the ERR
+    finally:
+        server.close()
+
+
+def test_mid_stream_reset_is_an_error(tmp_path):
+    """A connection reset mid-stream must NOT look like a clean end of
+    stream: drain() has to raise so callers never trust a truncated
+    spool (the reference logs scanner.Err(), client.go:287)."""
+    lines = _wire_lines(6)
+    server = FakeMaxScaleServer(
+        "user", "pw", {"test.tests": lines}, reset_after=3
+    )
+    try:
+        spool = str(tmp_path / "spool")
+        t = CDCTransport(server.address, "user", "pw", UUID)
+        t.request_data("test", "tests", spool_dir=spool)
+        with pytest.raises(OSError):
+            t.drain()
+        assert t.events_pumped == 3  # truncated, and loudly so
+    finally:
+        server.close()
+
+
+def test_max_files_per_trigger_zero_rejected(tmp_path):
+    """maxFilesPerTrigger='0' must be a loud ValueError, not a silent
+    "uncapped" (int('0') is falsy, so a truthiness check would treat the
+    tightest requested bound as no bound at all)."""
+    from maxscale_cdc_spark.sources.cdc_datasource import build_cdc_datasource
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    cls = build_cdc_datasource()
+    opts = {
+        "path": str(spool),
+        "database": "test",
+        "table": "tests",
+        "maxfilespertrigger": "0",
+    }
+    src = cls.__new__(cls)
+    src.options = opts
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        src.streamReader(None)
+    # >=1 stays valid
+    src.options = {**opts, "maxfilespertrigger": "1"}
+    assert src.streamReader(None).max_files == 1
