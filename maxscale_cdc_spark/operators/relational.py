@@ -948,3 +948,69 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.explode(F.sequence(F.lit(1), F.col("max_ln"))).alias("line_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_bucketed — co-located join over bucketed tables: the 100 TB
+# answer to "this join shuffles both sides every run".  Write both fact
+# tables bucketBy(8, orderkey) + sortBy once; every subsequent join on
+# the bucket key is a zero-exchange sort-merge join (each task reads
+# bucket i of both sides).  At cluster scale the bucket count is sized
+# to executors × cores (e.g. 4096) and the write cost amortizes over
+# every downstream join/agg on the key — the Spark analogue of the
+# reference consumer materializing its stream partitioned by PK.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("rel_join_bucketed", _BUCKETED_ORACLE)
+def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides pre-bucketed on the join key
+    so the sort-merge join has NO Exchange on either side (plan shows
+    `Bucketed: true` scans; the only shuffle left is the 5-group final
+    agg).  The `merge` hint pins the strategy so the plan demonstrates
+    the bucketing (AQE would otherwise broadcast at test scale and hide
+    it).  The bucketed write is the one-time cost this operator exists
+    to amortize."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="maxscale_bucketed_")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bj_orders")
+    spark.sql("DROP TABLE IF EXISTS bj_lineitem")
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .option("path", f"{base}/orders")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bj_orders")
+    )
+    (
+        li.select("l_orderkey", "l_extendedprice")
+        .write.format("parquet")
+        .option("path", f"{base}/lineitem")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bj_lineitem")
+    )
+    return (
+        spark.table("bj_orders")
+        .hint("merge")
+        .join(
+            spark.table("bj_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price"))
+    )

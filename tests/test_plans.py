@@ -125,3 +125,23 @@ def test_dedup_embed_banded_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the candidate join's equality key carries band AND sig
     assert "band" in plan and "sig" in plan
+
+
+def test_bucketed_join_no_join_side_exchange(spark, sf_dir):
+    """Both sides of the bucketed join must be read pre-partitioned
+    (Bucketed: true) and merge-joined with NO exchange; the single
+    remaining Exchange is the 5-group final aggregation."""
+    df = _q("rel_join_bucketed", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan
+    assert exchange_count(df) == 1, plan
+
+
+def test_jaccard_prefix_no_cartesian_no_python(spark, sf_dir):
+    """Prefix-filter candidates come from an equi-join on prefix
+    tokens — never cartesian, never Python."""
+    df = _q("llm_dedup_jaccard_prefix", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
