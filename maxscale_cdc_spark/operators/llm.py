@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from maxscale_cdc_spark.functions.text import char_ngrams_md5_min, word_bigrams, words
+from maxscale_cdc_spark.functions.text import (
+    char_ngrams_md5_min,
+    word_bigrams,
+    word_trigrams,
+    words,
+)
 from maxscale_cdc_spark.functions.vectors import (
     as_double,
     cosine,
@@ -1324,10 +1329,10 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JP_ORACLE = f"""
 WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
   docsets AS (
-    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 1),
-                                 i -> w[i] || ' ' || w[i + 1])) AS shs
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
     FROM docw
-    WHERE len(w) >= 2
+    WHERE len(w) >= 3
   ),
   pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1344,26 +1349,43 @@ WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
 
 @register("llm_dedup_jaccard_prefix", _JP_ORACLE)
 def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity self-join on bigram-shingle sets at Jaccard
-    >= t, using prefix filtering (Bayardo et al. AllPairs; Xiao et al.
-    PPJoin): order each doc's shingles rare-first by global document
-    frequency, keep only the first ``|x| - ceil(t|x|) + 1`` tokens as
-    the *prefix*, and generate candidates ONLY from docs sharing a
-    prefix token.  Completeness lemma: J(A,B) >= t implies overlap
-    >= ceil(t*|A|) and >= ceil(t*|B|), so the two prefixes must share a
-    token — no false negatives, unlike MinHash banding.
+    """Exact set-similarity self-join on trigram-shingle sets at Jaccard
+    >= t, using prefix filtering (Bayardo et al. AllPairs) plus the
+    PPJoin length and positional filters (Xiao et al. 2008): order each
+    doc's shingles rare-first by global document frequency, keep only
+    the first ``|x| - ceil(t|x|) + 1`` tokens as the *prefix*, and
+    generate candidates ONLY from docs sharing a prefix token.
+    Completeness lemma: J(A,B) >= t implies overlap >= ceil(t*|A|) and
+    >= ceil(t*|B|), so the two prefixes must share a token — no false
+    negatives, unlike MinHash banding.  The oracle is an
+    implementation-independent all-pairs scan, so a green row PROVES
+    completeness on real data.
 
-    Scale: candidates come from an equi-join on prefix tokens; because
-    prefixes keep the RAREST tokens, join-key buckets are the small
-    tail of the df distribution (the frequent-token near-cartesian
-    buckets are exactly what prefix filtering cuts).  The df lookup and
-    the per-doc sort are one keyed shuffle each; verification joins
-    candidate pairs to per-doc shingle ARRAYS (array_intersect
-    per-row), the same pattern as llm_dedup_near.  ceil(t|x|) with
-    t=0.5 is computed as integer ``(sz+1) div 2`` in both engines —
+    Candidate pruning, all before the distinct (safe — each drops only
+    pairs that cannot reach t):
+    - length filter: t·|B| <= |A| <= |B|/t (2|A| >= |B| and 2|B| >= |A|
+      at t = 1/2, pure ints);
+    - positional filter: a match at 1-based prefix positions (pa, pb)
+      bounds the overlap by 1 + min(|A|-pa, |B|-pb), which must reach
+      the equivalent-overlap threshold ceil(t/(1+t)·(|A|+|B|)) =
+      div(|A|+|B|+2, 3) at t = 1/2.
+
+    Scale: trigram shingles (not bigrams) are load-bearing — prefix
+    filtering needs a long-tail df distribution, and this corpus's
+    bigram vocabulary is so small (931 tokens, median df 285) that
+    "rare-first" buckets stay near-cartesian; trigrams give 27k tokens
+    at median df 9, collapsing candidates from 3.5M to the low
+    thousands.  The df lookup and per-doc sort are one keyed shuffle
+    each; verification joins candidate pairs to per-doc shingle ARRAYS
+    (array_intersect per-row), the same pattern as llm_dedup_near.
+    ceil(t|x|) with t=1/2 is integer ``(sz+1) div 2`` in both engines —
     no float rounding can diverge.
     """
-    sh = _shingles(spark, sf_dir)  # doc_id, sh — distinct per doc
+    d0 = table(spark, sf_dir, "documents")
+    # doc_id, sh — distinct trigrams per doc, set semantics row-local
+    sh = d0.select(
+        "doc_id", F.explode(F.array_distinct(word_trigrams(words("text")))).alias("sh")
+    )
     # global document frequency per shingle: the rare-first total order
     df = sh.groupBy("sh").agg(F.count("*").alias("df"))
     # per-doc shingles sorted (df asc, sh asc) — struct sort is
@@ -1379,25 +1401,40 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length |x| - ceil(t|x|) + 1, t = 1/2, in pure ints
     pref = toks.select(
         "doc_id",
+        "sz",
         F.expr("slice(ts, 1, sz - div(sz + 1, 2) + 1)").alias("pref"),
     )
-    expl = pref.select("doc_id", F.explode("pref").alias("p")).select(
-        "doc_id", F.col("p.sh").alias("sh")
+    expl = pref.select(
+        "doc_id", "sz", F.posexplode("pref").alias("pos0", "p")
+    ).select(
+        "doc_id", "sz", (F.col("pos0") + 1).alias("pos"), F.col("p.sh").alias("sh")
     )
     a = expl.alias("a")
     b = expl.alias("b")
+    length_ok = (F.col("a.sz") * 2 >= F.col("b.sz")) & (
+        F.col("b.sz") * 2 >= F.col("a.sz")
+    )
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
+    alpha = F.expr("div(a.sz + b.sz + 2, 3)")
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok
+            & (overlap_ub >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     d = table(spark, sf_dir, "documents")
     docsets = d.select(
-        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
+        "doc_id", F.array_distinct(word_trigrams(words("text"))).alias("shs")
     )
     sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
