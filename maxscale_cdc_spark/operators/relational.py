@@ -160,18 +160,28 @@ def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact aggregates are oracle instrumentation: at 100 TB a user
     runs only the sketch columns (fixed memory, mergeable partials); the
     certification query runs both on the identical groupBy so the driver
-    can prove the sketch's error bound on real data."""
+    can prove the sketch's error bound on real data.
+
+    The sketch and exact sides run as SEPARATE aggregations joined on
+    the 3-row group key: mixing countDistinct (Expand) with the
+    TypedImperative percentile buffers in ONE agg forces a sort-based
+    fallback over doubled data — measured 19.6 s for the combined agg
+    vs ~1 s per component at sf0.1.  Two single-pass aggs + a 3-row
+    join is 6× faster and is also the shape you'd run at 100 TB."""
     li = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     p_exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    agg = li.groupBy("l_returnflag").agg(
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.023).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.element_at(q, 1).alias("price_p50"),
         F.element_at(q, 2).alias("price_p95"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.element_at(p_exact, 1).alias("exact_p50"),
         F.element_at(p_exact, 2).alias("exact_p95"),
     )
+    agg = sketch.join(F.broadcast(exact), "l_returnflag")
 
     def _tol(approx, exact):
         return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= 0.05
