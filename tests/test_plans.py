@@ -145,3 +145,19 @@ def test_jaccard_prefix_no_cartesian_no_python(spark, sf_dir):
     assert not has_cartesian(df)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_dir):
+    """Q1 must push the shipdate filter into the scan and aggregate
+    map-side first (partial + final HashAggregate pair)."""
+    df = _q("tpch_q1", spark, sf_dir)
+    assert "l_shipdate" in pushed_filters(df)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tpch_q18_semi_join_before_wide_join(spark, sf_dir):
+    """The per-order rollup feeds a LEFT SEMI join — the wide
+    customer join must only see qualifying orders."""
+    plan = formatted_plan(_q("tpch_q18", spark, sf_dir))
+    assert "LeftSemi" in plan, plan
