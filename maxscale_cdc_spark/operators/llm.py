@@ -1453,3 +1453,146 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the training-data hygiene op: flag training
+# documents whose n-gram overlap with a held-out benchmark set exceeds a
+# threshold (the standard pre-training decontamination pass).
+# ---------------------------------------------------------------------------
+
+_CONTAM_RATIO = 0.2
+
+_CONTAM_ORACLE = f"""
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+    FROM docw WHERE len(w) >= 3
+  ),
+  bench_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+  marked AS (
+    SELECT t.doc_id, t.g, CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM grams t LEFT JOIN bench_g b ON t.g = b.g
+    WHERE t.doc_id % 50 <> 0
+  )
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(hit) AS BIGINT) AS n_shared,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS contam_ratio,
+       (CAST(SUM(hit) AS DOUBLE) / COUNT(*)) >= {_CONTAM_RATIO} AS contaminated
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("llm_contamination", _CONTAM_ORACLE)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the held-out
+    benchmark set; each remaining training doc is scored by the share
+    of its distinct trigram shingles that appear ANYWHERE in the
+    benchmark, and flagged at ratio >= 0.2 (the GPT-3-style 13-gram
+    decontamination pass, trigram-sized for this corpus).
+
+    Scale shape: the benchmark gram set is SMALL by definition (eval
+    suites are thousands of docs, not billions), so it broadcasts and
+    the training side never shuffles for the membership test — one
+    narrow left join + one keyed count per doc.  At 100 TB the
+    broadcast is the whole point: decontamination is a map-side pass
+    over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_trigrams(words("text")))).alias("g"),
+    )
+    bench_g = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_g = grams.filter(F.col("doc_id") % 50 != 0)
+    marked = train_g.join(F.broadcast(bench_g), "g", "left")
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(hit).cast("long").alias("n_shared"),
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_total")
+    return agg.select(
+        "doc_id",
+        "n_total",
+        "n_shared",
+        ratio.alias("contam_ratio"),
+        (ratio >= _CONTAM_RATIO).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — per-document salient-term extraction.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  tf AS (
+    SELECT doc_id, unnest(w) AS word FROM docw
+  ),
+  tfc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY doc_id, word),
+  dfc AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, word FROM tf) GROUP BY word),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+  scored AS (
+    SELECT t.doc_id, t.word, t.tf,
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+    FROM tfc t JOIN dfc d ON t.word = d.word CROSS JOIN n
+  ),
+  ranked AS (
+    SELECT doc_id, word, tf, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+    FROM scored
+  )
+SELECT doc_id, word, tf, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("llm_tfidf_top", _TFIDF_ORACLE)
+def llm_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term frequency (one keyed
+    count), document frequency (count over distinct doc-word pairs),
+    idf = ln(N/df) with N broadcast as a 1-row scalar, windowed top-k
+    with a deterministic (score desc, word) tiebreak.  The doubles are
+    ln/×/÷ of IDENTICAL integers in both engines, hence bit-equal.
+
+    Scale: two keyed shuffles (tf, df) + a broadcast of the df side?
+    no — df joins back on word (vocab-sized, shuffles once); N is a
+    scalar broadcast.  The window partitions by doc_id, the natural
+    key.  This is the classic map-reduce TF-IDF expressed
+    declaratively."""
+    d = table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(words("text")).alias("word"))
+    tfc = tf.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfc = (
+        tf.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            # round(…, 6): ln() is a transcendental whose last ulp
+            # differs between the JVM and libm — ranking on the raw
+            # double can flip near-ties between engines
+            F.round(
+                F.col("tf").cast("long")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "score", "rk")
+    )
