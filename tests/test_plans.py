@@ -161,3 +161,12 @@ def test_tpch_q18_semi_join_before_wide_join(spark, sf_dir):
     customer join must only see qualifying orders."""
     plan = formatted_plan(_q("tpch_q18", spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_contamination_broadcast_membership(spark, sf_dir):
+    """The benchmark gram set must broadcast — decontamination is a
+    map-side membership pass over the corpus, never a shuffle of the
+    training side against the benchmark."""
+    df = _q("llm_contamination", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
