@@ -575,3 +575,95 @@ def flagship_cdc_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_users"), dsum("last_value", "sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_incremental_agg — incremental materialized-view maintenance: turn
+# the CDC stream into a DELTA stream whose per-key contributions
+# telescope, so summing deltas maintains the aggregate that a full
+# recompute over the latest state would produce.  This is the core IVM
+# identity every CDC-fed dashboard/rollup relies on at 100 TB: applying
+# deltas is O(batch), recomputing is O(table).
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, value, dml_type,
+         row_number() OVER (PARTITION BY pk ORDER BY domain DESC, server_id DESC, sequence DESC, event_number DESC) AS rn
+  FROM cdc
+), state AS (
+  SELECT pk, value AS last_value FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+)
+SELECT CAST(pk % 10 AS BIGINT) AS bucket,
+       CAST(SUM(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE) AS incr_sum,
+       CAST(SUM(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE) AS recompute_sum,
+       TRUE AS matches
+FROM state
+GROUP BY 1
+"""
+
+
+@register("cdc_incremental_agg", _INCR_ORACLE)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain SUM(last_value) per pk-bucket incrementally from the
+    event stream and PROVE it equals full recomputation.
+
+    Delta algebra: each non-delete event contributes ``+value −
+    previous_live_value``; a delete contributes ``−previous_live_value``
+    — where previous_live_value is a last() over the per-pk total order
+    of the running state (the event's image, or 0 at a delete; a plain
+    last-image lookback would skip deletes and double-subtract on
+    re-insert).  Contributions per key telescope to "last live image or
+    0", so the
+    bucket-level running sum IS the view — the oracle certifies the
+    identity by recomputing from scratch.  All deltas are exact
+    DECIMAL(18,4): incremental vs recomputed must match to the BIT,
+    which order-dependent double accumulation cannot promise.
+
+    Scale: the delta derivation is the same single pk-keyed shuffle as
+    cdc_latest_state; the maintenance agg is map-side combinable on
+    bucket.  In production the deltas feed foreachBatch += merges
+    (snk_upsert's pattern) instead of a full-stream window."""
+    cdc = cdc_view(spark, sf_dir)
+    # latest_state keeps the LAST event's image whenever that event is
+    # not a delete — so in this envelope every non-delete row is a
+    # state change (update_before rows carry the pre-image, which IS
+    # the key's state between the before and after rows)
+    is_delete = F.col("dml_type") == "delete"
+    w = (
+        W.partitionBy("pk")
+        .orderBy("domain", "server_id", "sequence", "event_number")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    # the key's LIVE value after each event: its image, or 0 at a
+    # delete (a plain last(image) would skip deletes and
+    # double-subtract on re-insert)
+    event_state = F.when(~is_delete, F.col("value").cast("decimal(18,4)")).otherwise(
+        zero
+    )
+    prev_live = F.coalesce(F.last(event_state).over(w), zero)
+    delta = F.when(
+        ~is_delete, F.col("value").cast("decimal(18,4)") - prev_live
+    ).otherwise(-prev_live)
+    deltas = cdc.select(F.pmod("pk", F.lit(10)).cast("long").alias("bucket"), delta.alias("d"))
+    incr = deltas.groupBy("bucket").agg(F.sum("d").cast("double").alias("incr_sum"))
+    # independent recompute from latest state — the certification arm
+    state = latest_state(cdc)
+    recompute = (
+        state.groupBy(F.pmod("pk", F.lit(10)).cast("long").alias("bucket"))
+        .agg(F.sum(F.col("last_value").cast("decimal(18,4)")).cast("double").alias("recompute_sum"))
+    )
+    return (
+        incr.join(recompute, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("incr_sum", F.lit(0.0)).alias("incr_sum"),
+            F.coalesce("recompute_sum", F.lit(0.0)).alias("recompute_sum"),
+            (
+                F.coalesce("incr_sum", F.lit(0.0))
+                == F.coalesce("recompute_sum", F.lit(0.0))
+            ).alias("matches"),
+        )
+    )
