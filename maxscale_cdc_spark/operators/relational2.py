@@ -586,3 +586,126 @@ def rel_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return o.filter(bucket < 7).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — gap-based session ids over the event stream
+# (the batch counterpart of str_session's session_window).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {_SESSION_GAP_S}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), sessions AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(t) AS session_start, MAX(t) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("rel_sessionize", _SESSIONIZE_ORACLE)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts where the
+    per-user inter-event gap exceeds 30 min; session_id is the running
+    sum of the new-session flags — two window passes over ONE per-user
+    shuffle (lag and the cumulative sum share the partitioning), then a
+    map-side-combinable rollup per session.  The deterministic
+    (t, event_id) tiebreak keeps equal-timestamp events in a fixed
+    order in both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    order = [F.col("t"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    gap = F.col("t") - F.lag("t").over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_s").over(wsum).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel — stage-by-stage conversion through an event sequence.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.t > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup_view,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_signup_view_purchase
+"""
+
+
+@register("rel_funnel", _FUNNEL_ORACLE)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup → later view → later
+    purchase): each stage is a keyed min-aggregate joined back on
+    user_id, so all three stages reuse the SAME user_id partitioning —
+    at scale this is one shuffle amortized across the funnel depth,
+    never a per-user collect or UDF.  Counts are whole-funnel scalars
+    (the dashboard number)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "view") & (F.col("t") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("t") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_signup_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_signup_view_purchase")))
+    )
