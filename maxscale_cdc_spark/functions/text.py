@@ -47,6 +47,16 @@ def minhash(shingle: Column, perm: int) -> Column:
 SQL_WORDS = "string_split({col}, ' ')"
 
 
+def word_ngrams(w: Column, n: int) -> Column:
+    """n-gram word shingles for arbitrary n, 1-based element_at
+    (mirrors DuckDB w[i]).  Empty array when the document is shorter
+    than n words."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+
+
 def word_trigrams(w: Column) -> Column:
     """3-gram word shingles, 1-based element_at (mirrors DuckDB w[i]).
     Wider shingles than word_bigrams: the vocabulary grows ~|V|^(3/2),

@@ -900,6 +900,34 @@ _EMB_SIG_SQL = [
     for b in range(_EMB_PLANES // _EMB_BAND_W)
 ]
 
+def _emb_proj(p: int) -> F.Column:
+    """Hyperplane-p projection of the row's `v` column — the Spark
+    mirror of _EMB_PROJ_SQL's coef(p, i) = ((i * (3p+2)) % 17) - 8."""
+    mult = 3 * p + 2
+    return F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda x, i: x * ((i * mult) % 17 - 8).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _emb_sig(band: int) -> F.Column:
+    """Band signature: 8 sign bits of the band's hyperplane
+    projections packed into an int in [0, 256)."""
+    bits = [
+        F.when(_emb_proj(band * _EMB_BAND_W + j) > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(_EMB_BAND_W)
+    ]
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out + bit
+    return out.cast("int")
+
+
 _EMB_NEAR_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -956,28 +984,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore buckets — match bit-exactly across Spark and DuckDB."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
-
-    def proj(p: int):
-        mult = 3 * p + 2
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda x, i: x * ((i * mult) % 17 - 8).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def sig(band: int):
-        bits = [
-            F.when(proj(band * _EMB_BAND_W + j) > 0, F.lit(1 << j)).otherwise(0)
-            for j in range(_EMB_BAND_W)
-        ]
-        out = bits[0]
-        for bit in bits[1:]:
-            out = out + bit
-        return out.cast("int")
+    proj, sig = _emb_proj, _emb_sig
 
     # norms + signatures computed ONCE per vector (narrow, pre-join);
     # the pairwise step is only a dot product on candidates
@@ -1674,4 +1681,174 @@ def llm_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("vec_id", "int_dot", cosine(F.col("v"), F.col("qvd")).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_QUANT_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_knn_graph — approximate k-NN graph over embeddings: per-vector
+# top-k neighbors by cosine, candidates restricted to the banded
+# hyperplane-LSH buckets (same signatures as llm_dedup_embed).  The
+# k-NN graph is the backbone structure for semantic dedup clustering,
+# diversity sampling, and graph-based retrieval over a corpus.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(v, x -> x * x)) AS nsq,
+         {_EMB_PROJ_SQL}
+  FROM vecs
+), bucketed AS (
+  SELECT vec_id, v, nsq,
+         {_EMB_SIG_SQL[0]} AS sig0,
+         {_EMB_SIG_SQL[1]} AS sig1
+  FROM proj
+), cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM bucketed a JOIN bucketed b ON a.sig0 = b.sig0 AND a.vec_id <> b.vec_id
+  UNION
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM bucketed a JOIN bucketed b ON a.sig1 = b.sig1 AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.src, c.dst,
+         round(CAST(list_sum(list_transform(generate_series(1, 64), i -> va.v[i] * vb.v[i]))
+               / sqrt(va.nsq * vb.nsq) AS DOUBLE), 6) AS cos_sim
+  FROM cand c
+  JOIN bucketed va ON va.vec_id = c.src
+  JOIN bucketed vb ON vb.vec_id = c.dst
+), ranked AS (
+  SELECT src, dst, cos_sim,
+         row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+  FROM scored
+)
+SELECT src, dst, cos_sim, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= {_KNN_K}
+"""
+
+
+@register("llm_knn_graph", _KNN_ORACLE)
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate directed k-NN graph (k=5): for every vector, its 5
+    most-cosine-similar LSH-coherent neighbors.  Candidate edges come
+    ONLY from vectors sharing a band signature (the llm_dedup_embed
+    buckets, both directions, multi-band OR), so the work is ~N²/B per
+    band spread across the 2×256 band keys — never all-pairs — and the
+    final top-k is one row_number window over src, a single keyed
+    shuffle that streams.
+
+    Recall tuning is the band arithmetic (more/wider bands), not a
+    rewrite; production would add multi-probe (flip one sign bit) the
+    way llm_sim_ivf_probe does for IVF cells.  Ties on rounded cosine
+    break by neighbor id, making the edge set deterministic in both
+    engines."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+    bucketed = vecs.select(
+        "vec_id",
+        "v",
+        norm_sq(F.col("v")).alias("nsq"),
+        _emb_sig(0).alias("sig0"),
+        _emb_sig(1).alias("sig1"),
+    )
+    bands = None
+    for bnum in range(_EMB_PLANES // _EMB_BAND_W):
+        one = bucketed.select(
+            "vec_id", F.lit(bnum).alias("band"), F.col(f"sig{bnum}").alias("sig")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    va = bucketed.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("v_a"), F.col("nsq").alias("nsq_a")
+    )
+    vb = bucketed.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("v_b"), F.col("nsq").alias("nsq_b")
+    )
+    sim = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")), 6
+    )
+    scored = (
+        cand.join(va, "src").join(vb, "dst").select("src", "dst", sim.alias("cos_sim"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_diversity_sample — semantic-diversity coreset: at most 2
+# representatives per hyperplane-LSH bucket (the llm_dedup_embed band-0
+# signature).  Where dedup REMOVES near-duplicates, diversity sampling
+# KEEPS one exemplar per semantic region — the data-curation step for
+# building eval sets and balanced fine-tuning mixtures from a skewed
+# corpus.
+# ---------------------------------------------------------------------------
+
+_DIV_PER_BUCKET = 2
+
+_DIVERSITY_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, {_EMB_PROJ_SQL} FROM vecs
+), b AS (
+  SELECT vec_id, {_EMB_SIG_SQL[0]} AS bucket FROM proj
+), r AS (
+  SELECT vec_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         count(*) OVER (PARTITION BY bucket) AS bucket_n
+  FROM b
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, vec_id,
+       CAST(rn AS BIGINT) AS rn, CAST(bucket_n AS BIGINT) AS bucket_n
+FROM r WHERE rn <= {_DIV_PER_BUCKET}
+"""
+
+
+@register("llm_diversity_sample", _DIVERSITY_ORACLE)
+def llm_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sample: ≤2 exemplars per 8-bit hyperplane-LSH bucket,
+    chosen by md5-rank (deterministic "random" within the bucket, no
+    RNG state, stable under repartitioning).  ``bucket_n`` ships with
+    each exemplar so downstream reweighting knows how much mass the
+    exemplar represents.
+
+    One narrow projection pass (16 integer dot products per row, no
+    shuffle) and one keyed window shuffle on the bucket.  At 100 TB the
+    bucket count is the tuning knob — widen the signature (more planes)
+    until buckets fit a partition; the row_number window streams, never
+    materializing a bucket in memory.  This is k-center clustering's
+    cheap cousin: greedy k-center is inherently sequential (each pick
+    depends on all previous picks), so the distributable formulation
+    trades optimality for one pass — the standard scale compromise."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+    b = vecs.select("vec_id", _emb_sig(0).alias("bucket"))
+    w = W.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    wc = W.partitionBy("bucket")
+    return (
+        b.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("bucket_n", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rn") <= _DIV_PER_BUCKET)
+        .select("bucket", "vec_id", "rn", "bucket_n")
     )

@@ -1,0 +1,383 @@
+"""Training-data pipeline extras: repetition-based quality filters,
+context-window chunking, domain-mixture sampling, and PII scrubbing.
+
+These extend the LLM-pipeline surface (operators/llm.py) with the
+corpus-preparation steps a pretraining data pipeline runs between raw
+ingestion and sequence packing.  Same contract as every other operator
+module: declarative DataFrame expressions with a DuckDB oracle, and
+cross-engine exactness notes where arithmetic could diverge.
+
+Scale notes (100 TB): everything here is either a narrow per-row map
+(chunking, scrubbing, mixture sampling — they run at scan speed and
+pipeline into whatever follows) or at most two keyed shuffles on
+(doc_id[, shingle]) (repetition stats).  No driver collects, no UDFs,
+no all-pairs joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.text import (
+    word_bigrams,
+    word_ngrams,
+    word_trigrams,
+    words,
+)
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# llm_repetition — Gopher-style within-document repetition filters
+# (Rae et al. 2021 §A1.1): fraction of duplicate word 3-grams and the
+# fraction of the document occupied by its single most frequent bigram.
+# Repetitive machine-generated text scores high on both; the boolean
+# flag is the filter a pretraining pipeline would apply.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_3grams,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS BIGINT) AS n_uniq_3grams
+  FROM t
+), bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM t
+), bgc AS (
+  SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY doc_id
+)
+SELECT base.doc_id, n_words, n_3grams, n_uniq_3grams,
+       CAST(n_3grams - n_uniq_3grams AS DOUBLE) / n_3grams AS dup3_frac,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_words - 1) AS top_bigram_frac,
+       (CAST(n_3grams - n_uniq_3grams AS DOUBLE) / n_3grams > 0.2
+        OR CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_words - 1) > 0.1) AS repetitive
+FROM base LEFT JOIN top USING (doc_id)
+WHERE n_words >= 3
+"""
+
+
+@register("llm_repetition", _REPETITION_ORACLE)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition stats, the Gopher repetition filters:
+
+    - ``dup3_frac``: fraction of word 3-grams that are duplicates of an
+      earlier 3-gram in the same document (1 − distinct/total);
+    - ``top_bigram_frac``: multiplicity of the document's most frequent
+      bigram over the bigram count — high when one phrase dominates;
+    - ``repetitive``: the filter verdict at the standard-ish thresholds.
+
+    The 3-gram side is per-row array arithmetic (no shuffle).  The
+    top-bigram side needs a true per-(doc, bigram) count, so it explodes
+    bigrams through one (doc_id, bigram) aggregation and one per-doc
+    max — both map-side-combinable keyed shuffles, linear in corpus
+    size.  The per-row O(n²) alternative (count each distinct bigram
+    with a nested filter) is deliberately avoided: a single pathological
+    long document would stall its partition.
+
+    Exactness: counts are integers; the two fractions are single double
+    divisions of integers (exact same operands in both engines)."""
+    d = table(spark, sf_dir, "documents")
+    w = words("text")
+    tg = word_trigrams(w)
+    base = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.greatest(F.size(w) - 2, F.lit(0)).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(tg)).cast("long").alias("n_uniq_3grams"),
+    ).filter(F.col("n_words") >= 3)
+    top = (
+        d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").cast("long").alias("top_bigram_n"))
+    )
+    j = base.join(top, "doc_id", "left").withColumn(
+        "top_bigram_n", F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long"))
+    )
+    dup3 = (F.col("n_3grams") - F.col("n_uniq_3grams")).cast("double") / F.col(
+        "n_3grams"
+    )
+    topf = F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_3grams",
+        "n_uniq_3grams",
+        dup3.alias("dup3_frac"),
+        "top_bigram_n",
+        topf.alias("top_bigram_frac"),
+        ((dup3 > 0.2) | (topf > 0.1)).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_chunk_overlap — sliding-window context chunking: split each
+# document into 64-word windows advancing by 48 (16-word overlap), the
+# standard long-document → model-context-window preprocessing step.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), p AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= {_CHUNK_SIZE} THEN 0
+              ELSE (len(w) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+         END AS kmax
+  FROM t
+), c AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, kmax)) AS k FROM p
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(1 + k * {_CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       CAST(len(list_slice(w, 1 + k * {_CHUNK_STRIDE},
+                           least(n, k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))) AS BIGINT)
+         AS n_chunk_words,
+       md5(array_to_string(list_slice(w, 1 + k * {_CHUNK_STRIDE},
+                           least(n, k * {_CHUNK_STRIDE} + {_CHUNK_SIZE})), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+@register("llm_chunk_overlap", _CHUNK_ORACLE)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (size 64 words, stride 48):
+    each document yields ``1 + ceil(max(0, n-64)/48)`` chunks, the last
+    one short, every word covered, 16 words of overlap between
+    neighbors so no training example loses cross-boundary context.
+
+    Pure per-row expressions — sequence/explode over the chunk index,
+    then an array slice.  No shuffle at all: at 100 TB this runs at
+    scan speed and pipelines straight into packing
+    (``llm_pack_sequences``).  The chunk fan-out is bounded by
+    n/stride, so executor memory stays flat regardless of document
+    length.
+
+    Exactness: start/length arithmetic is pure integer (``div``/``//``)
+    in both engines; Spark's slice(start, LENGTH) and DuckDB's
+    list_slice(start, END-inclusive) are reconciled by pinning the end
+    at ``least(n, start + size - 1)``.  The chunk text is compared by
+    md5 so the oracle hash stays value-stable."""
+    d = table(spark, sf_dir, "documents")
+    p = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.when(F.size("w") <= _CHUNK_SIZE, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"div(size(w) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1, {_CHUNK_STRIDE})"
+            )
+        )
+        .alias("kmax"),
+    )
+    c = p.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("kmax"))).alias("k"),
+    )
+    chunk = F.expr(f"slice(w, 1 + k * {_CHUNK_STRIDE}, {_CHUNK_SIZE})")
+    return c.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.lit(1) + F.col("k") * _CHUNK_STRIDE).cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_chunk_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_domain_mix — deterministic weighted domain mixture: downsample
+# each source to a target rate with the content-free md5-bucket idiom
+# (llm_train_split / rel_sample_hash), so the mixture is reproducible
+# on any cluster and consistent across re-runs.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket,
+         CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                     WHEN 'src2' THEN 25 ELSE 10 END AS keep_pct
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE bucket < keep_pct
+"""
+
+
+@register("llm_domain_mix", _MIX_ORACLE)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of the long tail — the per-source reweighting step that
+    turns a crawl-proportioned corpus into a target training mixture.
+
+    The keep/drop decision is a pure function of the document key
+    (md5-bucket % 100 < weight), so it is deterministic, stable under
+    repartitioning, and — unlike ``sample()``/rand() — consistent
+    across tables and re-runs.  One scan, a filter that Catalyst pushes
+    into the read, zero shuffles; changing the mixture is a literal
+    edit, not a new shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    keep_pct = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 50)
+        .when(F.col("source") == "src2", 25)
+        .otherwise(10)
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < keep_pct)
+        .select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_pii_scrub — regex redaction over the raw payload column: digit
+# runs (stand-in for phone/account numbers) and email-shaped tokens.
+# Real PII patterns are drop-in replacements for these literals; the
+# operator shape (replace-all + match count, pure regexp expressions)
+# is the production one.
+# ---------------------------------------------------------------------------
+
+_NUM_PAT = "[0-9]+"
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+_SCRUB_ORACLE = f"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{_NUM_PAT}', '<NUM>', 'g') AS props_scrubbed,
+       CAST(len(regexp_extract_all(props, '{_NUM_PAT}')) AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(props, '{_EMAIL_PAT}')) AS BIGINT) AS n_email
+FROM events
+"""
+
+
+@register("llm_pii_scrub", _SCRUB_ORACLE)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace every email-shaped token, then every
+    digit run, with typed placeholders, and count redactions per row
+    (the audit metric a scrub job must emit).  Email runs first so its
+    digits aren't pre-mangled by the number pass.
+
+    Built-in regexp expressions only — JVM-side, codegen'd, scan-speed;
+    this is the op where a row-at-a-time Python UDF would cost 100× at
+    100 TB.  Patterns are anchored character classes (no \\w, no
+    lookaround) so Java and RE2-family engines agree byte-for-byte.
+    DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default."""
+    ev = table(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("props"), _EMAIL_PAT, "<EMAIL>"),
+        _NUM_PAT,
+        "<NUM>",
+    )
+    return ev.select(
+        "event_id",
+        scrubbed.alias("props_scrubbed"),
+        F.expr(f"size(regexp_extract_all(props, '{_NUM_PAT}', 0))")
+        .cast("long")
+        .alias("n_num"),
+        F.expr(f"size(regexp_extract_all(props, '{_EMAIL_PAT}', 0))")
+        .cast("long")
+        .alias("n_email"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_cross_doc_overlap — cross-document duplicated-span detection at
+# 5-gram granularity: for each document, what fraction of its word
+# 5-grams also appears in at least one OTHER document.  This is the
+# n-gram-granular approximation of exact-substring dedup (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better"):
+# documents with high cross-corpus overlap are boilerplate/mirror
+# candidates that MinHash (whole-doc Jaccard) under-scores when the
+# duplicated span is embedded in otherwise-unique text.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+_SPAN_FLAG = 0.5
+
+_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - {_SPAN_N - 1}),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4])) AS gram
+  FROM t
+  WHERE len(w) >= {_SPAN_N}
+), gd AS (
+  SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS shared_frac,
+       (CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*)) > {_SPAN_FLAG} AS flagged
+FROM g JOIN gd USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("llm_cross_doc_overlap", _OVERLAP_ORACLE)
+def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus 5-gram overlap fraction.
+
+    Plan: explode 5-gram occurrences (scan-speed, no shuffle), one
+    partial-aggregable groupBy(gram) for document frequency, a
+    gram-keyed join back to occurrences, and a final groupBy(doc_id).
+    Two keyed shuffles + one join, all linear in corpus size — never
+    the all-pairs document comparison the naive formulation implies.
+
+    At 100 TB the gram key is long-tailed but its HOT end (stopword-ish
+    grams shared by millions of docs) is exactly what AQE skew-join
+    splitting handles; the df table could also be truncated at
+    ndocs >= 2 into a broadcast Bloom filter for a cheaper first pass.
+    Counts are integers and the fraction is one double division, exact
+    in both engines."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", words("text").alias("w"))
+        .filter(F.size("w") >= _SPAN_N)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), _SPAN_N)).alias("gram"))
+    )
+    gd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    frac = shared.cast("double") / F.count("*")
+    return (
+        g.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("n_shared"),
+            frac.alias("shared_frac"),
+            (frac > _SPAN_FLAG).alias("flagged"),
+        )
+    )

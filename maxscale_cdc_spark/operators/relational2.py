@@ -709,3 +709,111 @@ def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_signup_view")))
         .crossJoin(s3.agg(F.count("*").alias("n_signup_view_purchase")))
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_sample_stratified — exact-n-per-group deterministic sample: the QA
+# / eval-set primitive ("100 orders per priority class") where plain
+# rate sampling gives the wrong per-stratum counts.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, CAST(rn AS BIGINT) AS rn
+FROM r
+WHERE rn <= 100
+"""
+
+
+@register("rel_sample_stratified", _STRAT_ORACLE)
+def rel_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly min(100, |stratum|) rows per
+    o_orderpriority, chosen by ranking each stratum on the md5 of its
+    key — a deterministic "random" order both engines compute
+    identically (ASCII hex sorts the same everywhere), reproducible
+    under repartitioning, no RNG state.
+
+    One keyed shuffle (the window partition).  At 100 TB the window
+    never materializes a stratum in memory — row_number streams — and
+    a rank-then-filter beats per-group collect/limit by construction.
+    The trailing key tiebreak makes the order total, so the sampled
+    SET is stable even though md5 collisions are impossible here only
+    in practice."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 100)
+        .select("o_orderkey", "o_orderpriority", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_asof_tol — as-of join with a tolerance horizon: the
+# time-series enrich where a stale match is worse than no match
+# (pandas merge_asof(tolerance=...)).  Same union+window engine as
+# rel_join_asof; the tolerance is a post-filter on the matched ts.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(s.ts) FROM events s
+           WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+             AND s.ts <= p.ts) AS last_signup_ts
+  FROM events p
+  WHERE p.event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       CASE WHEN last_signup_ts >= ts - INTERVAL 7 DAY THEN last_signup_ts END
+         AS signup_within_7d,
+       (last_signup_ts IS NOT NULL AND last_signup_ts >= ts - INTERVAL 7 DAY)
+         AS matched
+FROM m
+"""
+
+
+@register("rel_join_asof_tol", _ASOF_TOL_ORACLE)
+def rel_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance: latest signup at/before each purchase,
+    kept only if within 7 days.  The match itself is the union+window
+    formulation (one keyed sort per user, no range self-join — see
+    rel_join_asof); tolerance is a row-local CASE afterwards, so the
+    plan is identical to the untolerated as-of — the horizon costs
+    nothing.  At 100 TB a range-join formulation would explode on hot
+    users; this stays O(n log n) per key."""
+    ev = table(spark, sf_dir, "events")
+    marked = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    order = [
+        F.col("ts"),
+        F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1)),
+        F.col("event_id"),
+    ]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = marked.withColumn(
+        "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    in_tol = F.col("last_signup_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("last_signup_ts")).alias("signup_within_7d"),
+        (F.col("last_signup_ts").isNotNull() & in_tol).alias("matched"),
+    )

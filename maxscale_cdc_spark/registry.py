@@ -30,9 +30,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from maxscale_cdc_spark.operators import (  # noqa: F401
+        analytics,
         cdc,
         llm,
         multimodal,
+        pipeline,
         relational,
         relational2,
         sources,
