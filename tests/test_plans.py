@@ -170,3 +170,43 @@ def test_contamination_broadcast_membership(spark, sf_dir):
     df = _q("llm_contamination", spark, sf_dir)
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
+
+
+def test_knn_graph_banded_join_no_python(spark, sf_dir):
+    """k-NN candidates must come from the (band, sig) equi-join —
+    never cartesian, never Python — and the per-source top-k must be a
+    streaming window (row_number), not a collect."""
+    df = _q("llm_knn_graph", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "row_number" in plan, plan
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    """Five unrolled iterations stay one declarative plan: node-keyed
+    joins/aggs, the 1-row node-count broadcast is the only
+    'cross' join, nothing drops to Python."""
+    df = _q("rel_graph_pagerank", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only BroadcastNestedLoopJoin allowed is against the 1-row
+    # count relation (a scalar), never data-vs-data
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cohort_retention_broadcast_sizes(spark, sf_dir):
+    """Cohort sizes (calendar-bounded) must come back by broadcast;
+    the heavy shuffles are all on user_id / (cohort, week)."""
+    df = _q("rel_cohort_retention", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_cross_doc_overlap_partial_agg(spark, sf_dir):
+    """The gram document-frequency aggregation must partial-aggregate
+    map-side (HashAggregate pair) and never drop to Python."""
+    df = _q("llm_cross_doc_overlap", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
