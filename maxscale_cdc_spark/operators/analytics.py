@@ -245,3 +245,79 @@ def rel_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# rel_resample_ohlc — time-series downsampling to 6-hour bars: per
+# event type, open/high/low/close/volume over the value column.  The
+# hypertable-rollup primitive (continuous-aggregate shape) every
+# time-series store ships.
+# ---------------------------------------------------------------------------
+
+_BAR_US = 6 * 3600 * 1_000_000  # 6-hour bars in microseconds
+
+_OHLC_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, value, ts, event_id,
+         epoch_us(ts) // {_BAR_US} AS bucket,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_BAR_US}
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_BAR_US}
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type,
+       make_timestamp(bucket * {_BAR_US}) AS bar_start,
+       max(CASE WHEN rn_open = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_close = 1 THEN value END) AS close,
+       count(*) AS volume
+FROM b
+GROUP BY event_type, bucket
+"""
+
+
+@register("rel_resample_ohlc", _OHLC_ORACLE)
+def rel_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: 6-hour bars per event type.  Open/close are the
+    first/last values in (ts, event_id) order — row_number windows, a
+    total order, so both engines pick the identical row even under
+    same-microsecond ties.  High/low/volume are plain max/min/count
+    (no arithmetic on doubles, so cross-engine exact).
+
+    One keyed shuffle on (event_type, bucket) serves BOTH windows
+    (opposite sort directions reuse the exchange) and the final
+    aggregation is partial-aggregable on the same key — at 100 TB this
+    is the one-shuffle rollup a continuous aggregate maintains
+    incrementally; pair with cdc_incremental_agg for the IVM variant.
+    Bucket arithmetic is integer microseconds (epoch_us div) — no
+    double rounding at bucket edges in either engine."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.expr(f"div(unix_micros(ts), {_BAR_US})")
+    b = ev.select("event_type", "value", "ts", "event_id", bucket.alias("bucket"))
+    wo = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wc = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        b.withColumn("rn_open", F.row_number().over(wo))
+        .withColumn("rn_close", F.row_number().over(wc))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("bucket") * _BAR_US).alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
