@@ -78,6 +78,20 @@ _DRIVER_GREEN = {
     "tpch_q3", "tpch_q5", "udf_explode_udtf",
 }
 
+# Queries registered AFTER the round-3 sweep-priority freeze.  The
+# driver's per-round sweep budget is 50 entries and the 50 previously
+# unverified queries exactly fill it; anything added later must sort
+# BEHIND them so it cannot displace a long-overdue streaming/sink
+# certification.  These certify in a later round once the current 50
+# are folded into _DRIVER_GREEN.
+_DEFERRED = {
+    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    "llm_url_dedup", "llm_stopword_ratio", "llm_doc_shingle_profile",
+    "llm_bpe_token_est", "rel_percentile_bands", "rel_running_distinct",
+}
+
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
 # ones so a time-budgeted sweep maximizes rows checked.
@@ -105,7 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     names = sorted(
         registry.QUERIES,
-        key=lambda n: (n in _DRIVER_GREEN, n in _HEAVY, n),
+        key=lambda n: (n in _DRIVER_GREEN, n in _DEFERRED, n in _HEAVY, n),
     )
     return {name: _wrap(registry.QUERIES[name]) for name in names}
 

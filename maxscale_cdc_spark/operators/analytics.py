@@ -294,7 +294,11 @@ def rel_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket arithmetic is integer microseconds (epoch_us div) — no
     double rounding at bucket edges in either engine."""
     ev = table(spark, sf_dir, "events")
-    bucket = F.expr(f"div(unix_micros(ts), {_BAR_US})")
+    # ts arrives as TIMESTAMP_NTZ from parquet; unix_micros needs
+    # TIMESTAMP.  The session zone is pinned to UTC (session.py:26) so
+    # the cast is wall-clock-preserving and the epoch matches DuckDB's
+    # epoch_us over the same naive values.
+    bucket = F.expr(f"div(unix_micros(cast(ts as timestamp)), {_BAR_US})")
     b = ev.select("event_type", "value", "ts", "event_id", bucket.alias("bucket"))
     wo = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
     wc = W.partitionBy("event_type", "bucket").orderBy(
@@ -313,7 +317,12 @@ def rel_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.timestamp_micros(F.col("bucket") * _BAR_US).alias("bar_start"),
+            # back to NTZ so the output schema matches the source column
+            # (and DuckDB's naive make_timestamp); UTC session zone makes
+            # the cast wall-clock-preserving
+            F.timestamp_micros(F.col("bucket") * _BAR_US)
+            .cast("timestamp_ntz")
+            .alias("bar_start"),
             "open",
             "high",
             "low",
