@@ -86,8 +86,8 @@ _DRIVER_GREEN = {
 # are folded into _DRIVER_GREEN.
 _DEFERRED = {
     "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q12", "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "llm_url_dedup", "llm_stopword_ratio", "llm_doc_shingle_profile",
     "llm_bpe_token_est", "rel_percentile_bands", "rel_running_distinct",
 }

@@ -39,6 +39,7 @@ def load_all() -> None:
         relational2,
         sources,
         tpch,
+        tpch2,
         udfs,
     )
     from maxscale_cdc_spark.streaming import ops  # noqa: F401
