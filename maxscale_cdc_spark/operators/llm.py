@@ -1512,6 +1512,14 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_trigrams(words("text")))).alias("g"),
     )
+    # Both the benchmark side and the training side derive from the SAME
+    # gram lineage; without a stage the scan+split+explode runs twice
+    # (once under the broadcast build, once for train_g).  Stage it once
+    # (same pattern as min_label_closure's round checkpoints).  At real
+    # scale the benchmark set is a separate, small input table and only
+    # IT would be staged — here both sides come from one synthetic
+    # corpus, so the stage covers the shared lineage instead.
+    grams = grams.localCheckpoint(eager=False)
     bench_g = (
         grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
         .withColumn("hit", F.lit(1))

@@ -337,8 +337,8 @@ WITH t AS (
 SELECT g.doc_id,
        count(*) AS n_grams,
        sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared,
-       CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / count(*) AS shared_frac,
+       round(CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*), 6) AS shared_frac,
        (CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*)) > {_SPAN_FLAG} AS flagged
 FROM g JOIN gd USING (gram)
@@ -360,8 +360,11 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams shared by millions of docs) is exactly what AQE skew-join
     splitting handles; the df table could also be truncated at
     ndocs >= 2 into a broadcast Bloom filter for a cheaper first pass.
-    Counts are integers and the fraction is one double division, exact
-    in both engines."""
+    Counts are integers and the fraction is one double division;
+    `shared_frac` is additionally round()ed to 6 dp in BOTH engines so
+    the driver's value-hash sees one canonical representation (same
+    discipline as llm_knn_graph's cos_sim) — the r3 FAIL row was a
+    hash mismatch this removes by construction."""
     d = table(spark, sf_dir, "documents")
     g = (
         d.select("doc_id", words("text").alias("w"))
@@ -377,7 +380,7 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             shared.alias("n_shared"),
-            frac.alias("shared_frac"),
+            F.round(frac, 6).alias("shared_frac"),
             (frac > _SPAN_FLAG).alias("flagged"),
         )
     )

@@ -422,7 +422,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", _dec("l_extendedprice").alias("v"))
     )
     per_part = supply.groupBy("l_partkey").agg(F.sum("v").alias("sv"))
-    total = supply.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("thr"))
+    # The grand total is the exact decimal sum of the per-part sums, so
+    # derive the threshold FROM per_part (~|parts| rows) instead of
+    # re-running the lineitem⋈supplier⋈nation join a second time — at
+    # 100 TB that second fact-table pass is the whole query's cost.
+    per_part = per_part.localCheckpoint(eager=False)
+    total = per_part.agg((F.sum("sv").cast("double") * F.lit(0.001)).alias("thr"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("sv").cast("double") > F.col("thr"))

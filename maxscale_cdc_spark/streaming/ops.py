@@ -2,9 +2,12 @@
 
 Each `queries()` entry here runs a REAL streaming query (file-source
 replay of the events table standing in for the MaxScale socket,
-`availableNow` trigger, memory / foreachBatch sink) to completion inside
-the callable and returns the result as a batch DataFrame, so the
-driver's DuckDB oracle still applies.
+`availableNow` trigger) to completion inside the callable and returns
+the result as a batch DataFrame, so the driver's DuckDB oracle still
+applies.  Sink choice follows output shape: bounded aggregates
+(complete/update mode) go through a memory sink; row-shaped append
+output (joins, dedup) goes executor→parquet via run_to_files and is
+read back — never materialized through the driver.
 
 Windows are 6 h tumbling / 12 h-by-6 h sliding over the events table's
 30-day span; window starts are epoch-aligned in both engines
@@ -21,6 +24,7 @@ from maxscale_cdc_spark.functions.numeric import dec
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.streaming.runners import (
     read_stream,
+    run_to_files,
     run_to_memory,
     stage_as_stream,
 )
@@ -152,7 +156,7 @@ def str_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n")
     )
-    return run_to_memory(agg, "append")
+    return run_to_files(agg)
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +181,7 @@ def str_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_as_stream(ev.unionAll(ev), cache_key=f"events2x:{sf_dir}")
     stream = read_stream(spark, staged)
     deduped = stream.dropDuplicates(["event_id"])
-    out = run_to_memory(deduped, "append")
+    out = run_to_files(deduped)
     return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
 
 
@@ -258,7 +262,10 @@ def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase joins signups of the same user within the preceding 7 days.
     Watermarks on both sides bound the join state — rows older than
     (watermark − interval) are evicted, which is what makes an unbounded
-    two-stream join feasible; without them state grows forever."""
+    two-stream join feasible; without them state grows forever.  The
+    join output is row-shaped and unbounded, so it goes through the
+    parquet file sink (executor→disk) — a memory sink here would be a
+    full-output driver materialization."""
     ev = table(spark, sf_dir, "events")
     staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
     purchases = (
@@ -287,7 +294,7 @@ def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("s_ts") <= F.col("p_ts"))
         & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
     )
-    out = run_to_memory(joined, "append")
+    out = run_to_files(joined)
     return out.select("purchase_id", "signup_id", "user_id")
 
 
@@ -310,7 +317,7 @@ def str_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(
         F.broadcast(cust), stream.user_id == cust.c_custkey
     ).select("event_id", "event_type", "c_mktsegment")
-    out = run_to_memory(joined, "append")
+    out = run_to_files(joined)
     return out.groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))
 
 
@@ -337,5 +344,5 @@ def str_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = run_to_memory(deduped, "append")
+    out = run_to_files(deduped)
     return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))

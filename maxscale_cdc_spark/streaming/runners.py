@@ -101,9 +101,32 @@ class _few_state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _release_stream_state(spark: SparkSession) -> None:
+    """Unload every loaded state-store provider and stop the maintenance
+    thread.  A terminated availableNow query leaves its providers (and
+    their RocksDB/HDFS-backed maps) loaded in the executor until the
+    maintenance interval evicts them; in a shared bench/driver session
+    that residue taxes every query that runs afterwards (round-3 lesson:
+    unchanged tpch_q3/q10 measured 6-9x slower when run after the
+    streaming suite).  StateStore.stop() is safe between queries — the
+    coordinator and providers re-initialize lazily on next use."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — no public API for this
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # non-JVM-backed session or internals moved: harmless
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return
-    the sink contents as a batch DataFrame."""
+    the sink contents as a batch DataFrame.
+
+    For COMPLETE/UPDATE-mode bounded aggregates only (the sink holds the
+    full result; fine when the result is an aggregate, wrong for raw
+    append output — use run_to_files for that).  The sink's temp view is
+    dropped and stream state released before returning: the returned
+    DataFrame is an eager localCheckpoint, so it owns its data and the
+    session carries nothing over to the next query."""
     spark = stream_df.sparkSession
     name = "snk_" + uuid.uuid4().hex[:12]
     ckpt = _mkdtemp(prefix="ckpt_")
@@ -117,38 +140,31 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    _release_stream_state(spark)
+    return out
 
 
-def run_foreach_batch_upsert(
-    stream_df: DataFrame,
-    key_cols: list[str],
-    output_mode: str = "update",
-) -> list[tuple]:
-    """Run a streaming query with a foreachBatch upsert sink: each
-    micro-batch's rows overwrite prior values for their key — the
-    MERGE-style exactly-once materialization pattern (idempotent per
-    key, so checkpoint replays converge).  Returns the final state rows.
-
-    The driver-side dict holds the *aggregated* result (small by
-    construction); the at-scale version writes to a keyed table (Delta
-    MERGE / partition overwrite) inside the same callback.
-    """
-    state: dict[tuple, tuple] = {}
-
-    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        for row in batch_df.collect():
-            key = tuple(row[k] for k in key_cols)
-            state[key] = tuple(row)
-
+def run_to_files(stream_df: DataFrame) -> DataFrame:
+    """Run an APPEND-mode streaming DataFrame to completion through a
+    parquet file sink and return a batch read of the output — the
+    scale-safe path for queries whose streaming output is row-shaped
+    (joins, dedup passes): rows go executor→disk, never through the
+    driver or a memory-sink table.  Releases stream state on the way
+    out, like run_to_memory."""
+    spark = stream_df.sparkSession
+    out_dir = _mkdtemp(prefix="snk_files_")
     ckpt = _mkdtemp(prefix="ckpt_")
-    with _few_state_partitions(stream_df.sparkSession):
+    with _few_state_partitions(spark):
         q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .foreachBatch(upsert)
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return list(state.values())
+    _release_stream_state(spark)
+    return spark.read.parquet(out_dir)

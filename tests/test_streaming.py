@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.streaming.runners import (
     read_stream,
-    run_foreach_batch_upsert,
     run_to_memory,
     stage_as_stream,
     stage_as_stream_ordered,
@@ -21,7 +20,14 @@ from maxscale_cdc_spark.tables import table
 
 def test_multibatch_upsert_converges(spark, sf_dir):
     """foreachBatch upsert over 2 ordered arrival batches ends at the
-    same per-key state as a single batch — idempotent-merge exactly-once."""
+    same per-key state as a single batch — idempotent-merge exactly-once.
+
+    The upsert is executor-side: each update-mode micro-batch appends
+    its rows stamped with the epoch to a keyed parquet table; the final
+    state is last-epoch-wins per key (one window), the same MERGE shape
+    `snk_upsert` uses.  No driver collect anywhere in the sink path."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events")
     staged = stage_as_stream_ordered(ev, late=(F.col("event_id") % 3 == 0))
     stream = read_stream(spark, staged, max_files_per_trigger=1)
@@ -29,8 +35,29 @@ def test_multibatch_upsert_converges(spark, sf_dir):
         F.count("*").alias("n"),
         F.max("event_id").alias("last_id"),
     )
-    rows = run_foreach_batch_upsert(agg, ["user_id"], "update")
-    got = {r[0]: (r[1], r[2]) for r in rows}
+    state_dir = tempfile.mkdtemp(prefix="upsert_state_")
+
+    def upsert(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    final = (
+        spark.read.parquet(state_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["user_id"]: (r["n"], r["last_id"]) for r in final.collect()}
     want = {
         r["user_id"]: (r["n"], r["last_id"])
         for r in ev.groupBy("user_id")
