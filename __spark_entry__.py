@@ -40,57 +40,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that earned a green driver CORRECTNESS row (union of the
-# round-1 and round-2 sweeps, 97 total) AND are unchanged since.
-# Queries whose code was rewritten after their green row — the round-2
-# rewrites llm_dedup_near / llm_dedup_cluster / llm_sim_ivf and the
-# round-3 rewrites llm_dedup_embed (banded multi-plane LSH) /
-# rel_agg_approx (within_tol oracle) / llm_quality_score (split-once
-# projection) — are deliberately NOT listed:
-# their old rows no longer certify the current code, so they sort with
-# the unverified group.  queries() orders the dict so still-unverified
-# queries run FIRST — if a budget truncates the sweep again, it
-# verifies new ground instead of re-verifying these.  Nothing else
-# changes: every query runs the same oracle check whenever reached.
+# round-1/2/3 sweeps) AND are unchanged since.  Queries whose code was
+# rewritten after their green row are deliberately NOT listed — their
+# old rows no longer certify the current code, so they sort with the
+# unverified group.  Round-4 demotions on that rule: llm_contamination
+# (gram stage), tpch_q11 (single-pass threshold), llm_cross_doc_overlap
+# (6-dp rounding; was the r3 FAIL row), and every query whose sink path
+# changed when the streaming runners gained file sinks + state cleanup
+# (all 9 str_*, src_cdc_datasource, src_cdc_stream, src_tcp_transport).
+# queries() orders the dict so still-unverified queries run FIRST — if
+# a budget truncates the sweep, it verifies new ground instead of
+# re-verifying these.  Nothing else changes: every query runs the same
+# oracle check whenever reached.
 _DRIVER_GREEN = {
     "cdc_dedup_exact", "cdc_event_dispatch", "cdc_gap_detect", "cdc_gtid",
-    "cdc_gtid_filter", "cdc_latest_state", "cdc_order", "cdc_payload_project",
-    "cdc_scd2", "cdc_schema_registry", "cdc_snapshot_tail", "cdc_update_pair",
+    "cdc_gtid_filter", "cdc_incremental_agg", "cdc_latest_state", "cdc_order",
+    "cdc_payload_project", "cdc_replay_at", "cdc_scd2", "cdc_schema_registry",
+    "cdc_snapshot_tail", "cdc_update_pair", "flagship_cdc_segment",
     "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date", "fn_explode",
     "fn_json", "fn_map", "fn_math", "fn_stragg", "fn_string", "fn_struct",
-    "fn_try", "llm_dedup_exact", "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs", "llm_embed_centroid", "llm_fingerprint",
-    "llm_lang_id", "llm_lm_score", "llm_ngram_top", "llm_pack_sequences",
-    "llm_sim_cosine", "llm_sim_topk_pergroup",
-    "llm_text_stats", "llm_token_count", "llm_train_split", "mm_decode_stub",
-    "mm_features", "mm_frame_sample", "mm_meta", "rel_agg_cube",
-    "rel_agg_distinct", "rel_agg_gsets", "rel_agg_hash", "rel_agg_median",
-    "rel_agg_mode", "rel_agg_rollup", "rel_agg_stats", "rel_corr",
-    "rel_filter", "rel_gapfill", "rel_having", "rel_histogram",
-    "rel_join_anti", "rel_join_asof", "rel_join_broadcast", "rel_join_full",
+    "fn_try", "llm_chunk_overlap", "llm_dedup_cluster", "llm_dedup_embed",
+    "llm_dedup_exact", "llm_dedup_jaccard_prefix", "llm_dedup_near",
+    "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_diversity_sample",
+    "llm_domain_mix", "llm_embed_centroid", "llm_fingerprint",
+    "llm_knn_graph", "llm_lang_id", "llm_lm_score", "llm_ngram_top",
+    "llm_pack_sequences", "llm_pii_scrub", "llm_quality_score",
+    "llm_repetition", "llm_sim_cosine", "llm_sim_ivf", "llm_sim_ivf_probe",
+    "llm_sim_quantized", "llm_sim_topk_pergroup", "llm_text_stats",
+    "llm_tfidf_top", "llm_token_count", "llm_train_split", "mm_decode_stub",
+    "mm_features", "mm_frame_sample", "mm_meta", "rel_agg_approx",
+    "rel_agg_cube", "rel_agg_distinct", "rel_agg_gsets", "rel_agg_hash",
+    "rel_agg_median", "rel_agg_mode", "rel_agg_rollup", "rel_agg_stats",
+    "rel_cohort_retention", "rel_corr", "rel_filter", "rel_funnel",
+    "rel_gapfill", "rel_graph_pagerank", "rel_having", "rel_histogram",
+    "rel_join_anti", "rel_join_asof", "rel_join_asof_tol",
+    "rel_join_broadcast", "rel_join_bucketed", "rel_join_full",
     "rel_join_inner", "rel_join_left", "rel_join_range_bucket",
     "rel_join_right", "rel_join_semi", "rel_join_skew_salt", "rel_join_theta",
-    "rel_pivot", "rel_project", "rel_sample_hash", "rel_set_except",
-    "rel_set_except_all", "rel_set_intersect", "rel_set_union",
-    "rel_sort_limit", "rel_subquery_corr", "rel_subquery_scalar", "rel_topk",
-    "rel_unpivot", "rel_win_analytic", "rel_win_frame", "rel_win_range",
-    "rel_win_rank", "src_csv_roundtrip", "src_json_events",
-    "src_orc_roundtrip", "src_parquet_scan", "str_session", "tpch_q10",
-    "tpch_q3", "tpch_q5", "udf_explode_udtf",
+    "rel_markov_transitions", "rel_pivot", "rel_project", "rel_resample_ohlc",
+    "rel_sample_hash", "rel_sample_stratified", "rel_sessionize",
+    "rel_set_except", "rel_set_except_all", "rel_set_intersect",
+    "rel_set_union", "rel_sort_limit", "rel_subquery_corr",
+    "rel_subquery_scalar", "rel_topk", "rel_unpivot", "rel_win_analytic",
+    "rel_win_frame", "rel_win_range", "rel_win_rank", "snk_append",
+    "snk_compact", "snk_partitioned", "snk_upsert", "src_csv_roundtrip",
+    "src_json_events", "src_orc_roundtrip", "src_parquet_scan",
+    "str_session", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14",
+    "tpch_q18", "udf_explode_udtf", "udf_grouped_map", "udf_pandas_scalar",
 }
 
-# Queries registered AFTER the round-3 sweep-priority freeze.  The
-# driver's per-round sweep budget is 50 entries and the 50 previously
-# unverified queries exactly fill it; anything added later must sort
-# BEHIND them so it cannot displace a long-overdue streaming/sink
-# certification.  These certify in a later round once the current 50
-# are folded into _DRIVER_GREEN.
-_DEFERRED = {
+# Round-4 sweep priority: the 16 tpch2.py anchors landed after the r3
+# freeze and have NO driver row yet, and llm_cross_doc_overlap is the
+# one red row — these certify first even within the unverified group.
+_PRIORITY = {
+    "llm_cross_doc_overlap",
     "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "llm_url_dedup", "llm_stopword_ratio", "llm_doc_shingle_profile",
-    "llm_bpe_token_est", "rel_percentile_bands", "rel_running_distinct",
 }
+
+# Emptied in round 4: every formerly-deferred id is registered and the
+# whole unverified set fits the 50-entry sweep budget.
+_DEFERRED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
@@ -109,6 +120,16 @@ _HEAVY = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
+    # A typo'd id in a priority set would silently defeat the ordering
+    # (set membership is a no-op for unknown names) — fail loudly instead.
+    for label, group in (
+        ("_DRIVER_GREEN", _DRIVER_GREEN),
+        ("_PRIORITY", _PRIORITY),
+        ("_DEFERRED", _DEFERRED),
+        ("_HEAVY", _HEAVY),
+    ):
+        unknown = group - registry.QUERIES.keys()
+        assert not unknown, f"{label} names unregistered queries: {sorted(unknown)}"
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     names = sorted(
         registry.QUERIES,
-        key=lambda n: (n in _DRIVER_GREEN, n in _DEFERRED, n in _HEAVY, n),
+        key=lambda n: (
+            n in _DRIVER_GREEN,
+            n in _DEFERRED,
+            n not in _PRIORITY,
+            n in _HEAVY,
+            n,
+        ),
     )
     return {name: _wrap(registry.QUERIES[name]) for name in names}
 

@@ -384,3 +384,232 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac > _SPAN_FLAG).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_url_dedup — canonical-URL deduplication (the first pass of every
+# web-crawl pipeline: the same page is fetched under scheme/www/query-
+# string variants; normalize the URL and keep one representative).
+# The corpus has no URL column, so a deterministic raw URL is derived
+# in-query from (source, doc_id) — the NORMALIZATION and keep-best
+# logic is the operator under test, and it is identical in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://www.' || source || '.example.com/p/'
+           || CAST(doc_id % 40 AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) AS raw_url
+  FROM documents
+), n AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(lower(raw_url),
+             '^https?://', ''), '^www\.', ''), '\?.*$', '') AS url
+  FROM u
+), r AS (
+  SELECT doc_id, n_chars, url,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_dups
+  FROM n
+)
+SELECT url, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
+
+
+@register("llm_url_dedup", _URL_DEDUP_ORACLE)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: lowercase, strip scheme, strip the
+    `www.` host prefix, drop the query string, then keep ONE doc per
+    canonical URL — the longest (n_chars), ties to the smallest doc_id.
+
+    Scale shape: the normalization is three anchored regexp_replace
+    expressions at scan speed; the keep-best is one window over the
+    canonical-URL key (a single keyed shuffle, linear).  At 100 TB the
+    URL key is near-unique so the shuffle is well spread; a hot
+    canonical URL (a viral page crawled millions of times) is exactly
+    the skew AQE's skew-join/window handling splits."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string"),
+    )
+    url = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "^https?://", ""),
+            r"^www\.", ""),
+        r"\?.*$", "")
+    w = W.partitionBy("url").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", url.alias("url"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(W.partitionBy("url")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_stopword_ratio — classic quality heuristic (C4/Gopher): documents
+# whose stopword share is very low are usually boilerplate/navigation
+# junk, not prose.  Counts INCLUDE repeats (two "the"s are two stopword
+# tokens), hence filter+size, not array_intersect.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+_STOP_MIN = 0.05
+
+_STOPWORD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> list_contains(
+              {_STOPWORDS!r}, x))) AS BIGINT) AS n_stop
+  FROM t WHERE len(w) >= 1
+)
+SELECT doc_id, n_words, n_stop,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       (CAST(n_stop AS DOUBLE) / n_words < {_STOP_MIN}) AS low_stopword
+FROM c
+"""
+
+
+@register("llm_stopword_ratio", _STOPWORD_ORACLE)
+def llm_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal: share of tokens that are function
+    words, flagging docs under 5% (non-prose).  Pure per-row array math
+    — runs at scan speed, no shuffle, pipelines into any downstream
+    filter.  The ratio is one double divide round()ed to 6 dp in both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    w = words("text")
+    n_words = F.size(w).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    return (
+        d.select("doc_id", n_words.alias("n_words"), n_stop.alias("n_stop"))
+        .filter(F.col("n_words") >= 1)
+        .select(
+            "doc_id", "n_words", "n_stop",
+            F.round(ratio, 6).alias("stop_ratio"),
+            (ratio < _STOP_MIN).alias("low_stopword"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_doc_shingle_profile — per-document shingle statistics + winnowing
+# fingerprint: the per-doc summary a dedup planner uses to size MinHash
+# parameters (shingle count, distinct share) plus a cheap one-value
+# fingerprint (min MD5 over trigram shingles — a 1-permutation MinHash).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_PROFILE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS sh
+  FROM t WHERE len(w) >= 3
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_uniq,
+       round(CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS uniq_ratio,
+       list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
+FROM s
+"""
+
+
+@register("llm_doc_shingle_profile", _SHINGLE_PROFILE_ORACLE)
+def llm_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle profile per document: trigram count, distinct count,
+    distinct ratio, and the min-MD5 winnowing fingerprint.  Everything
+    is higher-order array functions on the row — no explode, no
+    shuffle; the fingerprint doubles as a join key for cheap
+    first-pass duplicate candidate pairing (docs sharing a fingerprint
+    share at least one shingle)."""
+    d = table(spark, sf_dir, "documents")
+    sh = word_trigrams(words("text"))
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_shingles")
+    return (
+        d.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") >= 1)
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("long").alias("n_uniq"),
+            F.array_min(F.transform(F.col("sh"), F.md5)).alias("fingerprint"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_uniq",
+            F.round(uniq_ratio, 6).alias("uniq_ratio"),
+            "fingerprint",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_token_est — subword token-count estimate without a tokenizer:
+# whitespace words, each contributing ceil(len/4) subword tokens (the
+# ~4-chars-per-token rule of thumb).  Integer arithmetic throughout —
+# (len+3) div 4 — so both engines agree bit-for-bit; the only double is
+# the final chars-per-token diagnostic, rounded to 6 dp.
+# ---------------------------------------------------------------------------
+
+_BPE_EST_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(w,
+            x -> greatest(1, (length(x) + 3) // 4))) AS BIGINT) AS est_tokens,
+       round(CAST(n_chars AS DOUBLE) /
+             list_sum(list_transform(w,
+                  x -> greatest(1, (length(x) + 3) // 4))), 6) AS chars_per_token
+FROM t WHERE len(w) >= 1
+"""
+
+
+@register("llm_bpe_token_est", _BPE_EST_ORACLE)
+def llm_bpe_token_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate: sum over words of ceil(len/4),
+    floored at 1 token per word.  Per-row aggregate over the word
+    array (scan speed, no shuffle) — the sizing pass a sequence-packing
+    stage runs before allocating context windows."""
+    d = table(spark, sf_dir, "documents")
+    w = words("text")
+    per_word = lambda x: F.greatest(  # noqa: E731
+        F.lit(1).cast("long"), F.floor((F.length(x) + 3) / F.lit(4)).cast("long")
+    )
+    est = F.aggregate(
+        F.col("w"), F.lit(0).cast("long"), lambda acc, x: acc + per_word(x)
+    )
+    return (
+        d.select("doc_id", "n_chars", w.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            est.alias("est_tokens"),
+            F.round(
+                F.col("n_chars").cast("double") / est, 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -817,3 +817,109 @@ def rel_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_signup_ts")).alias("signup_within_7d"),
         (F.col("last_signup_ts").isNotNull() & in_tol).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_percentile_bands — quantile banding: assign every order to a
+# price quartile and summarize each band.  ntile() with a total order
+# (price, key tie-break) is deterministic and identical across engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_percentile_bands",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS band
+      FROM orders
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM b
+    GROUP BY band
+    """,
+)
+def rel_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile price bands over orders: ntile(4) with a TOTAL order
+    (price then key) so band assignment is deterministic, then one
+    grouped summary per band.
+
+    Scale note: a global ntile is a single-partition sort — fine for
+    ranked reporting output, wrong as a distributed primitive.  The
+    100 TB formulation replaces it with approx percentile cut points
+    (rel_agg_approx's sketch) broadcast into a width_bucket-style
+    banding filter, which keeps the pass fully parallel; the exact
+    ntile here is the oracle-checkable contract of that operator.
+    Decimal sum, double only at the edge."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4)
+        .over(W.orderBy(F.col("o_totalprice"), F.col("o_orderkey")))
+        .alias("band"),
+    )
+    return (
+        b.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_running_distinct — cumulative distinct users by day: the classic
+# "running count distinct" that naive window functions cannot express
+# (COUNT(DISTINCT) OVER is unsupported).  The scalable identity: a
+# user's first-seen day contributes exactly one new distinct, so
+# cum_distinct(day) = running sum of first-seen counts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_running_distinct",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), per AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per
+    """,
+)
+def rel_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users per day via the first-seen decomposition:
+    min(date) per user (one keyed agg), count of first-appearances per
+    day (second agg over |users| rows), prefix-sum over days.
+
+    This is THE scale-correct shape: the heavy aggregations are both
+    map-side-combinable keyed shuffles, and the only windowed step runs
+    over |distinct days| rows (thousands, not billions) — a naive
+    per-day COUNT(DISTINCT user) over a growing window would rescan
+    the fact table once per day.  All integers; no float anywhere."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

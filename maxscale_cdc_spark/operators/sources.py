@@ -108,7 +108,16 @@ def src_cdc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom `maxscale_cdc` Python DataSource end-to-end: wire
     lines → streaming source with GTID offsets → envelope rows →
     aggregate.  Same oracle as the other wire round trips: the source
-    must be lossless."""
+    must be lossless.
+
+    PROTOCOL-PARITY PATH, NOT THE BULK-INGEST PATH.  This exists to
+    prove offset/GTID resume and envelope semantics through Spark's
+    Python DataSource API, which hands rows through the driver-side
+    Python planner — inherently slower than JVM decode.  Bulk ingest of
+    the same wire format is `src_cdc_stream` (JVM text scan +
+    `from_json`, roughly 10x the throughput here); at 100 TB you run
+    THAT, with this source reserved for protocol-faithful tailing of a
+    live socket spool."""
     from maxscale_cdc_spark.sources.cdc_datasource import SOURCE_NAME, register as reg
     from maxscale_cdc_spark.streaming.runners import run_to_memory
 

@@ -210,3 +210,40 @@ def test_cross_doc_overlap_partial_agg(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_url_dedup_single_shuffle_no_python(spark, sf_dir):
+    """URL normalization is scan-speed expression work; the keep-best
+    window is the query's ONE keyed shuffle (url)."""
+    df = _q("llm_url_dedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) == 1, plan
+
+
+def test_rowlevel_text_ops_no_shuffle(spark, sf_dir):
+    """Per-row text signals (stopword ratio, shingle profile, token
+    estimate) must not shuffle at all — they run at scan speed."""
+    for name in ("llm_stopword_ratio", "llm_doc_shingle_profile",
+                 "llm_bpe_token_est"):
+        df = _q(name, spark, sf_dir)
+        assert exchange_count(df) == 0, (name, formatted_plan(df))
+
+
+def test_running_distinct_aggs_before_window(spark, sf_dir):
+    """The first-seen decomposition: two map-side-combinable keyed aggs
+    (user, then day), with the only window over |days| rows.  Four
+    HashAggregates = two partial/final pairs; no Python."""
+    df = _q("rel_running_distinct", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Window" in plan, plan
+
+
+def test_tpch_q11_single_fact_pass(spark, sf_dir):
+    """The threshold must derive from per_part, not a second
+    lineitem⋈supplier join: exactly one scan of lineitem in the plan."""
+    df = _q("tpch_q11", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= 1, plan
