@@ -47,7 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (gram stage), tpch_q11 (single-pass threshold), llm_cross_doc_overlap
 # (6-dp rounding; was the r3 FAIL row), and every query whose sink path
 # changed when the streaming runners gained file sinks + state cleanup
-# (all 9 str_*, src_cdc_datasource, src_cdc_stream, src_tcp_transport).
+# (all 9 str_*, src_cdc_datasource, src_cdc_stream, src_tcp_transport),
+# plus the wide_table parallelism-spread rewrites (llm_lm_score,
+# llm_repetition, llm_dedup_jaccard_prefix) and the snk_compact
+# fragmentation resize.
 # queries() orders the dict so still-unverified queries run FIRST — if
 # a budget truncates the sweep, it verifies new ground instead of
 # re-verifying these.  Nothing else changes: every query runs the same
@@ -60,12 +63,12 @@ _DRIVER_GREEN = {
     "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date", "fn_explode",
     "fn_json", "fn_map", "fn_math", "fn_stragg", "fn_string", "fn_struct",
     "fn_try", "llm_chunk_overlap", "llm_dedup_cluster", "llm_dedup_embed",
-    "llm_dedup_exact", "llm_dedup_jaccard_prefix", "llm_dedup_near",
+    "llm_dedup_exact", "llm_dedup_near",
     "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_diversity_sample",
     "llm_domain_mix", "llm_embed_centroid", "llm_fingerprint",
-    "llm_knn_graph", "llm_lang_id", "llm_lm_score", "llm_ngram_top",
+    "llm_knn_graph", "llm_lang_id", "llm_ngram_top",
     "llm_pack_sequences", "llm_pii_scrub", "llm_quality_score",
-    "llm_repetition", "llm_sim_cosine", "llm_sim_ivf", "llm_sim_ivf_probe",
+    "llm_sim_cosine", "llm_sim_ivf", "llm_sim_ivf_probe",
     "llm_sim_quantized", "llm_sim_topk_pergroup", "llm_text_stats",
     "llm_tfidf_top", "llm_token_count", "llm_train_split", "mm_decode_stub",
     "mm_features", "mm_frame_sample", "mm_meta", "rel_agg_approx",
@@ -83,7 +86,7 @@ _DRIVER_GREEN = {
     "rel_set_union", "rel_sort_limit", "rel_subquery_corr",
     "rel_subquery_scalar", "rel_topk", "rel_unpivot", "rel_win_analytic",
     "rel_win_frame", "rel_win_range", "rel_win_rank", "snk_append",
-    "snk_compact", "snk_partitioned", "snk_upsert", "src_csv_roundtrip",
+    "snk_partitioned", "snk_upsert", "src_csv_roundtrip",
     "src_json_events", "src_orc_roundtrip", "src_parquet_scan",
     "str_session", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10", "tpch_q14",
     "tpch_q18", "udf_explode_udtf", "udf_grouped_map", "udf_pandas_scalar",

@@ -27,6 +27,21 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 
+# module-level import: PEP 563 turns the warm-UDF's `pd.Series` hints
+# into strings that pyspark resolves against MODULE globals
+import pandas as pd  # noqa: E402
+
+
+def _warm_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    return warm
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -55,8 +70,36 @@ def main() -> None:
         names = sorted(qs, key=lambda n: (_is_stream_lifecycle(n), n))
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
 
-    # warm the session (JVM/codegen/parquet footer caches)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the session: JVM JIT + whole-stage-codegen compile paths +
+    # parquet footers.  The round-3 lesson: a tiny region-count warmup
+    # leaves ~6 s of one-time compile cost to be absorbed by whichever
+    # query runs first (tpch_q1 measured 7.6 s cold vs 1.2 s warm on
+    # identical code).  One small representative query per major shape
+    # (scan+decimal agg, higher-order array fns + explode + keyed agg,
+    # window) moves that cost to setup where it belongs.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _li.filter(_F.col("l_shipdate") > "1995-01-01").groupBy("l_returnflag").agg(
+        _F.sum(_F.col("l_quantity").cast("decimal(18,4)")),
+        _F.count("*"),
+    ).collect()
+    _doc = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2000)
+    _w = _F.split("text", " ")
+    _doc.select("doc_id", _F.explode(_F.array_distinct(_w)).alias("t")).groupBy(
+        "t"
+    ).count().orderBy(_F.desc("count")).limit(5).collect()
+    _li.limit(5000).select(
+        "l_orderkey",
+        _F.row_number()
+        .over(_W.partitionBy("l_returnflag").orderBy("l_orderkey"))
+        .alias("rn"),
+    ).filter(_F.col("rn") == 1).collect()
+    # Arrow/pandas-UDF path: the first pandas_udf call pays the Python
+    # worker pool + Arrow serializer spin-up (~2 s); warm it with a
+    # 100-row batch so udf_* queries measure the operator, not the pool.
+    _li.limit(100).select(_warm_udf()(_F.col("l_quantity").cast("double"))).collect()
 
     from maxscale_cdc_spark.streaming.runners import _release_stream_state
 

@@ -40,7 +40,7 @@ from maxscale_cdc_spark.functions.vectors import (
     sql_cosine,
 )
 from maxscale_cdc_spark.registry import register
-from maxscale_cdc_spark.tables import table
+from maxscale_cdc_spark.tables import table, wide_table
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -441,7 +441,7 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rational doubles; micro-unit tie probability negligible).
     Scale: two keyed counts + two hash joins on the bigram/word key —
     all map-side combinable; no UDFs, no explode beyond the gram list."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("bg"))
     bgc = grams.groupBy("bg").agg(F.count("*").alias("cbg"))
     w1c = bgc.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
@@ -1388,7 +1388,7 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(t|x|) with t=1/2 is integer ``(sz+1) div 2`` in both engines —
     no float rounding can diverge.
     """
-    d0 = table(spark, sf_dir, "documents")
+    d0 = wide_table(spark, sf_dir, "documents")
     # doc_id, sh — distinct trigrams per doc, set semantics row-local
     sh = d0.select(
         "doc_id", F.explode(F.array_distinct(word_trigrams(words("text")))).alias("sh")
@@ -1439,7 +1439,7 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     docsets = d.select(
         "doc_id", F.array_distinct(word_trigrams(words("text"))).alias("shs")
     )
@@ -1507,7 +1507,7 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow left join + one keyed count per doc.  At 100 TB the
     broadcast is the whole point: decontamination is a map-side pass
     over the corpus."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_trigrams(words("text")))).alias("g"),

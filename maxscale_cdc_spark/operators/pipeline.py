@@ -26,7 +26,7 @@ from maxscale_cdc_spark.functions.text import (
     words,
 )
 from maxscale_cdc_spark.registry import register
-from maxscale_cdc_spark.tables import table
+from maxscale_cdc_spark.tables import table, wide_table
 
 # ---------------------------------------------------------------------------
 # llm_repetition — Gopher-style within-document repetition filters
@@ -86,7 +86,7 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are integers; the two fractions are single double
     divisions of integers (exact same operands in both engines)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     w = words("text")
     tg = word_trigrams(w)
     base = d.select(
@@ -365,7 +365,7 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's value-hash sees one canonical representation (same
     discipline as llm_knn_graph's cos_sim) — the r3 FAIL row was a
     hash mismatch this removes by construction."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     g = (
         d.select("doc_id", words("text").alias("w"))
         .filter(F.size("w") >= _SPAN_N)
@@ -544,7 +544,7 @@ def llm_doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the fingerprint doubles as a join key for cheap
     first-pass duplicate candidate pairing (docs sharing a fingerprint
     share at least one shingle)."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
     sh = word_trigrams(words("text"))
     uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_shingles")
     return (
