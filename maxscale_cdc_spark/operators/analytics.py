@@ -330,3 +330,79 @@ def rel_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_attribution — last-touch marketing attribution: each purchase is
+# credited to the user's most recent PRIOR click.  The canonical
+# behavioral-analytics as-of pattern expressed as one carry-forward
+# window (no join): order each user's events by (ts, event_id), carry
+# the last click forward with last_value(ignore nulls), and keep the
+# purchase rows.
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+  FROM events
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts AS purchase_ts,
+       click_id,
+       CASE WHEN click_ts IS NULL THEN NULL
+            ELSE CAST(floor(extract(epoch FROM ts)) -
+                      floor(extract(epoch FROM click_ts)) AS BIGINT)
+       END AS seconds_since_click
+FROM e
+WHERE event_type = 'purchase'
+"""
+
+
+@register("rel_attribution", _ATTRIBUTION_ORACLE)
+def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via a per-user carry-forward window.
+
+    One keyed shuffle on user_id (the stream's natural partition key);
+    the frame excludes the current row so a purchase can never
+    self-attribute.  The gap is integer epoch seconds — exact.  At
+    100 TB this is the same single-shuffle shape as cdc_latest_state:
+    no self-join, no range join, state bounded by one row per user."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            click_id.alias("click_id"),
+            click_ts.alias("click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+            .cast("long")
+            .alias("seconds_since_click"),
+        )
+    )

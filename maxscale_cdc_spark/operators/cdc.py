@@ -710,3 +710,80 @@ def cdc_replay_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
     upto = cdc.join(F.broadcast(cut)).filter(F.col("sequence") <= F.col("cutoff"))
     return latest_state(upto.drop("cutoff"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_hotkey_profile — per-PK change-rate profile + hot-key detection.
+# The skew planner's input: a CDC apply shuffles on pk, so a key whose
+# event count is far above the mean is exactly the key that needs AQE
+# skew-split or salting.  Flag pks with more than 2x the mean events.
+# ---------------------------------------------------------------------------
+
+_HOTKEY_ORACLE = f"""
+{CDC_SQL}
+, per_pk AS (
+  SELECT pk,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN dml_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         CAST(sum(CASE WHEN dml_type IN ('update_before', 'update_after') THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         CAST(sum(CASE WHEN dml_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         CAST(min(sequence) AS BIGINT) AS first_seq,
+         CAST(max(sequence) AS BIGINT) AS last_seq,
+         CAST(max(ts_unix) - min(ts_unix) AS BIGINT) AS span_sec
+  FROM cdc GROUP BY pk
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_pks
+  FROM per_pk
+)
+SELECT pk, n_events, n_insert, n_update, n_delete, first_seq, last_seq, span_sec,
+       (n_events * n_pks > 2 * total_events) AS is_hot
+FROM per_pk, tot
+"""
+
+
+@register("cdc_hotkey_profile", _HOTKEY_ORACLE)
+def cdc_hotkey_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key churn profile with hot-key flag (n_events > 2x mean).
+
+    One map-side-combinable agg on pk (longs only), then a one-row
+    totals aggregate joined back by broadcast — the same scalar
+    pattern as cdc_replay_at.  The hot test is the integer
+    cross-multiply n_events * n_pks > 2 * total_events, bitwise-equal
+    in both engines.  At 100 TB this is the profiling pass run BEFORE
+    choosing the salting factor for the apply shuffle."""
+    cdc = cdc_view(spark, sf_dir)
+    per_pk = cdc.groupBy("pk").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("dml_type") == "insert").cast("long"))
+        .cast("long")
+        .alias("n_insert"),
+        F.sum(F.col("dml_type").isin("update_before", "update_after").cast("long"))
+        .cast("long")
+        .alias("n_update"),
+        F.sum((F.col("dml_type") == "delete").cast("long"))
+        .cast("long")
+        .alias("n_delete"),
+        F.min("sequence").cast("long").alias("first_seq"),
+        F.max("sequence").cast("long").alias("last_seq"),
+        (F.max("ts_unix") - F.min("ts_unix")).cast("long").alias("span_sec"),
+    )
+    tot = per_pk.agg(
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.count("*").cast("long").alias("n_pks"),
+    )
+    return (
+        per_pk.join(F.broadcast(tot))
+        .select(
+            "pk",
+            "n_events",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            "first_seq",
+            "last_seq",
+            "span_sec",
+            (F.col("n_events") * F.col("n_pks") > 2 * F.col("total_events"))
+            .alias("is_hot"),
+        )
+    )

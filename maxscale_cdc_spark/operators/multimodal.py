@@ -187,3 +187,73 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("content_hash"), F.lit("-"), F.col("frame_idx").cast("string"))
         ).alias("frame_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_shard_manifest — pack media blobs into fixed-byte training shards.
+# Training jobs read shards, not files: the manifest assigns each blob
+# to a shard by running byte count within its source, then summarizes
+# each shard (blob count, bytes, id range).  Integer arithmetic only.
+# ---------------------------------------------------------------------------
+
+_SHARD_TARGET_BYTES = 64 * 1024
+
+_SHARD_MANIFEST_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+), placed AS (
+  SELECT source, doc_id, n_bytes,
+         CAST((sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_bytes) // {_SHARD_TARGET_BYTES}
+              AS BIGINT) AS shard_id
+  FROM sized
+)
+SELECT source, shard_id,
+       CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM placed
+GROUP BY source, shard_id
+"""
+
+
+@register("mm_shard_manifest", _SHARD_MANIFEST_ORACLE)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard packing: blobs are assigned to shards by the
+    EXCLUSIVE running byte total within (source, doc_id order) divided
+    by the 64 KiB target, then summarized per shard.
+
+    One keyed window (running sum of longs — exact) + one map-side
+    combinable agg, both on the source key.  At 100 TB the source is
+    the ingest partition, so the running sum never crosses executors'
+    natural data layout; the manifest output is O(shards), which a
+    training loader reads as its index.  First-fit-by-order keeps
+    blob order stable — shard contents are deterministic under any
+    cluster size."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("long").alias("n_bytes")
+    )
+    placed = d.select(
+        "source",
+        "doc_id",
+        "n_bytes",
+        F.floor(
+            (F.sum("n_bytes").over(w) - F.col("n_bytes")) / F.lit(_SHARD_TARGET_BYTES)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return placed.groupBy("source", "shard_id").agg(
+        F.count("*").cast("long").alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

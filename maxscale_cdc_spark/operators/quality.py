@@ -1,0 +1,350 @@
+"""Corpus-quality operators, batch 2: unigram diversity (Simpson),
+Gopher-style heuristic drop rules, cross-corpus n-gram novelty, and the
+end-to-end filter funnel a pretraining pipeline runs before packing.
+
+Exactness discipline (the llm_quality_score rule): every exported
+double is a division of IDENTICAL integers in both engines, so the
+values are bitwise equal with no rounding step at all.  Simpson's
+diversity index replaces Shannon entropy deliberately — entropy needs
+log(), whose last-ulp behavior differs between libm builds, while
+1 - Σ(c/n)² is one integer-over-integer rational with the same
+discriminative power for repetitive-text detection.
+
+Scale notes (100 TB): diversity and novelty are explode → keyed-agg
+pipelines (counts are map-side combinable longs; the shuffle carries
+(doc_id, word) pairs, linear in corpus tokens).  The heuristic rules
+are per-row integer comparisons at scan speed.  The funnel is one
+window over the content hash (exact-dup detection — the same single
+keyed shuffle as llm_dedup_exact) plus one map-side-combinable
+aggregation by source.  No driver collects, no UDFs, no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.text import word_trigrams, words
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import table, wide_table
+
+# ---------------------------------------------------------------------------
+# llm_unigram_diversity — Simpson-index lexical diversity per document.
+# Repetitive machine text concentrates probability mass on few tokens:
+# high Σc², low effective vocabulary.  simpson = 1 - Σc²/n² and
+# eff_vocab = n²/Σc² (inverse Simpson) are the log-free analogues of
+# entropy / perplexity; top_share = max(c)/n is the single-token
+# concentration Gopher also thresholds.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), c AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_uniq,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq,
+         CAST(max(n) AS BIGINT) AS top_count
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_uniq,
+       1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_words AS DOUBLE) * n_words)
+         AS simpson,
+       CAST(n_words AS DOUBLE) * n_words / sum_sq AS eff_vocab,
+       CAST(top_count AS DOUBLE) / n_words AS top_share
+FROM agg
+"""
+
+
+@register("llm_unigram_diversity", _DIVERSITY_ORACLE)
+def llm_unigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Simpson diversity over unigram counts.
+
+    explode → count per (doc, word) → one keyed agg per doc: every
+    aggregate is a long (sum, sum of squares, max, count), so the
+    shuffle is map-side combinable and the result is order-invariant —
+    the derived doubles are integer ratios, bitwise-identical across
+    engines and across any partitioning of a 100 TB corpus."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(words("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    n_words = F.sum("n").cast("long")
+    sum_sq = F.sum(F.col("n") * F.col("n")).cast("long")
+    agg = counts.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        F.count("*").cast("long").alias("n_uniq"),
+        sum_sq.alias("sum_sq"),
+        F.max("n").cast("long").alias("top_count"),
+    )
+    nw = F.col("n_words").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_uniq",
+        (F.lit(1.0) - F.col("sum_sq").cast("double") / (nw * F.col("n_words")))
+        .alias("simpson"),
+        (nw * F.col("n_words") / F.col("sum_sq")).alias("eff_vocab"),
+        (F.col("top_count").cast("double") / F.col("n_words")).alias("top_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_heuristic_filters — Gopher-rule drop decisions (Rae et al. 2021
+# §A1.1), integer-exact: each rule is an integer cross-multiplication
+# (mean word length in [3, 10] becomes 3n ≤ Σlen ≤ 10n), so the
+# booleans and the first-failing-rule attribution match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_MIN_WORDS = 40
+_MAX_WORDS = 100_000
+_HFILTER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+_HFILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(w, x -> list_contains({_HFILTER_STOPWORDS!r}, x)))
+              AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words,
+       CAST(sum_wlen AS DOUBLE) / n_words AS mean_wlen,
+       (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS ok_length,
+       (sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) AS ok_mean_wlen,
+       (5 * n_uniq > n_words) AS ok_uniq,
+       (n_stop > 0) AS ok_stopword,
+       CASE WHEN NOT (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) THEN 'length'
+            WHEN NOT (sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) THEN 'mean_wlen'
+            WHEN NOT (5 * n_uniq > n_words) THEN 'uniq_ratio'
+            WHEN NOT (n_stop > 0) THEN 'no_stopword'
+            ELSE 'keep' END AS verdict
+FROM m
+"""
+
+
+@register("llm_heuristic_filters", _HFILTER_ORACLE)
+def llm_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document drop rules with first-failing-rule
+    attribution.  Pure per-row array math — no shuffle, runs at scan
+    speed and pipelines into the funnel (llm_filter_pipeline is the
+    aggregated view).  All comparisons are integer cross-multiplies:
+    no float threshold can straddle an engine boundary."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w"))
+    m = split.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.size(F.filter("w", lambda x: x.isin(*_HFILTER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    ok_length = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    ok_mean = (F.col("sum_wlen") >= 3 * F.col("n_words")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    ok_uniq = 5 * F.col("n_uniq") > F.col("n_words")
+    ok_stop = F.col("n_stop") > 0
+    verdict = (
+        F.when(~ok_length, F.lit("length"))
+        .when(~ok_mean, F.lit("mean_wlen"))
+        .when(~ok_uniq, F.lit("uniq_ratio"))
+        .when(~ok_stop, F.lit("no_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        (F.col("sum_wlen").cast("double") / F.col("n_words")).alias("mean_wlen"),
+        ok_length.alias("ok_length"),
+        ok_mean.alias("ok_mean_wlen"),
+        ok_uniq.alias("ok_uniq"),
+        ok_stop.alias("ok_stopword"),
+        verdict.alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ngram_novelty — cross-corpus novelty: the fraction of a document's
+# DISTINCT trigrams that no earlier document (smaller doc_id — ingestion
+# order) contains.  A streaming-ingest pipeline uses this to measure how
+# fast a crawl source stops contributing new content.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+  FROM t WHERE len(w) >= 3
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty
+FROM g JOIN first_seen f ON g.gram = f.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("llm_ngram_novelty", _NOVELTY_ORACLE)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document.
+
+    Same decomposition as rel_running_distinct: min(doc_id) per gram
+    assigns each gram to exactly one "first" document, so novelty needs
+    one (gram) agg + one (gram) join-back + one (doc) agg — all linear
+    keyed shuffles on a 100 TB corpus, never a growing rescan.  The
+    gram join key is high-cardinality and uniform (text shingles), so
+    the shuffle spreads; novelty = integer/integer, bitwise exact."""
+    d = wide_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", words("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(word_trigrams(F.col("w")))).alias("gram"))
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "gram")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_filter_pipeline — the end-to-end corpus filter funnel, aggregated
+# per source: exact-duplicate removal, then the length / stopword /
+# language gates, with each document attributed to its FIRST failing
+# stage (the order a real pipeline applies them: dedup before quality,
+# quality before language routing).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+_FUNNEL_MIN_WORDS = 30
+
+_FUNNEL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         md5(text) AS h,
+         string_split(text, ' ') AS w
+  FROM documents
+), flagged AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> list_contains({_FUNNEL_STOPWORDS!r}, x)))
+              AS BIGINT) AS n_stop
+  FROM base
+), verdicts AS (
+  SELECT source,
+         CASE WHEN rn > 1 THEN 'exact_dup'
+              WHEN n_words < {_FUNNEL_MIN_WORDS} THEN 'too_short'
+              WHEN 20 * n_stop < n_words THEN 'low_stopword'
+              WHEN lang <> 'en' THEN 'non_english'
+              ELSE 'keep' END AS stage
+  FROM flagged
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN stage = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(sum(CASE WHEN stage = 'low_stopword' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       CAST(sum(CASE WHEN stage = 'non_english' THEN 1 ELSE 0 END) AS BIGINT) AS n_non_english,
+       CAST(sum(CASE WHEN stage = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN stage = 'keep' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS keep_rate
+FROM verdicts
+GROUP BY source
+"""
+
+
+@register("llm_filter_pipeline", _FUNNEL_ORACLE)
+def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: per source, how many documents each
+    pipeline stage drops and the final keep rate.
+
+    Shape at 100 TB: ONE window over the content hash (the exact-dup
+    shuffle every dedup pass already pays — the hash key spreads
+    uniformly) and ONE map-side-combinable agg by source; the quality
+    gates are per-row integer comparisons riding the same scan.  This
+    is the whole pre-pack corpus funnel in two shuffles."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        words("text").alias("w"),
+    )
+    flagged = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number().over(W.partitionBy("h").orderBy("doc_id")).alias("rn"),
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.filter("w", lambda x: x.isin(*_FUNNEL_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    stage = (
+        F.when(F.col("rn") > 1, F.lit("exact_dup"))
+        .when(F.col("n_words") < _FUNNEL_MIN_WORDS, F.lit("too_short"))
+        .when(20 * F.col("n_stop") < F.col("n_words"), F.lit("low_stopword"))
+        .when(F.col("lang") != "en", F.lit("non_english"))
+        .otherwise(F.lit("keep"))
+    )
+    verdicts = flagged.select("source", stage.alias("stage"))
+    n_kept = F.sum((F.col("stage") == "keep").cast("long"))
+    agg = verdicts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("stage") == "exact_dup").cast("long"))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum((F.col("stage") == "too_short").cast("long"))
+        .cast("long")
+        .alias("n_too_short"),
+        F.sum((F.col("stage") == "low_stopword").cast("long"))
+        .cast("long")
+        .alias("n_low_stopword"),
+        F.sum((F.col("stage") == "non_english").cast("long"))
+        .cast("long")
+        .alias("n_non_english"),
+        n_kept.cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_exact_dup",
+        "n_too_short",
+        "n_low_stopword",
+        "n_non_english",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
+    )

@@ -923,3 +923,42 @@ def rel_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_win_cume — distribution window functions: percent_rank and
+# cume_dist of order value within each priority class.  Both are exact
+# integer rationals ((rank-1)/(n-1), peers_cume/n) so the doubles are
+# bitwise-identical across engines with no rounding step.
+# ---------------------------------------------------------------------------
+
+_WIN_CUME_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("rel_win_cume", _WIN_CUME_ORACLE)
+def rel_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over (priority, price) — the
+    distribution-window family that rel_win_rank's rank/dense_rank
+    does not cover.  One keyed window shuffle on the priority class;
+    the (price, orderkey) order key is total, so every engine agrees
+    on ranks.  At 100 TB the partition count is the priority-class
+    count — for low-cardinality partitions use rel_percentile_bands'
+    broadcast-cutpoint formulation instead; this operator is the
+    exact-rank surface."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )

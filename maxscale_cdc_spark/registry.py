@@ -35,6 +35,7 @@ def load_all() -> None:
         llm,
         multimodal,
         pipeline,
+        quality,
         relational,
         relational2,
         sources,

@@ -247,3 +247,71 @@ def test_tpch_q11_single_fact_pass(spark, sf_dir):
     df = _q("tpch_q11", spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_heuristic_filters_no_shuffle(spark, sf_dir):
+    """Gopher rules are per-row integer comparisons — scan speed, zero
+    shuffles, no Python."""
+    df = _q("llm_heuristic_filters", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) == 0, plan
+
+
+def test_unigram_diversity_combinable_aggs(spark, sf_dir):
+    """explode → (doc, word) count → doc agg: both aggs map-side
+    combinable (two partial/final HashAggregate pairs), no Python."""
+    df = _q("llm_unigram_diversity", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_filter_pipeline_two_shuffles(spark, sf_dir):
+    """The funnel is one hash-key window + one source agg — at most the
+    window exchange, the agg exchange, and AQE coalescing artifacts;
+    gate at <= 3 exchanges and no Python."""
+    df = _q("llm_filter_pipeline", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) <= 3, plan
+
+
+def test_attribution_single_shuffle(spark, sf_dir):
+    """Last-touch attribution = ONE per-user carry-forward window (the
+    cdc_latest_state shape): exactly one keyed shuffle, no join."""
+    df = _q("rel_attribution", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_shard_manifest_single_key_pipeline(spark, sf_dir):
+    """Window and agg share the source key: the window's exchange is
+    reused by the agg (one keyed shuffle + possibly the agg's own),
+    no Python, no join."""
+    df = _q("mm_shard_manifest", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_hotkey_profile_broadcast_totals(spark, sf_dir):
+    """Per-pk agg joined to a one-row totals aggregate — the totals side
+    must broadcast, never shuffle the profile."""
+    df = _q("cdc_hotkey_profile", spark, sf_dir)
+    plan = formatted_plan(df)
+    # one-row totals side → keyless BroadcastNestedLoopJoin (a 1-row
+    # broadcast, the scalar-join shape cdc_replay_at also uses)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_novelty_no_python(spark, sf_dir):
+    """First-occurrence decomposition: gram agg + join-back + doc agg,
+    all JVM-side."""
+    df = _q("llm_ngram_novelty", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not has_cartesian(df), plan
