@@ -90,6 +90,23 @@ def main() -> None:
     _doc.select("doc_id", _F.explode(_F.array_distinct(_w)).alias("t")).groupBy(
         "t"
     ).count().orderBy(_F.desc("count")).limit(5).collect()
+    # Shingle-expression warmup: the n-gram builders (sequence +
+    # transform + element_at + concat_ws) are the heaviest per-row
+    # expressions in the suite, and the corpus has FEW rows — cold,
+    # the generated code never reaches JIT thresholds inside one query
+    # (measured: the same shingle pipeline 24-130 s cold vs 6.6 s warm).
+    # One pass here JIT-compiles the shared UTF8String/array machinery
+    # every llm_* shingle query reuses.
+    _seq = _F.sequence(_F.lit(1), _F.greatest(_F.size(_w) - 4, _F.lit(0)))
+    _gram5 = _F.transform(
+        _seq,
+        lambda i: _F.concat_ws(
+            " ", *[_F.element_at(_w, i + k) for k in range(5)]
+        ),
+    )
+    _doc.select(
+        "doc_id", _F.explode(_F.array_distinct(_gram5)).alias("g")
+    ).groupBy("g").count().orderBy(_F.desc("count")).limit(5).collect()
     _li.limit(5000).select(
         "l_orderkey",
         _F.row_number()

@@ -1513,13 +1513,13 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(word_trigrams(words("text")))).alias("g"),
     )
     # Both the benchmark side and the training side derive from the SAME
-    # gram lineage; without a stage the scan+split+explode runs twice
-    # (once under the broadcast build, once for train_g).  Stage it once
-    # (same pattern as min_label_closure's round checkpoints).  At real
-    # scale the benchmark set is a separate, small input table and only
-    # IT would be staged — here both sides come from one synthetic
-    # corpus, so the stage covers the shared lineage instead.
-    grams = grams.localCheckpoint(eager=False)
+    # gram lineage, so the scan+split+explode runs twice (once under the
+    # broadcast build, once for train_g).  Deliberately NOT staged: the
+    # shingle pass is narrow scan-speed work, and A/B-ing a
+    # localCheckpoint here showed no median win but a heavy tail
+    # (8.2/9.5/9.0 s recomputed vs 9.7/8.9/43.3 s staged — block-manager
+    # materialization cost is volatile).  At real scale the benchmark
+    # set is a separate small input table and the question disappears.
     bench_g = (
         grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
         .withColumn("hit", F.lit(1))
