@@ -120,8 +120,12 @@ def src_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.format("text").load(wire_dir)
     dml = classify_lines(raw).filter(F.col("event_class") == "dml")
     decoded = parse_dml(dml, spark.createDataFrame([], _PAYLOAD_DDL).schema)
-    out = run_to_memory(decoded, "append")
-    return _decoded_agg(out)
+    # Aggregate IN-STREAM (complete-mode global agg): the sink then
+    # holds |event_type| rows instead of every decoded event — at any
+    # scale the driver never materializes the raw stream.  (Append-mode
+    # raw rows through the memory sink measured 10 s at sf0.1 vs ~2 s
+    # this way: 100k-row sink collect + checkpoint was the cost.)
+    return run_to_memory(_decoded_agg(decoded), "complete")
 
 
 @register("src_cdc_datasource", _SRC_ORACLE_CAPPED)
@@ -154,14 +158,16 @@ def src_cdc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("payloadSchema", "pk bigint, value double")
         .load()
     )
-    out = run_to_memory(stream, "append")
-    return out.groupBy(F.col("event_type").alias("dml_type")).agg(
+    # In-stream complete-mode aggregate: the memory sink holds
+    # |event_type| rows, never the decoded event stream itself.
+    agg = stream.groupBy(F.col("event_type").alias("dml_type")).agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
             "sum_value_cents"
         ),
         F.max("sequence").alias("max_seq"),
     )
+    return run_to_memory(agg, "complete")
 
 
 @register("src_tcp_transport", _SRC_ORACLE)
@@ -203,8 +209,9 @@ def src_tcp_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("payloadSchema", "pk bigint, value double")
         .load()
     )
-    out = run_to_memory(stream, "append")
-    return _decoded_agg(out)
+    # Same in-stream complete-mode aggregation as src_cdc_stream: the
+    # sink result is the aggregate, not the 100k-event decode output.
+    return run_to_memory(_decoded_agg(stream), "complete")
 
 
 @register(
