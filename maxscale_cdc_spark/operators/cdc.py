@@ -787,3 +787,176 @@ def cdc_hotkey_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_hot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_schema_evolution — version-selected payload decode across an
+# ALTER boundary (event.go:35-36, client.go:114-119 WithVersion).  The
+# stream's first 60% of positions carry v1 payloads {pk, value}; an
+# ALTER at the cutoff adds an `extra` column for v2.  Each segment is
+# decoded with ITS version's registry StructType, unioned with
+# null-fill, and summarized per version — the mergeSchema read a CDC
+# consumer performs across schema generations.
+# ---------------------------------------------------------------------------
+
+_EVO_DDL_FIXTURES = [
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record",
+        "name": "ChangeRecord", "table": "events", "database": "app",
+        "version": 1, "gtid": "0-3000-1", "fields": [
+          {"name": "pk", "type": ["null", "long"], "real_type": "bigint", "length": -1},
+          {"name": "value", "type": ["null", "double"], "real_type": "double", "length": -1}]}""",
+    """{"namespace": "MaxScaleChangeDataSchema.avro", "type": "record",
+        "name": "ChangeRecord", "table": "events", "database": "app",
+        "version": 2, "gtid": "0-3000-2", "fields": [
+          {"name": "pk", "type": ["null", "long"], "real_type": "bigint", "length": -1},
+          {"name": "value", "type": ["null", "double"], "real_type": "double", "length": -1},
+          {"name": "extra", "type": ["null", "int"], "real_type": "int", "length": -1}]}""",
+]
+
+_EVO_ORACLE = f"""
+{CDC_SQL}
+, cut AS (
+  SELECT CAST(max(sequence) * 3 / 5 AS BIGINT) AS cutoff FROM cdc
+), payload AS (
+  SELECT c.sequence, c.pk,
+         CASE WHEN c.sequence <= t.cutoff THEN 1 ELSE 2 END AS version,
+         CAST(round(c.value * 100, 0) AS BIGINT) AS value_cents,
+         CASE WHEN c.sequence <= t.cutoff THEN NULL
+              ELSE CAST(c.pk % 7 AS INT) END AS extra
+  FROM cdc c, cut t
+)
+SELECT version,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_extra,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+       CAST(sum(coalesce(extra, 0)) AS BIGINT) AS sum_extra
+FROM payload GROUP BY version
+"""
+
+
+@register("cdc_schema_evolution", _EVO_ORACLE)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode across an ALTER: render v1/v2 JSON payloads from the
+    stream, decode each segment with the StructType the registry built
+    from that version's DDL event (the real polymorphic builder,
+    event.go:58-137), then unionByName(allowMissingColumns) — v1 rows
+    null-fill the added column exactly like a mergeSchema read.
+
+    Scale shape: render + from_json + union are narrow per-row ops at
+    scan speed; the only shuffle is the final map-side-combinable agg
+    on version.  At 100 TB, schema generations live in separate spool
+    ranges (version changes at a GTID), so the per-version decode is
+    partition pruning, not a row-level branch."""
+    v1 = decode_ddl(_EVO_DDL_FIXTURES[0]).payload_struct()
+    v2 = decode_ddl(_EVO_DDL_FIXTURES[1]).payload_struct()
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
+    staged = cdc.join(F.broadcast(cut)).select(
+        "sequence",
+        "pk",
+        F.when(F.col("sequence") <= F.col("cutoff"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("version"),
+        # deterministic wire payload per version (integer cents so the
+        # JSON round trip is exact)
+        F.when(
+            F.col("sequence") <= F.col("cutoff"),
+            F.to_json(
+                F.struct(
+                    F.col("pk"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("value"),
+                )
+            ),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("pk"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("value"),
+                    (F.col("pk") % 7).cast("int").alias("extra"),
+                )
+            )
+        )
+        .alias("raw"),
+    )
+    dec1 = (
+        staged.filter(F.col("version") == 1)
+        .select("version", F.from_json("raw", v1).alias("p"))
+        .select("version", "p.pk", F.col("p.value").alias("value_cents"))
+    )
+    dec2 = (
+        staged.filter(F.col("version") == 2)
+        .select("version", F.from_json("raw", v2).alias("p"))
+        .select(
+            "version", "p.pk", F.col("p.value").alias("value_cents"), "p.extra"
+        )
+    )
+    merged = dec1.unionByName(dec2, allowMissingColumns=True)
+    return merged.groupBy("version").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("extra").isNull().cast("long")).cast("long").alias("n_null_extra"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum(F.coalesce(F.col("extra"), F.lit(0))).cast("long").alias("sum_extra"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_tombstone_gc — log compaction: a delete is a tombstone that
+# obsoletes everything at or before it for that PK.  Report, per PK,
+# what a Kafka-style compaction pass would retain (events strictly
+# after the last delete; everything if never deleted).
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_ORACLE = f"""
+{CDC_SQL}
+, marked AS (
+  SELECT pk, sequence, dml_type,
+         max(CASE WHEN dml_type = 'delete' THEN sequence END)
+           OVER (PARTITION BY pk) AS last_del
+  FROM cdc
+)
+SELECT pk,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN last_del IS NULL OR sequence > last_del
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN last_del IS NOT NULL AND sequence <= last_del
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(last_del AS BIGINT) AS last_delete_seq
+FROM marked
+GROUP BY pk, last_del
+"""
+
+
+@register("cdc_tombstone_gc", _TOMBSTONE_ORACLE)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning per PK: one unordered full-partition window
+    (max delete position) and one agg on the SAME key — the window's
+    exchange is reused, so the whole op is a single keyed shuffle, the
+    cdc_latest_state shape.  Counts are longs; the retain rule is an
+    integer position compare.  At 100 TB this is the metadata pass that
+    decides which log segments a compaction job rewrites."""
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk")
+    marked = cdc.select(
+        "pk",
+        "sequence",
+        F.max(
+            F.when(F.col("dml_type") == "delete", F.col("sequence"))
+        )
+        .over(w)
+        .alias("last_del"),
+    )
+    retained = (
+        F.col("last_del").isNull() | (F.col("sequence") > F.col("last_del"))
+    ).cast("long")
+    return marked.groupBy("pk", "last_del").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(retained).cast("long").alias("n_retained"),
+        F.sum(1 - retained).cast("long").alias("n_dropped"),
+    ).select(
+        "pk",
+        "n_total",
+        "n_retained",
+        "n_dropped",
+        F.col("last_del").cast("long").alias("last_delete_seq"),
+    )

@@ -348,3 +348,135 @@ def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         (F.col("n_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_minhash_accuracy — dedup-tuning audit: for every LSH candidate
+# pair, compare the MinHash-ESTIMATED Jaccard (fraction of the 8
+# signature positions that agree) against the exact Jaccard of the
+# shingle sets.  This is the measurement a pipeline runs when sizing
+# bands/permutations: it quantifies the estimator the production dedup
+# trusts.  est, exact, and err are all integer-ratio doubles — exact.
+# ---------------------------------------------------------------------------
+
+_MH_K = 8
+
+_MH_ACC_ORACLE = f"""
+WITH docw AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         )) AS shs
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), sig AS (
+  SELECT doc_id, shs,
+         {', '.join(
+             f"list_aggregate(list_transform(shs, x -> md5('{j}:' || x)), 'min') AS m{j}"
+             for j in range(_MH_K)
+         )}
+  FROM docw
+), bands AS (
+  SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({' + '.join(
+           f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(_MH_K)
+       )}) AS BIGINT) AS n_agree,
+       CAST(({' + '.join(
+           f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(_MH_K)
+       )}) AS DOUBLE) / {_MH_K} AS est_jaccard,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+         AS exact_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register("llm_minhash_accuracy", _MH_ACC_ORACLE)
+def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit over the LSH candidate set.
+
+    Same single keyed aggregation that llm_dedup_near pays (signatures
+    + shingle array per doc), the same banded candidate join, then the
+    agreement count and exact Jaccard side by side.  The candidate set
+    is band-bounded (never all-pairs), the per-pair work is one
+    array_intersect — at 100 TB this runs on a SAMPLE of buckets
+    (hash-select bucket keys), which composes for free since every
+    step is keyed on the bucket."""
+    d = table(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words("text")) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words("text"), i),
+                    F.element_at(words("text"), i + 1),
+                ),
+            )
+        ).alias("shs"),
+    ).filter(F.size(words("text")) >= 2)
+    def _mh(j: int):
+        # NB: a two-parameter lambda (`lambda x, j=j: ...`) would be
+        # treated by transform() as (element, index) and silently rebind
+        # j to the index Column — bind the permutation via this closure.
+        return F.array_min(
+            F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{j}:"), x)))
+        ).alias(f"m{j}")
+
+    sig = docw.select("doc_id", "shs", *[_mh(j) for j in range(_MH_K)])
+    bands = None
+    for b in range(2):
+        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+        one = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_K)],
+    )
+    n_agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(_MH_K)
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            (n_agree.cast("double") / _MH_K).alias("est_jaccard"),
+            (inter.cast("double") / union).alias("exact_jaccard"),
+        )
+    )

@@ -315,3 +315,30 @@ def test_ngram_novelty_no_python(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not has_cartesian(df), plan
+
+
+def test_schema_evolution_no_python_single_agg(spark, sf_dir):
+    """Render + from_json + unionByName are narrow; the only keyed
+    shuffle is the version agg (plus the broadcast cutoff scalar)."""
+    df = _q("cdc_schema_evolution", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row cutoff broadcast
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tombstone_gc_single_shuffle(spark, sf_dir):
+    """Window (max tombstone per pk) and agg share the pk key: one
+    keyed shuffle, no join — the cdc_latest_state shape."""
+    df = _q("cdc_tombstone_gc", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_minhash_accuracy_no_python_banded(spark, sf_dir):
+    """Estimator audit must stay banded (no cartesian) and JVM-side."""
+    df = _q("llm_minhash_accuracy", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not has_cartesian(df), plan
