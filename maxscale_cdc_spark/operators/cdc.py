@@ -960,3 +960,87 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         F.col("last_del").cast("long").alias("last_delete_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_changelog_compact — transaction-batch net-effect compaction: the
+# collapse a CDC sink applies before writing (Debezium/Flink "changelog
+# normalization").  Events are grouped into fixed sequence ranges
+# (batch = sequence div 200 — the commit-batch stand-in); within each
+# (pk, batch) the net operation is derived from the FIRST and LAST DML:
+# insert→…→delete cancels out, insert→…→update stays an insert with the
+# final image, …→delete is a delete, anything else is an update with
+# the final image.
+# ---------------------------------------------------------------------------
+
+_COMPACT_BATCH = 200
+
+_COMPACT_ORACLE = f"""
+{CDC_SQL}
+, g AS (
+  SELECT pk, sequence // {_COMPACT_BATCH} AS batch, sequence, dml_type, value, ts
+  FROM cdc
+), agg AS (
+  SELECT pk, CAST(batch AS BIGINT) AS batch,
+         CAST(count(*) AS BIGINT) AS n_ops,
+         arg_min(dml_type, sequence) AS first_dml,
+         arg_max(dml_type, sequence) AS last_dml,
+         arg_max(value, sequence) AS last_value,
+         arg_max(ts, sequence) AS last_ts
+  FROM g GROUP BY pk, batch
+)
+SELECT pk, batch, n_ops, first_dml, last_dml,
+       CASE WHEN first_dml = 'insert' AND last_dml = 'delete' THEN 'none'
+            WHEN first_dml = 'insert' THEN 'insert'
+            WHEN last_dml = 'delete' THEN 'delete'
+            ELSE 'update' END AS net_op,
+       last_value, last_ts
+FROM agg
+"""
+
+
+@register("cdc_changelog_compact", _COMPACT_ORACLE)
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(pk, commit-batch) net-effect compaction.
+
+    ONE keyed aggregation: min_by/max_by over the unique sequence pick
+    the first/last DML and final image map-side-combinably — no window,
+    no sort, no second shuffle.  This is the operator that turns K
+    changelog rows per key per batch into ≤1 sink write; at 100 TB the
+    shuffle key (pk, batch) is the stream's natural partitioning and
+    the reduction happens in the combiner."""
+    cdc = cdc_view(spark, sf_dir)
+    g = cdc.select(
+        "pk",
+        F.expr(f"sequence div {_COMPACT_BATCH}").cast("long").alias("batch"),
+        "sequence",
+        "dml_type",
+        "value",
+        "ts",
+    )
+    agg = g.groupBy("pk", "batch").agg(
+        F.count("*").cast("long").alias("n_ops"),
+        F.min_by("dml_type", "sequence").alias("first_dml"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value", "sequence").alias("last_value"),
+        F.max_by("ts", "sequence").alias("last_ts"),
+    )
+    net = (
+        F.when(
+            (F.col("first_dml") == "insert") & (F.col("last_dml") == "delete"),
+            F.lit("none"),
+        )
+        .when(F.col("first_dml") == "insert", F.lit("insert"))
+        .when(F.col("last_dml") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return agg.select(
+        "pk",
+        "batch",
+        "n_ops",
+        "first_dml",
+        "last_dml",
+        net.alias("net_op"),
+        "last_value",
+        "last_ts",
+    )

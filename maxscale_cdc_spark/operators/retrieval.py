@@ -1,0 +1,231 @@
+"""Retrieval / semantic-dedup operators: BM25 ranking and SemDeDup.
+
+`llm_bm25_rank` is the classic sparse-retrieval scorer a data pipeline
+uses to mine topical subsets of a crawl (query → top-k documents);
+`llm_semdedup` is the SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540): k-means the embedding space, then drop any point
+whose cosine to a LOWER-ID member of its own cluster exceeds a
+threshold — near-duplicate pruning whose quadratic term is bounded by
+the cluster size, never the corpus.
+
+Exactness discipline: BM25's idf is the log-free odds ratio
+(N - df + ½)/(df + ½) — the log is a monotone per-term transform whose
+last-ulp behavior differs across libm builds, while the rational form
+is a single IEEE-exact division chain that both engines evaluate
+identically when the expression tree is written identically (which it
+is, below).  All exported doubles are rounded to 6 dp at the boundary.
+
+Scale notes (100 TB): BM25 is two linear passes — one map-side-
+combinable scalar aggregate for corpus stats (broadcast back, KB-sized)
+and one scan-speed per-row score; the only shuffle is the final top-k
+(a TakeOrdered, driver receives k rows).  SemDeDup is the IVF k-means
+(broadcast-join assignment per Lloyd round) plus a per-cell self-join —
+O(Σ cell²); production raises K so cells stay ~10⁴-10⁵ rows and the
+join key (cid) spreads cells across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.text import words
+from maxscale_cdc_spark.functions.vectors import cosine, sql_cosine
+from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _kmeans_cells, _sql_kmeans_ctes
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# llm_bm25_rank — BM25 top-20 for a fixed conjunctive keyword query.
+# k1 = 1.2, b = 0.75 (the Robertson defaults); idf is the odds ratio
+# without the log (see module docstring).  Every factor is written as
+# the SAME expression tree in Spark and DuckDB, so the doubles agree
+# bitwise before the defensive 6-dp rounding.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "join", "query"]
+_BM25_TOPK = 20
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tf AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS dl,
+         {', '.join(
+             f"CAST(len(list_filter(w, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+             for i, term in enumerate(_BM25_TERMS)
+         )}
+  FROM t
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_dl,
+         {', '.join(
+             f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+             for i in range(len(_BM25_TERMS))
+         )}
+  FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.dl, {', '.join(f'tf.tf{i}' for i in range(len(_BM25_TERMS)))},
+         round(
+           {' + '.join(
+               f"((CAST(s.n_docs - s.df{i} AS DOUBLE) + 0.5) / (CAST(s.df{i} AS DOUBLE) + 0.5))"
+               f" * (CAST(tf.tf{i} AS DOUBLE) * 2.2)"
+               f" / (CAST(tf.tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+               f"(CAST(tf.dl * s.n_docs AS DOUBLE) / CAST(s.total_dl AS DOUBLE))))"
+               for i in range(len(_BM25_TERMS))
+           )}
+         , 6) AS score
+  FROM tf CROSS JOIN stats s
+)
+SELECT doc_id, dl,
+       {', '.join(f'tf{i} AS tf_{term}' for i, term in enumerate(_BM25_TERMS))},
+       score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("llm_bm25_rank", _BM25_ORACLE)
+def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the fixed query {table, join, query}.
+
+    Pass 1: one scalar aggregate (doc count, total length, per-term
+    document frequency) — map-side combinable longs, broadcast back as
+    a single row.  Pass 2: per-row scoring at scan speed (tf via
+    array filter, no explode), then a global top-k which Spark executes
+    as TakeOrdered (per-partition heap + k-row driver merge, no full
+    sort shuffle).  Corpus growth changes only the broadcast scalars."""
+    d = table(spark, sf_dir, "documents")
+
+    def _tf(i: int, term: str):
+        # NB: binding via a two-parameter lambda (`lambda x, t=term`) would
+        # make filter() treat the second parameter as the element INDEX —
+        # bind the term through this closure instead (see llm.py `_mh`).
+        return (
+            F.size(F.filter(words("text"), lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"tf{i}")
+        )
+
+    tf = d.select(
+        "doc_id",
+        F.size(words("text")).cast("long").alias("dl"),
+        *[_tf(i, term) for i, term in enumerate(_BM25_TERMS)],
+    )
+    stats = tf.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    # identical expression tree to the oracle: odds-ratio idf × saturated
+    # tf × length normalization, summed left-to-right over the terms
+    ratio = F.col("dl").cast("double") * F.col("n_docs") / F.col("total_dl").cast(
+        "double"
+    )
+
+    def term_score(i: int):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + 0.5) / (
+            F.col(f"df{i}").cast("double") + 0.5
+        )
+        tfc = F.col(f"tf{i}").cast("double")
+        return idf * (tfc * 2.2) / (tfc + 1.2 * (0.25 + 0.75 * ratio))
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(_BM25_TERMS)],
+        F.round(score, 6).alias("score"),
+    )
+    # top-k FIRST (TakeOrdered: per-partition heap, k-row merge — no full
+    # sort shuffle), then rank the k survivors; the global window touches
+    # only _BM25_TOPK rows.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        "score",
+        "rk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_semdedup — SemDeDup semantic near-duplicate pruning: k-means the
+# embeddings (same seeded Lloyd rounds as llm_sim_ivf), then inside each
+# cluster drop any vector whose cosine to a lower-id cluster member
+# exceeds the threshold.  τ = 0.35 is the demonstration threshold for
+# this synthetic corpus (max pairwise cosine ≈ 0.51; production corpora
+# with real duplicates use ~0.95).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_sql_kmeans_ctes()},
+cells AS (
+  SELECT a.vec_id, a.cid, a.v,
+         CAST(count(*) OVER (PARTITION BY a.cid) AS BIGINT) AS n_cell
+  FROM a{_KMEANS_ITERS} a
+), pairs AS (
+  SELECT me.vec_id, max({sql_cosine('me.v', 'lo.v')}) AS max_sim_lower
+  FROM cells me JOIN cells lo
+    ON me.cid = lo.cid AND lo.vec_id < me.vec_id
+  GROUP BY me.vec_id
+)
+SELECT c.vec_id, c.cid, c.n_cell,
+       COALESCE(p.max_sim_lower, CAST(-1.0 AS DOUBLE)) AS max_sim_lower,
+       (COALESCE(p.max_sim_lower, CAST(-1.0 AS DOUBLE)) > {_SEMDEDUP_TAU}) AS is_dup
+FROM cells c LEFT JOIN pairs p ON c.vec_id = p.vec_id
+"""
+
+
+@register("llm_semdedup", _SEMDEDUP_ORACLE)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: per-cluster semantic dedup verdicts.
+
+    Reuses the llm_sim_ivf k-means (broadcast-join assignment, Q1.30
+    fixed-point centroid means — bitwise-identical cells in both
+    engines).  The dedup pass is ONE self-join keyed on the cluster id:
+    each vector meets only its own cluster's lower-id members, so the
+    quadratic term is Σ cell² — bounded by how K scales with the
+    corpus, never N².  Keep-lowest-id is the deterministic greedy
+    SemDeDup keeper rule; max_sim_lower is the audit value a pipeline
+    thresholds when tuning τ."""
+    e = table(spark, sf_dir, "embeddings")
+    _, assigned = _kmeans_cells(e)
+    cells = assigned.withColumn(
+        "n_cell", F.count("*").over(W.partitionBy("cid")).cast("long")
+    )
+    me = cells.select("vec_id", "cid", "v", "n_cell")
+    lo = cells.select(
+        F.col("vec_id").alias("lo_id"), F.col("cid").alias("lo_cid"), F.col("v").alias("lo_v")
+    )
+    pairs = (
+        me.join(lo, (F.col("cid") == F.col("lo_cid")) & (F.col("lo_id") < F.col("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.max(cosine(F.col("v"), F.col("lo_v"))).alias("max_sim_lower"))
+    )
+    out = me.join(pairs, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        "n_cell",
+        F.coalesce(F.col("max_sim_lower"), F.lit(-1.0)).alias("max_sim_lower"),
+    )
+    return out.select(
+        "vec_id",
+        "cid",
+        "n_cell",
+        "max_sim_lower",
+        (F.col("max_sim_lower") > _SEMDEDUP_TAU).alias("is_dup"),
+    )

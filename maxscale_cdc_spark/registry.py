@@ -38,6 +38,7 @@ def load_all() -> None:
         quality,
         relational,
         relational2,
+        retrieval,
         sources,
         tpch,
         tpch2,

@@ -346,3 +346,46 @@ def str_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_files(deduped)
     return out.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
+
+
+@register(
+    "str_topk_windowed",
+    f"""
+    WITH agg AS (
+      SELECT {_WIN_SQL} AS wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY wstart ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM agg
+    )
+    SELECT wstart, event_type, n, rk FROM ranked WHERE rk <= 2
+    """,
+)
+def str_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: the trending-items query.  The
+    STREAMING side holds only the windowed (window, type) counts —
+    bounded state, complete-mode memory sink of |windows|×|types| rows;
+    the top-2 ranking runs as a BATCH window over that already-tiny
+    aggregate (ranking inside the stream would need arbitrary stateful
+    processing for no state saving — the aggregate is the state either
+    way).  At 100 TB the windowed count state is watermark-bounded and
+    the rank pass touches aggregate rows only, never events."""
+    staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
+    stream = read_stream(spark, staged)
+    agg = stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    flat = out.select(F.col("w.start").alias("wstart"), "event_type", "n")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("wstart").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        flat.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("wstart", "event_type", "n", "rk")
+    )

@@ -342,3 +342,36 @@ def test_minhash_accuracy_no_python_banded(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not has_cartesian(df), plan
+
+
+def test_bm25_broadcast_stats_takeordered(spark, sf_dir):
+    """BM25: corpus stats join must broadcast (1-row scalar side) and
+    the top-k must be TakeOrdered, not a full sort; all JVM-side."""
+    df = _q("llm_bm25_rank", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats broadcast
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_cell_keyed_join_no_python(spark, sf_dir):
+    """SemDeDup: the pairwise pass must be keyed on the cluster id
+    (hash/sort-merge join, never cartesian) and stay JVM-side.  The
+    k-means rounds DO use BroadcastNestedLoopJoin (KB-sized centroid
+    broadcast) — only a true CartesianProduct is a failure."""
+    df = _q("llm_semdedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_changelog_compact_single_agg(spark, sf_dir):
+    """Net-effect compaction is ONE keyed aggregation: exactly one
+    exchange, no window, no join — min_by/max_by combine map-side."""
+    df = _q("cdc_changelog_compact", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
