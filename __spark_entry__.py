@@ -102,9 +102,24 @@ _PRIORITY = {
     "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 }
 
-# Emptied in round 4: every formerly-deferred id is registered and the
-# whole unverified set fits the 50-entry sweep budget.
+# Emptied in round 4: every formerly-deferred id is registered.
 _DEFERRED: set[str] = set()
+
+# Unverified queries split into two risk classes: queries that have
+# NEVER had a driver row (new this round) certify before queries that
+# HAD a green row and were demoted only because their code was
+# rewritten (sink-path / staging changes — same oracle, locally green
+# before and after).  With 57 unverified vs the 50-entry sweep budget,
+# the ~7 that miss should be the demoted-but-formerly-green tail, not
+# brand-new operators.
+_DEMOTED = {
+    "llm_contamination", "llm_lm_score", "llm_repetition",
+    "llm_dedup_jaccard_prefix", "snk_compact", "src_cdc_datasource",
+    "src_cdc_stream", "src_tcp_transport", "str_dedup_stream",
+    "str_dedup_within_watermark", "str_sliding", "str_stateful",
+    "str_stream_static_join", "str_stream_stream_join", "str_tumbling",
+    "str_watermark_late", "llm_cross_doc_overlap",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
@@ -115,6 +130,7 @@ _HEAVY = {
     "str_tumbling",
     "str_sliding", "str_watermark_late", "str_dedup_stream",
     "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",
+    "str_topk_windowed", "str_cdc_apply",
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",
@@ -130,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("_PRIORITY", _PRIORITY),
         ("_DEFERRED", _DEFERRED),
         ("_HEAVY", _HEAVY),
+        ("_DEMOTED", _DEMOTED),
     ):
         unknown = group - registry.QUERIES.keys()
         assert not unknown, f"{label} names unregistered queries: {sorted(unknown)}"
@@ -147,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n in _DRIVER_GREEN,
             n in _DEFERRED,
             n not in _PRIORITY,
+            n in _DEMOTED,
             n in _HEAVY,
             n,
         ),

@@ -412,20 +412,21 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect — at 100 TB this runs on a SAMPLE of buckets
     (hash-select bucket keys), which composes for free since every
     step is keyed on the bucket."""
-    d = table(spark, sf_dir, "documents")
-    docw = d.select(
+    d = wide_table(spark, sf_dir, "documents")
+    # split once; the MD5 minhash transforms below are the per-row hot
+    # loop (8 permutations × every shingle)
+    split = d.select("doc_id", words("text").alias("w"))
+    docw = split.filter(F.size("w") >= 2).select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(words("text")) - 1),
+                F.sequence(F.lit(1), F.size("w") - 1),
                 lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(words("text"), i),
-                    F.element_at(words("text"), i + 1),
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
                 ),
             )
         ).alias("shs"),
-    ).filter(F.size(words("text")) >= 2)
+    )
     def _mh(j: int):
         # NB: a two-parameter lambda (`lambda x, j=j: ...`) would be
         # treated by transform() as (element, index) and silently rebind
@@ -434,7 +435,13 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{j}:"), x)))
         ).alias(f"m{j}")
 
-    sig = docw.select("doc_id", "shs", *[_mh(j) for j in range(_MH_K)])
+    # the signature lineage is consumed FOUR times (two band selects in
+    # the union, then both sides of the candidate join-back) — pin it
+    # once so the 8×|shingles| MD5 pass runs once, not four times
+    # (A/B at sf0.1: 28.1 s → 2.1 s min-of-3)
+    sig = docw.select(
+        "doc_id", "shs", *[_mh(j) for j in range(_MH_K)]
+    ).localCheckpoint(eager=False)
     bands = None
     for b in range(2):
         cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]

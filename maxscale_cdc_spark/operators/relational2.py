@@ -962,3 +962,39 @@ def rel_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_regex — the regular-expression function surface: extract / extract-
+# all / replace / match over the documents table.  Patterns are kept in
+# the RE2 ∩ Java-regex common subset (character classes, literals,
+# quantifiers — no backrefs, no lookaround) so both engines produce
+# identical matches with leftmost-earliest semantics.
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, 'a[a-z]+') AS first_a_word,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]*')) AS BIGINT) AS n_ta,
+       substr(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 40) AS masked40,
+       regexp_matches(text, 'merge.*join') AS has_merge_join
+FROM documents
+"""
+
+
+@register("fn_regex", _REGEX_ORACLE)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_extract_all / regexp_replace / rlike —
+    all JVM-side row-local expressions: no shuffle, scan-speed, and at
+    100 TB they pipeline into whatever scan already runs (composing
+    regex gates costs zero extra passes)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "a[a-z]+", 0).alias("first_a_word"),
+        F.size(F.expr("regexp_extract_all(text, 'ta[a-z]*', 0)"))
+        .cast("long")
+        .alias("n_ta"),
+        F.substring(F.regexp_replace("text", "[aeiou]", "*"), 1, 40).alias("masked40"),
+        F.col("text").rlike("merge.*join").alias("has_merge_join"),
+    )

@@ -304,3 +304,76 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_sim_lower",
         (F.col("max_sim_lower") > _SEMDEDUP_TAU).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_embed_outliers — embedding-space QA: cosine of every vector to its
+# label's prototype (Q1.30-exact elementwise mean, the llm_embed_centroid
+# discipline), with an outlier flag at cos < 0.  Mislabeled / corrupted
+# embeddings surface as low-similarity rows — the audit a pipeline runs
+# before trusting labels for curriculum or mixture decisions.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TAU = 0.0
+_Q30F = 1073741824.0
+
+_OUTLIER_ORACLE = f"""
+WITH flat AS (
+  SELECT label, i.i AS dim,
+         CAST(floor(CAST(embedding AS DOUBLE[])[i.i] * {_Q30F}) AS BIGINT) AS q30
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+), m AS (
+  SELECT label, dim,
+         CAST(sum(q30) AS DOUBLE) / (count(*) * {_Q30F}) AS m
+  FROM flat GROUP BY label, dim
+), cent AS (
+  SELECT label, list(m ORDER BY dim) AS cv FROM m GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       {sql_cosine("CAST(e.embedding AS DOUBLE[])", "c.cv")} AS cos_centroid,
+       ({sql_cosine("CAST(e.embedding AS DOUBLE[])", "c.cv")} < {_OUTLIER_TAU}) AS is_outlier
+FROM embeddings e JOIN cent c ON e.label = c.label
+"""
+
+
+@register("llm_embed_outliers", _OUTLIER_ORACLE)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine to the label prototype, outlier-flagged.
+
+    One (label, dim) keyed aggregation builds the prototypes (Q1.30
+    fixed-point sums — partitioning-invariant and cross-engine exact,
+    see llm_embed_centroid), reassembled to arrays and BROADCAST back
+    (|labels| rows) so the scoring pass is a map-side join at scan
+    speed.  At 100 TB: the only shuffle carries (label, dim) partial
+    sums — combinable longs; the N-row pass never shuffles."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val") * _Q30F).cast("long").alias("q30"),
+    )
+    m = flat.groupBy("label", "dim").agg(
+        (F.sum("q30").cast("double") / (F.count("*") * F.lit(_Q30F))).alias("m")
+    )
+    cent = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    sim = F.round(
+        dot(as_double("embedding"), F.col("cv"))
+        / F.sqrt(norm_sq(as_double("embedding")) * norm_sq(F.col("cv"))),
+        6,
+    )
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            sim.alias("cos_centroid"),
+            (sim < _OUTLIER_TAU).alias("is_outlier"),
+        )
+    )

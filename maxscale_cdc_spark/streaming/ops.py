@@ -389,3 +389,62 @@ def str_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("wstart", "event_type", "n", "rk")
     )
+
+
+@register(
+    "str_cdc_apply",
+    # identical semantics to cdc_latest_state (operators/cdc.py): domain/
+    # server_id/event_number are constants in the synthesized envelope, so
+    # ordering by sequence alone IS the reference total order
+    """
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             CASE event_type WHEN 'signup' THEN 'insert' WHEN 'purchase' THEN 'insert'
+                  WHEN 'view' THEN 'update_before' WHEN 'click' THEN 'update_after'
+                  ELSE 'delete' END AS dml_type,
+             user_id AS pk, value,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ), ranked AS (
+      SELECT pk, sequence, dml_type, value, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc
+    )
+    SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
+    FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+    """,
+)
+def str_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply as a STREAMING query — the reference's whole purpose
+    (consume the change stream, hold current state) in streaming form.
+
+    The stream lifts events into the envelope shape (cdc.py's mapping,
+    client.go:144-162 semantics) and aggregates per pk with
+    max_by(image, sequence): state is ONE row per key (the materialized
+    table itself — the minimum any CDC consumer holds), complete-mode
+    memory sink carries |pk| rows, never the event log.  The
+    delete-filter runs batch-side over the aggregate.  At 100 TB the
+    same plan runs update-mode into an upsert sink partitioned by pk."""
+    staged = stage_as_stream(table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}")
+    stream = read_stream(spark, staged)
+    cdc = stream.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    agg = cdc.groupBy("pk").agg(
+        F.max("sequence").alias("last_seq"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value", "sequence").alias("last_value"),
+        F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value", "last_ts_unix"
+    )

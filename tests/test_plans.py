@@ -375,3 +375,22 @@ def test_changelog_compact_single_agg(spark, sf_dir):
     assert exchange_count(df) == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_embed_outliers_broadcast_prototypes(spark, sf_dir):
+    """Label prototypes (|labels| rows) must broadcast back — the
+    N-row scoring pass joins map-side; only the (label, dim) agg
+    shuffles."""
+    df = _q("llm_embed_outliers", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fn_regex_no_shuffle(spark, sf_dir):
+    """Row-local regex surface: zero exchanges, scan-speed."""
+    df = _q("fn_regex", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) == 0, plan
