@@ -257,3 +257,92 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_pair_batches — contrastive training-batch construction over
+# (media, caption) pairs: join the media embedding table to its caption
+# row, shuffle deterministically (md5 of the id), pack into fixed-size
+# batches, and audit each batch for label collisions (two pairs with
+# the same label inside one batch are false negatives for the
+# contrastive loss — the curation signal this operator exports).
+# ---------------------------------------------------------------------------
+
+_PAIR_BATCH = 16
+
+_PAIR_BATCH_ORACLE = f"""
+WITH pairs AS (
+  SELECT d.doc_id, e.label, d.lang,
+         md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), placed AS (
+  SELECT doc_id, label, lang,
+         substr(h, 1, 2) AS bucket,
+         CAST(row_number() OVER (PARTITION BY substr(h, 1, 2)
+                                 ORDER BY h, doc_id) - 1 AS BIGINT) AS rn
+  FROM pairs
+), b AS (
+  SELECT doc_id, label, lang,
+         bucket || '-' || CAST(rn // {_PAIR_BATCH} AS VARCHAR) AS batch_id,
+         CAST(rn % {_PAIR_BATCH} AS BIGINT) AS pos
+  FROM placed
+)
+SELECT batch_id, pos, doc_id, label, lang,
+       (count(*) OVER (PARTITION BY batch_id, label) > 1) AS label_collision
+FROM b
+"""
+
+
+@register("mm_pair_batches", _PAIR_BATCH_ORACLE)
+def mm_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive batch packing + false-negative audit.
+
+    Two-level assignment keeps it scale-free: an md5 BUCKET (256-way,
+    uniform) then a row_number within the bucket — the packing window
+    is KEYED on the bucket, so no global sort and no single-partition
+    window at any corpus size; batches are fixed-size within buckets.
+    The collision audit is one more keyed window on (batch, label).
+    The pair join runs on the shared id — at 100 TB both sides are
+    bucketed by id and the join is co-located."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    pairs = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "label",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    placed = pairs.select(
+        "doc_id",
+        "label",
+        "lang",
+        F.substring("h", 1, 2).alias("bucket"),
+        "h",
+    ).withColumn(
+        "rn",
+        (
+            F.row_number().over(W.partitionBy(F.substring("h", 1, 2)).orderBy("h", "doc_id"))
+            - 1
+        ).cast("long"),
+    )
+    b = placed.select(
+        "doc_id",
+        "label",
+        "lang",
+        F.concat_ws(
+            "-", F.col("bucket"), F.expr(f"rn div {_PAIR_BATCH}").cast("string")
+        ).alias("batch_id"),
+        (F.col("rn") % _PAIR_BATCH).cast("long").alias("pos"),
+    )
+    return b.select(
+        "batch_id",
+        "pos",
+        "doc_id",
+        "label",
+        "lang",
+        (F.count("*").over(W.partitionBy("batch_id", "label")) > 1).alias(
+            "label_collision"
+        ),
+    )

@@ -487,3 +487,47 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_vocab_coverage — tokenizer-vocabulary audit: per document, the
+# fraction of word tokens outside a fixed vocabulary (the OOV rate a
+# team measures before committing to a tokenizer/vocab size; rising
+# OOV on a new source means the tokenizer fragments it into bytes).
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["table", "join", "query", "scan", "merge", "batch", "value", "key", "row", "data"]
+
+_VOCAB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(w, x -> NOT list_contains({_VOCAB!r}, x))) AS BIGINT) AS n_oov,
+       CAST(len(list_filter(w, x -> NOT list_contains({_VOCAB!r}, x))) AS DOUBLE)
+         / len(w) AS oov_rate
+FROM t
+"""
+
+
+@register("llm_vocab_coverage", _VOCAB_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against a fixed vocabulary.
+
+    Pure per-row array math (split once, one filter) — zero shuffle,
+    scan speed, composes onto any existing corpus pass for free.  A
+    real vocab is 10⁴-10⁵ entries: broadcast it as a map-side set the
+    same way (array literal → Catalyst in-set), or join-broadcast a
+    vocab table; either way the pass stays shuffle-free.  oov_rate is
+    an integer ratio — bitwise-equal across engines."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", "lang", words("text").alias("w"))
+    n_oov = F.size(F.filter("w", lambda x: ~x.isin(*_VOCAB))).cast("long")
+    return split.select(
+        "doc_id",
+        "lang",
+        F.size("w").cast("long").alias("n_words"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.size("w")).alias("oov_rate"),
+    )

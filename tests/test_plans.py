@@ -394,3 +394,24 @@ def test_fn_regex_no_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert exchange_count(df) == 0, plan
+
+
+def test_pair_batches_keyed_windows_no_global_sort(spark, sf_dir):
+    """Batch packing must use bucket-KEYED windows (no global
+    single-partition sort) and an equi-join on the pair id."""
+    df = _q("mm_pair_batches", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not has_cartesian(df), plan
+    # every Window node partitions by a key — a global window would
+    # print 'Window [...], []' with an empty partition spec
+    import re
+    assert not re.search(r"Window \[[^\]]*\], \[\]", plan), plan
+
+
+def test_vocab_coverage_no_shuffle(spark, sf_dir):
+    """OOV audit is row-local: zero exchanges."""
+    df = _q("llm_vocab_coverage", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert exchange_count(df) == 0, plan

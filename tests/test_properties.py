@@ -135,3 +135,55 @@ def test_min_label_closure_collapses_chains(spark):
     assert reps == {1: 1, 2: 1, 3: 1,
                     10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                     20: 20, 21: 20}
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=6)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # pk
+            st.sampled_from(["insert", "update_after", "delete"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_changelog_compact_net_semantics(spark, ops):
+    """Replaying a compacted (pk, batch) net operation against a sink
+    must produce the same final presence as replaying every original
+    event: present iff the last DML is not a delete; and the compacted
+    image must be the LAST image."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (pk, seq, dml, float(seq))  # value tracks sequence so image == last
+        for seq, (pk, dml) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(rows, "pk long, sequence long, dml_type string, value double")
+    agg = df.groupBy("pk").agg(
+        F.min_by("dml_type", "sequence").alias("first_dml"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value", "sequence").alias("last_value"),
+    )
+    net = (
+        F.when((F.col("first_dml") == "insert") & (F.col("last_dml") == "delete"), "none")
+        .when(F.col("first_dml") == "insert", "insert")
+        .when(F.col("last_dml") == "delete", "delete")
+        .otherwise("update")
+    )
+    out = {r["pk"]: (r["net"], r["last_value"]) for r in agg.select("pk", net.alias("net"), "last_value").collect()}
+    # reference semantics replayed in Python
+    state: dict[int, float] = {}
+    last: dict[int, tuple[str, float]] = {}
+    for seq, (pk, dml) in enumerate(ops):
+        last[pk] = (dml, float(seq))
+        if dml == "delete":
+            state.pop(pk, None)
+        else:
+            state[pk] = float(seq)
+    for pk, (net_op, lv) in out.items():
+        present_after_replay = pk in state
+        if net_op in ("none", "delete"):
+            assert not present_after_replay, (pk, net_op)
+        else:
+            assert present_after_replay and state[pk] == lv, (pk, net_op, lv)
