@@ -118,7 +118,10 @@ _DEMOTED = {
     "src_cdc_stream", "src_tcp_transport", "str_dedup_stream",
     "str_dedup_within_watermark", "str_sliding", "str_stateful",
     "str_stream_static_join", "str_stream_stream_join", "str_tumbling",
-    "str_watermark_late", "llm_cross_doc_overlap",
+    "str_watermark_late",
+    # NB: llm_cross_doc_overlap (the r3 FAIL row) is deliberately NOT
+    # here — it was never green, and it must certify FIRST (_PRIORITY),
+    # not sort behind the priority block via the demoted key.
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

@@ -323,8 +323,7 @@ def mm_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rn",
         (
-            F.row_number().over(W.partitionBy(F.substring("h", 1, 2)).orderBy("h", "doc_id"))
-            - 1
+            F.row_number().over(W.partitionBy("bucket").orderBy("h", "doc_id")) - 1
         ).cast("long"),
     )
     b = placed.select(

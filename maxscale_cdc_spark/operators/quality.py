@@ -403,6 +403,10 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 
 @register("llm_minhash_accuracy", _MH_ACC_ORACLE)
 def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_accuracy_frame(spark, sf_dir, stage=True)
+
+
+def _minhash_accuracy_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
     """MinHash estimator audit over the LSH candidate set.
 
     Same single keyed aggregation that llm_dedup_near pays (signatures
@@ -438,10 +442,12 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature lineage is consumed FOUR times (two band selects in
     # the union, then both sides of the candidate join-back) — pin it
     # once so the 8×|shingles| MD5 pass runs once, not four times
-    # (A/B at sf0.1: 28.1 s → 2.1 s min-of-3)
-    sig = docw.select(
-        "doc_id", "shs", *[_mh(j) for j in range(_MH_K)]
-    ).localCheckpoint(eager=False)
+    # (A/B at sf0.1: 28.1 s → 2.1 s min-of-3).  stage=False keeps the
+    # full lineage visible for plan gates (a checkpoint hides upstream
+    # operators behind a LogicalRDD scan).
+    sig = docw.select("doc_id", "shs", *[_mh(j) for j in range(_MH_K)])
+    if stage:
+        sig = sig.localCheckpoint(eager=False)
     bands = None
     for b in range(2):
         cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]

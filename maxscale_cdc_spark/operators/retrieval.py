@@ -31,8 +31,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.text import words
-from maxscale_cdc_spark.functions.vectors import dot, norm_sq, sql_cosine
-from maxscale_cdc_spark.functions.vectors import as_double
+from maxscale_cdc_spark.functions.vectors import (
+    as_double,
+    dot,
+    norm_sq,
+    q30_mean_arrays,
+    sql_cosine,
+)
 from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _sql_kmeans_ctes
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.tables import table, wide_table
@@ -204,15 +209,18 @@ def _sd_kmeans_cells(e: DataFrame) -> DataFrame:
     deterministic function of the vector, so every similarity this
     computes is the bitwise-same double `cosine()` would produce — the
     oracle's per-pair `sql_cosine` matches — at one third of the
-    assignment flops (the crossJoin evaluates N·K pairs per round)."""
+    assignment flops (the crossJoin evaluates N·K pairs per round).
+    Kept separate from llm._kmeans_cells on purpose: that helper backs
+    driver-green queries (llm_sim_ivf/_probe) whose code must not churn
+    — see the demotion rule in __spark_entry__.py; the two MUST stay
+    arithmetically identical (Q1.30 update via q30_mean_arrays,
+    round-6 cosine, cid tie-break).
+
+    Pass `e` through wide_table so the N·K crossJoin similarity loop is
+    spread across cores, not serialized on a one-row-group scan."""
     vecs = e.select("vec_id", as_double("embedding").alias("v")).withColumn(
         "nsq", norm_sq(F.col("v"))
     )
-    # the crossJoin's N·K similarity evaluations are the hot loop — make
-    # sure a one-row-group parquet doesn't serialize them on one core
-    target = e.sparkSession.sparkContext.defaultParallelism
-    if vecs.rdd.getNumPartitions() < target:
-        vecs = vecs.repartition(target)
     cents = (
         e.filter(F.col("vec_id") < _SEMDEDUP_CELLS)
         .select(F.col("vec_id").alias("cid"), as_double("embedding").alias("cv"))
@@ -235,19 +243,9 @@ def _sd_kmeans_cells(e: DataFrame) -> DataFrame:
 
     def update(assigned_df: DataFrame) -> DataFrame:
         # identical Q1.30 fixed-point mean as llm._kmeans_cells.update
-        flat = assigned_df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
-            "cid",
-            (F.col("dim0") + 1).alias("dim"),
-            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+        return q30_mean_arrays(assigned_df, "cid").withColumn(
+            "cnsq", norm_sq(F.col("cv"))
         )
-        m = flat.groupBy("cid", "dim").agg(
-            (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias("m")
-        )
-        return m.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("cv")
-        ).withColumn("cnsq", norm_sq(F.col("cv")))
 
     assigned = assign(cents)
     for _ in range(_KMEANS_ITERS):
@@ -257,6 +255,10 @@ def _sd_kmeans_cells(e: DataFrame) -> DataFrame:
 
 @register("llm_semdedup", _SEMDEDUP_ORACLE)
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_frame(spark, sf_dir, stage=True)
+
+
+def _semdedup_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
     """SemDeDup: per-cluster semantic dedup verdicts.
 
     Same seeded Lloyd's k-means as llm_sim_ivf (broadcast-join
@@ -267,12 +269,18 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's lower-id members, so the quadratic term is Σ cell² —
     bounded by how K scales with the corpus, never N².  Keep-lowest-id
     is the deterministic greedy SemDeDup keeper rule; max_sim_lower is
-    the audit value a pipeline thresholds when tuning τ."""
-    e = table(spark, sf_dir, "embeddings")
+    the audit value a pipeline thresholds when tuning τ.
+
+    `stage=False` skips the localCheckpoint pin so plan gates can
+    assert on the FULL lineage (a checkpoint hides everything upstream
+    behind a LogicalRDD scan — see test_plans.py)."""
+    e = wide_table(spark, sf_dir, "embeddings")
     # the self-join + cell-size window evaluate this lineage three
     # times; pin the (tiny: id, vector, nsq, cid) assignment once —
     # A/B-measured 5.7 s → 4.1 s at sf0.1 (min-of-3)
-    assigned = _sd_kmeans_cells(e).localCheckpoint(eager=False)
+    assigned = _sd_kmeans_cells(e)
+    if stage:
+        assigned = assigned.localCheckpoint(eager=False)
     cells = assigned.withColumn(
         "n_cell", F.count("*").over(W.partitionBy("cid")).cast("long")
     )
@@ -347,21 +355,8 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed.  At 100 TB: the only shuffle carries (label, dim) partial
     sums — combinable longs; the N-row pass never shuffles."""
     e = table(spark, sf_dir, "embeddings")
-    flat = e.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
-    ).select(
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        F.floor(F.col("val") * _Q30F).cast("long").alias("q30"),
-    )
-    m = flat.groupBy("label", "dim").agg(
-        (F.sum("q30").cast("double") / (F.count("*") * F.lit(_Q30F))).alias("m")
-    )
-    cent = m.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-        ).alias("cv")
+    cent = q30_mean_arrays(
+        e.select("label", as_double("embedding").alias("v")), "label"
     )
     sim = F.round(
         dot(as_double("embedding"), F.col("cv"))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.numeric import dec
+from maxscale_cdc_spark.operators.cdc import _DML_CASE_SQL
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.streaming.runners import (
     read_stream,
@@ -395,13 +396,12 @@ def str_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_cdc_apply",
     # identical semantics to cdc_latest_state (operators/cdc.py): domain/
     # server_id/event_number are constants in the synthesized envelope, so
-    # ordering by sequence alone IS the reference total order
-    """
+    # ordering by sequence alone IS the reference total order.  The DML
+    # mapping is interpolated from cdc._DML_CASE_SQL — ONE definition.
+    f"""
     WITH cdc AS (
       SELECT event_id AS sequence,
-             CASE event_type WHEN 'signup' THEN 'insert' WHEN 'purchase' THEN 'insert'
-                  WHEN 'view' THEN 'update_before' WHEN 'click' THEN 'update_after'
-                  ELSE 'delete' END AS dml_type,
+             {_DML_CASE_SQL} AS dml_type,
              user_id AS pk, value,
              CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
       FROM events

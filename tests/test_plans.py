@@ -337,8 +337,14 @@ def test_tombstone_gc_single_shuffle(spark, sf_dir):
 
 
 def test_minhash_accuracy_no_python_banded(spark, sf_dir):
-    """Estimator audit must stay banded (no cartesian) and JVM-side."""
-    df = _q("llm_minhash_accuracy", spark, sf_dir)
+    """Estimator audit must stay banded (no cartesian) and JVM-side.
+    Assert on the UNSTAGED lineage: the registered query pins the
+    signature table via localCheckpoint, which hides everything
+    upstream behind a LogicalRDD scan and would make these assertions
+    vacuous for the 8-permutation MD5 stage."""
+    from maxscale_cdc_spark.operators.quality import _minhash_accuracy_frame
+
+    df = _minhash_accuracy_frame(spark, sf_dir, stage=False)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not has_cartesian(df), plan
@@ -359,8 +365,12 @@ def test_semdedup_cell_keyed_join_no_python(spark, sf_dir):
     """SemDeDup: the pairwise pass must be keyed on the cluster id
     (hash/sort-merge join, never cartesian) and stay JVM-side.  The
     k-means rounds DO use BroadcastNestedLoopJoin (KB-sized centroid
-    broadcast) — only a true CartesianProduct is a failure."""
-    df = _q("llm_semdedup", spark, sf_dir)
+    broadcast) — only a true CartesianProduct is a failure.  Assert on
+    the UNSTAGED lineage so the Lloyd rounds are visible (the
+    registered query's localCheckpoint hides them)."""
+    from maxscale_cdc_spark.operators.retrieval import _semdedup_frame
+
+    df = _semdedup_frame(spark, sf_dir, stage=False)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
