@@ -1044,3 +1044,79 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         "last_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_safe_resume — the resume-position computation behind WithGTID
+# (client.go:122-126): a consumer may only resume from a position with
+# NO unprocessed event before it, or replay loses data.  Consumers are
+# the 8 pk-hash partitions; "processed" is the deterministic ack rule
+# sequence % 7 != 0 (so every bucket has in-flight holes).  The safe
+# resume position per consumer is the greatest acked sequence below
+# that consumer's first unacked event.
+# ---------------------------------------------------------------------------
+
+_RESUME_BUCKETS = 8
+
+_SAFE_RESUME_ORACLE = f"""
+{CDC_SQL}
+, marked AS (
+  SELECT pk % {_RESUME_BUCKETS} AS bucket, sequence,
+         (sequence % 7 <> 0) AS acked
+  FROM cdc
+), firsts AS (
+  SELECT bucket,
+         min(CASE WHEN NOT acked THEN sequence END) AS first_unacked
+  FROM marked GROUP BY bucket
+)
+SELECT m.bucket,
+       CAST(f.first_unacked AS BIGINT) AS first_unacked,
+       CAST(max(CASE WHEN m.acked AND (f.first_unacked IS NULL OR m.sequence < f.first_unacked)
+                     THEN m.sequence END) AS BIGINT) AS safe_resume_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN m.acked THEN 1 ELSE 0 END) AS BIGINT) AS n_acked
+FROM marked m JOIN firsts f ON m.bucket = f.bucket
+GROUP BY m.bucket, f.first_unacked
+"""
+
+
+@register("cdc_safe_resume", _SAFE_RESUME_ORACLE)
+def cdc_safe_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-safe-GTID per consumer partition.
+
+    Two aggregations on the SAME bucket key (first-unacked, then the
+    guarded max below it) with an 8-row broadcast join between them —
+    the second agg reuses the first's partitioning.  This is the
+    checkpoint a sharded CDC consumer persists: resuming at
+    safe_resume_seq + 1 replays every unacked event exactly once
+    (client.go:122-126 WithGTID semantics).  All longs; no windows, no
+    sorts — at 100 TB the shuffle carries (bucket, sequence) pairs and
+    combines map-side."""
+    cdc = cdc_view(spark, sf_dir)
+    marked = cdc.select(
+        (F.col("pk") % _RESUME_BUCKETS).alias("bucket"),
+        "sequence",
+        (F.col("sequence") % 7 != 0).alias("acked"),
+    )
+    firsts = marked.groupBy("bucket").agg(
+        F.min(F.when(~F.col("acked"), F.col("sequence"))).alias("first_unacked")
+    )
+    joined = marked.join(F.broadcast(firsts), "bucket")
+    safe = F.max(
+        F.when(
+            F.col("acked")
+            & (F.col("first_unacked").isNull() | (F.col("sequence") < F.col("first_unacked"))),
+            F.col("sequence"),
+        )
+    )
+    return joined.groupBy("bucket", "first_unacked").agg(
+        safe.cast("long").alias("safe_resume_seq"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("acked").cast("long")).cast("long").alias("n_acked"),
+    ).select(
+        "bucket",
+        F.col("first_unacked").cast("long").alias("first_unacked"),
+        "safe_resume_seq",
+        "n_events",
+        "n_acked",
+    )

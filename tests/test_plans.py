@@ -425,3 +425,13 @@ def test_vocab_coverage_no_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert exchange_count(df) == 0, plan
+
+
+def test_safe_resume_broadcast_firsts(spark, sf_dir):
+    """Safe-resume: the per-bucket first-unacked side (8 rows) must
+    broadcast; both aggs are map-side combinable, no window."""
+    df = _q("cdc_safe_resume", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
