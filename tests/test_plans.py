@@ -435,3 +435,18 @@ def test_safe_resume_broadcast_firsts(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_sim_pq_broadcast_codebooks_no_python(spark, sf_dir):
+    """PQ: every codebook/ADC side must broadcast (K rows per
+    subspace); the encode aggs are keyed min-structs, no window, no
+    cartesian, all JVM-side.  Unstaged lineage (the registered query
+    pins the vector frame behind a localCheckpoint)."""
+    from maxscale_cdc_spark.operators.retrieval import _sim_pq_frame
+
+    df = _sim_pq_frame(spark, sf_dir, stage=False)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
