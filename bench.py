@@ -117,6 +117,22 @@ def main() -> None:
     # worker pool + Arrow serializer spin-up (~2 s); warm it with a
     # 100-row batch so udf_* queries measure the operator, not the pool.
     _li.limit(100).select(_warm_udf()(_F.col("l_quantity").cast("double"))).collect()
+    # Vector + staging shapes (round 4b): md5-over-array transforms
+    # (minhash signatures), zip_with folds (kmeans/PQ distances), and
+    # one localCheckpoint round-trip (block-manager first-touch) — the
+    # three machineries the retrieval/semdedup/minhash queries hit.
+    _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    _v = _F.col("embedding").cast("array<double>")
+    _staged = _emb.select(
+        "vec_id",
+        _F.array_min(_F.transform(_v, lambda x: _F.md5(x.cast("string")))).alias("m"),
+        _F.aggregate(
+            _F.zip_with(_v, _v, lambda a, b: (a - b) * (a - b)),
+            _F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    ).localCheckpoint(eager=False)
+    _staged.groupBy().count().collect()
 
     from maxscale_cdc_spark.streaming.runners import _release_stream_state
 

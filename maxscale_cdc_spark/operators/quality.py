@@ -537,3 +537,98 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.size("w")).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dataset_card — the per-source dataset card: the summary table a
+# training pipeline publishes with a corpus release (docs, token
+# budget, length stats, language mix, exact-dup rate).  One content-
+# hash window + one keyed aggregation; every number is a long or an
+# integer ratio.
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH base AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+  FROM documents
+), flagged AS (
+  SELECT source, lang, n_words, n_tok,
+         (row_number() OVER (PARTITION BY h ORDER BY source, lang, n_words) > 1) AS is_dup
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(max(n_words) AS BIGINT) AS max_words,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_share,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+FROM flagged
+GROUP BY source
+"""
+
+
+@register("llm_dataset_card", _CARD_ORACLE)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus release card.
+
+    The dup flag needs a deterministic keeper per content hash; since
+    the hash is unique per text, any total order of its duplicates
+    works — (source, lang, n_words) is used so the oracle's window and
+    Spark's agree without referencing row ids.  Shape at 100 TB: ONE
+    hash-keyed window (the dedup shuffle every release pays anyway) and
+    ONE map-side-combinable agg by source; token counts are the
+    integer-exact ceil(len/4) estimate (llm_bpe_token_est)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(words("text")).cast("long").alias("n_words"),
+        F.aggregate(
+            words("text"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_tok"),
+    )
+    flagged = base.select(
+        "source",
+        "lang",
+        "n_words",
+        "n_tok",
+        (
+            F.row_number().over(
+                W.partitionBy("h").orderBy("source", "lang", "n_words")
+            )
+            > 1
+        ).alias("is_dup"),
+    )
+    n_en = F.sum((F.col("lang") == "en").cast("long")).cast("long")
+    n_dup = F.sum(F.col("is_dup").cast("long")).cast("long")
+    agg = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        n_en.alias("n_en"),
+        n_dup.alias("n_exact_dup"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_words",
+        "min_words",
+        "max_words",
+        "n_en",
+        "n_exact_dup",
+        (F.col("n_en").cast("double") / F.col("n_docs")).alias("en_share"),
+        (F.col("n_exact_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
+    )

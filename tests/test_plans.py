@@ -450,3 +450,13 @@ def test_sim_pq_broadcast_codebooks_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dataset_card_two_shuffles(spark, sf_dir):
+    """Release card: one content-hash window + one source agg — at
+    most 2 keyed exchanges (+AQE artifacts), no Python, no join."""
+    df = _q("llm_dataset_card", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert exchange_count(df) <= 3, plan
