@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.registry import register
@@ -231,8 +232,6 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     training loader reads as its index.  First-fit-by-order keeps
     blob order stable — shard contents are deterministic under any
     cluster size."""
-    from pyspark.sql import Window as W
-
     w = (
         W.partitionBy("source")
         .orderBy("doc_id")

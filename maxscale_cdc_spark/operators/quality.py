@@ -586,13 +586,17 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combinable agg by source; token counts are the
     integer-exact ceil(len/4) estimate (llm_bpe_token_est)."""
     d = table(spark, sf_dir, "documents")
-    base = d.select(
+    # split once — two expressions over the same array, not two splits
+    split = d.select(
+        "source", "lang", F.md5("text").alias("h"), words("text").alias("w")
+    )
+    base = split.select(
         "source",
         "lang",
-        F.md5("text").alias("h"),
-        F.size(words("text")).cast("long").alias("n_words"),
+        "h",
+        F.size("w").cast("long").alias("n_words"),
         F.aggregate(
-            words("text"),
+            F.col("w"),
             F.lit(0).cast("long"),
             lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
         ).alias("n_tok"),

@@ -299,18 +299,13 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.max(sim).alias("max_sim_lower"))
     )
-    out = me.join(pairs, "vec_id", "left").select(
+    sim_lower = F.coalesce(F.col("max_sim_lower"), F.lit(-1.0))
+    return me.join(pairs, "vec_id", "left").select(
         "vec_id",
         "cid",
         "n_cell",
-        F.coalesce(F.col("max_sim_lower"), F.lit(-1.0)).alias("max_sim_lower"),
-    )
-    return out.select(
-        "vec_id",
-        "cid",
-        "n_cell",
-        "max_sim_lower",
-        (F.col("max_sim_lower") > _SEMDEDUP_TAU).alias("is_dup"),
+        sim_lower.alias("max_sim_lower"),
+        (sim_lower > _SEMDEDUP_TAU).alias("is_dup"),
     )
 
 

@@ -18,6 +18,7 @@ origin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.numeric import dec
@@ -380,8 +381,6 @@ def str_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, "complete")
     flat = out.select(F.col("w.start").alias("wstart"), "event_type", "n")
-    from pyspark.sql import Window as W
-
     rk = F.row_number().over(
         W.partitionBy("wstart").orderBy(F.col("n").desc(), "event_type")
     )
