@@ -442,7 +442,10 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two keyed counts + two hash joins on the bigram/word key —
     all map-side combinable; no UDFs, no explode beyond the gram list."""
     d = wide_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("bg"))
+    # split once — inline words() inside the bigram lambda re-splits per
+    # element (2.3x measured, see SCALING.md)
+    split = d.select("doc_id", words("text").alias("w"))
+    grams = split.select("doc_id", F.explode(word_bigrams(F.col("w"))).alias("bg"))
     bgc = grams.groupBy("bg").agg(F.count("*").alias("cbg"))
     w1c = bgc.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
         F.sum("cbg").alias("cw")
@@ -1392,8 +1395,9 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d0 = wide_table(spark, sf_dir, "documents")
     # doc_id, sh — distinct trigrams per doc, set semantics row-local
-    sh = d0.select(
-        "doc_id", F.explode(F.array_distinct(word_trigrams(words("text")))).alias("sh")
+    # (split projected first: inline words() re-splits per element)
+    sh = d0.select("doc_id", words("text").alias("w0")).select(
+        "doc_id", F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("sh")
     )
     # global document frequency per shingle: the rare-first total order
     df = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -1442,8 +1446,8 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     d = wide_table(spark, sf_dir, "documents")
-    docsets = d.select(
-        "doc_id", F.array_distinct(word_trigrams(words("text"))).alias("shs")
+    docsets = d.select("doc_id", words("text").alias("w0")).select(
+        "doc_id", F.array_distinct(word_trigrams(F.col("w0"))).alias("shs")
     )
     sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
@@ -1510,9 +1514,9 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is the whole point: decontamination is a map-side pass
     over the corpus."""
     d = wide_table(spark, sf_dir, "documents")
-    grams = d.select(
+    grams = d.select("doc_id", words("text").alias("w0")).select(
         "doc_id",
-        F.explode(F.array_distinct(word_trigrams(words("text")))).alias("g"),
+        F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("g"),
     )
     # Both the benchmark side and the training side derive from the SAME
     # gram lineage, so the scan+split+explode runs twice (once under the

@@ -96,7 +96,8 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(tg)).cast("long").alias("n_uniq_3grams"),
     ).filter(F.col("n_words") >= 3)
     top = (
-        d.select("doc_id", F.explode(word_bigrams(words("text"))).alias("bigram"))
+        d.select("doc_id", words("text").alias("w0"))
+        .select("doc_id", F.explode(word_bigrams(F.col("w0"))).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("n"))
         .groupBy("doc_id")
