@@ -1120,3 +1120,80 @@ def cdc_safe_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_acked",
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_reconciliation — state-vs-snapshot audit: FULL OUTER join the
+# stream-materialized latest state against the dimension snapshot
+# (customer) and classify every pk: in_sync / drift (both sides present,
+# different image) / missing_in_snapshot (stream-only — the snapshot is
+# stale) / missing_in_state (snapshot-only — events lost or filtered).
+# This is the repair report a CDC consumer runs before trusting its
+# materialization; counts per class + the pk range bound the repair job.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, sequence, dml_type, value,
+         row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+  FROM cdc
+), state AS (
+  SELECT pk, value FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+), joined AS (
+  SELECT COALESCE(s.pk, c.c_custkey) AS pk,
+         CASE WHEN s.pk IS NULL THEN 'missing_in_state'
+              WHEN c.c_custkey IS NULL THEN 'missing_in_snapshot'
+              WHEN CAST(s.value AS DECIMAL(18,4)) = CAST(c.c_acctbal AS DECIMAL(18,4))
+                THEN 'in_sync'
+              ELSE 'drift' END AS status
+  FROM state s FULL OUTER JOIN customer c ON s.pk = c.c_custkey
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(pk) AS BIGINT) AS min_pk,
+       CAST(max(pk) AS BIGINT) AS max_pk
+FROM joined
+GROUP BY status
+"""
+
+
+@register("cdc_reconciliation", _RECON_ORACLE)
+def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization audit report: per status class, key count + pk
+    range.
+
+    One keyed window builds the state (the cdc_latest_state shuffle),
+    one pk-keyed FULL OUTER join against the snapshot, one tiny agg —
+    at 100 TB both join sides are bucketed on pk so the join is
+    co-located, and the report is O(classes).  The DECIMAL(18,4)
+    value compare uses the repo's decimal discipline: equality over
+    exact decimals, never raw-double equality."""
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    state = (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select("pk", "value")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = state.join(cust, state.pk == cust.c_custkey, "full_outer")
+    status = (
+        F.when(F.col("pk").isNull(), F.lit("missing_in_state"))
+        .when(F.col("c_custkey").isNull(), F.lit("missing_in_snapshot"))
+        .when(
+            F.col("value").cast("decimal(18,4)")
+            == F.col("c_acctbal").cast("decimal(18,4)"),
+            F.lit("in_sync"),
+        )
+        .otherwise(F.lit("drift"))
+    )
+    rows = joined.select(
+        F.coalesce(F.col("pk"), F.col("c_custkey")).alias("pk"),
+        status.alias("status"),
+    )
+    return rows.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.min("pk").cast("long").alias("min_pk"),
+        F.max("pk").cast("long").alias("max_pk"),
+    )

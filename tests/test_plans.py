@@ -460,3 +460,13 @@ def test_dataset_card_two_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan, plan
     assert exchange_count(df) <= 3, plan
+
+
+def test_reconciliation_no_python_keyed_join(spark, sf_dir):
+    """State-vs-snapshot audit: pk-keyed full-outer join (never
+    cartesian), keyed window for the state, all JVM-side."""
+    df = _q("cdc_reconciliation", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
