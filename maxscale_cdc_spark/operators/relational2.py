@@ -998,3 +998,100 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.regexp_replace("text", "[aeiou]", "*"), 1, 40).alias("masked40"),
         F.col("text").rlike("merge.*join").alias("has_merge_join"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_asof_nearest — nearest-in-time as-of join: for each purchase,
+# the signup closest in EITHER direction (the telemetry/finance variant
+# where a reading just after the probe is as good as one just before).
+# Scalable formulation: one backward pass (last signup ≤ t) + one
+# forward pass (first signup ≥ t) over the same keyed sort, then pick
+# the nearer — never a per-row range scan.  Ties (equal gap) take the
+# earlier signup, matching the oracle's (gap, signup_ts) ranking.
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+), ranked AS (
+  SELECT p.event_id, p.user_id, s.ts AS signup_ts,
+         abs(CAST(floor(extract(epoch FROM p.ts)) AS BIGINT)
+             - CAST(floor(extract(epoch FROM s.ts)) AS BIGINT)) AS gap_s,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(CAST(floor(extract(epoch FROM p.ts)) AS BIGINT)
+                        - CAST(floor(extract(epoch FROM s.ts)) AS BIGINT)),
+                    s.ts) AS rn
+  FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT event_id, user_id, signup_ts, CAST(gap_s AS BIGINT) AS gap_s
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("rel_join_asof_nearest", _ASOF_NEAREST_ORACLE)
+def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join via two windows over ONE keyed sort.
+
+    The oracle is the quadratic per-user definition; this plan is the
+    linear one: sort (user, ts) once, carry last-signup-backward and
+    first-signup-forward, choose the nearer (backward on ties — equal
+    gap means the backward candidate has the smaller ts, which is the
+    oracle's tiebreak).  At 100 TB this is two window passes over the
+    same exchange — no range join, no per-row rescan.  Purchases with
+    no signup on either side are users without signups; the inner-join
+    oracle drops them, as does the final filter."""
+    ev = table(spark, sf_dir, "events")
+    marked = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("sig_ts"),
+        F.when(F.col("event_type") == "signup", F.unix_timestamp("ts")).alias("sig_s"),
+    )
+    # equal-ts signups sort before purchases in the backward pass (and
+    # after, in the forward pass) so a same-second signup is visible to
+    # both — gap 0 either way
+    rank = F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1))
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s", rank, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_s").desc(), (-rank), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_s",
+        "event_type",
+        F.last("sig_ts", ignorenulls=True).over(back).alias("back_ts"),
+        F.last("sig_s", ignorenulls=True).over(back).alias("back_s"),
+        F.last("sig_ts", ignorenulls=True).over(fwd).alias("fwd_ts"),
+        F.last("sig_s", ignorenulls=True).over(fwd).alias("fwd_s"),
+    )
+    back_gap = F.col("ts_s") - F.col("back_s")
+    fwd_gap = F.col("fwd_s") - F.col("ts_s")
+    take_back = F.col("fwd_s").isNull() | (
+        F.col("back_s").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .filter(F.col("back_s").isNotNull() | F.col("fwd_s").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(take_back, F.col("back_ts")).otherwise(F.col("fwd_ts")).alias(
+                "signup_ts"
+            ),
+            F.when(take_back, back_gap).otherwise(fwd_gap).cast("long").alias("gap_s"),
+        )
+    )

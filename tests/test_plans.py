@@ -470,3 +470,14 @@ def test_reconciliation_no_python_keyed_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "FullOuter" in plan, plan
+
+
+def test_asof_nearest_two_windows_no_join(spark, sf_dir):
+    """Nearest as-of must be the two-window linear formulation: one
+    user-keyed exchange, Window passes, NO join (the oracle's
+    quadratic per-user join is the definition, not the plan)."""
+    df = _q("rel_join_asof_nearest", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
