@@ -1016,7 +1016,8 @@ WITH p AS (
 ), s AS (
   SELECT user_id, ts FROM events WHERE event_type = 'signup'
 ), ranked AS (
-  SELECT p.event_id, p.user_id, s.ts AS signup_ts,
+  SELECT p.event_id, p.user_id,
+         CAST(floor(extract(epoch FROM s.ts)) AS BIGINT) AS signup_ts_s,
          abs(CAST(floor(extract(epoch FROM p.ts)) AS BIGINT)
              - CAST(floor(extract(epoch FROM s.ts)) AS BIGINT)) AS gap_s,
          row_number() OVER (
@@ -1026,7 +1027,11 @@ WITH p AS (
                     s.ts) AS rn
   FROM p JOIN s ON p.user_id = s.user_id
 )
-SELECT event_id, user_id, signup_ts, CAST(gap_s AS BIGINT) AS gap_s
+-- exported at SECOND granularity (the gap's own precision): any two
+-- signups that tie on gap within one side share the floored second, so
+-- the exported values are identical no matter which the tie-break
+-- picks — tie-proof by construction in both engines
+SELECT event_id, user_id, signup_ts_s, CAST(gap_s AS BIGINT) AS gap_s
 FROM ranked WHERE rn = 1
 """
 
@@ -1050,12 +1055,13 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         F.unix_timestamp("ts").alias("ts_s"),
-        F.when(F.col("event_type") == "signup", F.col("ts")).alias("sig_ts"),
         F.when(F.col("event_type") == "signup", F.unix_timestamp("ts")).alias("sig_s"),
     )
-    # equal-ts signups sort before purchases in the backward pass (and
-    # after, in the forward pass) so a same-second signup is visible to
-    # both — gap 0 either way
+    # equal-second signups sort before purchases in the BACKWARD pass,
+    # so a same-second signup is visible there with gap 0 (the forward
+    # frame excludes it — purchases precede signups at equal ts_s under
+    # the descending order — which is safe ONLY because back_gap <=
+    # fwd_gap always takes the backward gap-0 candidate; keep that rule)
     rank = F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1))
     back = (
         W.partitionBy("user_id")
@@ -1073,9 +1079,7 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "ts_s",
         "event_type",
-        F.last("sig_ts", ignorenulls=True).over(back).alias("back_ts"),
         F.last("sig_s", ignorenulls=True).over(back).alias("back_s"),
-        F.last("sig_ts", ignorenulls=True).over(fwd).alias("fwd_ts"),
         F.last("sig_s", ignorenulls=True).over(fwd).alias("fwd_s"),
     )
     back_gap = F.col("ts_s") - F.col("back_s")
@@ -1089,9 +1093,9 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.when(take_back, F.col("back_ts")).otherwise(F.col("fwd_ts")).alias(
-                "signup_ts"
-            ),
+            F.when(take_back, F.col("back_s")).otherwise(F.col("fwd_s"))
+            .cast("long")
+            .alias("signup_ts_s"),
             F.when(take_back, back_gap).otherwise(fwd_gap).cast("long").alias("gap_s"),
         )
     )

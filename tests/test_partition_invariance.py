@@ -29,10 +29,12 @@ _REPRESENTATIVE = [
 @pytest.mark.parametrize("name", _REPRESENTATIVE)
 def test_same_bytes_at_any_partition_count(spark, sf_dir, name):
     q = entrymod.queries()[name]
-    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
         a = canonicalize(q(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        b = canonicalize(q(spark, sf_dir).toPandas())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-    b = canonicalize(q(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a.equals(b), f"{name}: output differs between 5 and 32 shuffle partitions"
