@@ -406,3 +406,60 @@ def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seconds_since_click"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_hypertable_rollup — continuous-aggregate chaining (the TimescaleDB
+# hypertable rollup pattern): raw events roll up to an HOURLY layer,
+# and the DAILY layer is derived from the hourly AGGREGATE — sums of
+# sums and sums of counts — never by rescanning raw data.  n_hours
+# proves the lineage: it counts hourly buckets, a quantity that does
+# not exist in the raw events.
+# ---------------------------------------------------------------------------
+
+_HYPER_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sv
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@register("rel_hypertable_rollup", _HYPER_ORACLE)
+def rel_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous aggregate: hour buckets from the scan, day
+    buckets from the HOUR AGGREGATE.
+
+    At 100 TB this is the load-bearing property: the daily refresh
+    reads |hours × types| rows (thousands), not the raw table — a
+    maintained hourly materialization makes every coarser resolution
+    (day, week, month) a cheap re-aggregation, and late raw data only
+    dirties the hours it lands in.  Decimal sums keep the chain exact:
+    sum-of-hourly-sums equals the raw-scan sum bit-for-bit at any
+    grouping, so the chained and direct answers never diverge."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            F.to_date(F.date_trunc("day", "h")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )

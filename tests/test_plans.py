@@ -481,3 +481,19 @@ def test_asof_nearest_two_windows_no_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_hypertable_rollup_chained_aggs_single_scan(spark, sf_dir):
+    """The daily layer must derive from the hourly AGGREGATE: exactly
+    one parquet scan, two chained HashAggregate pairs, no join."""
+    df = _q("rel_hypertable_rollup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted plans print each node in the tree AND the detail
+    # section — count DISTINCT scan node ids
+    import re
+
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
+    assert "Join" not in plan, plan
