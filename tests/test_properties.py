@@ -187,3 +187,56 @@ def test_changelog_compact_net_semantics(spark, ops):
             assert not present_after_replay, (pk, net_op)
         else:
             assert present_after_replay and state[pk] == lv, (pk, net_op, lv)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=6)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.booleans()),  # (bucket, acked)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_safe_resume_replay_covers_unacked(spark, events):
+    """The WithGTID invariant: resuming each consumer partition at
+    safe_resume_seq + 1 must replay EVERY unacked event exactly once
+    and never replay an acked event that precedes the first unacked."""
+    from pyspark.sql import functions as F
+
+    rows = [(b, seq, acked) for seq, (b, acked) in enumerate(events)]
+    df = spark.createDataFrame(rows, "bucket int, sequence long, acked boolean")
+    firsts = df.groupBy("bucket").agg(
+        F.min(F.when(~F.col("acked"), F.col("sequence"))).alias("first_unacked")
+    )
+    joined = df.join(firsts, "bucket")
+    safe = (
+        joined.groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("acked")
+                    & (
+                        F.col("first_unacked").isNull()
+                        | (F.col("sequence") < F.col("first_unacked"))
+                    ),
+                    F.col("sequence"),
+                )
+            ).alias("safe")
+        )
+        .collect()
+    )
+    safe_by_bucket = {r["bucket"]: r["safe"] for r in safe}
+    by_bucket: dict[int, list[tuple[int, bool]]] = {}
+    for b, seq, acked in rows:
+        by_bucket.setdefault(b, []).append((seq, acked))
+    for b, evs in by_bucket.items():
+        resume_from = (safe_by_bucket[b] if safe_by_bucket[b] is not None else -1) + 1
+        replayed = {seq for seq, _ in evs if seq >= resume_from}
+        unacked = {seq for seq, acked in evs if not acked}
+        # every unacked event is replayed
+        assert unacked <= replayed, (b, resume_from, unacked, replayed)
+        # nothing before the first unacked is replayed
+        first_un = min(unacked) if unacked else None
+        if first_un is not None:
+            assert all(seq >= resume_from for seq in unacked)
+            assert resume_from <= first_un
