@@ -636,3 +636,109 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_en").cast("double") / F.col("n_docs")).alias("en_share"),
         (F.col("n_exact_dup").cast("double") / F.col("n_docs")).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_countmin_audit — Count-Min sketch (Cormode & Muthukrishnan 2005)
+# over the corpus word stream, audited against exact counts.  d=4 hash
+# rows × w=64 buckets; est(x) = min over rows of the bucket count.  The
+# CMS guarantee — est ≥ exact, overestimate bounded by collisions — is
+# checked per word for the exact top-20: `overestimate` must be ≥ 0,
+# and its size is the collision mass a pipeline uses to size w.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOP = 20
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+), cells AS (
+  SELECT r.r AS row_id,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+           % {_CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) r
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, n_exact,
+         row_number() OVER (ORDER BY n_exact DESC, tok) AS rk
+  FROM exact
+), est AS (
+  SELECT t.tok, t.n_exact, t.rk, min(c.n) AS n_est
+  FROM top t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) r
+  JOIN cells c
+    ON c.row_id = r.r
+   AND c.bucket = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 8)) AS BIGINT) % {_CMS_W}
+  WHERE t.rk <= {_CMS_TOP}
+  GROUP BY t.tok, t.n_exact, t.rk
+)
+SELECT tok, CAST(rk AS BIGINT) AS rk, n_exact, CAST(n_est AS BIGINT) AS n_est,
+       CAST(n_est - n_exact AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+@register("llm_countmin_audit", _CMS_ORACLE)
+def llm_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + audit for the exact top-20 words.
+
+    The sketch is ONE keyed aggregation over (row, bucket) — d×w = 256
+    longs total, a broadcastable fixed-size summary no matter the
+    corpus size (the whole point of CMS at 100 TB: count distributions
+    in O(d·w) memory with mergeable cells).  The audit joins the
+    top-20's buckets back (256-row broadcast) and exports
+    est − exact ≥ 0 — the CMS one-sided-error guarantee, with the
+    overestimate sizing the width a production pipeline needs.  Bucket
+    hashing is md5-prefix mod w — byte-identical in both engines."""
+    d = wide_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_exact"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("row_id")
+
+    def bucket(row_col, tok_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(row_col.cast("string"), F.lit(":"), tok_col)), 1, 8), 16, 10)
+            .cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        toks.select("tok", rows)
+        .select("row_id", bucket(F.col("row_id"), F.col("tok")).alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = (
+        exact.orderBy(F.col("n_exact").desc(), "tok")
+        .limit(_CMS_TOP)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("n_exact").desc(), "tok"))
+            .cast("long"),
+        )
+    )
+    probes = top.select("tok", "rk", "n_exact", rows).select(
+        "tok",
+        "rk",
+        "n_exact",
+        "row_id",
+        bucket(F.col("row_id"), F.col("tok")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("tok", "rk", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_est"))
+    )
+    return est.select(
+        "tok",
+        "rk",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )

@@ -497,3 +497,13 @@ def test_hypertable_rollup_chained_aggs_single_scan(spark, sf_dir):
     assert len(scans) == 1, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
     assert "Join" not in plan, plan
+
+
+def test_countmin_fixed_size_broadcast(spark, sf_dir):
+    """CMS: the sketch is a fixed d×w cell table — the audit join must
+    broadcast it; no cartesian, no Python."""
+    df = _q("llm_countmin_audit", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
