@@ -240,3 +240,50 @@ def test_safe_resume_replay_covers_unacked(spark, events):
         if first_un is not None:
             assert all(seq >= resume_from for seq in unacked)
             assert resume_from <= first_un
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=6)
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=60))
+def test_countmin_one_sided_error(spark, items):
+    """The CMS guarantee: for ANY stream, the sketch estimate of every
+    item is >= its exact count (hash collisions only ever inflate)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    d, w = 3, 8
+    df = spark.createDataFrame([(str(x),) for x in items], "tok string")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_id")
+
+    def bucket(row_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(row_col.cast("string"), F.lit(":"), tok_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    cells = (
+        df.select("tok", rows)
+        .select("row_id", bucket(F.col("row_id"), F.col("tok")).alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    probes = (
+        df.select("tok").distinct().select("tok", rows)
+        .select("tok", "row_id", bucket(F.col("row_id"), F.col("tok")).alias("bucket"))
+    )
+    est = {
+        r["tok"]: r["est"]
+        for r in probes.join(cells, ["row_id", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est"))
+        .collect()
+    }
+    exact = Counter(str(x) for x in items)
+    for tok, n in exact.items():
+        assert est[tok] >= n, (tok, est[tok], n)
