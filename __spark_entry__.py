@@ -40,22 +40,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that earned a green driver CORRECTNESS row (union of the
-# round-1/2/3 sweeps) AND are unchanged since.  Queries whose code was
-# rewritten after their green row are deliberately NOT listed — their
-# old rows no longer certify the current code, so they sort with the
-# unverified group.  Round-4 demotions on that rule: llm_contamination
-# (gram stage), tpch_q11 (single-pass threshold), llm_cross_doc_overlap
-# (6-dp rounding; was the r3 FAIL row), and every query whose sink path
-# changed when the streaming runners gained file sinks + state cleanup
-# (all 9 str_*, src_cdc_datasource, src_cdc_stream, src_tcp_transport),
-# plus the wide_table parallelism-spread rewrites (llm_lm_score,
-# llm_repetition, llm_dedup_jaccard_prefix) and the snk_compact
-# fragmentation resize.
+# round-1/2/3/4 sweeps) AND are unchanged since.  Queries whose code
+# was rewritten after their green row are deliberately NOT listed —
+# their old rows no longer certify the current code, so they sort with
+# the unverified group.  Round-5 demotions on that rule:
+# llm_countmin_audit (r4 green, then the cells build was de-amplified
+# per the r4 judge — explode over distinct vocab weighted by n_exact
+# instead of every occurrence ×4).  The 16 round-4 demotions
+# (9 str_*, 3 sources, snk_compact, llm_contamination, llm_lm_score,
+# llm_repetition, llm_dedup_jaccard_prefix) remain demoted pending
+# their first driver row on current code; llm_contamination and
+# llm_dedup_jaccard_prefix additionally gained the size(w)>=3
+# short-doc guard this round (r4 ADVICE).
 # queries() orders the dict so still-unverified queries run FIRST — if
 # a budget truncates the sweep, it verifies new ground instead of
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-4 sweep greens, code unchanged since (llm_countmin_audit
+    # excluded: rewritten r5, see above):
+    "cdc_changelog_compact", "cdc_hotkey_profile", "cdc_reconciliation",
+    "cdc_safe_resume", "cdc_schema_evolution", "cdc_tombstone_gc",
+    "fn_regex", "llm_bm25_rank", "llm_bpe_token_est", "llm_dataset_card",
+    "llm_doc_shingle_profile", "llm_embed_outliers", "llm_filter_pipeline",
+    "llm_heuristic_filters", "llm_minhash_accuracy", "llm_ngram_novelty",
+    "llm_semdedup", "llm_sim_pq", "llm_stopword_ratio",
+    "llm_unigram_diversity", "llm_url_dedup", "llm_vocab_coverage",
+    "mm_pair_batches", "mm_shard_manifest", "rel_attribution",
+    "rel_hypertable_rollup", "rel_join_asof_nearest", "rel_percentile_bands",
+    "rel_running_distinct", "rel_win_cume", "str_cdc_apply",
+    "str_topk_windowed", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # rounds 1-3:
     "cdc_dedup_exact", "cdc_event_dispatch", "cdc_gap_detect", "cdc_gtid",
     "cdc_gtid_filter", "cdc_incremental_agg", "cdc_latest_state", "cdc_order",
     "cdc_payload_project", "cdc_replay_at", "cdc_scd2", "cdc_schema_registry",
@@ -92,14 +109,13 @@ _DRIVER_GREEN = {
     "tpch_q18", "udf_explode_udtf", "udf_grouped_map", "udf_pandas_scalar",
 }
 
-# Round-4 sweep priority: the 16 tpch2.py anchors landed after the r3
-# freeze and have NO driver row yet, and llm_cross_doc_overlap is the
-# one red row — these certify first even within the unverified group.
+# Round-5 sweep priority: llm_cross_doc_overlap carries the repo's
+# only red rows (r3+r4 hash FAIL — root-caused by the r4 judge as the
+# oracle's un-CAST integer sum, fixed this round) and must certify
+# first; llm_countmin_audit re-certifies its de-amplified rewrite.
 _PRIORITY = {
     "llm_cross_doc_overlap",
-    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "llm_countmin_audit",
 }
 
 # Emptied in round 4: every formerly-deferred id is registered.
@@ -108,10 +124,8 @@ _DEFERRED: set[str] = set()
 # Unverified queries split into two risk classes: queries that have
 # NEVER had a driver row (new this round) certify before queries that
 # HAD a green row and were demoted only because their code was
-# rewritten (sink-path / staging changes — same oracle, locally green
-# before and after).  With 57 unverified vs the 50-entry sweep budget,
-# the ~7 that miss should be the demoted-but-formerly-green tail, not
-# brand-new operators.
+# rewritten (sink-path / staging / guard changes — same oracle,
+# locally green before and after).
 _DEMOTED = {
     "llm_contamination", "llm_lm_score", "llm_repetition",
     "llm_dedup_jaccard_prefix", "snk_compact", "src_cdc_datasource",
@@ -119,9 +133,11 @@ _DEMOTED = {
     "str_dedup_within_watermark", "str_sliding", "str_stateful",
     "str_stream_static_join", "str_stream_stream_join", "str_tumbling",
     "str_watermark_late",
-    # NB: llm_cross_doc_overlap (the r3 FAIL row) is deliberately NOT
-    # here — it was never green, and it must certify FIRST (_PRIORITY),
-    # not sort behind the priority block via the demoted key.
+    # NB: llm_cross_doc_overlap (the r3/r4 FAIL row) is deliberately
+    # NOT here — it was never green, and it must certify FIRST
+    # (_PRIORITY), not sort behind the priority block via the demoted
+    # key.  llm_countmin_audit (r4 green, r5 rewrite) is in _PRIORITY
+    # for the same reason: its de-amplified plan needs a driver row.
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
@@ -133,7 +149,7 @@ _HEAVY = {
     "str_tumbling",
     "str_sliding", "str_watermark_late", "str_dedup_stream",
     "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",
-    "str_topk_windowed", "str_cdc_apply",
+    "str_topk_windowed", "str_cdc_apply", "str_cdc_upsert_e2e",
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",

@@ -1,0 +1,215 @@
+"""Exact subword tokenization against a fixed public-style merge vocab.
+
+`llm_bpe_token_est` (pipeline.py) sizes token budgets with ceil(len/4)
+— an *estimate*.  This module adds the exact path the r4 review asked
+for: greedy longest-match subword segmentation against a FIXED,
+in-code vocabulary (the WordPiece/BPE-inference algorithm — greedy
+maximal munch, Song et al. 2021 "Fast WordPiece Tokenization"), with
+the identical algorithm expressed in the DuckDB oracle as a recursive
+CTE, so token counts are exact integers in both engines.
+
+The vocabulary is a deterministic list of common English subword
+merges; any character not starting a vocab entry consumes exactly one
+character as a single-char token (the UNK fallback), so segmentation is
+total and unambiguous: at each position the LONGEST matching vocab
+entry wins (ties impossible — equal-length matches of the same
+substring are the same string).
+
+Scale shape (100 TB): tokenization cost is proportional to DISTINCT
+words, not word occurrences — the corpus is Zipfian, so the distinct
+side is orders of magnitude smaller than the stream.  The pipeline is:
+explode words → distinct (one keyed shuffle, map-side combinable) →
+Arrow-batched pandas_udf greedy matcher over the distinct vocabulary →
+word-keyed join back → per-doc sum.  The Python matcher touches each
+distinct word once; everything crossing the wire is integers.  The
+join-back key (word) is Zipf-skewed on the occurrence side — AQE skew
+handling or a broadcast of the top-k hottest words both apply; at this
+repo's scales the distinct table is broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.text import words
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.tables import wide_table
+
+# Fixed merge vocabulary: frequent English subwords, longest-match
+# semantics.  Deliberately in-code (not learned from the corpus) so
+# both engines share one immutable artifact — the same role a
+# published tokenizer's vocab file plays in production.
+MERGE_VOCAB: tuple[str, ...] = (
+    "ation", "ment", "ness", "tion", "able", "ight", "ound", "ter",
+    "ing", "ion", "ent", "and", "the", "ers", "est", "pre", "pro",
+    "con", "com", "ist", "ous", "ive", "age", "ure", "ble",
+    "ed", "er", "es", "en", "an", "re", "in", "on", "at", "or", "te",
+    "of", "to", "is", "it", "al", "ar", "st", "nt", "nd", "se", "le",
+    "ve", "me", "de", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li",
+    "ch", "ll", "be", "ma", "si", "ur", "ta", "el", "lo", "un", "ly",
+    "ty", "th", "ou", "wh",
+)
+
+# Longest-first for the Python greedy matcher (first startswith hit ==
+# the longest match, mirroring the oracle's max(vl)).
+_VOCAB_BY_LEN = tuple(sorted(set(MERGE_VOCAB), key=lambda v: (-len(v), v)))
+
+_VOCAB_VALUES = ", ".join(f"('{v}', {len(v)})" for v in _VOCAB_BY_LEN)
+
+
+def _token_count(wd: str) -> int:
+    """Greedy longest-match token count for one word (pure Python,
+    applied per DISTINCT word via pandas_udf)."""
+    n = 0
+    p = 0
+    ln = len(wd)
+    while p < ln:
+        step = 1
+        for v in _VOCAB_BY_LEN:
+            if wd.startswith(v, p):
+                step = len(v)
+                break
+        p += step
+        n += 1
+    return n
+
+
+def _distinct_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wd, wtok): exact greedy token count per DISTINCT corpus word.
+
+    The pandas_udf runs Arrow-batched over the post-distinct set —
+    the only Python touchpoint, sized by vocabulary not by corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = wide_table(spark, sf_dir, "documents")
+    uw = d.select(F.explode(words("text")).alias("wd")).distinct()
+
+    @pandas_udf("long")
+    def tok_count(s):  # type: ignore[no-untyped-def]
+        return s.map(_token_count)
+
+    return uw.select("wd", tok_count("wd").alias("wtok"))
+
+
+# Recursive-CTE replica of the greedy matcher: one step per emitted
+# token, advancing pos by the longest vocab match at pos (max(vl)
+# over matching entries) or 1 (single-char fallback).  Runs over
+# DISTINCT words only, exactly like the Spark side.
+_BPE_STEPS = f"""
+  vocab(v, vl) AS (VALUES {_VOCAB_VALUES}),
+  occ AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents
+  ),
+  uw AS (SELECT DISTINCT wd FROM occ),
+  steps(wd, pos, ntok) AS (
+    SELECT wd, 1, 0 FROM uw
+    UNION ALL
+    SELECT wd,
+           pos + coalesce((SELECT max(vl) FROM vocab
+                           WHERE substr(wd, pos, vl) = v), 1),
+           ntok + 1
+    FROM steps WHERE pos <= len(wd)
+  ),
+  tokc AS (SELECT wd, CAST(max(ntok) AS BIGINT) AS wtok FROM steps GROUP BY wd)
+"""
+
+_BPE_TOKENIZE_ORACLE = f"""
+WITH RECURSIVE
+{_BPE_STEPS},
+  perdoc AS (
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.wtok) AS BIGINT) AS n_tokens
+    FROM occ o JOIN tokc t USING (wd)
+    GROUP BY o.doc_id
+  )
+SELECT doc_id, n_words, n_tokens,
+       CAST(n_tokens AS DOUBLE) / n_words AS fertility
+FROM perdoc
+"""
+
+
+@register("llm_bpe_tokenize", _BPE_TOKENIZE_ORACLE)
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-document subword token counts: greedy longest-match
+    against the fixed MERGE_VOCAB (WordPiece-style inference), replacing
+    the ceil(len/4) estimate wherever a budget decision needs truth.
+
+    fertility = tokens/word, the standard tokenizer-quality metric —
+    an integer-ratio double, bit-exact across engines (rule 3)."""
+    toks = _distinct_word_tokens(spark, sf_dir)
+    d = wide_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(words("text")).alias("wd"))
+    perdoc = (
+        occ.join(toks, "wd")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("wtok").cast("long").alias("n_tokens"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+    )
+
+
+_BPE_FERTILITY_ORACLE = f"""
+WITH RECURSIVE
+{_BPE_STEPS},
+  occ2 AS (
+    SELECT d.source, d.lang, o.wd
+    FROM documents d JOIN occ o USING (doc_id)
+  ),
+  g AS (
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.wtok) AS BIGINT) AS n_tokens,
+           CAST(sum(len(o.wd)) AS BIGINT) AS n_chars
+    FROM occ2 o JOIN tokc t USING (wd)
+    GROUP BY source, lang
+  )
+SELECT source, lang, n_words, n_tokens, n_chars,
+       CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+FROM g
+"""
+
+
+@register("llm_tokenizer_fertility", _BPE_FERTILITY_ORACLE)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): tokens/word and
+    chars/token over EXACT greedy-match token counts — the table a
+    tokenizer-selection study produces (high fertility on a segment =
+    the vocab underserves it, its documents cost more context budget).
+
+    Same distinct-word tokenization as llm_bpe_tokenize (one Python
+    pass over the vocabulary), then occurrence join-back and ONE
+    (source, lang) aggregation — low-cardinality output, map-side
+    combinable.  All exports are integers or integer-ratio doubles."""
+    toks = _distinct_word_tokens(spark, sf_dir)
+    d = wide_table(spark, sf_dir, "documents")
+    occ = d.select("source", "lang", "doc_id", F.explode(words("text")).alias("wd"))
+    g = (
+        occ.join(toks, "wd")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("wtok").cast("long").alias("n_tokens"),
+            F.sum(F.length("wd")).cast("long").alias("n_chars"),
+        )
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

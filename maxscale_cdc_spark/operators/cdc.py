@@ -1010,6 +1010,11 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key (pk, batch) is the stream's natural partitioning and
     the reduction happens in the combiner."""
     cdc = cdc_view(spark, sf_dir)
+    # Spark `div` truncates toward zero while the oracle's DuckDB `//`
+    # floors; they agree ONLY because `sequence` is non-negative (it is
+    # synthesized as a monotonically increasing event counter >= 0 in
+    # cdc_view — see the GTID synthesis note there).  If sequence could
+    # go negative, switch both sides to an explicit floor().
     g = cdc.select(
         "pk",
         F.expr(f"sequence div {_COMPACT_BATCH}").cast("long").alias("batch"),

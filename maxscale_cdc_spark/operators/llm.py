@@ -1396,8 +1396,16 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = wide_table(spark, sf_dir, "documents")
     # doc_id, sh — distinct trigrams per doc, set semantics row-local
     # (split projected first: inline words() re-splits per element)
-    sh = d0.select("doc_id", words("text").alias("w0")).select(
-        "doc_id", F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("sh")
+    # size(w0) >= 3 guard: Spark's sequence(1, size-2) DESCENDS for
+    # shorter docs (element_at(w, 0) raises) where DuckDB's
+    # generate_series is empty — both engines must drop sub-trigram docs.
+    sh = (
+        d0.select("doc_id", words("text").alias("w0"))
+        .filter(F.size("w0") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("sh"),
+        )
     )
     # global document frequency per shingle: the rare-first total order
     df = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -1446,8 +1454,12 @@ def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     d = wide_table(spark, sf_dir, "documents")
-    docsets = d.select("doc_id", words("text").alias("w0")).select(
-        "doc_id", F.array_distinct(word_trigrams(F.col("w0"))).alias("shs")
+    docsets = (
+        d.select("doc_id", words("text").alias("w0"))
+        .filter(F.size("w0") >= 3)
+        .select(
+            "doc_id", F.array_distinct(word_trigrams(F.col("w0"))).alias("shs")
+        )
     )
     sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
@@ -1514,9 +1526,17 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is the whole point: decontamination is a map-side pass
     over the corpus."""
     d = wide_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", words("text").alias("w0")).select(
-        "doc_id",
-        F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("g"),
+    # size(w0) >= 3 guard: Spark's sequence(1, size-2) DESCENDS for
+    # shorter docs and element_at(w, 0) raises, where DuckDB's
+    # generate_series is empty — the filter makes both engines drop
+    # sub-trigram docs identically (same guard as llm_doc_shingle_profile).
+    grams = (
+        d.select("doc_id", words("text").alias("w0"))
+        .filter(F.size("w0") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_trigrams(F.col("w0")))).alias("g"),
+        )
     )
     # Both the benchmark side and the training side derive from the SAME
     # gram lineage, so the scan+split+explode runs twice (once under the

@@ -337,9 +337,10 @@ WITH t AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared,
-       round(CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / count(*), 6) AS shared_frac,
+       CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS shared_frac,
        (CAST(sum(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*)) > {_SPAN_FLAG} AS flagged
 FROM g JOIN gd USING (gram)
@@ -361,11 +362,14 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams shared by millions of docs) is exactly what AQE skew-join
     splitting handles; the df table could also be truncated at
     ndocs >= 2 into a broadcast Bloom filter for a cheaper first pass.
-    Counts are integers and the fraction is one double division;
-    `shared_frac` is additionally round()ed to 6 dp in BOTH engines so
-    the driver's value-hash sees one canonical representation (same
-    discipline as llm_knn_graph's cos_sim) — the r3 FAIL row was a
-    hash mismatch this removes by construction."""
+    Counts are integers and the fraction is one double division — an
+    integer-ratio double, bit-exact across engines (exactness rule 3).
+    The r3/r4 driver FAILs were an ORACLE dtype bug, not a value bug:
+    the exported `n_shared` was the one bare integer sum() in the repo
+    not wrapped in CAST(… AS BIGINT), so DuckDB returned HUGEINT →
+    pandas float64 while Spark emitted bigint; the value-hash differed
+    while `1 == 1.0` local comparison passed.  Fixed by the CAST (and
+    compare_frames now fails on int-vs-float dtype pairs)."""
     d = wide_table(spark, sf_dir, "documents")
     g = (
         d.select("doc_id", words("text").alias("w"))
@@ -381,7 +385,7 @@ def llm_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             shared.alias("n_shared"),
-            F.round(frac, 6).alias("shared_frac"),
+            frac.alias("shared_frac"),
             (frac > _SPAN_FLAG).alias("flagged"),
         )
     )
@@ -619,4 +623,128 @@ def llm_bpe_token_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("double") / est, 6
             ).alias("chars_per_token"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_dup_span — longest duplicated span per document: the exact-
+# substring member of the Lee et al. 2022 dedup family ("Deduplicating
+# Training Data Makes Language Models Better", §4 ExactSubstr).  The
+# suffix-array formulation is replaced by its Spark-expressible
+# equivalent: a run of R consecutive shared 5-grams == a duplicated
+# substring of R+4 words, so the longest shared-gram run per document
+# IS the longest duplicated span (at 5-word granularity).
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_N = 5
+
+_DUP_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {_DUP_SPAN_N - 1})) AS pos,
+         NULL AS _pad
+  FROM t WHERE len(w) >= {_DUP_SPAN_N}
+), gg AS (
+  SELECT g.doc_id, g.pos,
+         t.w[g.pos] || ' ' || t.w[g.pos+1] || ' ' || t.w[g.pos+2]
+           || ' ' || t.w[g.pos+3] || ' ' || t.w[g.pos+4] AS gram
+  FROM g JOIN t USING (doc_id)
+), gd AS (
+  SELECT gram, count(DISTINCT doc_id) AS ndocs FROM gg GROUP BY gram
+), s AS (
+  SELECT gg.doc_id, gg.pos
+  FROM gg JOIN gd USING (gram)
+  WHERE gd.ndocs >= 2
+), r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM s
+), runs AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM r GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id,
+         CAST(max(run_len) AS BIGINT) AS max_run,
+         CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(run_len) AS BIGINT) AS n_shared
+  FROM runs GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(len(w) - {_DUP_SPAN_N - 1} AS BIGINT) AS n_grams
+  FROM t WHERE len(w) >= {_DUP_SPAN_N}
+)
+SELECT tot.doc_id, tot.n_grams,
+       CAST(coalesce(agg.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(agg.max_run, 0) AS BIGINT) AS max_run,
+       CAST(coalesce(agg.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(CASE WHEN coalesce(agg.max_run, 0) > 0
+                 THEN coalesce(agg.max_run, 0) + {_DUP_SPAN_N - 1}
+                 ELSE 0 END AS BIGINT) AS dup_span_words
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("llm_dup_span", _DUP_SPAN_ORACLE)
+def llm_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated span per document (ExactSubstr dedup, Lee et
+    al. 2022 §4): the longest run of CONSECUTIVE 5-grams each shared
+    with at least one other document — a run of R shared grams is a
+    duplicated substring of R+4 words.  Classic gaps-and-islands: mark
+    shared gram positions, group consecutive positions with
+    pos − row_number(), take the longest island per doc.
+
+    Plan: posexplode 5-grams (scan speed), one partial-aggregable
+    groupBy(gram) for document frequency, a gram-keyed join back, then
+    doc_id-keyed window + two doc-keyed aggregations.  Linear in corpus
+    size, two keyed shuffle families (gram, doc_id) — NEVER the
+    suffix-array build or an all-pairs document comparison.  `n_grams`
+    is derived arithmetically (len(w) − 4) from the split projection,
+    not by re-exploding the gram lineage a third time.
+
+    At 100 TB: identical shuffle shape to llm_cross_doc_overlap (the
+    fractional member of the same family) — hot stopword-ish grams are
+    AQE-skew-split, and the gd side can be pre-filtered to ndocs >= 2
+    before the join-back, shrinking it to the duplicated-gram subset.
+    All exports are integers — exactness by construction."""
+    from pyspark.sql import Window as W
+
+    d = wide_table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") >= _DUP_SPAN_N
+    )
+    g = split.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("w"), _DUP_SPAN_N)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    gd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    s = (
+        g.join(gd.filter(F.col("ndocs") >= 2), "gram")
+        .select("doc_id", "pos")
+    )
+    r = s.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = r.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    agg = runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_shared"),
+    )
+    tot = split.select(
+        "doc_id", (F.size("w") - (_DUP_SPAN_N - 1)).cast("long").alias("n_grams")
+    )
+    zero = F.lit(0).cast("long")
+    max_run = F.coalesce(F.col("max_run"), zero)
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_shared"), zero).alias("n_shared"),
+        max_run.alias("max_run"),
+        F.coalesce(F.col("n_runs"), zero).alias("n_runs"),
+        F.when(max_run > 0, max_run + (_DUP_SPAN_N - 1))
+        .otherwise(zero)
+        .cast("long")
+        .alias("dup_span_words"),
     )

@@ -447,3 +447,148 @@ def str_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("last_dml") != "delete").select(
         "pk", "last_seq", "last_value", "last_ts_unix"
     )
+
+
+@register(
+    "str_cdc_upsert_e2e",
+    # Same materialized-state semantics as str_cdc_apply / snk_upsert:
+    # latest non-delete image per pk under the reference total order
+    # (sequence).  The e2e composition under test is the SINK PATH, not
+    # new semantics — so the oracle is the same latest-state query.
+    f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk, value,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ), ranked AS (
+      SELECT pk, sequence, dml_type, value, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc
+    )
+    SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
+    FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+    """,
+)
+def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's continuous-consumer lifecycle END-TO-END: a
+    long-lived change stream (client.go:219-251's pump) aggregated to
+    per-pk state in UPDATE output mode, MERGEd each micro-batch into a
+    hash-bucketed parquet target by foreachBatch, final state read back
+    from the sink files — the composition the r4 verdict flagged as
+    never exercised (str_cdc_apply proved the aggregate with a
+    complete-mode memory sink; snk_upsert proved the bucketed MERGE
+    target; this runs the former INTO the latter).
+
+    Update mode is the scale-correct half: each micro-batch emits only
+    the keys whose aggregate CHANGED, each row carrying that key's full
+    current state (max_by over the total order) — so the MERGE is
+    "replace exactly these pks": old images of batch keys are
+    anti-joined away, batch rows become the new truth.  Idempotent per
+    key ⇒ exactly-once under checkpoint replay (Stop()/resume,
+    client.go:166-181).
+
+    Scale design mirrors snk_upsert (sources.py): per-key state lives
+    executor-side in bucket-partitioned parquet generations
+    (b = pmod(hash(pk), NB)); a micro-batch touches only its keys'
+    buckets, reads only those buckets of the current generation, and
+    flips them to a new generation dir — the driver holds the
+    bucket→generation manifest (O(NB) ints) and the only per-batch
+    collect is ≤NB distinct bucket ids.  Unlike snk_upsert's
+    append-mode events, the streaming AGGREGATE already reduced the
+    stream to per-key state, so MERGE input is |changed keys| rows, not
+    |events| — at 100 TB that difference is the sink's survival."""
+    import os
+    from collections import defaultdict
+    from functools import reduce
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), n_files=4, cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=2)
+    cdc = stream.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    agg = cdc.groupBy("pk").agg(
+        F.max("sequence").alias("last_seq"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value", "sequence").alias("last_value"),
+        F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+    )
+
+    n_buckets = 8  # at 100 TB: thousands; manifest stays driver-trivial
+    root = _mkdtemp(prefix="str_upsert_tgt_")
+    gen_of: dict[int, str] = {}  # bucket -> generation dir holding its state
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # update-mode batch: one row per pk whose state changed, already
+        # carrying the FULL aggregate state for that pk
+        new = batch_df.withColumn("b", F.pmod(F.hash("pk"), F.lit(n_buckets)))
+        touched = sorted(r["b"] for r in new.select("b").distinct().collect())
+        if not touched:
+            return
+        by_gen: dict[str, list[int]] = defaultdict(list)
+        for b in touched:
+            if b in gen_of:
+                by_gen[gen_of[b]].append(b)
+        olds = [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ]
+        if olds:
+            carried = reduce(lambda a, x: a.unionByName(x), olds).join(
+                new.select("pk"), "pk", "left_anti"
+            )
+            merged = carried.unionByName(new)
+        else:
+            merged = new
+        gen_dir = os.path.join(root, f"gen_{epoch_id}")
+        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        for b in touched:
+            gen_of[b] = gen_dir
+
+    ckpt = _mkdtemp(prefix="ckpt_")
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+
+    if not gen_of:
+        return spark.createDataFrame(
+            [],
+            "pk bigint, last_seq bigint, last_value double, last_ts_unix bigint",
+        )
+    by_gen_final: dict[str, list[int]] = defaultdict(list)
+    for b, g in gen_of.items():
+        by_gen_final[g].append(b)
+    state = reduce(
+        lambda a, x: a.unionByName(x),
+        [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen_final.items()
+        ],
+    )
+    return state.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value", "last_ts_unix"
+    )

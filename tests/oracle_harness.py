@@ -79,6 +79,26 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return problems
     if problems:
         return problems
+    # Fail on int-dtype-vs-float-dtype column pairs BEFORE value
+    # comparison: the driver's value-hash distinguishes bigint 1 from
+    # float64 1.0 but Python `==` does not, so an oracle whose integer
+    # export decays to float (e.g. a DuckDB HUGEINT sum() .df()'d to
+    # float64) passes locally and fails the driver — exactly how
+    # llm_cross_doc_overlap stayed red for two rounds (VERDICT r4 §2).
+    for col in s_cols:
+        sd, od = spark_pdf[col], oracle_pdf[col]
+        s_int = pd.api.types.is_integer_dtype(sd)
+        o_int = pd.api.types.is_integer_dtype(od)
+        s_flt = pd.api.types.is_float_dtype(sd)
+        o_flt = pd.api.types.is_float_dtype(od)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"column {col}: dtype family mismatch spark={sd.dtype} "
+                f"oracle={od.dtype} (int vs float — driver hash will differ; "
+                f"CAST the oracle export or align the Spark type)"
+            )
+    if problems:
+        return problems
     s = canonicalize(spark_pdf)
     o = canonicalize(oracle_pdf)
     for col in s.columns:

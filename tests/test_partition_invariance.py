@@ -37,4 +37,4 @@ def test_same_bytes_at_any_partition_count(spark, sf_dir, name):
         b = canonicalize(q(spark, sf_dir).toPandas())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
-    assert a.equals(b), f"{name}: output differs between 5 and 32 shuffle partitions"
+    assert a.equals(b), f"{name}: output differs between 5 and 97 shuffle partitions"
