@@ -463,3 +463,87 @@ def rel_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sv").cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_time_weighted_avg — time-weighted average (the hypertable/
+# TimescaleDB `time_weight` aggregate): each observation holds until
+# the next one, so its weight is the seconds until the user's next
+# event.  The honest mean for irregularly-sampled state (sensor values,
+# account balances, feature gauges) where arithmetic mean over-weights
+# chatty periods.
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_s,
+         value,
+         event_id
+  FROM events
+), d AS (
+  SELECT user_id, value,
+         lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s
+           AS dur_s
+  FROM e
+), w AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * dur_s) AS DOUBLE) AS num,
+         CAST(sum(dur_s) AS BIGINT) AS total_s,
+         CAST(count(*) AS BIGINT) AS n_holds
+  FROM d WHERE dur_s IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_holds, total_s, num,
+       num / total_s AS twa_value
+FROM w WHERE total_s > 0
+"""
+
+
+@register("rel_time_weighted_avg", _TWA_ORACLE)
+def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` under last-observation-
+    carried-forward: weight = seconds until the user's next event
+    (lead over the (ts, event_id) total order; the final observation
+    has no successor and is excluded, the standard left-closed TWA).
+
+    One window shuffle on user_id + one user-keyed aggregation riding
+    the SAME partitioning (the exchange is reused).  Exactness: the
+    numerator is DECIMAL(18,4) value × BIGINT seconds summed exactly,
+    surfaced as double; twa = num/total_s is then one IEEE division of
+    identical operands in both engines.  Zero-duration holds contribute
+    zero weight naturally; all-zero users are excluded (total_s > 0)
+    to keep the export NULL-free.
+
+    At 100 TB the user_id window is the stream's natural key (millions
+    of small partitions — no skew hazard), and the same shape extends
+    to time-bucketed TWA (add the bucket to both keys) for hypertable
+    rollups (rel_hypertable_rollup is the plain-sum sibling)."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+        "event_id",
+    )
+    dur = (
+        F.lead("ts_s").over(W.partitionBy("user_id").orderBy("ts_s", "event_id"))
+        - F.col("ts_s")
+    )
+    d = e.select("user_id", "value", dur.alias("dur_s")).filter(
+        F.col("dur_s").isNotNull()
+    )
+    w = d.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)") * F.col("dur_s"))
+        .cast("double")
+        .alias("num"),
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.count("*").cast("long").alias("n_holds"),
+    )
+    return w.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "n_holds",
+        "total_s",
+        "num",
+        (F.col("num") / F.col("total_s")).alias("twa_value"),
+    )

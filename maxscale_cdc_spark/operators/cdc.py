@@ -1202,3 +1202,74 @@ def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pk").cast("long").alias("min_pk"),
         F.max("pk").cast("long").alias("max_pk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_burst_detect — change-rate anomaly detection on the stream: hours
+# whose event volume exceeds 2× the mean hourly rate.  The ops-side
+# monitor a CDC consumer runs continuously (a burst usually means a
+# bulk backfill or a runaway writer upstream — either way the consumer
+# wants to know before its lag SLO does).
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH hourly AS (
+  -- NB: integer // on BIGINT floors; DOUBLE // would ROUND (measured:
+  -- floor(epoch) // 3600 mis-bucketed 526/1000 rows) — cast FIRST.
+  SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 3600 AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+  FROM events
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM hourly
+)
+SELECT h.hour_bucket, h.n_events, h.n_keys,
+       CAST(h.n_events * t.n_hours AS DOUBLE) / t.total AS rate_ratio,
+       (h.n_events * t.n_hours > 2 * t.total) AS burst
+FROM hourly h CROSS JOIN tot t
+"""
+
+
+@register("cdc_burst_detect", _BURST_ORACLE)
+def cdc_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly change-rate profile with burst flags: an hour is a burst
+    when its event count exceeds 2× the mean hourly rate.
+
+    ONE keyed aggregation (hour bucket — the stream's natural time
+    partitioning, map-side combinable) and a 1-row scalar broadcast for
+    the corpus totals.  The burst predicate is the integer
+    cross-multiply ``n·H > 2·T`` — no division before the comparison,
+    so the flag cannot diverge on rounding; `rate_ratio` itself is an
+    integer-ratio double (exactness rule 3).  At 100 TB the hourly
+    table is |hours| rows — trivially collectable by a monitor, and the
+    same plan incrementalizes per micro-batch (add to the hour's
+    count)."""
+    ev = table(spark, sf_dir, "events")
+    # distinct keys per hour ride the same shuffle key as the count
+    hourly = (
+        ev.select(
+            F.expr("unix_timestamp(ts) div 3600").alias("hour_bucket"), "user_id"
+        )
+        .groupBy("hour_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
+        )
+    )
+    tot = hourly.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    j = hourly.crossJoin(F.broadcast(tot))
+    return j.select(
+        "hour_bucket",
+        "n_events",
+        "n_keys",
+        (
+            (F.col("n_events") * F.col("n_hours")).cast("double") / F.col("total")
+        ).alias("rate_ratio"),
+        (F.col("n_events") * F.col("n_hours") > 2 * F.col("total")).alias("burst"),
+    )

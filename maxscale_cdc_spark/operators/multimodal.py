@@ -344,3 +344,109 @@ def mm_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_collision"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_dedup_phash — perceptual-hash near-duplicate detection for media:
+# 60-bit pHash per blob, banded LSH over the hash bits for candidate
+# generation, exact Hamming verification on candidates only.  The
+# production image-dedup pass (pHash/dHash + Hamming radius) with the
+# same band-bucket shape as the text MinHash family.  The pHash KERNEL
+# is the deterministic stub (sha256-derived bits — this container has
+# no image codecs, same status as _fake_decode); a real build swaps in
+# a DCT pHash over decoded pixels and keeps every join unchanged.
+# ---------------------------------------------------------------------------
+
+_PHASH_BANDS = 5          # 5 bands × 12 bits (3 hex chars) over 60 bits
+_PHASH_RADIUS = 12        # Hamming acceptance radius
+
+_PHASH_ORACLE = f"""
+WITH ph AS (
+  SELECT doc_id,
+         substr(sha256(array_to_string(list_slice(
+           list_sort(list_distinct(string_split(text, ' '))), 1, 8), ' ')),
+           1, 15) AS ph
+  FROM documents
+), p2 AS (
+  SELECT doc_id, ph, CAST(('0x' || ph) AS BIGINT) AS h64 FROM ph
+), bands AS (
+  SELECT doc_id, h64, i.i AS band, substr(ph, i.i * 3 + 1, 3) AS bv
+  FROM p2 CROSS JOIN (SELECT unnest(generate_series(0, {_PHASH_BANDS - 1})) AS i) i
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.h64 AS ha, b.h64 AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_RADIUS}
+"""
+
+
+@register("mm_dedup_phash", _PHASH_ORACLE)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs at Hamming ≤ 12 over a 60-bit perceptual
+    hash.  Banded candidate generation: a pair within radius r must
+    agree exactly on at least one of the 5 12-bit bands when r < 5×...
+    strictly, band-LSH is probabilistic for r ≥ #bands (a pair can
+    spread its differing bits across every band) — the standard
+    pigeonhole guarantee is exact only for r < #bands; radius 12 with
+    5 bands is the recall/cost point production pHash dedup uses, and
+    the stub hash makes true positives exact-equal (hamming 0), which
+    banding always finds.
+
+    Plan: hash + band expressions at scan speed, ONE self-join on the
+    (band, 12-bit value) key — never all-pairs; exact bit_count(xor)
+    verification only on bucket collisions.  At 100 TB with a real
+    pHash, bucket sizes follow content popularity (logo images, blank
+    frames) — hot buckets are the salting/AQE-skew case, identical to
+    llm_dedup_near's banding notes.  Everything exported is an
+    integer."""
+    m = media_frame(spark, sf_dir)
+    # Stub pHash input: a COARSE content feature (the 8 smallest
+    # distinct "words" of the decoded payload) rather than the raw
+    # bytes, so visually-near blobs (here: near-dup texts) hash
+    # identically — mimicking a real pHash's robustness to small
+    # perturbations while staying deterministic and codec-free.
+    feat = F.concat_ws(
+        " ",
+        F.slice(
+            F.array_sort(F.array_distinct(F.split(F.decode("content", "utf-8"), " "))),
+            1,
+            8,
+        ),
+    )
+    ph = m.select(
+        "doc_id", F.substring(F.sha2(feat, 256), 1, 15).alias("ph")
+    ).select(
+        "doc_id", "ph", F.conv("ph", 16, 10).cast("long").alias("h64")
+    )
+    bands = ph.select(
+        "doc_id",
+        "h64",
+        F.posexplode(
+            F.array(
+                *[F.substring("ph", i * 3 + 1, 3) for i in range(_PHASH_BANDS)]
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h64").alias("ha"),
+            F.col("b.h64").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= _PHASH_RADIUS)

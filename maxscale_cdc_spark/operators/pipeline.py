@@ -748,3 +748,91 @@ def llm_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_span_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_line_dedup — line-level boilerplate deduplication (the CCNet /
+# RefinedWeb first pass: hash every "line", count corpus-wide, drop or
+# flag documents dominated by lines that repeat across the corpus —
+# nav bars, cookie banners, license footers).  The corpus has no
+# newlines, so a "line" is a fixed 8-word segment — the unit choice is
+# orthogonal to the operator shape.
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8
+_LINE_FLAG_FRAC = 0.3
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), lh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, (len(w) - 1) // {_LINE_W}),
+                k -> md5(array_to_string(
+                       list_slice(w, k * {_LINE_W} + 1,
+                                  least(len(w), (k + 1) * {_LINE_W})), ' '))))
+           AS line_hash
+  FROM t WHERE len(w) >= 1
+), cnt AS (
+  SELECT line_hash, CAST(count(*) AS BIGINT) AS n_occ
+  FROM lh GROUP BY line_hash
+)
+SELECT lh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cnt.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       CAST(sum(CASE WHEN cnt.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_line_frac,
+       (CAST(sum(CASE WHEN cnt.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*)) > {_LINE_FLAG_FRAC} AS boilerplate
+FROM lh JOIN cnt USING (line_hash)
+GROUP BY lh.doc_id
+"""
+
+
+@register("llm_line_dedup", _LINE_DEDUP_ORACLE)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplicate profiling (CCNet §3.1 / RefinedWeb line-wise
+    filtering): hash each 8-word segment, count occurrences corpus-wide,
+    report per document how much of it is made of lines that appear
+    ≥2 times anywhere (including within the same document — boilerplate
+    repeats internally too).
+
+    Plan: line hashes are built PER ROW as an array (transform over the
+    segment index — the document array is never duplicated through an
+    explode), then only (doc_id, line_hash) pairs explode.  One
+    partial-aggregable groupBy(line_hash), one hash-keyed join back,
+    one doc-keyed aggregation — the same linear two-shuffle family as
+    llm_cross_doc_overlap, but at line granularity the key cardinality
+    is ~n_words/8 so the exchange is ~5-gram/5× cheaper.  At 100 TB the
+    count table can instead be published as a broadcast Bloom-ish
+    hot-line set (n_occ >= 2) for a map-only second pass.
+
+    Counts are integers; dup_line_frac is an integer-ratio double."""
+    d = wide_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 1)
+    n = F.size("w")
+    w = F.col("w")
+
+    def line_hash(k):
+        start = k * _LINE_W + 1
+        length = F.least(n, (k + 1) * _LINE_W) - k * _LINE_W
+        return F.md5(F.concat_ws(" ", F.slice(w, start, length)))
+
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.expr(f"(size(w) - 1) div {_LINE_W}")), line_hash
+    )
+    lh = base.select("doc_id", F.explode(hashes).alias("line_hash"))
+    cnt = lh.groupBy("line_hash").agg(F.count("*").cast("long").alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).cast("long")
+    frac = dup.cast("double") / F.count("*")
+    return (
+        lh.join(cnt, "line_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            dup.alias("n_dup_lines"),
+            frac.alias("dup_line_frac"),
+            (frac > _LINE_FLAG_FRAC).alias("boilerplate"),
+        )
+    )

@@ -1099,3 +1099,112 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(take_back, back_gap).otherwise(fwd_gap).cast("long").alias("gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_win_ntile — equal-height bucketing (quartiles) within groups: the
+# remaining ranking window function the surface lacked (rank/dense_rank/
+# row_number/percent_rank/cume_dist are covered by rel_win_rank /
+# rel_win_cume).
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH q AS (
+  SELECT c_mktsegment,
+         c_custkey,
+         c_acctbal,
+         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(c_acctbal) AS DOUBLE) AS lo,
+       CAST(max(c_acctbal) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM q
+GROUP BY c_mktsegment, quartile
+"""
+
+
+@register("rel_win_ntile", _NTILE_ORACLE)
+def rel_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile summary of customer balances per market segment via
+    ntile(4).  ntile assigns floor/ceil bucket sizes by ROW POSITION,
+    so the window's ORDER BY must be a total order for cross-engine
+    equality — (c_acctbal, c_custkey) pins every tie.
+
+    One window shuffle on c_mktsegment + one map-side-combinable
+    aggregation on (segment, quartile).  At 100 TB, segment cardinality
+    is tiny so the window partitions are huge — the production
+    formulation pre-aggregates a per-segment CDF sketch or uses
+    width_bucket over percentile bounds instead of a single sorted
+    window per segment; this operator is the exact-semantics member of
+    that family (rel_percentile_bands is the banded one).  min/max on
+    doubles are selections (exact); the sum uses the DECIMAL(18,4)
+    discipline."""
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4)
+        .over(W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey"))
+        .cast("long")
+        .alias("quartile"),
+    )
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+        F.sum(dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_agg_distinct_bitmap — EXACT distinct counting via bitmap partial
+# aggregation: bucket the key space (bitmap_bucket_number), build one
+# fixed-size bitmap per (group, bucket) map-side, OR-merge bitmaps in
+# the combiner, sum popcounts.  The exact-answer counterpart of
+# rel_agg_approx's HLL: what crosses the shuffle is O(groups × buckets)
+# bitmap blobs, never the (group, key) pair stream that a shuffle-
+# distinct pays for — at 100 TB with billions of keys per group this is
+# the difference between a mergeable index structure and a sort.
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("rel_agg_distinct_bitmap", _BITMAP_ORACLE)
+def rel_agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT user_id) per event type computed through Spark's
+    bitmap aggregate family — bitmap_bit_position marks each key in its
+    bucket's fixed-size bitmap, bitmap_construct_agg builds per-bucket
+    bitmaps with map-side combine, and the popcount sum over buckets is
+    the exact distinct count.  The oracle is the plain COUNT(DISTINCT)
+    — same value, so the row proves the bitmap path exact.
+
+    Two keyed aggregations, both partially aggregable; the second's
+    input is |groups|×|touched buckets| bitmap rows (a bucket spans
+    32768 positions — ~4 KiB dense), independent of event volume.
+    n_events rides the first pass as a plain sum."""
+    ev = table(spark, sf_dir, "events")
+    sub = ev.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = sub.groupBy("event_type", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm"),
+        F.count("*").alias("n"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from maxscale_cdc_spark.functions.text import words
 from maxscale_cdc_spark.functions.vectors import (
     as_double,
+    cosine,
     dot,
     norm_sq,
     q30_mean_arrays,
@@ -504,4 +505,89 @@ def _sim_pq_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
         .select("vec_id", F.round(adc, 6).alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(_PQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_recall — ANN quality audit: recall of the IVF cell search
+# against the brute-force exact top-k.  The tuning table every vector
+# index ships with (recall@k vs nprobe); here at nprobe=1 so the
+# number is the single-cell floor the probe variants improve on.
+# Companion to llm_minhash_accuracy (the dedup-side accuracy audit).
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+_IVF_RECALL_ORACLE = f"""
+WITH {_sql_kmeans_ctes()},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qcell AS (SELECT cid FROM a{_KMEANS_ITERS} WHERE vec_id = 0),
+cellv AS (
+  SELECT a.vec_id FROM a{_KMEANS_ITERS} a JOIN qcell USING (cid)
+  WHERE a.vec_id <> 0
+),
+exact AS (
+  SELECT vec_id, cos_sim, rn FROM (
+    SELECT e.vec_id,
+           {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim,
+           row_number() OVER (
+             ORDER BY {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  ) WHERE rn <= {_RECALL_K}
+)
+SELECT CAST(e.rn AS BIGINT) AS rk, e.vec_id, e.cos_sim,
+       (c.vec_id IS NOT NULL) AS in_cell
+FROM exact e LEFT JOIN cellv c USING (vec_id)
+"""
+
+
+@register("llm_ivf_recall", _IVF_RECALL_ORACLE)
+def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of single-cell IVF search: for each of the exact
+    brute-force top-5 neighbors, does the query's k-means cell contain
+    it?  sum(in_cell)/5 IS recall@5 at nprobe=1 — the row-level export
+    keeps WHICH neighbors were missed (always the boundary ones),
+    which is what actually drives the nprobe decision.
+
+    Plan: the exact side is one scan + TakeOrdered(5) (the
+    llm_sim_cosine shape); the IVF side reuses _kmeans_cells' N·K
+    broadcast assignment; the audit join is a 5-row broadcast against
+    the query cell's members.  At 100 TB the exact side is the
+    expensive half — which is the point: the audit runs on a SAMPLE of
+    queries (here the one canonical query vector) to price the index's
+    recall, never corpus-wide."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    _, assigned = _kmeans_cells(e)
+    qcell = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
+    cellv = (
+        assigned.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("cand_id"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(as_double("embedding"), F.col("qv")).alias("cos_sim"))
+    )
+    exact = (
+        scored.orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RECALL_K)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+    )
+    return (
+        exact.join(
+            F.broadcast(cellv), exact.vec_id == F.col("cand_id"), "left"
+        )
+        .select(
+            "rk", "vec_id", "cos_sim", F.col("cand_id").isNotNull().alias("in_cell")
+        )
     )
