@@ -13,6 +13,7 @@ from maxscale_cdc_spark.plans.inspect import (
     has_cartesian,
     pushed_filters,
     read_schema,
+    simple_plan,
 )
 
 
@@ -507,3 +508,90 @@ def test_countmin_fixed_size_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_gram_keyed_no_cartesian(spark, sf_dir):
+    """ExactSubstr span finder: gram df-agg + join-back + doc window —
+    linear keyed shuffles, never all-pairs, no Python."""
+    df = _q("llm_dup_span", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # gram df + runs/doc aggs
+
+
+def test_line_dedup_hashes_built_rowside(spark, sf_dir):
+    """Line hashes come from a per-row transform: the only explode
+    output is (doc_id, line_hash) — no Python, no cartesian, and the
+    plan carries the hash-keyed agg + join-back + doc agg."""
+    df = _q("llm_line_dedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the single (doc_id, hash) explode
+
+
+def test_phash_banded_join_never_allpairs(spark, sf_dir):
+    """pHash dedup: candidates come from the (band, value) equi-join —
+    a cartesian/nested-loop here would be the N² mistake the banding
+    exists to avoid."""
+    df = _q("mm_dedup_phash", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_python_only_after_distinct(spark, sf_dir):
+    """The greedy matcher (the one Python touchpoint) must run over the
+    DISTINCT word set, not the occurrence stream: exactly one
+    ArrowEvalPython, fed by the distinct aggregation."""
+    df = _q("llm_bpe_tokenize", spark, sf_dir)
+    import re
+
+    plan = formatted_plan(df)
+    udf_nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(udf_nodes) == 1, plan
+    # the udf's immediate child subtree (indented below it) must be the
+    # distinct aggregation — Python never sees the occurrence stream
+    lines = plan.splitlines()
+    i = next(n for n, l in enumerate(lines) if "ArrowEvalPython (" in l)
+    assert any("HashAggregate" in l for l in lines[i + 1 : i + 4]), plan
+
+
+def test_burst_detect_broadcast_totals(spark, sf_dir):
+    """Hourly profile joined to 1-row totals: totals broadcast
+    (keyless 1-row BNLJ, the scalar-join shape), profile side never
+    re-shuffles."""
+    df = _q("cdc_burst_detect", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_twa_window_and_agg_share_partitioning(spark, sf_dir):
+    """lead() window and the groupBy both key on user_id — the agg must
+    reuse the window's exchange, not add its own."""
+    df = _q("rel_time_weighted_avg", spark, sf_dir)
+    n = exchange_count(df)
+    assert n <= 1, f"expected the user_id exchange to be reused, got {n}"
+
+
+def test_bitmap_distinct_mergeable_state(spark, sf_dir):
+    """Bitmap distinct: both aggregations partial+final (mergeable
+    state crosses the shuffle), no Python, no cartesian."""
+    df = _q("rel_agg_distinct_bitmap", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert exchange_count(df) <= 2, simple_plan(df)
+
+
+def test_ivf_recall_broadcast_audit_join(spark, sf_dir):
+    """The recall audit joins the 5-row exact top-k to the (broadcast)
+    cell membership — no Python, no cartesian beyond the deliberate
+    1-row query-vector broadcast."""
+    df = _q("llm_ivf_recall", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
