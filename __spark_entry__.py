@@ -145,7 +145,8 @@ _DEMOTED = {
 # ones so a time-budgeted sweep maximizes rows checked.
 _HEAVY = {
     "src_cdc_datasource", "src_tcp_transport", "src_cdc_stream", "snk_append",
-    "snk_upsert", "snk_partitioned", "snk_compact", "str_stream_stream_join",
+    "snk_upsert", "snk_partitioned", "snk_compact", "snk_zorder",
+    "str_stream_stream_join",
     "str_tumbling",
     "str_sliding", "str_watermark_late", "str_dedup_stream",
     "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",

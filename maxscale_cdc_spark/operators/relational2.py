@@ -1208,3 +1208,165 @@ def rel_agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_hof — the higher-order-function surface as a first-class query:
+# transform / filter / exists / forall / aggregate over a per-order
+# quantity array.  Array columns are how nested data survives at scale
+# (no explode → no row blow-up → no shuffle amplification); this query
+# pins the cross-engine semantics of each HOF against DuckDB's list_*
+# family.
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH arrs AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(q) AS BIGINT) AS n_items,
+       CAST(len(list_filter(q, x -> x > 25)) AS BIGINT) AS n_big,
+       (len(list_filter(q, x -> x = 50)) > 0) AS has_50,
+       (len(list_filter(q, x -> x <= 0)) = 0) AS all_pos,
+       CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
+         AS total_qty,
+       CAST(q[len(q)] - q[1] AS DOUBLE) AS qty_range
+FROM arrs
+"""
+
+
+@register("fn_hof", _HOF_ORACLE)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over a collected per-order array:
+    filter (count > 25), exists (= 50), forall (> 0), transform +
+    aggregate (integer total), and element arithmetic on the sorted
+    array.  The array is sorted (array_sort == DuckDB's ORDER BY in
+    list()) so positional reads agree; quantities are whole numbers so
+    the cast-to-BIGINT total is order-independent and exact.
+
+    ONE keyed shuffle (the collect_list groupBy, map-side combinable);
+    every HOF then runs row-local at scan speed.  This is the nested-
+    data idiom for 100 TB: keep line-level detail as arrays inside the
+    order row, compute per-order features without ever exploding."""
+    li = table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    q = F.col("q")
+    return arrs.select(
+        "l_orderkey",
+        F.size(q).cast("long").alias("n_items"),
+        F.size(F.filter(q, lambda x: x > 25)).cast("long").alias("n_big"),
+        F.exists(q, lambda x: x == 50).alias("has_50"),
+        F.forall(q, lambda x: x > 0).alias("all_pos"),
+        F.aggregate(
+            F.transform(q, lambda x: x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_qty"),
+        (F.element_at(q, F.size(q)) - F.element_at(q, 1))
+        .cast("double")
+        .alias("qty_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_interval — interval-OVERLAP self-join: find pairs of
+# shipments from the same supplier whose transit windows intersect
+# (double-booked capacity, the classic temporal-join ask).  The naive
+# formulation is an all-pairs predicate join; the scale formulation
+# buckets each interval into the calendar months it spans and equi-
+# joins on (supplier, month) — candidates ∝ Σ bucket², exact overlap
+# verified on candidates only.  The oracle IS the all-pairs join, so a
+# green row proves the bucketing loses no pairs (transit ≤ 14 days <
+# one bucket width, so an overlapping pair always shares a month).
+# ---------------------------------------------------------------------------
+
+_IV_SUPP_MOD = 10  # audit 1-in-10 suppliers: keeps the all-pairs oracle cheap
+
+_IV_ORACLE = f"""
+WITH iv AS (
+  SELECT l_suppkey AS sk, l_orderkey AS ok, l_linenumber AS ln,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST(CAST(l_quantity AS BIGINT) % 14 + 1 AS INTEGER) AS e
+  FROM lineitem WHERE l_suppkey % {_IV_SUPP_MOD} = 0
+), pairs AS (
+  SELECT a.sk,
+         date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS ov_days
+  FROM iv a JOIN iv b
+    ON a.sk = b.sk
+   AND (a.ok, a.ln) < (b.ok, b.ln)
+   AND a.s <= b.e AND b.s <= a.e
+)
+SELECT sk,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov_days) AS BIGINT) AS sum_ov_days,
+       CAST(max(ov_days) AS BIGINT) AS max_ov_days
+FROM pairs GROUP BY sk
+"""
+
+
+@register("rel_join_interval", _IV_ORACLE)
+def rel_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier overlapping-shipment profile via a bucketed interval
+    join.  Each transit interval [shipdate, shipdate + (qty%14)+1 days]
+    explodes into the months it touches (≤2 buckets, since transit <
+    bucket width); the self-join keys on (supplier, month) — an equi-
+    join Catalyst hashes, NEVER the all-pairs theta join the overlap
+    predicate naively implies.  Pairs spanning a shared month boundary
+    appear in two buckets, so candidates dedupe before aggregation.
+
+    Completeness: overlap ⇒ the pair shares at least one calendar
+    month whenever interval length < bucket width — the oracle is the
+    unbucketed all-pairs join, so the driver row proves no pair is
+    lost.  At 100 TB bucket width trades fan-out (intervals/bucket ×
+    replication) against bucket size; hot (supplier, month) buckets
+    are the AQE-skew / salting case.  All exports are integer day
+    counts — exact by construction."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") % _IV_SUPP_MOD == 0
+    )
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_quantity").cast("long") % 14 + 1).cast("int"),
+        ).alias("e"),
+    )
+    mb = lambda d: F.year(d) * 12 + F.month(d)  # noqa: E731
+    bucketed = iv.select(
+        "sk", "ok", "ln", "s", "e",
+        F.explode(F.sequence(mb(F.col("s")), mb(F.col("e")))).alias("mbucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pid_a = F.struct(F.col("a.ok"), F.col("a.ln"))
+    pid_b = F.struct(F.col("b.ok"), F.col("b.ln"))
+    cand = a.join(
+        b,
+        (F.col("a.sk") == F.col("b.sk"))
+        & (F.col("a.mbucket") == F.col("b.mbucket"))
+        & (pid_a < pid_b)
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(
+        F.col("a.sk").alias("sk"),
+        F.col("a.ok").alias("aok"), F.col("a.ln").alias("aln"),
+        F.col("b.ok").alias("bok"), F.col("b.ln").alias("bln"),
+        (
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+            + 1
+        ).alias("ov_days"),
+    ).distinct()
+    return cand.groupBy("sk").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("ov_days").cast("long").alias("sum_ov_days"),
+        F.max("ov_days").cast("long").alias("max_ov_days"),
+    )

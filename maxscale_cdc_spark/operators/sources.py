@@ -489,3 +489,72 @@ def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_zorder — multi-dimensional clustered sink: write the event log
+# z-ordered on (user_id, hour) so BOTH a key-filtered and a time-
+# filtered read prune files via parquet min/max statistics — the
+# Delta/Iceberg OPTIMIZE ZORDER layout, built from primitives (bit
+# interleave + range repartition + sorted write).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # bits per dimension interleaved into a 32-bit z-key
+
+
+def _zkey(u, h):
+    """Bit-interleave the low 16 bits of two longs (Morton/Z-curve):
+    z = Σ_i ((u>>i & 1) << 2i) | ((h>>i & 1) << 2i+1).  Pure JVM-side
+    integer expressions — codegen-friendly, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(h, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@register(
+    "snk_zorder",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 100 < 10
+    GROUP BY event_type
+    """,
+)
+def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events clustered on the Z-curve of (user_id, hour), then
+    answer a key-sliced query from the clustered files.  The oracle
+    checks CONTENT (the rewrite is lossless); the layout's point is
+    pruning: after range-partitioning + sorting by z-key, each file
+    covers a compact z-range, so its (user_id, hour) min/max boxes are
+    tight and a predicate on EITHER dimension skips most files on
+    parquet row-group stats — one layout serving two query families,
+    where single-column sort serves only its own.
+
+    Scale: the z-key is 32 integer-ops per row at scan speed;
+    repartitionByRange samples the key (one extra pass) and writes
+    sorted files.  At 100 TB this runs as the compaction job
+    (snk_compact's sibling) on a schedule, and bits-per-dimension
+    grows with key cardinality."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    z = _zkey(F.col("user_id"), hour)
+    out_dir = _mkdtemp(prefix="snk_zorder_")
+    (
+        ev.withColumn("zkey", z)
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).filter(F.col("user_id") % 100 < 10)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

@@ -287,3 +287,97 @@ def test_countmin_one_sided_error(spark, items):
     exact = Counter(str(x) for x in items)
     for tok, n in exact.items():
         assert est[tok] >= n, (tok, est[tok], n)
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy matcher: the Python kernel must agree with an independent
+# replay of the spec (longest vocab match at each position, else one
+# char) — and with the DuckDB recursive-CTE oracle formulation, on
+# arbitrary words, not just corpus words.
+# ---------------------------------------------------------------------------
+
+_word = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=24
+)
+
+
+@given(st.lists(_word, min_size=1, max_size=20))
+def test_bpe_token_count_matches_recursive_oracle(words_):
+    import duckdb
+
+    from maxscale_cdc_spark.operators.bpe import (
+        _VOCAB_BY_LEN,
+        _VOCAB_VALUES,
+        _token_count,
+    )
+
+    for wd in words_:
+        n = _token_count(wd)
+        if wd:
+            assert 1 <= n <= len(wd), (wd, n)
+            # ceil(len / longest-merge) lower bound
+            assert n >= -(-len(wd) // len(_VOCAB_BY_LEN[0])), (wd, n)
+        else:
+            assert n == 0
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in set(words_) if w)
+    if not vals:
+        return
+    rows = con.execute(
+        f"""
+        WITH RECURSIVE vocab(v, vl) AS (VALUES {_VOCAB_VALUES}),
+        uw(wd) AS (VALUES {vals}),
+        steps(wd, pos, ntok) AS (
+          SELECT wd, 1, 0 FROM uw
+          UNION ALL
+          SELECT wd,
+                 pos + coalesce((SELECT max(vl) FROM vocab
+                                 WHERE substr(wd, pos, vl) = v), 1),
+                 ntok + 1
+          FROM steps WHERE pos <= len(wd)
+        )
+        SELECT wd, max(ntok) FROM steps GROUP BY wd
+        """
+    ).fetchall()
+    for wd, n_oracle in rows:
+        assert _token_count(wd) == n_oracle, (wd, _token_count(wd), n_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Z-order key: interleaving is a bijection on the low 16 bits per
+# dimension — the Spark integer-expression pipeline must decode back
+# to its inputs (otherwise file min/max boxes lie and pruning is
+# silently wrong).
+# ---------------------------------------------------------------------------
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=6)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**20)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_zorder_key_bijective_on_low_bits(spark, pairs):
+    from maxscale_cdc_spark.operators.sources import _Z_BITS, _zkey
+    from pyspark.sql import functions as F
+
+    def py_z(u, h):
+        z = 0
+        for i in range(_Z_BITS):
+            z += ((u >> i) & 1) << (2 * i)
+            z += ((h >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "u long, h long")
+    got = {
+        (r["u"], r["h"]): r["z"]
+        for r in df.withColumn("z", _zkey(F.col("u"), F.col("h"))).collect()
+    }
+    for u, h in pairs:
+        z = got[(u, h)]
+        assert z == py_z(u, h), (u, h, z)
+        # decode: even bits → u low 16, odd bits → h low 16
+        ud = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
+        hd = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
+        assert ud == u % (1 << _Z_BITS) and hd == h % (1 << _Z_BITS)
