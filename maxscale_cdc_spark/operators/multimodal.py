@@ -367,41 +367,57 @@ WITH ph AS (
            list_sort(list_distinct(string_split(text, ' '))), 1, 8), ' ')),
            1, 15) AS ph
   FROM documents
-), p2 AS (
-  SELECT doc_id, ph, CAST(('0x' || ph) AS BIGINT) AS h64 FROM ph
+), classes AS (
+  SELECT ph, CAST(('0x' || ph) AS BIGINT) AS h64,
+         CAST(min(doc_id) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ph GROUP BY ph
 ), bands AS (
-  SELECT doc_id, h64, i.i AS band, substr(ph, i.i * 3 + 1, 3) AS bv
-  FROM p2 CROSS JOIN (SELECT unnest(generate_series(0, {_PHASH_BANDS - 1})) AS i) i
+  SELECT rep, n_docs, h64, i.i AS band, substr(ph, i.i * 3 + 1, 3) AS bv
+  FROM classes
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PHASH_BANDS - 1})) AS i) i
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                  a.n_docs AS n_a, b.n_docs AS n_b,
                   a.h64 AS ha, b.h64 AS hb
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bv = b.bv AND a.rep < b.rep
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+SELECT rep_a, rep_b, n_a, n_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_RADIUS}
+UNION ALL
+SELECT rep, rep, n_docs, n_docs, CAST(0 AS BIGINT)
+FROM classes WHERE n_docs >= 2
 """
 
 
 @register("mm_dedup_phash", _PHASH_ORACLE)
 def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media near-dup pairs at Hamming ≤ 12 over a 60-bit perceptual
-    hash.  Banded candidate generation: a pair within radius r must
-    agree exactly on at least one of the 5 12-bit bands when r < 5×...
-    strictly, band-LSH is probabilistic for r ≥ #bands (a pair can
-    spread its differing bits across every band) — the standard
-    pigeonhole guarantee is exact only for r < #bands; radius 12 with
-    5 bands is the recall/cost point production pHash dedup uses, and
-    the stub hash makes true positives exact-equal (hamming 0), which
-    banding always finds.
+    """Media dedup classes + near-dup class links at Hamming ≤ 12 over
+    a 60-bit perceptual hash.  TWO-LEVEL structure, the production
+    shape: (1) identical hashes collapse to a CLASS (representative =
+    min doc_id, class size carried) — one keyed aggregation; (2) banded
+    LSH + exact bit_count(xor) verification run over DISTINCT hashes
+    only, linking near-identical classes.  Output: one self-row per
+    multi-doc class (rep, rep, n, n, 0) plus one row per near-class
+    pair — LINEAR in classes, never the quadratic doc-pair explosion
+    (measured before the collapse: one 1347-doc identical-hash class at
+    sf0.1 alone produced ~0.9M doc pairs; after: 1 row).  That
+    quadratic term is exactly what blank frames / logo images do to a
+    real crawl, and collapsing exact classes first is the standard
+    mitigation.
 
-    Plan: hash + band expressions at scan speed, ONE self-join on the
-    (band, 12-bit value) key — never all-pairs; exact bit_count(xor)
-    verification only on bucket collisions.  At 100 TB with a real
-    pHash, bucket sizes follow content popularity (logo images, blank
-    frames) — hot buckets are the salting/AQE-skew case, identical to
-    llm_dedup_near's banding notes.  Everything exported is an
-    integer."""
+    Band-LSH recall note: the pigeonhole guarantee (an overlap must
+    share a band) is exact only for radius < #bands; radius 12 with 5
+    bands is the recall/cost point production pHash dedup runs at, and
+    the stub hash makes true positives exact-equal (hamming 0), which
+    the class collapse catches exhaustively.
+
+    At 100 TB: classes ≈ distinct content (≪ docs); band buckets over
+    distinct hashes are near-uniform (crypto bits), so no skew; with a
+    real DCT pHash the hot-band case returns and salts like any
+    equi-join.  Everything exported is an integer."""
     m = media_frame(spark, sf_dir)
     # Stub pHash input: a COARSE content feature (the 8 smallest
     # distinct "words" of the decoded payload) rather than the raw
@@ -416,13 +432,14 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ),
     )
-    ph = m.select(
-        "doc_id", F.substring(F.sha2(feat, 256), 1, 15).alias("ph")
-    ).select(
-        "doc_id", "ph", F.conv("ph", 16, 10).cast("long").alias("h64")
-    )
-    bands = ph.select(
-        "doc_id",
+    ph = m.select("doc_id", F.substring(F.sha2(feat, 256), 1, 15).alias("ph"))
+    classes = ph.groupBy("ph").agg(
+        F.min("doc_id").cast("long").alias("rep"),
+        F.count("*").cast("long").alias("n_docs"),
+    ).withColumn("h64", F.conv("ph", 16, 10).cast("long"))
+    bands = classes.select(
+        "rep",
+        "n_docs",
         "h64",
         F.posexplode(
             F.array(
@@ -436,17 +453,27 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.n_docs").alias("n_a"),
+            F.col("b.n_docs").alias("n_b"),
             F.col("a.h64").alias("ha"),
             F.col("b.h64").alias("hb"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    links = cand.select(
+        "rep_a", "rep_b", "n_a", "n_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= _PHASH_RADIUS)
+    self_rows = classes.filter(F.col("n_docs") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("n_a"),
+        F.col("n_docs").alias("n_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return links.unionAll(self_rows)
