@@ -23,6 +23,9 @@ _REPRESENTATIVE = [
     "llm_embed_centroid",
     "llm_lm_score",
     "rel_agg_stats",
+    # round-5 families: distinct-word pandas_udf path, bitmap aggregate
+    "llm_bpe_tokenize",
+    "rel_agg_distinct_bitmap",
 ]
 
 
