@@ -213,3 +213,73 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_bpe_learn_pairs — the TRAINING side of BPE (Sennrich et al. 2016
+# §3.2): one merge iteration = count adjacent symbol pairs across the
+# corpus (weighted by word frequency) and take the most frequent as
+# the next merge.  Here the argmax step is exported as the top-20
+# candidate table a tokenizer-training run would consume.
+# ---------------------------------------------------------------------------
+
+_LEARN_TOP = 20
+
+_BPE_LEARN_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+), wc AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS mult FROM occ GROUP BY wd
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(wd) - 1),
+                i -> substr(wd, i, 2))) AS pair,
+         mult
+  FROM wc WHERE len(wd) >= 2
+), agg AS (
+  SELECT pair, CAST(sum(mult) AS BIGINT) AS n FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM agg
+)
+SELECT CAST(rk AS BIGINT) AS rk, pair, n FROM ranked WHERE rk <= {_LEARN_TOP}
+"""
+
+
+@register("llm_bpe_learn_pairs", _BPE_LEARN_ORACLE)
+def llm_bpe_learn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: adjacent character-pair counts over
+    the corpus, weighted by word frequency — one iteration of the BPE
+    training loop (the full loop re-segments and repeats; each
+    iteration is exactly this plan over the current symbol sequences).
+
+    Same Zipf decomposition as llm_bpe_tokenize: pairs are generated
+    per DISTINCT word (per-row transform, no occurrence-stream
+    explode) and weighted by the word's multiplicity, so the pair
+    aggregation's input is vocab-sized.  One word-keyed count + one
+    pair-keyed weighted sum (both map-side combinable) + TakeOrdered
+    top-20.  The tie-break (n desc, pair) is a total order in both
+    engines; all exports are integers/strings — exact."""
+    from pyspark.sql import Window as W
+
+    d = wide_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words("text")).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count("*").cast("long").alias("mult"))
+    )
+    pairs = wc.filter(F.length("wd") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("wd") - 1),
+                lambda i: F.col("wd").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "mult",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("mult").cast("long").alias("n"))
+    ranked = agg.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("n").desc(), "pair")).cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= _LEARN_TOP).select("rk", "pair", "n")

@@ -1273,3 +1273,87 @@ def cdc_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_ratio"),
         (F.col("n_events") * F.col("n_hours") > 2 * F.col("total")).alias("burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_ddl_timeline — schema-version lifetime audit: when did each
+# schema version become active, how long did it live, and how many DML
+# events were decoded under it.  The registry-operations view every
+# CDC consumer wants when an ALTER storm hits (event.go:35-36 version
+# increments; a DDL is synthesized at every sequence % 1000 == 0 — the
+# cdc_event_dispatch wire model at a sparser, ALTER-realistic cadence,
+# which also keeps the broadcast span table version-count-sized).
+# ---------------------------------------------------------------------------
+
+_DDL_TL_ORACLE = f"""
+{CDC_SQL}
+, ddl AS (
+  SELECT CAST(sequence // 1000 AS BIGINT) AS version,
+         sequence AS active_from
+  FROM cdc WHERE sequence % 1000 = 0
+), spans AS (
+  SELECT version, active_from,
+         lead(active_from) OVER (ORDER BY active_from) AS next_from
+  FROM ddl
+), counted AS (
+  SELECT s.version, s.active_from, s.next_from,
+         CAST(count(c.sequence) AS BIGINT) AS n_dml
+  FROM spans s LEFT JOIN cdc c
+    ON c.sequence > s.active_from
+   AND (s.next_from IS NULL OR c.sequence < s.next_from)
+   AND c.sequence % 1000 <> 0
+  GROUP BY s.version, s.active_from, s.next_from
+)
+SELECT version, active_from,
+       CAST(coalesce(next_from - active_from, -1) AS BIGINT) AS span_seqs,
+       n_dml
+FROM counted
+"""
+
+
+@register("cdc_ddl_timeline", _DDL_TL_ORACLE)
+def cdc_ddl_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-schema-version activity spans: active-from sequence, span
+    length in sequence units (−1 = still open), and the DML count
+    decoded under the version.
+
+    The DDL set is tiny by nature (one row per ALTER — the same
+    bounded-cardinality argument as the schema registry's DDL
+    collect), so the span table BROADCASTS and the per-version DML
+    count becomes one map-side range-tagging pass over the stream +
+    one keyed aggregation.  Versions are range-keyed, not equi-keyed —
+    the broadcast range join is the partition-pruning shape a
+    registry lookup compiles to at 100 TB.  All exports are integer
+    sequence arithmetic — exact by construction."""
+    cdc = cdc_view(spark, sf_dir)
+    ddl = (
+        cdc.filter(F.col("sequence") % 1000 == 0)
+        .select(
+            F.expr("sequence div 1000").cast("long").alias("version"),
+            F.col("sequence").alias("active_from"),
+        )
+    )
+    spans = ddl.withColumn(
+        "next_from", F.lead("active_from").over(W.orderBy("active_from"))
+    )
+    dml = cdc.filter(F.col("sequence") % 1000 != 0).select("sequence")
+    tagged = dml.join(
+        F.broadcast(spans),
+        (F.col("sequence") > F.col("active_from"))
+        & (F.col("next_from").isNull() | (F.col("sequence") < F.col("next_from"))),
+        "right",
+    )
+    return (
+        tagged.groupBy("version", "active_from", "next_from")
+        .agg(F.count("sequence").cast("long").alias("n_dml"))
+        .select(
+            "version",
+            "active_from",
+            F.coalesce(
+                F.col("next_from") - F.col("active_from"), F.lit(-1)
+            )
+            .cast("long")
+            .alias("span_seqs"),
+            "n_dml",
+        )
+    )

@@ -118,3 +118,90 @@ def test_checkpoint_stop_resume(spark, sf_dir):
     got = spark.read.parquet(sink_dir)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_update_mode_bucketed_merge_stop_resume(spark, sf_dir):
+    """The str_cdc_upsert_e2e sink shape under the reference's
+    Stop()/resume contract: an update-mode per-key aggregate MERGEd
+    into a bucket-generation parquet target, interrupted after the
+    first micro-batch and resumed from the same checkpoint, must end
+    at exactly the batch ground-truth state — a replayed micro-batch
+    re-asserts the same per-key rows (idempotent MERGE), so restart
+    can neither lose nor double-apply keys."""
+    from collections import defaultdict
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream_ordered(ev, late=(F.col("event_id") % 2 == 0))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_merge_resume_")
+    root = tempfile.mkdtemp(prefix="merge_tgt_")
+    n_buckets = 4
+    gen_of: dict[int, str] = {}
+
+    def merge(batch_df, epoch_id):
+        new = batch_df.withColumn(
+            "b", F.pmod(F.hash("user_id"), F.lit(n_buckets))
+        )
+        touched = sorted(r["b"] for r in new.select("b").distinct().collect())
+        if not touched:
+            return
+        by_gen = defaultdict(list)
+        for b in touched:
+            if b in gen_of:
+                by_gen[gen_of[b]].append(b)
+        olds = [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ]
+        if olds:
+            carried = reduce(lambda a, x: a.unionByName(x), olds).join(
+                new.select("user_id"), "user_id", "left_anti"
+            )
+            merged = carried.unionByName(new)
+        else:
+            merged = new
+        gen_dir = os.path.join(root, f"gen_{epoch_id}")
+        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        for b in touched:
+            gen_of[b] = gen_dir
+
+    def run_once():
+        stream = read_stream(spark, staged, max_files_per_trigger=1)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.max("event_id").alias("last_id")
+        )
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_once()
+    while not q.recentProgress:
+        q.awaitTermination(0.2)
+    q.stop()
+    q2 = run_once()
+    q2.awaitTermination()
+
+    by_gen_final = defaultdict(list)
+    for b, g in gen_of.items():
+        by_gen_final[g].append(b)
+    state = reduce(
+        lambda a, x: a.unionByName(x),
+        [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen_final.items()
+        ],
+    )
+    got = {r["user_id"]: (r["n"], r["last_id"]) for r in state.collect()}
+    want = {
+        r["user_id"]: (r["n"], r["last_id"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("last_id"))
+        .collect()
+    }
+    assert got == want
