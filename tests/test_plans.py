@@ -595,3 +595,25 @@ def test_ivf_recall_broadcast_audit_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ddl_timeline_broadcast_range_tag(spark, sf_dir):
+    """Version spans are ALTER-count bounded — the range-tagging join
+    must broadcast them over the DML stream, never shuffle or go
+    cartesian; no Python anywhere."""
+    df = _q("cdc_ddl_timeline", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bpe_learn_pairs_distinct_then_pairs(spark, sf_dir):
+    """Pair generation runs over DISTINCT words (word-count agg first),
+    then one pair-keyed weighted sum — two exchanges total, no Python,
+    no cartesian."""
+    df = _q("llm_bpe_learn_pairs", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert exchange_count(df) <= 3, simple_plan(df)  # wc, pair agg, top-k sort
