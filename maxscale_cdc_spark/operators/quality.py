@@ -753,3 +753,103 @@ def llm_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_exact")).cast("long").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_quality_ablation — filter-rule co-occurrence/ablation matrix: for
+# every pair of drop rules, how many docs fail both vs only one.  The
+# tuning table that tells a pipeline owner which rules are redundant
+# (n_b_only ≈ 0 ⇒ rule b adds nothing over a) before paying for them
+# at 100 TB.  Same integer rule predicates as llm_heuristic_filters
+# (re-derived locally — shared-helper rule: green code untouched).
+# ---------------------------------------------------------------------------
+
+_ABL_RULES_SQL = {
+    "length": f"NOT (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})",
+    "mean_wlen": "NOT (sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words)",
+    "uniq_ratio": "NOT (5 * n_uniq > n_words)",
+    "no_stopword": "NOT (n_stop > 0)",
+}
+
+_ABL_PAIRS = [
+    (a, b)
+    for i, a in enumerate(sorted(_ABL_RULES_SQL))
+    for b in sorted(_ABL_RULES_SQL)[i + 1 :]
+]
+
+_ABL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(w, x -> list_contains({_HFILTER_STOPWORDS!r}, x)))
+              AS BIGINT) AS n_stop
+  FROM t
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{a}|{b}' AS rule_pair,
+       CAST(sum(CASE WHEN ({_ABL_RULES_SQL[a]}) AND ({_ABL_RULES_SQL[b]}) THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN ({_ABL_RULES_SQL[a]}) AND NOT ({_ABL_RULES_SQL[b]}) THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+       CAST(sum(CASE WHEN NOT ({_ABL_RULES_SQL[a]}) AND ({_ABL_RULES_SQL[b]}) THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+       CAST(sum(CASE WHEN ({_ABL_RULES_SQL[a]}) OR ({_ABL_RULES_SQL[b]}) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_any
+FROM m"""
+    for a, b in _ABL_PAIRS
+)
+
+
+@register("llm_quality_ablation", _ABL_ORACLE)
+def llm_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise rule-ablation counts over the 4 Gopher-style drop
+    rules: (fail both, fail a only, fail b only, fail any) per ordered
+    rule pair.
+
+    Plan: ONE scan computes the per-doc integer measures, per-doc fail
+    flags explode through a 6-element literal pair array (constant
+    fan-out), one tiny keyed aggregation (6 groups) — map-side
+    combinable, output O(rules²).  At 100 TB this shares the scan with
+    the filter pass itself (same measures), so the ablation is nearly
+    free.  All exports are integer counts — exact."""
+    d = wide_table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w"))
+    m = split.select(
+        F.size("w").cast("long").alias("n_words"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.size(F.filter("w", lambda x: x.isin(*_HFILTER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    fail = {
+        "length": ~F.col("n_words").between(_MIN_WORDS, _MAX_WORDS),
+        "mean_wlen": ~(
+            (F.col("sum_wlen") >= 3 * F.col("n_words"))
+            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+        ),
+        "uniq_ratio": ~(5 * F.col("n_uniq") > F.col("n_words")),
+        "no_stopword": ~(F.col("n_stop") > 0),
+    }
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}|{b}").alias("rule_pair"),
+                fail[a].alias("fa"),
+                fail[b].alias("fb"),
+            )
+            for a, b in _ABL_PAIRS
+        ]
+    )
+    exploded = m.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.rule_pair").alias("rule_pair"),
+        F.col("p.fa").alias("fa"),
+        F.col("p.fb").alias("fb"),
+    )
+    return exploded.groupBy("rule_pair").agg(
+        F.sum((F.col("fa") & F.col("fb")).cast("long")).cast("long").alias("n_both"),
+        F.sum((F.col("fa") & ~F.col("fb")).cast("long")).cast("long").alias("n_a_only"),
+        F.sum((~F.col("fa") & F.col("fb")).cast("long")).cast("long").alias("n_b_only"),
+        F.sum((F.col("fa") | F.col("fb")).cast("long")).cast("long").alias("n_fail_any"),
+    )
