@@ -1357,3 +1357,131 @@ def cdc_ddl_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dml",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_event_size_profile — wire-payload size distribution per event
+# class, with a cap audit.  The reference enforces a hard 1 MiB line
+# cap (maxScanTokenSize, client.go:17, applied at client.go:256-257 —
+# an oversize line kills the stream); the ops question is "how close
+# does the stream run to the cap".  Wire lines are the dispatch
+# model's byte-identical synthesis plus the embedded payload; the cap
+# is scaled to the synthetic line sizes so the audit path is
+# non-trivially exercised.
+# ---------------------------------------------------------------------------
+
+_SIZE_CAP = 80  # synthetic-scale stand-in for client.go:17's 1 MiB
+
+_SIZE_PROFILE_ORACLE = f"""
+{CDC_SQL}
+, lines AS (
+  SELECT CASE WHEN sequence % 50 = 0 THEN 'ddl'
+              WHEN sequence % 97 = 13 THEN 'err'
+              ELSE 'dml' END AS event_class,
+         CAST(CASE
+           WHEN sequence % 50 = 0 THEN length(
+             '{{"namespace": "MaxScaleChangeDataSchema.avro", "version": '
+             || CAST(sequence // 50 AS VARCHAR) || '}}')
+           WHEN sequence % 97 = 13 THEN length(
+             'ERR stream error at ' || CAST(sequence AS VARCHAR))
+           ELSE length(
+             '{{"domain": 0, "server_id": 3000, "sequence": '
+             || CAST(sequence AS VARCHAR) || '}}') + length(props)
+         END AS BIGINT) AS wire_len,
+         sequence
+  FROM cdc
+), ranked AS (
+  SELECT event_class, wire_len, sequence,
+         row_number() OVER (PARTITION BY event_class
+                            ORDER BY wire_len, sequence) AS rn,
+         count(*) OVER (PARTITION BY event_class) AS n
+  FROM lines
+)
+SELECT event_class,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(min(wire_len) AS BIGINT) AS min_len,
+       CAST(max(wire_len) AS BIGINT) AS max_len,
+       CAST(sum(wire_len) AS BIGINT) AS total_bytes,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN wire_len END) AS BIGINT)
+         AS p50_len,
+       CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN wire_len END) AS BIGINT)
+         AS p95_len,
+       CAST(sum(CASE WHEN wire_len > {_SIZE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap
+FROM ranked
+GROUP BY event_class
+"""
+
+
+@register("cdc_event_size_profile", _SIZE_PROFILE_ORACLE)
+def cdc_event_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-line size distribution per event class: min/max/total,
+    EXACT discrete p50/p95 (row_number selection — both engines pick
+    the identical element, no interpolation to diverge), and the count
+    of lines over the size cap (client.go:17's guard, scaled).
+
+    One class-keyed window sort + one class-keyed aggregation — the
+    window partitions on the 3-value class key, which at 100 TB would
+    instead bucket by (class, size-range) first (rel_percentile_bands'
+    trick) to avoid the giant per-class sort; the discrete-selection
+    formulation itself is the part that transfers.  All exports are
+    integer byte counts — exact."""
+    cdc = cdc_view(spark, sf_dir)
+    seq_str = F.col("sequence").cast("string")
+    cls = (
+        F.when(F.col("sequence") % 50 == 0, F.lit("ddl"))
+        .when(F.col("sequence") % 97 == 13, F.lit("err"))
+        .otherwise(F.lit("dml"))
+    )
+    wire_len = (
+        F.when(
+            F.col("sequence") % 50 == 0,
+            F.length(
+                F.concat(
+                    F.lit('{"namespace": "MaxScaleChangeDataSchema.avro", "version": '),
+                    F.expr("sequence div 50").cast("string"),
+                    F.lit("}"),
+                )
+            ),
+        )
+        .when(
+            F.col("sequence") % 97 == 13,
+            F.length(F.concat(F.lit("ERR stream error at "), seq_str)),
+        )
+        .otherwise(
+            F.length(
+                F.concat(
+                    F.lit('{"domain": 0, "server_id": 3000, "sequence": '),
+                    seq_str,
+                    F.lit("}"),
+                )
+            )
+            + F.length("props")
+        )
+        .cast("long")
+    )
+    lines = cdc.select(cls.alias("event_class"), wire_len.alias("wire_len"), "sequence")
+    wspec = W.partitionBy("event_class").orderBy("wire_len", "sequence")
+    ranked = lines.select(
+        "event_class",
+        "wire_len",
+        F.row_number().over(wspec).alias("rn"),
+        F.count("*").over(W.partitionBy("event_class")).alias("n"),
+    )
+    p50_pos = F.expr("(n + 1) div 2")
+    p95_pos = F.expr("(95 * n + 99) div 100")
+    return ranked.groupBy("event_class").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.min("wire_len").cast("long").alias("min_len"),
+        F.max("wire_len").cast("long").alias("max_len"),
+        F.sum("wire_len").cast("long").alias("total_bytes"),
+        F.max(F.when(F.col("rn") == p50_pos, F.col("wire_len")))
+        .cast("long")
+        .alias("p50_len"),
+        F.max(F.when(F.col("rn") == p95_pos, F.col("wire_len")))
+        .cast("long")
+        .alias("p95_len"),
+        F.sum((F.col("wire_len") > _SIZE_CAP).cast("long"))
+        .cast("long")
+        .alias("n_over_cap"),
+    )

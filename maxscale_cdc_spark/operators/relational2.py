@@ -1370,3 +1370,80 @@ def rel_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ov_days").cast("long").alias("sum_ov_days"),
         F.max("ov_days").cast("long").alias("max_ov_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_profile_table — ANALYZE-style column profiling: one pass over the
+# table produces per-column (rows, nulls, exact distinct, min, max) —
+# the statistics every optimizer / data-quality gate wants before
+# touching 100 TB.  Output is one ROW PER COLUMN (the stats-table
+# shape), produced by aggregating once and unpivoting the fixed-width
+# result — never one scan per column.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"]
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+""" + ",\n".join(
+    f"""    CAST(count({c}) AS BIGINT) AS nn_{c},
+    CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},
+    CAST(min({c}) AS VARCHAR) AS mn_{c},
+    CAST(max({c}) AS VARCHAR) AS mx_{c}"""
+    for c in _PROFILE_COLS
+) + """
+  FROM orders
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, n_rows,
+       CAST(n_rows - nn_{c} AS BIGINT) AS n_nulls,
+       nd_{c} AS n_distinct, mn_{c} AS min_str, mx_{c} AS max_str
+FROM s"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("rel_profile_table", _PROFILE_ORACLE)
+def rel_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of `orders`: rows, nulls, EXACT distinct, min and
+    max (stringified so one schema fits every column type) for five
+    columns, one row per column.
+
+    ONE aggregation pass computes everything (Catalyst plans the
+    multi-countDistinct via expand — m× row amplification for m
+    distinct columns, the standard exact-profile cost; the sketch tier
+    of the same decision is rel_agg_approx's HLL and the bitmap tier
+    rel_agg_distinct_bitmap).  The wide 1-row result then unpivots to
+    the stats-table shape driver-side-free (stack over literals).  At
+    100 TB you profile a SAMPLE or use the sketch tier; the operator
+    shape — single pass, never per-column scans — is the part that
+    scales."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    s = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return s.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
