@@ -617,3 +617,35 @@ def test_bpe_learn_pairs_distinct_then_pairs(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert exchange_count(df) <= 3, simple_plan(df)  # wc, pair agg, top-k sort
+
+
+def test_quality_ablation_constant_fanout_single_agg(spark, sf_dir):
+    """Per-doc measures at scan speed, a constant 6-element pair
+    explode, ONE keyed aggregation (6 groups) — no Python, no
+    cartesian, at most one exchange."""
+    df = _q("llm_quality_ablation", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert exchange_count(df) <= 1, simple_plan(df)
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """The 5-column profile must read orders ONCE (multi-countDistinct
+    via expand), never scan per column."""
+    import re
+
+    df = _q("rel_profile_table", spark, sf_dir)
+    plan = formatted_plan(df)
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+    assert "Expand" in plan, plan  # the multi-distinct expansion
+
+
+def test_event_size_profile_windows_share_class_key(spark, sf_dir):
+    """The discrete-percentile window and the final aggregation both
+    key on event_class — one exchange, no Python."""
+    df = _q("cdc_event_size_profile", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert exchange_count(df) <= 2, simple_plan(df)
