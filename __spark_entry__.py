@@ -151,6 +151,7 @@ _HEAVY = {
     "str_sliding", "str_watermark_late", "str_dedup_stream",
     "str_dedup_within_watermark", "str_stateful", "str_stream_static_join",
     "str_topk_windowed", "str_cdc_apply", "str_cdc_upsert_e2e",
+    "str_distinct_windowed",
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",

@@ -547,3 +547,65 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num",
         (F.col("num") / F.col("total_s")).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_lag_features — ML feature engineering over the event stream: per
+# user, previous-event values (lag-1/lag-2), the delta, and a rolling
+# 3-event decimal sum — the feature-preparation pass a training
+# pipeline runs before assembling examples.
+# ---------------------------------------------------------------------------
+
+_LAG_FEATURES_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(value AS DECIMAL(18,4)) AS dv
+  FROM events
+)
+SELECT user_id, event_id, value,
+       lag(value, 1) OVER w AS lag1,
+       lag(value, 2) OVER w AS lag2,
+       CAST(CAST(value AS DECIMAL(18,4))
+            - lag(dv, 1) OVER w AS DOUBLE) AS delta1,
+       CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS roll3_sum,
+       CAST(row_number() OVER w AS BIGINT) AS seq_in_user
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("rel_lag_features", _LAG_FEATURES_ORACLE)
+def rel_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/rolling features over the (event_id) total order:
+    lag1/lag2 raw values (selections — exact), delta1 and the rolling
+    3-event sum computed in DECIMAL(18,4) and surfaced as double
+    (order-independent exact arithmetic; a raw-double running sum
+    would be partition-order-dependent).
+
+    ONE window shuffle on user_id serves every feature — lags, delta,
+    rolling frame, and sequence index all share the same (user_id,
+    event_id) sort, so Catalyst plans a single exchange + sort with
+    stacked window functions.  At 100 TB this is the canonical
+    feature-backfill shape: the stream's natural key partitioning,
+    no second shuffle, append-only friendly (new events extend each
+    user's tail)."""
+    ev = table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,4)")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    roll = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        (dv - F.lag(dv, 1).over(w)).cast("double").alias("delta1"),
+        F.sum(dv).over(roll).cast("double").alias("roll3_sum"),
+        F.row_number().over(w).cast("long").alias("seq_in_user"),
+    )

@@ -592,3 +592,48 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter(F.col("last_dml") != "delete").select(
         "pk", "last_seq", "last_value", "last_ts_unix"
     )
+
+
+@register(
+    "str_distinct_windowed",
+    f"""
+    SELECT {_WIN_SQL} AS wstart,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def str_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event-time window on a STREAM — an
+    aggregate Structured Streaming refuses directly (distinct
+    aggregations are unsupported on streaming frames because their
+    state is unbounded per group).  The bitmap decomposition makes it
+    legal and bounded: the stream aggregates
+    (window, key-bucket) → bitmap_construct_agg — a mergeable,
+    fixed-size-per-bucket state the incremental execution can maintain
+    — and the batch side pops counts and sums per window.
+
+    State per group is one ≤4 KiB bitmap per (window, 32k-key bucket)
+    regardless of event volume — the same mergeable-structure argument
+    as rel_agg_distinct_bitmap, now doing work plain streaming cannot.
+    The oracle is the batch COUNT(DISTINCT) — the streaming path must
+    reproduce it exactly."""
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged)
+    sub = stream.select(
+        F.window("ts", "6 hours").alias("w"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    agg = sub.groupBy("w", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm"),
+        F.count("*").alias("n"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.groupBy(F.col("w.start").alias("wstart")).agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
