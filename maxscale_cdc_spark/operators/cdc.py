@@ -1485,3 +1485,72 @@ def cdc_event_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_consumer_partition_balance — fleet-sizing audit: how evenly does
+# pk-hash partitioning spread the change stream across N consumers?
+# The question asked before picking the consumer count for the apply
+# shuffle (an imbalanced assignment turns one consumer into the lag
+# bottleneck; cdc_hotkey_profile is the per-KEY view, this is the
+# per-PARTITION one).
+# ---------------------------------------------------------------------------
+
+_N_CONSUMERS = 16
+
+_BALANCE_ORACLE = f"""
+{CDC_SQL}
+, assign AS (
+  SELECT CAST(pk % {_N_CONSUMERS} AS BIGINT) AS consumer,
+         pk
+  FROM cdc
+), per AS (
+  SELECT consumer,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT pk) AS BIGINT) AS n_keys
+  FROM assign GROUP BY consumer
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per
+)
+SELECT p.consumer, p.n_events, p.n_keys,
+       CAST(p.n_events * {_N_CONSUMERS} AS DOUBLE) / t.total AS load_ratio,
+       (p.n_events * {_N_CONSUMERS} * 10 > 12 * t.total) AS overloaded
+FROM per p CROSS JOIN tot t
+"""
+
+
+@register("cdc_consumer_partition_balance", _BALANCE_ORACLE)
+def cdc_consumer_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-consumer load under pk % 16 assignment: event and key
+    counts, load vs the uniform share (integer-ratio double), and an
+    overload flag at >1.2× uniform — expressed as the integer
+    cross-multiply ``n·C·10 > 12·T`` so the boolean cannot diverge on
+    rounding.  Deterministic modulo assignment (not hash) so both
+    engines agree bitwise; a production fleet uses the same audit over
+    its actual partitioner.
+
+    ONE consumer-keyed aggregation (16 groups, map-side combinable) +
+    a 1-row totals broadcast — O(consumers) output at any stream
+    size."""
+    cdc = cdc_view(spark, sf_dir)
+    per = (
+        cdc.select((F.col("pk") % _N_CONSUMERS).cast("long").alias("consumer"), "pk")
+        .groupBy("consumer")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("pk").cast("long").alias("n_keys"),
+        )
+    )
+    tot = per.agg(F.sum("n_events").cast("long").alias("total"))
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "consumer",
+        "n_events",
+        "n_keys",
+        (
+            (F.col("n_events") * _N_CONSUMERS).cast("double") / F.col("total")
+        ).alias("load_ratio"),
+        (F.col("n_events") * _N_CONSUMERS * 10 > 12 * F.col("total")).alias(
+            "overloaded"
+        ),
+    )

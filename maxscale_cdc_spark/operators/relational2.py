@@ -1447,3 +1447,63 @@ def rel_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_url — URL component extraction, the function family web-corpus
+# pipelines run on every record.  The corpus has no URL column, so the
+# deterministic raw URL from llm_url_dedup's model is rebuilt here;
+# extraction uses the SAME regexes in both engines (Java and RE2-ish
+# DuckDB agree on this subset), not Spark's parse_url (no DuckDB
+# counterpart to pin it against).
+# ---------------------------------------------------------------------------
+
+_URL_RE_SCHEME = "^([a-z]+)://"
+_URL_RE_HOST = "^[a-z]+://([^/]+)/"
+_URL_RE_PATH = r"^[a-z]+://[^/]+(/[^?]*)"
+_URL_RE_REF = r"[?&]ref=([0-9]+)"
+
+_FN_URL_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/p/'
+           || CAST(doc_id % 40 AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) AS raw_url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(raw_url, '{_URL_RE_SCHEME}', 1) AS scheme,
+       regexp_extract(raw_url, '{_URL_RE_HOST}', 1) AS host,
+       regexp_extract(raw_url, '{_URL_RE_PATH}', 1) AS path,
+       CAST(regexp_extract(raw_url, '{_URL_RE_REF}', 1) AS BIGINT) AS ref_id,
+       (regexp_extract(raw_url, '{_URL_RE_HOST}', 1) LIKE 'www.%') AS has_www
+FROM u
+"""
+
+
+@register("fn_url", _FN_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: scheme / host / path / numeric query param
+    extracted with regexes shared verbatim by both engines (the
+    Java ∩ DuckDB regex subset fn_regex also pins).  Row-local, zero
+    shuffle — at 100 TB this is scan-speed column derivation feeding
+    llm_url_dedup's normalization and per-host partitioning."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", raw.alias("raw_url"))
+    host = F.regexp_extract("raw_url", _URL_RE_HOST, 1)
+    return u.select(
+        "doc_id",
+        F.regexp_extract("raw_url", _URL_RE_SCHEME, 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract("raw_url", _URL_RE_PATH, 1).alias("path"),
+        F.regexp_extract("raw_url", _URL_RE_REF, 1).cast("long").alias("ref_id"),
+        host.startswith("www.").alias("has_www"),
+    )
