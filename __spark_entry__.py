@@ -40,23 +40,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that earned a green driver CORRECTNESS row (union of the
-# round-1/2/3/4 sweeps) AND are unchanged since.  Queries whose code
+# round-1..5 sweeps) AND are unchanged since.  Queries whose code
 # was rewritten after their green row are deliberately NOT listed —
 # their old rows no longer certify the current code, so they sort with
-# the unverified group.  Round-5 demotions on that rule:
-# llm_countmin_audit (r4 green, then the cells build was de-amplified
-# per the r4 judge — explode over distinct vocab weighted by n_exact
-# instead of every occurrence ×4).  The 16 round-4 demotions
-# (9 str_*, 3 sources, snk_compact, llm_contamination, llm_lm_score,
-# llm_repetition, llm_dedup_jaccard_prefix) remain demoted pending
-# their first driver row on current code; llm_contamination and
-# llm_dedup_jaccard_prefix additionally gained the size(w)>=3
-# short-doc guard this round (r4 ADVICE).
+# the unverified group.  The round-5 sweep came back 50/50 green
+# (CORRECTNESS_r05.json), closing every priority/demoted id — entering
+# round 6 ALL 215 registered queries were certified on current code.
 # queries() orders the dict so still-unverified queries run FIRST — if
 # a budget truncates the sweep, it verifies new ground instead of
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-5 sweep greens (CORRECTNESS_r05.json, all 50), code
+    # unchanged since:
+    "cdc_burst_detect", "cdc_consumer_partition_balance", "cdc_ddl_timeline",
+    "cdc_event_size_profile",
+    "fn_hof", "fn_url", "llm_bpe_learn_pairs", "llm_bpe_tokenize",
+    "llm_contamination", "llm_countmin_audit", "llm_cross_doc_overlap",
+    "llm_dedup_jaccard_prefix",
+    "llm_dup_span", "llm_ivf_recall", "llm_line_dedup", "llm_lm_score",
+    "llm_quality_ablation", "llm_repetition", "llm_title_fuzzy_dedup",
+    "llm_tokenizer_fertility",
+    "mm_dedup_phash", "rel_agg_distinct_bitmap", "rel_join_interval",
+    "rel_lag_features",
+    "rel_profile_table", "rel_time_weighted_avg", "rel_win_ntile",
+    "snk_compact",
+    "snk_zorder", "src_cdc_datasource", "src_cdc_stream", "src_tcp_transport",
+    "str_cdc_upsert_e2e", "str_dedup_stream", "str_dedup_within_watermark",
+    "str_distinct_windowed",
+    "str_sliding", "str_stateful", "str_stream_static_join",
+    "str_stream_stream_join",
+    "str_tumbling", "str_watermark_late",
     # round-4 sweep greens, code unchanged since (llm_countmin_audit
     # excluded: rewritten r5, see above):
     "cdc_changelog_compact", "cdc_hotkey_profile", "cdc_reconciliation",
@@ -109,14 +123,10 @@ _DRIVER_GREEN = {
     "tpch_q18", "udf_explode_udtf", "udf_grouped_map", "udf_pandas_scalar",
 }
 
-# Round-5 sweep priority: llm_cross_doc_overlap carries the repo's
-# only red rows (r3+r4 hash FAIL — root-caused by the r4 judge as the
-# oracle's un-CAST integer sum, fixed this round) and must certify
-# first; llm_countmin_audit re-certifies its de-amplified rewrite.
-_PRIORITY = {
-    "llm_cross_doc_overlap",
-    "llm_countmin_audit",
-}
+# Round-6 priority: empty — round 5 closed fully certified, so the
+# sweep budget belongs to never-tested round-6 operators (and any
+# honest demotions made this round).
+_PRIORITY: set[str] = set()
 
 # Emptied in round 4: every formerly-deferred id is registered.
 _DEFERRED: set[str] = set()
@@ -126,19 +136,7 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-_DEMOTED = {
-    "llm_contamination", "llm_lm_score", "llm_repetition",
-    "llm_dedup_jaccard_prefix", "snk_compact", "src_cdc_datasource",
-    "src_cdc_stream", "src_tcp_transport", "str_dedup_stream",
-    "str_dedup_within_watermark", "str_sliding", "str_stateful",
-    "str_stream_static_join", "str_stream_stream_join", "str_tumbling",
-    "str_watermark_late",
-    # NB: llm_cross_doc_overlap (the r3/r4 FAIL row) is deliberately
-    # NOT here — it was never green, and it must certify FIRST
-    # (_PRIORITY), not sort behind the priority block via the demoted
-    # key.  llm_countmin_audit (r4 green, r5 rewrite) is in _PRIORITY
-    # for the same reason: its de-amplified plan needs a driver row.
-}
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
@@ -155,6 +153,8 @@ _HEAVY = {
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",
+    # K=16 staged iterations (16 small sequential jobs each):
+    "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned",
 }
 
 

@@ -649,3 +649,21 @@ def test_event_size_profile_windows_share_class_key(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan, plan
     assert exchange_count(df) <= 2, simple_plan(df)
+
+
+def test_bpe_learn_vocab_broadcast_merges_no_python(spark, sf_dir):
+    """The learn loop (stage=False + k=2 exposes the un-checkpointed
+    plan; the full K doubles per iteration without staging): every
+    merge application is a 1-row BROADCAST into a fold — no
+    CartesianProduct, no Python anywhere, and the argmax is
+    TakeOrdered (no single-partition row_number window)."""
+    from maxscale_cdc_spark.operators.bpe import _learn_merges
+
+    merges, seg = _learn_merges(spark, sf_dir, stage=False, k=2)
+    plan = formatted_plan(seg)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    mplan = formatted_plan(merges)
+    assert "Window" not in mplan, mplan
+    assert "TakeOrderedAndProject" in mplan, mplan
