@@ -558,3 +558,173 @@ def snk_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_cdc_multi — multi-table concurrent ingest (the r5 verdict's #2
+# ask).  The reference serves ONE `db.table` per connection
+# (client.go:144-162; command grammar client.go:349-369): a consumer
+# fleet ingesting N tables runs N connections with per-table schemas
+# from the DDL registry.  This operator composes the whole fleet story:
+# two tables at DIFFERENT schema versions (app.users v1: pk,value;
+# app.orders v2: pk,value,qty — v2 is the post-ALTER shape,
+# event.go:35-36's version increment), each with its own wire spool,
+# one SchemaRegistry fed by BOTH tables' DDL lines, and two Structured
+# Streaming queries STARTED TOGETHER (run_many_to_memory) so their
+# micro-batches interleave like live tails; the export is the union'd
+# per-(table, dml_type) materialization audit.
+#
+# Scale shape: per-table decode is the JVM bulk path (text scan +
+# from_json with the registry StructType), each stream's aggregate is
+# map-side combinable, and the sinks hold |dml_type| rows per table.
+# N tables = N independent streams sharing one cluster; nothing is
+# serialized through the driver except the DDL lines (rare by nature).
+# ---------------------------------------------------------------------------
+
+_MULTI_CACHE: dict[str, dict[str, str]] = {}
+
+_MULTI_SPECS: dict[str, dict] = {
+    # table -> (pk parity split, registered versions, current version)
+    "users": {"parity": 0, "versions": (1,), "fields": [("pk", "bigint"), ("value", "double")]},
+    "orders": {
+        "parity": 1,
+        "versions": (1, 2),
+        "fields": [("pk", "bigint"), ("value", "double"), ("qty", "bigint")],
+    },
+}
+
+
+def _render_multi_wire(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Per-table wire spools: DDL lines (driver-written, one per
+    registered version — rare by nature) + executor-rendered DML.
+    users = even pks at v1; orders = odd pks at v2 with the extra
+    post-ALTER `qty` column (qty = sequence % 7, deterministic so the
+    oracle rebuilds it)."""
+    if sf_dir in _MULTI_CACHE:
+        return _MULTI_CACHE[sf_dir]
+    from maxscale_cdc_spark.sources.cdc_source import render_ddl_line
+
+    cdc = cdc_view(spark, sf_dir)
+    dirs: dict[str, str] = {}
+    for tbl, spec in _MULTI_SPECS.items():
+        out = _mkdtemp(prefix=f"cdc_multi_{tbl}_")
+        sub = cdc.filter(F.col("pk") % 2 == spec["parity"])
+        payload = [F.col("pk"), F.col("value")]
+        if tbl == "orders":
+            payload.append((F.col("sequence") % 7).alias("qty"))
+        line = F.to_json(
+            F.struct(
+                F.col("domain"),
+                F.col("server_id"),
+                F.col("sequence"),
+                F.col("event_number"),
+                F.col("ts_unix").alias("timestamp"),
+                F.col("dml_type").alias("event_type"),
+                F.lit(tbl).alias("table_name"),
+                F.lit("app").alias("table_schema"),
+                *payload,
+            )
+        )
+        sub.select(line.alias("value")).repartition(8).write.mode(
+            "overwrite"
+        ).text(out)
+        # DDL lines AFTER the DML write (mode=overwrite clears the dir)
+        # but with an OLDER mtime so the file stream sees schema first —
+        # mirroring the reference, which always receives DDL before the
+        # DML it types (client.go:316-322).
+        ddl_path = os.path.join(out, "00000-ddl.jsonl")
+        with open(ddl_path, "w") as fh:
+            for v in spec["versions"]:
+                # v1 of orders lacks the ALTER-added qty column
+                fields = [f for f in spec["fields"] if not (tbl == "orders" and v == 1 and f[0] == "qty")]
+                fh.write(render_ddl_line("app", tbl, v, f"0-3000-{v}", fields) + "\n")
+        os.utime(ddl_path, (1_000_000_000, 1_000_000_000))
+        dirs[tbl] = out
+    _MULTI_CACHE[sf_dir] = dirs
+    return dirs
+
+
+_SRC_MULTI_ORACLE = f"""
+{CDC_SQL}
+, u AS (
+  SELECT 'app' AS db, 'users' AS tbl, CAST(1 AS BIGINT) AS schema_version,
+         dml_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+         CAST(max(sequence) AS BIGINT) AS max_seq,
+         CAST(NULL AS BIGINT) AS sum_qty
+  FROM cdc WHERE pk % 2 = 0
+  GROUP BY dml_type
+), o AS (
+  SELECT 'app' AS db, 'orders' AS tbl, CAST(2 AS BIGINT) AS schema_version,
+         dml_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+         CAST(max(sequence) AS BIGINT) AS max_seq,
+         CAST(sum(sequence % 7) AS BIGINT) AS sum_qty
+  FROM cdc WHERE pk % 2 = 1
+  GROUP BY dml_type
+)
+SELECT * FROM u UNION ALL SELECT * FROM o
+"""
+
+
+@register("src_cdc_multi", _SRC_MULTI_ORACLE)
+def src_cdc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table concurrent CDC ingest: two per-table wire spools at
+    DIFFERENT schema versions decoded by ONE registry, two streaming
+    queries running side by side, one union'd materialization audit.
+
+    The registry is fed from the union of both spools' DDL lines
+    (collect_schemas — the (db, table, version) key space), each
+    stream decodes with ITS table's current StructType (users v1 has
+    no qty; orders v2 does), and run_many_to_memory starts both
+    queries before awaiting either — true concurrent tails."""
+    from maxscale_cdc_spark.sources.cdc_source import (
+        collect_schemas,
+        read_cdc_stream,
+    )
+    from maxscale_cdc_spark.streaming.runners import run_many_to_memory
+
+    dirs = _render_multi_wire(spark, sf_dir)
+    raw_all = None
+    for d in dirs.values():
+        r = spark.read.text(d)
+        raw_all = r if raw_all is None else raw_all.union(r)
+    reg = collect_schemas(raw_all)
+
+    streams = []
+    metas = []
+    for tbl, d in dirs.items():
+        ts = reg.get("app", tbl)  # no version arg -> latest (client.go:114-119)
+        stream = read_cdc_stream(spark, d, ts)
+        agg_cols = [
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.max("sequence").alias("max_seq"),
+        ]
+        if "qty" in [f.name for f in ts.payload_fields()]:
+            agg_cols.append(F.sum("qty").alias("sum_qty"))
+        agg = stream.groupBy(F.col("event_type").alias("dml_type")).agg(*agg_cols)
+        streams.append((agg, "complete"))
+        metas.append((tbl, ts.version))
+    outs = run_many_to_memory(streams)
+
+    result = None
+    for (tbl, version), out in zip(metas, outs):
+        if "sum_qty" not in out.columns:
+            out = out.withColumn("sum_qty", F.lit(None).cast("long"))
+        part = out.select(
+            F.lit("app").alias("db"),
+            F.lit(tbl).alias("tbl"),
+            F.lit(version).cast("long").alias("schema_version"),
+            "dml_type",
+            "n",
+            "sum_value_cents",
+            "max_seq",
+            "sum_qty",
+        )
+        result = part if result is None else result.unionAll(part)
+    return result

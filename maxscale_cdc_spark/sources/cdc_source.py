@@ -255,15 +255,34 @@ def resume_filter(df: DataFrame, start_gtid: str | None) -> DataFrame:
     return df.filter(pos >= start)
 
 
+#: Sanity cap on the DDL collect below.  DDL events are rare by nature
+#: (one per ALTER), so the collect is bounded — but a mis-tagged input
+#: (e.g. a DML spool whose lines fail the prefix dispatch) would
+#: silently pull the whole stream through the driver.  Fail loudly
+#: instead: no real schema history approaches 10k versions.
+DDL_COLLECT_CAP = 10_000
+
+
 def collect_schemas(lines_df: DataFrame, raw_col: str = "value") -> SchemaRegistry:
     """Feed every DDL line into a SchemaRegistry (client.go:316-322).
 
     DDL events are rare (one per ALTER), so collecting them to the
     driver is correct at any scale — the DML firehose never leaves the
-    executors.
+    executors.  The `limit(cap + 1)` bounds the transfer BEFORE the
+    collect; exceeding the cap means the input is not a CDC spool.
     """
     classified = classify_lines(lines_df, raw_col)
-    ddl_rows = classified.filter(F.col("event_class") == "ddl").select(raw_col).collect()
+    ddl_rows = (
+        classified.filter(F.col("event_class") == "ddl")
+        .select(raw_col)
+        .limit(DDL_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(ddl_rows) > DDL_COLLECT_CAP:
+        raise RuntimeError(
+            f"collect_schemas: >{DDL_COLLECT_CAP} DDL lines — the input "
+            "is not a CDC spool (mis-classified DML would flood the driver)"
+        )
     reg = SchemaRegistry()
     for row in ddl_rows:
         reg.register(row[0])

@@ -637,3 +637,176 @@ def str_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_dedup_near_windowed — the STREAMING member of the near-dup family
+# (the r5 verdict's #4 ask).  CDC + corpus ingestion at 100 TB is
+# continuous: every batch near-dup op (llm_dedup_near & co) has to
+# become "match each arriving doc against the docs that arrived within
+# the horizon".  The Spark-first realization is NOT custom state code:
+# MinHash signatures are computed PER ROW in-stream (array_min over the
+# shingle set — zero shuffle, zero explode-to-rows), band keys are a
+# 2-row explode, and the in-horizon bucket membership is a
+# WATERMARKED STREAM-STREAM SELF-JOIN on (band, key) with an
+# event-time range predicate — Spark keeps exactly the in-horizon band
+# keys as join state and drops them as the watermark passes, which IS
+# the "LSH bucket keys as state within a watermark horizon" design,
+# declared instead of hand-coded.  Candidate pairs append
+# executor→parquet (run_to_files); the exact-Jaccard verify then runs
+# batch-side over candidates only, as in the batch operator.
+#
+# Event time is synthetic-deterministic (ts = 2024-01-01 + doc_id
+# minutes — the corpus has no arrival times), so the batch-replay
+# oracle expresses the horizon as doc_b - doc_a <= 60.
+# ---------------------------------------------------------------------------
+
+_NEARWIN_HORIZON_MIN = 60
+
+_NEARWIN_ORACLE = """
+WITH
+  docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1]))) AS sh
+    FROM docw
+  ),
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
+  mh AS (SELECT doc_id, __MH_COLS__, CAST(count(*) AS BIGINT) AS sz
+         FROM sh GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+     AND b.doc_id - a.doc_id <= __HORIZON__
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+           CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
+    FROM cand c
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
+  )
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5
+"""
+
+
+def _nearwin_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _K, _MH_COLS_SQL
+
+    assert _K == 8  # band layout below is 2×4
+    return _NEARWIN_ORACLE.replace("__MH_COLS__", _MH_COLS_SQL).replace(
+        "__HORIZON__", str(_NEARWIN_HORIZON_MIN)
+    )
+
+
+@register("str_dedup_near_windowed", _nearwin_oracle())
+def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup within a watermark horizon: per-row
+    MinHash banding in-stream, in-horizon candidate pairs from a
+    watermarked (band, key) stream-stream self-join, batch exact-
+    Jaccard verify over candidates only.
+
+    State bound: the join holds only rows whose event time is within
+    watermark reach — O(docs per horizon × 2 band rows), independent
+    of stream age; the verify side never enters the stream."""
+    from maxscale_cdc_spark.functions.text import words, word_bigrams
+    from maxscale_cdc_spark.operators.llm import _K
+
+    from maxscale_cdc_spark.tables import wide_table
+
+    # wide_table: the 8×|shingles| md5 signature pass is per-row compute
+    # — serializing it on a one-row-group scan costs the whole pass
+    d = wide_table(spark, sf_dir, "documents")
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    shs = F.array_distinct(word_bigrams(words("text")))
+    def _mh(j):
+        # single-param lambda via enclosing closure: a `lambda s, j=j`
+        # would be a TWO-param HOF lambda, which Spark binds as
+        # (element, array-index) — the CLAUDE.md transform gotcha.
+        return F.array_min(
+            F.transform(
+                F.col("shs"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+            )
+        ).alias(f"m{j}")
+
+    sig = d.select(
+        "doc_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id, 0)").alias("ts"),
+        shs.alias("shs"),
+    ).select("doc_id", "ts", *[_mh(j) for j in range(_K)])
+    bands = sig.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.concat("m0", "m1", "m2", "m3").alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.concat("m4", "m5", "m6", "m7").alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "ts", "bk.band", "bk.key")
+    staged = stage_as_stream(bands, cache_key=f"nearwin:{sf_dir}")
+    schema = "doc_id bigint, ts timestamp, band int, key string"
+    new = read_stream(spark, staged, schema=schema).withWatermark(
+        "ts", f"{_NEARWIN_HORIZON_MIN + 1} minutes"
+    )
+    old = read_stream(spark, staged, schema=schema).withWatermark(
+        "ts", f"{_NEARWIN_HORIZON_MIN + 1} minutes"
+    )
+    n, o = new.alias("n"), old.alias("o")
+    # Ordering is expressed ONLY in event time (ts is strictly
+    # increasing in doc_id, so n.ts > o.ts ⟺ n.doc_id > o.doc_id): the
+    # streaming join's state-constraint extractor derives watermark
+    # bounds from pure time-range predicates; a mixed doc_id inequality
+    # defeats the analysis and the state would never be evicted.
+    pairs = n.join(
+        o,
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.key") == F.col("o.key"))
+        & (F.col("n.ts") > F.col("o.ts"))
+        & (
+            F.col("n.ts")
+            <= F.col("o.ts") + F.expr(f"INTERVAL {_NEARWIN_HORIZON_MIN} MINUTES")
+        ),
+    ).select(
+        F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+    )
+    cand = run_to_files(pairs).distinct()
+
+    docsets = d.select("doc_id", shs.alias("shs"))
+    sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return inter.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", "n_common", jac.alias("jaccard")
+    )

@@ -168,3 +168,42 @@ def run_to_files(stream_df: DataFrame) -> DataFrame:
         q.awaitTermination()
     _release_stream_state(spark)
     return spark.read.parquet(out_dir)
+
+
+def run_many_to_memory(
+    streams: list[tuple[DataFrame, str]],
+) -> list[DataFrame]:
+    """Run N streaming DataFrames CONCURRENTLY to completion (memory
+    sinks, availableNow), returning their sink contents in order.
+
+    The multi-table consumer shape: the reference binds one connection
+    per `db.table` (client.go:144-162), so a fleet ingesting N tables
+    runs N streams side by side — here all N queries are STARTED before
+    any is awaited, so their micro-batches interleave on the shared
+    scheduler exactly as N live tails would.  Same sink/state hygiene
+    as run_to_memory (checkpointed results, views dropped, state store
+    released once at the end)."""
+    assert streams, "no streams given"
+    spark = streams[0][0].sparkSession
+    started = []
+    with _few_state_partitions(spark):
+        for stream_df, output_mode in streams:
+            name = "snk_" + uuid.uuid4().hex[:12]
+            ckpt = _mkdtemp(prefix="ckpt_")
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            started.append((name, q))
+        for _, q in started:
+            q.awaitTermination()
+    outs = []
+    for name, _ in started:
+        outs.append(spark.table(name).localCheckpoint(eager=True))
+        spark.catalog.dropTempView(name)
+    _release_stream_state(spark)
+    return outs
