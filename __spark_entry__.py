@@ -60,13 +60,12 @@ _DRIVER_GREEN = {
     "llm_dedup_jaccard_prefix",
     "llm_dup_span", "llm_ivf_recall", "llm_line_dedup", "llm_lm_score",
     "llm_quality_ablation", "llm_repetition", "llm_title_fuzzy_dedup",
-    "llm_tokenizer_fertility",
     "mm_dedup_phash", "rel_agg_distinct_bitmap", "rel_join_interval",
     "rel_lag_features",
-    "rel_profile_table", "rel_time_weighted_avg", "rel_win_ntile",
+    "rel_time_weighted_avg", "rel_win_ntile",
     "snk_compact",
     "snk_zorder", "src_cdc_datasource", "src_cdc_stream", "src_tcp_transport",
-    "str_cdc_upsert_e2e", "str_dedup_stream", "str_dedup_within_watermark",
+    "str_dedup_stream", "str_dedup_within_watermark",
     "str_distinct_windowed",
     "str_sliding", "str_stateful", "str_stream_static_join",
     "str_stream_stream_join",
@@ -136,7 +135,17 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-_DEMOTED: set[str] = set()
+# Round-6 honest demotions: all three r5 ADVICE fixes rewrote code a
+# green row certified — llm_tokenizer_fertility (n_tokens > 0 guard in
+# both engines), rel_profile_table (DECIMAL(18,4) hop before double
+# stringification), str_cdc_upsert_e2e (per-attempt generation dirs so
+# checkpoint replay cannot read+overwrite one path).  Locally green
+# before and after; they re-certify in the round-6 sweep.
+_DEMOTED = {
+    "llm_tokenizer_fertility",
+    "rel_profile_table",
+    "str_cdc_upsert_e2e",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap

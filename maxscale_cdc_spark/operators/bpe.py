@@ -176,6 +176,7 @@ SELECT source, lang, n_words, n_tokens, n_chars,
        CAST(n_tokens AS DOUBLE) / n_words AS fertility,
        CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
 FROM g
+WHERE n_tokens > 0
 """
 
 
@@ -189,7 +190,13 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same distinct-word tokenization as llm_bpe_tokenize (one Python
     pass over the vocabulary), then occurrence join-back and ONE
     (source, lang) aggregation — low-cardinality output, map-side
-    combinable.  All exports are integers or integer-ratio doubles."""
+    combinable.  All exports are integers or integer-ratio doubles.
+
+    Divide-by-zero guard (r5 ADVICE item 2): a group whose texts are
+    all empty/whitespace would carry n_tokens = 0 (wd='' tokenizes to
+    0 tokens), and double/0 is NULL in DuckDB but Infinity in Spark —
+    the same class rel_time_weighted_avg guards.  Both engines filter
+    n_tokens > 0 identically, so the divergence cannot occur."""
     toks = _distinct_word_tokens(spark, sf_dir)
     d = wide_table(spark, sf_dir, "documents")
     occ = d.select("source", "lang", "doc_id", F.explode(words("text")).alias("wd"))
@@ -202,7 +209,7 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("wd")).cast("long").alias("n_chars"),
         )
     )
-    return g.select(
+    return g.filter(F.col("n_tokens") > 0).select(
         "source",
         "lang",
         "n_words",

@@ -1384,14 +1384,33 @@ def rel_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                  "o_orderpriority"]
 
+# DOUBLE columns stringify through an intermediate DECIMAL(18,4): Java
+# renders doubles >= 1e7 in scientific notation ('1.23456785E7') while
+# DuckDB prints plain decimal — so CAST(double AS VARCHAR) silently
+# diverges for any unbounded double column (r5 ADVICE item 3).  The
+# decimal hop gives ONE canonical text form in both engines, and min/
+# max commute with the monotone cast, so the profiled values are
+# unchanged.
+_PROFILE_DOUBLE_COLS = {"o_totalprice"}
+
+
+def _mn_mx_sql(c: str) -> tuple[str, str]:
+    if c in _PROFILE_DOUBLE_COLS:
+        return (
+            f"CAST(CAST(min({c}) AS DECIMAL(18,4)) AS VARCHAR)",
+            f"CAST(CAST(max({c}) AS DECIMAL(18,4)) AS VARCHAR)",
+        )
+    return f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+
+
 _PROFILE_ORACLE = """
 WITH s AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
 """ + ",\n".join(
     f"""    CAST(count({c}) AS BIGINT) AS nn_{c},
     CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},
-    CAST(min({c}) AS VARCHAR) AS mn_{c},
-    CAST(max({c}) AS VARCHAR) AS mx_{c}"""
+    {_mn_mx_sql(c)[0]} AS mn_{c},
+    {_mn_mx_sql(c)[1]} AS mx_{c}"""
     for c in _PROFILE_COLS
 ) + """
   FROM orders
@@ -1423,11 +1442,15 @@ def rel_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if c in _PROFILE_DOUBLE_COLS:
+            # decimal hop before stringify — see _PROFILE_DOUBLE_COLS
+            mn, mx = mn.cast("decimal(18,4)"), mx.cast("decimal(18,4)")
         aggs += [
             F.count(c).cast("long").alias(f"nn_{c}"),
             F.countDistinct(c).cast("long").alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
+            mn.cast("string").alias(f"mn_{c}"),
+            mx.cast("string").alias(f"mx_{c}"),
         ]
     s = o.agg(*aggs)
     stack_args = ", ".join(

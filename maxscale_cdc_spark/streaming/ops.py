@@ -534,6 +534,18 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 8  # at 100 TB: thousands; manifest stays driver-trivial
     root = _mkdtemp(prefix="str_upsert_tgt_")
     gen_of: dict[int, str] = {}  # bucket -> generation dir holding its state
+    # Generation dirs are unique PER ATTEMPT, not per epoch: if a crash
+    # lands between the gen_of update and the checkpoint commit, the
+    # replayed epoch would otherwise name the SAME gen_{epoch} dir that
+    # gen_of already points at — a merge plan that reads and overwrites
+    # one path, which Spark rejects ("Cannot overwrite a path that is
+    # also being read from").  The attempt counter keeps replay reads
+    # (old dir) and writes (fresh dir) disjoint, so the idempotent
+    # replace-by-pk merge really is exactly-once under replay (r5
+    # ADVICE item 1).
+    from itertools import count as _count
+
+    attempt = _count()
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         # update-mode batch: one row per pk whose state changed, already
@@ -557,7 +569,7 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = carried.unionByName(new)
         else:
             merged = new
-        gen_dir = os.path.join(root, f"gen_{epoch_id}")
+        gen_dir = os.path.join(root, f"gen_{epoch_id}_{next(attempt)}")
         merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
         for b in touched:
             gen_of[b] = gen_dir
