@@ -165,7 +165,7 @@ _HEAVY = {
     # K=16 staged iterations (16 small sequential jobs each):
     "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned",
     # round-6 streaming lifecycles:
-    "src_cdc_multi", "str_dedup_near_windowed",
+    "src_cdc_multi", "str_dedup_near_windowed", "str_restart_continuation",
 }
 
 

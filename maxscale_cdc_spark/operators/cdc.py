@@ -1668,3 +1668,79 @@ def cdc_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("head_ts") - F.col("safe_ts")).cast("long").alias("lag_seconds"),
         "n_pending",
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_out_of_order_audit — event-time disorder under GTID order: how
+# late does event time arrive relative to the stream's total order?
+# For each pk in sequence order, an event is LATE if its timestamp is
+# behind the running maximum of its predecessors; its lateness is the
+# gap in seconds.  max(lateness) per partition is exactly the minimum
+# watermark horizon that loses no events — the number every
+# `withWatermark` in streaming/ops.py needs as an input, measured
+# instead of guessed.  Pairs with cdc_consumer_lag (GTID-vs-time lag
+# at the head) by profiling the disorder INSIDE the stream.
+#
+# Scale shape: one pk-keyed window (running max over sequence order —
+# the CDC key partitioning every other operator shares) + one
+# 16-group aggregate.  All integer seconds.
+# ---------------------------------------------------------------------------
+
+_OOO_ORACLE = f"""
+{CDC_SQL}
+, w AS (
+  SELECT pk % {{n}} AS bucket, ts_unix,
+         max(ts_unix) OVER (
+           PARTITION BY pk ORDER BY sequence
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS run_max
+  FROM cdc
+), marked AS (
+  SELECT bucket,
+         CASE WHEN run_max IS NOT NULL AND ts_unix < run_max
+              THEN run_max - ts_unix ELSE 0 END AS lateness,
+         CASE WHEN run_max IS NOT NULL AND ts_unix < run_max
+              THEN 1 ELSE 0 END AS is_late
+  FROM w
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_late) AS BIGINT) AS n_late,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_s,
+       CAST(sum(lateness) AS BIGINT) AS sum_lateness_s
+FROM marked
+GROUP BY bucket
+""".replace("{n}", str(_N_CONSUMERS))
+
+
+@register("cdc_out_of_order_audit", _OOO_ORACLE)
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition event-time disorder profile: late-event counts and
+    lateness bounds under the GTID total order — the measured input to
+    watermark-horizon sizing (max_lateness_s IS the loss-free
+    horizon)."""
+    cdc = cdc_view(spark, sf_dir)
+    run_max = F.max("ts_unix").over(
+        W.partitionBy("pk")
+        .orderBy("sequence")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w = cdc.select(
+        (F.col("pk") % _N_CONSUMERS).alias("bucket"),
+        "ts_unix",
+        run_max.alias("run_max"),
+    )
+    late = F.col("run_max").isNotNull() & (F.col("ts_unix") < F.col("run_max"))
+    marked = w.select(
+        "bucket",
+        F.when(late, F.col("run_max") - F.col("ts_unix")).otherwise(0).alias(
+            "lateness"
+        ),
+        F.when(late, 1).otherwise(0).alias("is_late"),
+    )
+    return marked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.max("lateness").cast("long").alias("max_lateness_s"),
+        F.sum("lateness").cast("long").alias("sum_lateness_s"),
+    )

@@ -933,3 +933,102 @@ def llm_title_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("lev"),
     )
     return links.unionAll(self_rows)
+
+
+# ---------------------------------------------------------------------------
+# llm_shuffle_shard_audit — deterministic global training-order shuffle
+# + its quality audit.  A pretraining run needs the corpus in a
+# reproducible pseudo-random order, sharded; the shuffle key is
+# md5('s:' || doc_id) — content-free, stable across reruns and
+# partitionings (the llm_train_split discipline applied to ORDERING).
+# shard = first-4-hex-digits % 8; within a shard, documents sort by the
+# full hash.  The audit answers "did the shuffle actually break up
+# source runs?": per shard, the longest run of consecutive same-source
+# documents and the run count (a bad shuffle leaves long runs — the
+# classic cause of loss spikes from correlated batches).
+#
+# Scale shape: the order is a hash — assigning it costs a scan;
+# ranking within shards is the sort a shard materialization performs
+# anyway (at 100 TB: repartitionByRange on (shard, ord) + sortWithin,
+# here a window).  The run-length audit is gaps-and-islands on the
+# SAME (shard × order) window partitioning, then an 8-group agg.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('s:' || CAST(doc_id AS VARCHAR)) AS ord,
+         CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 8 AS shard
+  FROM documents
+), seq AS (
+  SELECT shard, source, ord,
+         lag(source) OVER (PARTITION BY shard ORDER BY ord) AS prev_src
+  FROM keyed
+), marked AS (
+  SELECT shard, source, ord,
+         CASE WHEN prev_src IS NULL OR prev_src <> source THEN 1 ELSE 0 END
+           AS is_new_run
+  FROM seq
+), runs AS (
+  SELECT shard, source,
+         sum(is_new_run) OVER (PARTITION BY shard ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM marked
+), run_sizes AS (
+  SELECT shard, run_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY shard, run_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(sum(run_len) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_same_source_run
+FROM run_sizes
+GROUP BY shard
+"""
+
+
+@register("llm_shuffle_shard_audit", _SHUFFLE_ORACLE)
+def llm_shuffle_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash shuffle into 8 shards + the same-source
+    run-length audit of the resulting order.  Both windows share one
+    (shard, ord) partitioning; integer-only exports."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    ordc = F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        ordc.alias("ord"),
+        (F.conv(F.substring(ordc, 1, 4), 16, 10).cast("int") % 8).alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("ord")
+    marked = keyed.select(
+        "shard",
+        "source",
+        "ord",
+        F.when(
+            F.lag("source").over(win).isNull()
+            | (F.lag("source").over(win) != F.col("source")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    runs = marked.select(
+        "shard",
+        "source",
+        F.sum("is_new_run")
+        .over(win.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    run_sizes = runs.groupBy("shard", "run_id").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return run_sizes.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_same_source_run"),
+    )

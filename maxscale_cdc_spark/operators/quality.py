@@ -853,3 +853,258 @@ def llm_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("fa") & F.col("fb")).cast("long")).cast("long").alias("n_b_only"),
         F.sum((F.col("fa") | F.col("fb")).cast("long")).cast("long").alias("n_fail_any"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_split_leakage — train/test contamination BETWEEN SPLITS: exact
+# duplicate classes (sha256 of normalized text, the llm_dedup_exact
+# content key) crossed with the llm_train_split assignment.  A class
+# with members in train AND an eval split leaks evaluation data into
+# training — the audit every dataset release runs before publishing
+# split manifests (the cross-corpus variant of llm_contamination,
+# which audits against an EXTERNAL benchmark).
+#
+# Scale shape: ONE keyed aggregation on the content hash producing
+# per-class split counts (map-side combinable conditional sums), then
+# a constant 3-pair fan-out into a 3-row aggregate.  The shuffle
+# carries (hash, three longs); nothing is quadratic in class size.
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAKAGE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         sha256(lower(trim(text))) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+           AS bucket
+  FROM documents
+), s AS (
+  SELECT h,
+         CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+  FROM b
+), cls AS (
+  SELECT h,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM s GROUP BY h
+), pairs AS (
+  SELECT 'train-val' AS pair,
+         CAST(count(*) FILTER (WHERE n_train > 0 AND n_val > 0) AS BIGINT)
+           AS n_shared_classes,
+         CAST(coalesce(sum(n_val) FILTER (WHERE n_train > 0 AND n_val > 0), 0)
+              AS BIGINT) AS n_contaminated_eval_docs
+  FROM cls
+  UNION ALL
+  SELECT 'train-test',
+         CAST(count(*) FILTER (WHERE n_train > 0 AND n_test > 0) AS BIGINT),
+         CAST(coalesce(sum(n_test) FILTER (WHERE n_train > 0 AND n_test > 0), 0)
+              AS BIGINT)
+  FROM cls
+  UNION ALL
+  SELECT 'val-test',
+         CAST(count(*) FILTER (WHERE n_val > 0 AND n_test > 0) AS BIGINT),
+         CAST(coalesce(sum(n_test) FILTER (WHERE n_val > 0 AND n_test > 0), 0)
+              AS BIGINT)
+  FROM cls
+)
+SELECT pair, n_shared_classes, n_contaminated_eval_docs FROM pairs
+"""
+
+
+@register("llm_split_leakage", _SPLIT_LEAKAGE_ORACLE)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split exact-duplicate leakage: per split pair, how many
+    content classes span both splits and how many eval-side documents
+    are contaminated.  Integer-only exports."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    s = d.select(F.sha2(F.lower(F.trim("text")), 256).alias("h"), split.alias("split"))
+    cls = s.groupBy("h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    rows = []
+    for pair, a, b in (
+        ("train-val", "n_train", "n_val"),
+        ("train-test", "n_train", "n_test"),
+        ("val-test", "n_val", "n_test"),
+    ):
+        both = (F.col(a) > 0) & (F.col(b) > 0)
+        rows.append(
+            cls.agg(
+                F.sum(F.when(both, 1).otherwise(0)).cast("long").alias(
+                    "n_shared_classes"
+                ),
+                F.coalesce(
+                    F.sum(F.when(both, F.col(b))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_contaminated_eval_docs"),
+            ).select(F.lit(pair).alias("pair"), "n_shared_classes", "n_contaminated_eval_docs")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_bloom — Bloom-filter membership pre-screen with a one-sided
+# -error audit (the sketch tier of llm_contamination: at 100 TB you
+# broadcast a BITMAP of the benchmark set, not its hashes).  m = 1024
+# bits, k = 4 md5-derived positions per document content hash; members
+# are the 'src0' documents.  The operator builds the bit set EXACTLY
+# (distinct positions from members — at most m rows, broadcastable at
+# any corpus size), probes every document (a probe is positive iff all
+# k of its positions are set), and audits: every member must probe
+# positive (Bloom's no-false-negative guarantee, asserted as an
+# integer equality) and the false-positive rate over non-members is
+# the price of the m/k sizing.
+#
+# Scale shape: member bit positions = ONE distinct agg bounded by m;
+# probes check membership via a broadcast join on position (k rows per
+# doc, never a shuffle of the corpus); the audit is one global
+# aggregate.  The exact-membership truth side is a hash semi-join on
+# the 32-byte content key — the same single shuffle as llm_dedup_exact.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024
+_BLOOM_K = 4
+
+_BLOOM_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, source, sha256(lower(trim(text))) AS h FROM documents
+), member_h AS (
+  SELECT DISTINCT h FROM hashed WHERE source = 'src0'
+), member_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || h), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM member_h, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j)
+), probes AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || h), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM hashed, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j)
+), hits AS (
+  SELECT p.doc_id, p.h,
+         CAST(count(DISTINCT p.pos) AS BIGINT) AS n_pos,
+         CAST(count(DISTINCT CASE WHEN mb.pos IS NOT NULL THEN p.pos END)
+              AS BIGINT) AS n_hit
+  FROM probes p LEFT JOIN member_bits mb ON p.pos = mb.pos
+  GROUP BY p.doc_id, p.h
+), verdicts AS (
+  SELECT h2.doc_id,
+         (h2.n_hit = h2.n_pos) AS bloom_pos,
+         (m.h IS NOT NULL) AS is_member
+  FROM hits h2 LEFT JOIN member_h m ON h2.h = m.h
+)
+SELECT CAST((SELECT count(*) FROM member_bits) AS BIGINT) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+       CAST(sum(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       CAST(sum(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS fp_rate
+FROM verdicts
+"""
+
+
+@register("llm_dedup_bloom", _BLOOM_ORACLE)
+def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-screen audit: exact bit-set construction, broadcast
+    probe, one-sided-error check (n_false_neg MUST export 0) and the
+    measured fp_rate (integer-ratio double) for the m=1024/k=4 sizing."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", F.sha2(F.lower(F.trim("text")), 256).alias("h")
+    )
+    member_h = hashed.filter(F.col("source") == "src0").select("h").distinct()
+    js = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+
+    def pos_col():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("h"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % _BLOOM_M
+        ).alias("pos")
+
+    member_bits = member_h.select("h", js).select(pos_col()).distinct()
+    probes = hashed.select("doc_id", "h", js).select("doc_id", "h", pos_col())
+    hits = (
+        probes.join(
+            F.broadcast(member_bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "h")
+        .agg(
+            F.countDistinct("pos").cast("long").alias("n_pos"),
+            F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("pos")))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    verdicts = hits.join(
+        F.broadcast(member_h.withColumn("is_m", F.lit(1))), "h", "left"
+    ).select(
+        "doc_id",
+        (F.col("n_hit") == F.col("n_pos")).alias("bloom_pos"),
+        F.col("is_m").isNotNull().alias("is_member"),
+    )
+    nbits = member_bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    audit = verdicts.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias(
+            "n_members"
+        ),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0)).cast("long").alias(
+            "n_bloom_pos"
+        ),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.sum(F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.sum(
+                F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        ).alias("fp_rate"),
+    )
+    return nbits.crossJoin(audit).select(
+        "n_bits_set",
+        "n_probed",
+        "n_members",
+        "n_bloom_pos",
+        "n_false_neg",
+        "n_false_pos",
+        "fp_rate",
+    )

@@ -822,3 +822,84 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.5).select(
         "doc_a", "doc_b", "n_common", jac.alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# str_restart_continuation — the Stop()/resume lifecycle END-TO-END
+# (client.go:166-181): a streaming aggregate runs to completion over
+# the data available NOW, the process "stops", MORE data arrives, and
+# a SECOND query — same checkpoint — resumes and folds the new data
+# into the recovered state.  The final complete-mode result must equal
+# the batch aggregate over everything, proving state recovery carries
+# the first run's aggregates (not merely its offsets).
+#
+# This is the one lifecycle piece str_cdc_upsert_e2e doesn't cover:
+# that query replays within ONE run; this one crosses a real
+# query-object boundary with a cold second start from checkpoint.
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_restart_continuation",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def str_restart_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two availableNow runs over one growing source dir, one shared
+    checkpoint: run 1 sees the even-id half, run 2 starts cold from
+    the checkpoint after the odd-id half lands and must produce the
+    full-corpus aggregate from recovered state + new files."""
+    import uuid as _uuid
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    src = _mkdtemp(prefix="restart_src_")
+    ckpt = _mkdtemp(prefix="restart_ckpt_")
+    halves = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+
+    def run_once(name: str) -> None:
+        stream = read_stream(spark, src)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        with _few_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    n1 = "snk_" + _uuid.uuid4().hex[:12]
+    n2 = "snk_" + _uuid.uuid4().hex[:12]
+    # phase 1: even half lands, first query consumes it and stops
+    halves[0].coalesce(2).write.mode("append").parquet(src)
+    run_once(n1)
+    spark.catalog.dropTempView(n1)
+    # phase 2: odd half lands AFTER the stop; a NEW query object
+    # resumes from the same checkpoint (cold state recovery)
+    halves[1].coalesce(2).write.mode("append").parquet(src)
+    run_once(n2)
+    out = spark.table(n2).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(n2)
+    _release_stream_state(spark)
+    return out
