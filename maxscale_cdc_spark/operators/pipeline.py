@@ -1032,3 +1032,118 @@ def llm_shuffle_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_runs"),
         F.max("run_len").cast("long").alias("max_same_source_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dup_span_char — CHARACTER-granular ExactSubstr (closing the r5
+# verdict's missing #5): llm_dup_span works at 5-WORD granularity and
+# misses spans that cross word-tokenization differences or are shorter
+# than 5 words; this operator runs the same gaps-and-islands
+# construction over 20-CHAR sliding windows, so duplicated substrings
+# >= 20 chars are found with 1-char resolution (a run of R consecutive
+# shared 20-grams is a duplicated substring of R+19 chars) — the Lee
+# et al. 2022 §4 ExactSubstr semantics at the granularity their
+# suffix-array implementation actually uses, without the suffix array.
+#
+# Scale shape: ~len(text) grams per doc, hashed to md5 BEFORE the
+# shuffle (the gram text never leaves the scan); one gram-keyed
+# document-frequency agg, one join-back pre-filtered to shared grams,
+# one doc-keyed window + aggregation.  Linear; same two shuffle
+# families as llm_dup_span.
+# ---------------------------------------------------------------------------
+
+_DSC_L = 20  # window length in chars = minimum detectable span
+
+_DUP_SPAN_CHAR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text FROM documents WHERE len(text) >= {_DSC_L}
+), gg AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(text) - {_DSC_L - 1})) AS pos
+  FROM t
+), gh AS (
+  SELECT gg.doc_id, gg.pos, md5(substr(t.text, gg.pos, {_DSC_L})) AS gh
+  FROM gg JOIN t USING (doc_id)
+), gd AS (
+  SELECT gh, count(DISTINCT doc_id) AS ndocs FROM gh GROUP BY gh
+), s AS (
+  SELECT gh.doc_id, gh.pos
+  FROM gh JOIN gd USING (gh)
+  WHERE gd.ndocs >= 2
+), r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM s
+), runs AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM r GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id,
+         CAST(max(run_len) AS BIGINT) AS max_run,
+         CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(run_len) AS BIGINT) AS n_shared
+  FROM runs GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(len(text) - {_DSC_L - 1} AS BIGINT) AS n_grams FROM t
+)
+SELECT tot.doc_id, tot.n_grams,
+       CAST(coalesce(agg.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(agg.max_run, 0) AS BIGINT) AS max_run,
+       CAST(coalesce(agg.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(CASE WHEN coalesce(agg.max_run, 0) > 0
+                 THEN coalesce(agg.max_run, 0) + {_DSC_L - 1}
+                 ELSE 0 END AS BIGINT) AS dup_span_chars
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("llm_dup_span_char", _DUP_SPAN_CHAR_ORACLE)
+def llm_dup_span_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated substring per doc at CHAR
+    granularity: gaps-and-islands over shared 20-char window hashes.
+    Integer-only exports; dup_span_chars = longest duplicated
+    substring length (0 when none >= 20 chars)."""
+    from pyspark.sql import Window as W
+
+    d = wide_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text").filter(F.length("text") >= _DSC_L)
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (_DSC_L - 1)),
+                lambda i: F.md5(F.col("text").substr(i, F.lit(_DSC_L))),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    gd = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    s = g.join(gd, "gh").select("doc_id", "pos")
+    r = s.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = r.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    agg = runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_shared"),
+    )
+    tot = t.select(
+        "doc_id", (F.length("text") - (_DSC_L - 1)).cast("long").alias("n_grams")
+    )
+    j = tot.join(agg, "doc_id", "left")
+    mr = F.coalesce(F.col("max_run"), F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        mr.alias("max_run"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+        F.when(mr > 0, mr + (_DSC_L - 1)).otherwise(0).cast("long").alias(
+            "dup_span_chars"
+        ),
+    )

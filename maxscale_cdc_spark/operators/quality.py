@@ -1108,3 +1108,183 @@ def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         "fp_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_lsh_tuning — the band/row tradeoff table for MinHash LSH: for
+# each (bands × rows-per-band) split of the same 8 minhashes — 1×8,
+# 2×4, 4×2 — the candidate-pair count (the COST: pairs the verifier
+# must touch) and the verified-pair count at Jaccard >= 0.5 (the
+# YIELD), with precision as their ratio.  This is the knob table a
+# 100 TB dedup run prices before committing: more bands with shorter
+# keys => higher recall, quadratically more candidates; the audit
+# measures exactly that tradeoff on the corpus itself.  Companion to
+# llm_minhash_accuracy (estimator quality) — this one audits the
+# BANDING, not the estimate.
+#
+# Scale shape: the signature aggregation is shared by all 3 configs
+# (one keyed shuffle); each config's candidate generation is a
+# per-band bucket self-join; the exact-Jaccard verify runs ONCE over
+# the distinct union of candidates (the expensive array_intersect
+# never repeats per config).  No all-pairs anywhere.
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = ((1, 8), (2, 4), (4, 2))
+
+
+def _lsh_bands_sql(nb: int, rpb: int) -> str:
+    parts = []
+    for b in range(nb):
+        key = " || ".join(f"m{j}" for j in range(b * rpb, (b + 1) * rpb))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, {key} AS key FROM mh"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_LSH_TUNING_ORACLE = f"""
+WITH {{sh}},
+  mh AS (SELECT doc_id, {{mh_cols}} FROM sh GROUP BY doc_id),
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
+{{config_ctes}},
+  allcand AS (
+    SELECT DISTINCT doc_a, doc_b FROM ({{cand_union}})
+  ),
+  ver AS (
+    SELECT c.doc_a, c.doc_b,
+           (CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+            / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))))
+             >= 0.5 AS dup
+    FROM allcand c
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
+  )
+{{final_union}}
+"""
+
+
+def _lsh_tuning_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _SH_SQL, _MH_COLS_SQL
+
+    config_ctes, cand_union, finals = [], [], []
+    for nb, rpb in _LSH_CONFIGS:
+        tag = f"c{nb}x{rpb}"
+        config_ctes.append(
+            f"""  bands_{tag} AS (
+{_lsh_bands_sql(nb, rpb)}
+  ),
+  cand_{tag} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_{tag} a JOIN bands_{tag} b
+      ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+  )"""
+        )
+        cand_union.append(f"SELECT doc_a, doc_b FROM cand_{tag}")
+        finals.append(
+            f"""SELECT CAST({nb} AS BIGINT) AS bands, CAST({rpb} AS BIGINT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN v.dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+       CASE WHEN count(*) > 0
+            THEN CAST(coalesce(sum(CASE WHEN v.dup THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)
+            END AS precision
+FROM cand_{tag} c JOIN ver v USING (doc_a, doc_b)"""
+        )
+    return _LSH_TUNING_ORACLE.format(
+        sh=_SH_SQL.strip().rstrip(),
+        mh_cols=_MH_COLS_SQL,
+        config_ctes=",\n".join(config_ctes),
+        cand_union="\nUNION ALL\n".join(cand_union),
+        final_union="\nUNION ALL\n".join(finals),
+    )
+
+
+@register("llm_lsh_tuning", _lsh_tuning_oracle())
+def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-cost vs verified-yield per LSH band configuration over
+    one shared signature table; exact-Jaccard verify computed once for
+    the union of candidates."""
+    from maxscale_cdc_spark.functions.text import word_bigrams, words as words_
+    from maxscale_cdc_spark.operators.llm import _K, _shingles
+
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+            for j in range(_K)
+        ]
+    )
+    mh = mh.localCheckpoint(eager=False)  # shared by 3 configs + verify
+    d = table(spark, sf_dir, "documents")
+    docsets = d.select(
+        "doc_id", F.array_distinct(word_bigrams(words_("text"))).alias("shs")
+    )
+
+    cands = {}
+    for nb, rpb in _LSH_CONFIGS:
+        bands = None
+        for b in range(nb):
+            cols = [f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
+            one = mh.select(
+                "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
+            )
+            bands = one if bands is None else bands.unionByName(one)
+        a_, b_ = bands.alias("a"), bands.alias("b")
+        cands[(nb, rpb)] = (
+            a_.join(
+                b_,
+                (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    allcand = None
+    for c in cands.values():
+        allcand = c if allcand is None else allcand.unionByName(c)
+    allcand = allcand.distinct()
+    sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    ver = (
+        allcand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - inter)
+                >= 0.5
+            ).alias("dup"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for (nb, rpb), c in cands.items():
+        j = c.join(ver, ["doc_a", "doc_b"])
+        row = j.agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.when(F.col("dup"), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_verified"),
+        ).select(
+            F.lit(nb).cast("long").alias("bands"),
+            F.lit(rpb).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_verified",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

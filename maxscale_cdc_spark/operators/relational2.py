@@ -1530,3 +1530,82 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("raw_url", _URL_RE_REF, 1).cast("long").alias("ref_id"),
         host.startswith("www.").alias("has_www"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_weighted_percentile — weighted percentiles (p50/p90 of lineitem
+# quantity weighted by extended price): the "where does the MONEY
+# concentrate" quantile, not the row quantile — the form revenue/cost
+# analyses actually need (TimescaleDB/ClickHouse quantileExactWeighted
+# parity).  Selection rule: under the total order (l_quantity,
+# l_orderkey, l_linenumber), the weighted p-th percentile is the FIRST
+# row whose running cumulative weight reaches p% of the group total —
+# an integer cross-multiply (cum*100 >= p*total on BIGINT cents), so
+# the selected row (and therefore the exported value) is identical in
+# both engines; no interpolation, no double comparisons.
+#
+# Scale shape: ONE window sort per group (the exact-quantile cost —
+# the sketch tier is rel_agg_approx's percentile_approx) + a 1-row-per
+# -group broadcastable totals aggregate folded in via the same window
+# (sum over the full frame), then a 3-group aggregate.
+# ---------------------------------------------------------------------------
+
+_WPCT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS flag, l_quantity,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT flag, l_quantity, cents,
+         sum(cents) OVER (PARTITION BY flag ORDER BY l_quantity, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cents) OVER (PARTITION BY flag) AS total
+  FROM w
+)
+SELECT flag,
+       CAST(max(total) AS BIGINT) AS total_cents,
+       min(CASE WHEN cum * 100 >= 50 * total THEN l_quantity END) AS p50_qty,
+       min(CASE WHEN cum * 100 >= 90 * total THEN l_quantity END) AS p90_qty
+FROM c
+GROUP BY flag
+"""
+
+
+@register("rel_weighted_percentile", _WPCT_ORACLE)
+def rel_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted p50/p90 of l_quantity by price weight per returnflag.
+    The percentile VALUE is min(quantity | cum*100 >= p*total) — valid
+    because quantity is the leading sort key, so the first row reaching
+    the threshold also has the minimal quantity among qualifying rows;
+    integer cross-multiply keeps the row choice bit-identical."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ordered = W.partitionBy("flag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    c = w.select(
+        "flag",
+        "l_quantity",
+        F.sum("cents")
+        .over(ordered.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("cents").over(W.partitionBy("flag")).alias("total"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("total").cast("long").alias("total_cents"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 50 * F.col("total"), F.col("l_quantity"))
+        ).alias("p50_qty"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 90 * F.col("total"), F.col("l_quantity"))
+        ).alias("p90_qty"),
+    )
