@@ -166,6 +166,7 @@ _HEAVY = {
     "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned",
     # round-6 streaming lifecycles:
     "src_cdc_multi", "str_dedup_near_windowed", "str_restart_continuation",
+    "str_session_stream",
 }
 
 

@@ -1147,3 +1147,138 @@ def llm_dup_span_char(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_span_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_seq_len_histogram — sequence-length distribution in power-of-two
+# buckets: the histogram that sizes packing (llm_pack_sequences'
+# budget), batch shapes, and truncation loss before a training run.
+# Token counts reuse llm_bpe_token_est's integer estimate; the bucket
+# is floor(log2(n)) computed EXACTLY as len(bin(n)) - 1 (bit length of
+# a positive integer) — no floating log anywhere (rule 3's no-log
+# discipline).
+# ---------------------------------------------------------------------------
+
+_SEQLEN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tokens
+  FROM documents WHERE len(text) > 0
+), b AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+  FROM t
+)
+SELECT bucket,
+       CAST(1 << bucket AS BIGINT) AS bucket_lo,
+       CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("llm_seq_len_histogram", _SEQLEN_ORACLE)
+def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram (floor(log2) via integer bit
+    length, len(bin(n))-1 in both engines).  One map-side-combinable
+    aggregation over ~60 buckets max; integer-only exports."""
+    d = table(spark, sf_dir, "documents")
+    t = d.filter(F.length("text") > 0).select(
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens")
+    )
+    b = t.select(
+        "n_tokens",
+        (F.length(F.bin("n_tokens")) - 1).cast("long").alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return g.select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)").alias(
+            "bucket_lo"
+        ),
+        F.expr(
+            "CAST(shiftleft(1L, CAST(bucket AS INT) + 1) - 1 AS BIGINT)"
+        ).alias("bucket_hi"),
+        "n_docs",
+        "sum_tokens",
+        "min_tokens",
+        "max_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_vocab_growth — Heaps-law vocabulary growth curve: how many NEW
+# distinct trigram shingles each successive tenth of the corpus
+# contributes.  The curve prices continued data collection (a flat
+# tail means more data adds no lexical diversity) and calibrates
+# dedup expectations.  Computed in ONE linear pass via the min-bucket
+# trick: a gram is "new at decile d" iff the minimum doc-decile it
+# appears in is d — so the whole curve is min() per gram + a 10-group
+# count + a 10-row running sum, never 10 overlapping distinct counts.
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 10 AS decile,
+         string_split(text, ' ') AS w
+  FROM documents
+), g AS (
+  SELECT decile,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS gram
+  FROM t WHERE len(w) >= 3
+), first_seen AS (
+  SELECT gram, CAST(min(decile) AS BIGINT) AS d FROM g GROUP BY gram
+), per AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY d
+)
+SELECT d AS decile, n_new,
+       CAST(sum(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM per
+"""
+
+
+@register("llm_vocab_growth", _VOCAB_GROWTH_ORACLE)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-vocabulary growth by hash-assigned corpus decile: new
+    grams per decile (min-bucket trick — one gram-keyed min, no
+    overlapping distincts) and the running vocabulary size (a 10-row
+    window).  Integer-only."""
+    from pyspark.sql import Window as W
+
+    d = wide_table(spark, sf_dir, "documents")
+    decile = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    t = d.select(decile.alias("decile"), words("text").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    g = t.select(
+        "decile",
+        F.explode(F.array_distinct(word_trigrams(F.col("w")))).alias("gram"),
+    )
+    first_seen = g.groupBy("gram").agg(
+        F.min("decile").cast("long").alias("d")
+    )
+    per = first_seen.groupBy("d").agg(F.count("*").cast("long").alias("n_new"))
+    return per.select(
+        F.col("d").alias("decile"),
+        "n_new",
+        F.sum("n_new")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("vocab_size"),
+    )

@@ -1609,3 +1609,86 @@ def rel_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") * 100 >= 90 * F.col("total"), F.col("l_quantity"))
         ).alias("p90_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_skew_profile — join-key skew report: the measurement that decides
+# between a plain shuffle join, AQE skew splitting, and explicit
+# salting (rel_join_skew_salt's knob).  Over orders.o_custkey: per-key
+# counts ranked descending, then the concentration curve — how many
+# rows the top-1 / top-10 / top-100 keys hold — as integer
+# cross-multiply-safe counts plus exact integer-ratio shares.
+#
+# Scale shape: one key-count aggregation (map-side combinable), a
+# TakeOrdered top-100 of the KEY-COUNT table (the only global sort —
+# limit-pushed, never a full-table window), a 100-row local rank, one
+# 1-row totals broadcast.  Every band is derived from the top-100
+# rows, so nothing ranks |distinct keys| rows.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH kc AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT k, n, row_number() OVER (ORDER BY n DESC, k) AS rk FROM kc
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS total_keys,
+         CAST(max(n) AS BIGINT) AS max_key_rows
+  FROM kc
+), bands AS (
+  SELECT CAST(1 AS BIGINT) AS top_k,
+         CAST(sum(n) FILTER (WHERE rk <= 1) AS BIGINT) AS rows_in_band
+  FROM ranked
+  UNION ALL
+  SELECT 10, CAST(sum(n) FILTER (WHERE rk <= 10) AS BIGINT) FROM ranked
+  UNION ALL
+  SELECT 100, CAST(sum(n) FILTER (WHERE rk <= 100) AS BIGINT) FROM ranked
+)
+SELECT b.top_k, b.rows_in_band, t.total_rows, t.total_keys,
+       t.max_key_rows,
+       CAST(b.rows_in_band AS DOUBLE) / t.total_rows AS share
+FROM bands b, tot t
+"""
+
+
+@register("rel_skew_profile", _SKEW_ORACLE)
+def rel_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-concentration profile of orders.o_custkey (top-1/10/100 key
+    bands): the salting/AQE decision input.  share is an
+    integer-ratio double."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # TakeOrdered top-100 FIRST; the rank window then runs over <= 100
+    # rows (never the full key-count table)
+    top100 = kc.orderBy(F.col("n").desc(), "k").limit(100)
+    ranked = top100.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "k"))
+    ).localCheckpoint(eager=False)
+    tot = kc.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("total_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    )
+    bands = None
+    for top_k in (1, 10, 100):
+        b = ranked.filter(F.col("rk") <= top_k).agg(
+            F.lit(top_k).cast("long").alias("top_k"),
+            F.sum("n").cast("long").alias("rows_in_band"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands.crossJoin(F.broadcast(tot)).select(
+        "top_k",
+        "rows_in_band",
+        "total_rows",
+        "total_keys",
+        "max_key_rows",
+        (F.col("rows_in_band").cast("double") / F.col("total_rows")).alias(
+            "share"
+        ),
+    )

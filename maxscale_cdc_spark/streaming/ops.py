@@ -903,3 +903,66 @@ def str_restart_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(n2)
     _release_stream_state(spark)
     return out
+
+
+# ---------------------------------------------------------------------------
+# str_session_stream — session windows ON THE STREAM: the stateful
+# session_window aggregate with a watermark, append mode (sessions
+# emit once the watermark passes their end — the same finalization
+# contract str_watermark_late pins for tumbling windows).  str_session
+# proves the session operator's semantics in batch; this runs the
+# streaming engine's session-state merge path (gap-merge of adjacent
+# state entries across micro-batches) end to end.
+#
+# Oracle: the batch gaps-and-islands sessionization filtered to
+# sessions whose end (last event + 30 min gap) the final watermark
+# (max event time − 1 h) has passed — exactly the append-mode
+# emission rule.
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_session_stream",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a, wm WHERE a.session_end <= wm.w
+    """,
+)
+def str_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30 min gap, 1 h watermark, append
+    mode): finalized sessions only, executor→parquet via
+    run_to_files.  State = open sessions per user within watermark
+    reach — bounded at any stream age."""
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_files(agg)

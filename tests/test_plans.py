@@ -667,3 +667,63 @@ def test_bpe_learn_vocab_broadcast_merges_no_python(spark, sf_dir):
     mplan = formatted_plan(merges)
     assert "Window" not in mplan, mplan
     assert "TakeOrderedAndProject" in mplan, mplan
+
+
+def test_bloom_broadcast_probe_no_shuffle_of_corpus(spark, sf_dir):
+    """The Bloom probe must join positions via BROADCAST (the bit set
+    is <= m rows at any corpus size) — a shuffle join here would move
+    the whole probe stream for a 1024-row table."""
+    df = _q("llm_dedup_bloom", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_split_leakage_single_class_aggregation(spark, sf_dir):
+    """One content-hash aggregation feeds all three pair rows — no
+    Python, no cartesian, and the class agg is partial (map-side)."""
+    df = _q("llm_split_leakage", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_char_hashes_before_shuffle(spark, sf_dir):
+    """The 20-char gram text must be md5'd in the scan projection (the
+    shuffle carries 32-hex keys, not raw text windows); no cartesian,
+    no Python."""
+    df = _q("llm_dup_span_char", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "md5" in plan, plan
+
+
+def test_weighted_percentile_one_window_exchange(spark, sf_dir):
+    """Running sum and group total share the flag partitioning; the
+    final agg reuses it — at most 2 exchanges end to end."""
+    df = _q("rel_weighted_percentile", spark, sf_dir)
+    assert exchange_count(df) <= 2, simple_plan(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_consumer_lag_broadcast_between_aggs(spark, sf_dir):
+    """cdc_consumer_lag: firsts (16 rows) broadcast back onto the
+    stream — same audited shape as cdc_safe_resume."""
+    df = _q("cdc_consumer_lag", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_out_of_order_audit_single_pk_window(spark, sf_dir):
+    """Running max partitions by pk (the CDC key) — no global window,
+    no Python."""
+    df = _q("cdc_out_of_order_audit", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
