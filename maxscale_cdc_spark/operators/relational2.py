@@ -1692,3 +1692,104 @@ def rel_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_funnel_windowed — rel_funnel with CONVERSION DEADLINES: each
+# stage must follow the previous one within 24 h (the form product
+# funnels actually use — "viewed within a day of signing up"), plus
+# integer conversion-time stats.  Same scale shape as rel_funnel:
+# every stage is a keyed min-aggregate joined back on user_id — one
+# partitioning amortized across the funnel; deadlines are integer
+# epoch-second comparisons.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WIN_S = 86_400
+
+_FUNNEL_WINDOWED_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2, MIN(s1.t1) AS t1
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.t > s1.t1 AND e.t <= s1.t1 + {_FUNNEL_WIN_S}
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3, MIN(s2.t2) AS t2, MIN(s2.t1) AS t1
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2 AND e.t <= s2.t2 + {_FUNNEL_WIN_S}
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_24h,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_24h,
+       CAST((SELECT coalesce(sum(t2 - t1), 0) FROM s2) AS BIGINT)
+         AS sum_signup_to_view_s,
+       CAST((SELECT coalesce(max(t3 - t1), 0) FROM s3) AS BIGINT)
+         AS max_signup_to_purchase_s
+"""
+
+
+@register("rel_funnel_windowed", _FUNNEL_WINDOWED_ORACLE)
+def rel_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: signup → view within 24 h → purchase within a
+    further 24 h, with integer conversion-time stats."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t1") + _FUNNEL_WIN_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("t2"))
+            & (F.col("t") <= F.col("t2") + _FUNNEL_WIN_S)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("t").alias("t3"),
+            F.min("t2").alias("t2"),
+            F.min("t1").alias("t1"),
+        )
+    )
+    a1 = s1.agg(F.count("*").cast("long").alias("n_signup"))
+    a2 = s2.agg(
+        F.count("*").cast("long").alias("n_view_24h"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1")), F.lit(0))
+        .cast("long")
+        .alias("sum_signup_to_view_s"),
+    )
+    a3 = s3.agg(
+        F.count("*").cast("long").alias("n_purchase_24h"),
+        F.coalesce(F.max(F.col("t3") - F.col("t1")), F.lit(0))
+        .cast("long")
+        .alias("max_signup_to_purchase_s"),
+    )
+    return (
+        a1.crossJoin(a2)
+        .crossJoin(a3)
+        .select(
+            "n_signup",
+            "n_view_24h",
+            "n_purchase_24h",
+            "sum_signup_to_view_s",
+            "max_signup_to_purchase_s",
+        )
+    )

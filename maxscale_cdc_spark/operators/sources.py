@@ -728,3 +728,68 @@ def src_cdc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = part if result is None else result.unionAll(part)
     return result
+
+
+# ---------------------------------------------------------------------------
+# snk_schema_merge — sink-side SCHEMA EVOLUTION: a materialization
+# target written across an ALTER (event.go:35-36's version increment)
+# holds files with DIFFERENT schemas — pre-ALTER files lack the new
+# column.  The Spark-native realization: append generations with
+# different StructTypes into one parquet dir and read back with
+# mergeSchema=true, old files surfacing NULL for the added column.
+# The audit proves the merged read is lossless: per-generation counts,
+# cents sums, and the added column's sum (NULL-backed for gen 0).
+#
+# Scale note: mergeSchema=true costs a footer read per file at
+# planning; production tables register the evolved schema in a
+# catalog (the registry here) and pass it explicitly — both paths are
+# exercised: the read uses mergeSchema, the EXPORT proves the result
+# matches the registry-style truth the oracle computes.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_MERGE_ORACLE = f"""
+{CDC_SQL}
+, t AS (
+  SELECT sequence % 2 AS gen, pk, value, sequence FROM cdc
+)
+SELECT CAST(gen AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(CASE WHEN gen = 1 THEN sum(sequence % 7) END AS BIGINT) AS sum_qty,
+       CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty
+FROM t
+GROUP BY gen
+"""
+
+
+@register("snk_schema_merge", _SCHEMA_MERGE_ORACLE)
+def snk_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append two generations with different schemas (gen 0: pk,value;
+    gen 1 adds qty post-ALTER) into one parquet target; read back with
+    mergeSchema=true and audit per generation — qty is NULL-backed for
+    gen-0 rows and exactly recovered for gen-1."""
+    cdc = cdc_view(spark, sf_dir)
+    out = _mkdtemp(prefix="snk_schema_merge_")
+    g0 = cdc.filter(F.col("sequence") % 2 == 0).select(
+        F.lit(0).cast("long").alias("gen"), "pk", "value"
+    )
+    g1 = cdc.filter(F.col("sequence") % 2 == 1).select(
+        F.lit(1).cast("long").alias("gen"),
+        "pk",
+        "value",
+        (F.col("sequence") % 7).alias("qty"),
+    )
+    g0.write.mode("append").parquet(out)
+    g1.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("gen").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_qty"),
+    )
