@@ -477,3 +477,96 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("hamming"),
     )
     return links.unionAll(self_rows)
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_segments — video scene segmentation from frame differences:
+# consecutive frames whose "luminance" jumps by more than a threshold
+# start a new scene; scenes are gaps-and-islands over the frame
+# sequence.  The luminance is the STUBBED kernel (first 2 hex digits
+# of the frame key — the container has no codecs; a real deployment
+# computes mean pixel luma in the mm_features mapInPandas pass), but
+# the segmentation mechanics — per-video lag window, boundary marks,
+# island aggregation — are the real scale shape: one video-keyed
+# window partition, frames never leave their executor.
+# ---------------------------------------------------------------------------
+
+_SCENE_THRESH = 64  # luminance jump (0-255) that starts a new scene
+
+_SCENE_ORACLE = f"""
+WITH decoded AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         CAST(1 + length(text) % 4 AS INT) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         CAST(('0x' || substr(md5(content_hash || '-' || CAST(f AS VARCHAR)), 1, 2))
+              AS INTEGER) AS luma
+  FROM decoded, unnest(generate_series(0, n_frames - 1)) AS t(f)
+), seq AS (
+  SELECT doc_id, frame_idx, luma,
+         lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM frames
+), marked AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN prev IS NULL OR abs(luma - prev) > {_SCENE_THRESH}
+              THEN 1 ELSE 0 END AS is_cut
+  FROM seq
+), scened AS (
+  SELECT doc_id, frame_idx,
+         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_id
+  FROM marked
+), scenes AS (
+  SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS scene_len
+  FROM scened GROUP BY doc_id, scene_id
+)
+SELECT doc_id,
+       CAST(sum(scene_len) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_scenes,
+       CAST(max(scene_len) AS BIGINT) AS longest_scene
+FROM scenes
+GROUP BY doc_id
+"""
+
+
+@register("mm_scene_segments", _SCENE_ORACLE)
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene detection over the sampled frame stream: luminance-jump
+    cuts (stub kernel) + gaps-and-islands scene assembly on one
+    video-keyed window partition.  Integer-only exports."""
+    from pyspark.sql import Window as W
+
+    frames = mm_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring("frame_key", 1, 2), 16, 10).cast("int").alias("luma"),
+    )
+    win = W.partitionBy("doc_id").orderBy("frame_idx")
+    seq = frames.withColumn("prev", F.lag("luma").over(win))
+    marked = seq.select(
+        "doc_id",
+        "frame_idx",
+        F.when(
+            F.col("prev").isNull()
+            | (F.abs(F.col("luma") - F.col("prev")) > _SCENE_THRESH),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    scened = marked.select(
+        "doc_id",
+        F.sum("is_cut")
+        .over(win.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("scene_id"),
+    )
+    scenes = scened.groupBy("doc_id", "scene_id").agg(
+        F.count("*").cast("long").alias("scene_len")
+    )
+    return scenes.groupBy("doc_id").agg(
+        F.sum("scene_len").cast("long").alias("n_frames"),
+        F.count("*").cast("long").alias("n_scenes"),
+        F.max("scene_len").cast("long").alias("longest_scene"),
+    )

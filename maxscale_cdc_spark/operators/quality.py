@@ -1288,3 +1288,97 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# llm_importance_resample — deterministic SYSTEMATIC weighted sampling:
+# select ~K documents per source with probability proportional to a
+# quality weight (here n_chars — stand-in for a scored quality
+# signal), reproducibly on any cluster.  Systematic sampling walks the
+# cumulative-weight axis in strides of total/K and picks the document
+# under each stride boundary: doc i is selected iff
+# floor(cum_i·K/total) > floor(cum_{i-1}·K/total) — pure BIGINT
+# arithmetic (cross-multiply, no stride division), so the selected SET
+# is bit-identical in both engines.  Docs heavier than one stride are
+# picked exactly once (capped multiplicity — the standard systematic-
+# sampling degeneracy, acceptable for corpus curation).
+#
+# Scale shape: one source-keyed running-sum window over a hash-shuffled
+# order (md5(doc_id) — decorrelates weight from position, the
+# estimator's requirement) + per-source totals over the same
+# partitioning.  At 100 TB each source's cumsum is a keyed window —
+# the same shape as mm_shard_manifest's byte packing.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_K = 100  # target picks per source
+
+_RESAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE n_chars > 0
+), c AS (
+  SELECT source, doc_id, wt,
+         sum(wt) OVER (PARTITION BY source ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(wt) OVER (PARTITION BY source) AS total
+  FROM w
+), sel AS (
+  SELECT source, doc_id, wt,
+         ((cum * {_RESAMPLE_K}) // total
+          > ((cum - wt) * {_RESAMPLE_K}) // total) AS picked
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wt) AS BIGINT) AS total_w,
+       CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN picked THEN wt ELSE 0 END) AS BIGINT)
+         AS sum_selected_w
+FROM sel
+GROUP BY source
+"""
+
+
+@register("llm_importance_resample", _RESAMPLE_ORACLE)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source systematic weighted sampling audit: ~K docs selected
+    proportional to weight via integer stride-boundary crossings on a
+    hash-shuffled cumulative-weight walk.  BIGINT-only selection rule
+    (cum·K and (cum−wt)·K stay far under 2^63 at any corpus: cum ≤
+    total ≤ Σ n_chars per source)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = d.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    win = W.partitionBy("source").orderBy("ord", "doc_id")
+    c = w.select(
+        "source",
+        "doc_id",
+        "wt",
+        F.sum("wt").over(win.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("wt").over(W.partitionBy("source")).alias("total"),
+    )
+    # TRUE integer division (Spark's `div`), not floor(double /):
+    # double division is only exact below 2^53 and cum·K crosses that
+    # at real corpus sizes; div matches DuckDB's BIGINT `//` bit-for-
+    # bit at any magnitude.
+    picked = F.expr(
+        f"div(cum * {_RESAMPLE_K}, total) > div((cum - wt) * {_RESAMPLE_K}, total)"
+    )
+    sel = c.select("source", "wt", picked.alias("picked"))
+    return sel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("wt").cast("long").alias("total_w"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("long").alias(
+            "n_selected"
+        ),
+        F.sum(F.when(F.col("picked"), F.col("wt")).otherwise(0))
+        .cast("long")
+        .alias("sum_selected_w"),
+    )

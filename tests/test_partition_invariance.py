@@ -26,6 +26,12 @@ _REPRESENTATIVE = [
     # round-5 families: distinct-word pandas_udf path, bitmap aggregate
     "llm_bpe_tokenize",
     "rel_agg_distinct_bitmap",
+    # round-6 families: iterated argmax (the learn loop's TakeOrdered
+    # top-1 must be partition-stable), weighted-percentile row
+    # selection, packed-scalar max_by winners
+    "llm_bpe_learn_vocab",
+    "rel_weighted_percentile",
+    "cdc_lww_conflicts",
 ]
 
 
