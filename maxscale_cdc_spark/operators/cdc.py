@@ -1832,3 +1832,103 @@ def cdc_lww_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq_gap").cast("long").alias("max_seq_gap"),
         F.min("seq_gap").cast("long").alias("min_seq_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2_lookup — point-in-time enrichment against the SCD2 history:
+# for every DELETE event, recover the image that was in effect at its
+# stream position (the state the delete removed).  Versions live in
+# SEQUENCE space — [sequence, next image sequence) — because the GTID
+# order is the stream's truth (event-time can be disordered;
+# cdc_out_of_order_audit measures exactly how much), so the lookup is
+# the union+window as-of pattern on the pk partitioning: images and
+# probes interleave under one per-pk sequence sort, last(image
+# IGNORE NULLS) carries the in-effect version onto each probe.  One
+# keyed shuffle; never a range self-join against the history table.
+# ---------------------------------------------------------------------------
+
+_SCD2_LOOKUP_ORACLE = f"""
+{CDC_SQL}
+, tagged AS (
+  SELECT pk, sequence,
+         CASE WHEN dml_type IN ('insert', 'update_after') THEN sequence END
+           AS img_seq,
+         CASE WHEN dml_type IN ('insert', 'update_after') THEN value END
+           AS img_value,
+         CASE WHEN dml_type = 'delete' THEN 1 ELSE 0 END AS is_probe
+  FROM cdc
+  WHERE dml_type IN ('insert', 'update_after', 'delete')
+), carried AS (
+  SELECT pk, sequence, is_probe,
+         last_value(img_seq IGNORE NULLS) OVER (
+           PARTITION BY pk ORDER BY sequence
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_seq,
+         last_value(img_value IGNORE NULLS) OVER (
+           PARTITION BY pk ORDER BY sequence
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_value
+  FROM tagged
+)
+SELECT CAST(pk % {{n}} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_deletes,
+       CAST(sum(CASE WHEN state_seq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_state,
+       CAST(sum(CASE WHEN state_seq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       CAST(sum(CASE WHEN state_seq IS NOT NULL
+                     THEN CAST(round(state_value * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS sum_removed_value_cents,
+       CAST(max(state_seq) AS BIGINT) AS max_state_seq
+FROM carried
+WHERE is_probe = 1
+GROUP BY pk % {{n}}
+""".replace("{n}", str(_N_CONSUMERS))
+
+
+@register("cdc_scd2_lookup", _SCD2_LOOKUP_ORACLE)
+def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did each delete remove?  As-of lookup of the SCD2 image in
+    effect at every delete's stream position via the union+window
+    pattern (one pk-keyed sort; history and probes share the
+    partitioning), rolled up per consumer bucket — orphan deletes
+    (no prior image) counted separately."""
+    cdc = cdc_view(spark, sf_dir)
+    is_img = F.col("dml_type").isin("insert", "update_after")
+    tagged = cdc.filter(
+        F.col("dml_type").isin("insert", "update_after", "delete")
+    ).select(
+        "pk",
+        "sequence",
+        F.when(is_img, F.col("sequence")).alias("img_seq"),
+        F.when(is_img, F.col("value")).alias("img_value"),
+        (F.col("dml_type") == "delete").cast("int").alias("is_probe"),
+    )
+    win = (
+        W.partitionBy("pk")
+        .orderBy("sequence")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "pk",
+        "is_probe",
+        F.last("img_seq", ignorenulls=True).over(win).alias("state_seq"),
+        F.last("img_value", ignorenulls=True).over(win).alias("state_value"),
+    )
+    probes = carried.filter(F.col("is_probe") == 1)
+    return probes.groupBy((F.col("pk") % _N_CONSUMERS).cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_deletes"),
+        F.sum(F.when(F.col("state_seq").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_state"),
+        F.sum(F.when(F.col("state_seq").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.sum(
+            F.when(
+                F.col("state_seq").isNotNull(),
+                F.round(F.col("state_value") * 100, 0).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("sum_removed_value_cents"),
+        F.max("state_seq").cast("long").alias("max_state_seq"),
+    )

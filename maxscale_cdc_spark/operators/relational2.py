@@ -1793,3 +1793,52 @@ def rel_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_signup_to_purchase_s",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_agg_mad — robust dispersion: median absolute deviation from the
+# per-group median.  Outlier-resistant where stddev is not (the
+# robust-statistics tier next to rel_agg_stats' moments and
+# rel_agg_median's quantiles).  Two exact percentile passes over the
+# SAME group key (medians broadcast back between them — O(groups)
+# rows); both engines interpolate identical middle elements
+# (rel_agg_median pins percentile == quantile_cont bit-equality), and
+# the deviation |x − m| is the same double arithmetic on both sides.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderstatus
+), dev AS (
+  SELECT o.o_orderstatus, abs(o.o_totalprice - med.m) AS d, med.m
+  FROM orders o JOIN med USING (o_orderstatus)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       max(m) AS median_price,
+       quantile_cont(d, 0.5) AS mad
+FROM dev
+GROUP BY o_orderstatus
+"""
+
+
+@register("rel_agg_mad", _MAD_ORACLE)
+def rel_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order status: exact median, then
+    exact median of |price − median| with the group medians broadcast
+    between the two passes."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "m",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("d"),
+    )
+    return dev.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("m").alias("median_price"),
+        F.percentile("d", F.lit(0.5)).alias("mad"),
+    )
