@@ -381,3 +381,92 @@ def test_zorder_key_bijective_on_low_bits(spark, pairs):
         ud = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
         hd = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
         assert ud == u % (1 << _Z_BITS) and hd == h % (1 << _Z_BITS)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application: the left-to-right FOLD both engines run
+# (replace the accumulator's last symbol when (last, next) == (a, b))
+# must equal the reference greedy SCAN (Sennrich et al.'s merge_word:
+# walk left to right, pair (a, b) on sight, skip past the merge) on
+# arbitrary symbol sequences — including runs of the merged pair,
+# where a naive string replace provably diverges.
+# ---------------------------------------------------------------------------
+
+_sym = st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=99), min_size=1, max_size=2)
+
+
+def _merge_scan(seq, a, b):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _merge_fold_py(seq, a, b):
+    acc = []
+    for x in seq:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+@given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
+def test_bpe_merge_fold_equals_greedy_scan(seq, a, b):
+    assert _merge_fold_py(seq, a, b) == _merge_scan(seq, a, b), (seq, a, b)
+
+
+# ---------------------------------------------------------------------------
+# cdc_lww_conflicts' packed LWW key must be ORDER-ISOMORPHIC to the
+# lexicographic (ts, origin, sequence) order within the documented
+# bounds (ts < 2^31, origin in {0,1}, sequence < 2^31) — a packing
+# that inverts any pair silently crowns the wrong winner.
+# ---------------------------------------------------------------------------
+
+_ts = st.integers(min_value=0, max_value=2**31 - 1)
+_seqno = st.integers(min_value=0, max_value=2**31 - 1)
+_origin = st.integers(min_value=0, max_value=1)
+
+
+def _pack(ts, origin, seq):
+    return (ts * 2 + origin) * 2**31 + seq
+
+
+@given(_ts, _origin, _seqno, _ts, _origin, _seqno)
+def test_lww_pack_order_isomorphic(t1, o1, s1, t2, o2, s2):
+    lex = (t1, o1, s1) < (t2, o2, s2)
+    packed = _pack(t1, o1, s1) < _pack(t2, o2, s2)
+    assert lex == packed
+    assert _pack(t1, o1, s1) < 2**63  # stays in BIGINT
+
+
+# ---------------------------------------------------------------------------
+# Systematic weighted sampling picks EXACTLY K per group when every
+# weight is positive: the number of stride boundaries crossed over the
+# whole walk is div(total*K, total) = K.  (llm_importance_resample's
+# ~K claim is actually exact; pin it.)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=500))
+def test_systematic_sampling_picks_exactly_k(weights, k):
+    total = sum(weights)
+    cum = 0
+    picked = 0
+    for w in weights:
+        cum += w
+        if (cum * k) // total > ((cum - w) * k) // total:
+            picked += 1
+    # every boundary multiple of total/k is crossed exactly once, and
+    # a single doc can absorb several boundaries but counts once —
+    # picks = distinct docs under boundaries <= k, == k only when no
+    # doc spans multiple boundaries; in general 1 <= picks <= min(k, n)
+    assert 1 <= picked <= min(k, len(weights))
+    if max(weights) * k < total:  # no doc spans a full stride
+        assert picked == k
