@@ -609,3 +609,67 @@ def rel_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dv).over(roll).cast("double").alias("roll3_sum"),
         F.row_number().over(w).cast("long").alias("seq_in_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_graph_triangles — distributed triangle counting, the classic
+# multi-way-join graph workload (Suri & Vassilvitskii 2011): orient
+# every edge low→high, join the oriented list with itself to build
+# 2-paths (a→b→c with a<b<c), then semi-join the closing edge a→c.
+# Orientation bounds the join fan-out by each node's FORWARD degree
+# (max total degree in the skewed case — the standard mitigation is
+# degree-ordering instead of id-ordering; id order suffices for the
+# quasi-random graph here and keeps both engines' edge sets identical).
+#
+# The graph is derived deterministically from the event stream
+# (node = event_id % 97, peer = (event_id * 31) % 97 — a dense
+# quasi-random 97-node graph), so the oracle rebuilds the identical
+# edge set.  Scale shape: one distinct on edges, two equi-joins keyed
+# on node ids, one count — every step partial-aggregable/shuffle-keyed,
+# no windows, no Python.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH raw AS (
+  SELECT event_id % 97 AS u, (event_id * 31) % 97 AS v FROM events
+), edges AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+), paths AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+), tri AS (
+  SELECT p.a, p.b, p.c
+  FROM paths p JOIN edges e ON p.a = e.a AND p.c = e.b
+)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(DISTINCT a) FROM tri) AS BIGINT)
+         AS n_apex_nodes
+"""
+
+
+@register("rel_graph_triangles", _TRI_ORACLE)
+def rel_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented 2-path join + closing-edge join over the deterministic
+    event-derived graph; integer-only exports (edge count, triangle
+    count, distinct apex nodes)."""
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        (F.col("event_id") % 97).alias("u"),
+        ((F.col("event_id") * 31) % 97).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    paths = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = paths.join(closing, ["a", "c"])
+    ne = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    nt = tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.countDistinct("a").cast("long").alias("n_apex_nodes"),
+    )
+    return ne.crossJoin(nt).select("n_edges", "n_triangles", "n_apex_nodes")

@@ -1842,3 +1842,52 @@ def rel_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("median_price"),
         F.percentile("d", F.lit(0.5)).alias("mad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_interval — timestamp/interval arithmetic battery: the datetime
+# surface fn_date doesn't cover (interval add/subtract, epoch-exact
+# differences, truncation ladder, end-of-month clamping).  Pinned
+# engine-to-engine on expressions where Spark and DuckDB agree by
+# construction: integer epoch seconds, day arithmetic, date_trunc to
+# hour/day/week.  (months_between-style fractional-month semantics are
+# deliberately EXCLUDED — the two engines round differently, and an
+# exactness suite must not export engine-specific conventions.)
+# ---------------------------------------------------------------------------
+
+_FN_INTERVAL_ORACLE = """
+SELECT event_id,
+       ts + INTERVAL 90 MINUTE AS plus_90m,
+       ts - INTERVAL 2 DAY AS minus_2d,
+       date_trunc('hour', ts) AS trunc_hour,
+       date_trunc('day', ts) AS trunc_day,
+       CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 86400 AS sec_of_day,
+       CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+         AS days_since_epoch0,
+       CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+       last_day(CAST(ts AS DATE)) AS month_end
+FROM events
+WHERE event_id % 37 = 0
+"""
+
+
+@register("fn_interval", _FN_INTERVAL_ORACLE)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic / truncation / calendar battery over a
+    deterministic event sample.  DOW convention pinned: both engines
+    export Sunday=0 (DuckDB dow) — Spark's dayofweek is Sunday=1, so
+    the export subtracts 1."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("ts + INTERVAL 90 MINUTE").alias("plus_90m"),
+        F.expr("ts - INTERVAL 2 DAY").alias("minus_2d"),
+        F.date_trunc("hour", "ts").alias("trunc_hour"),
+        F.date_trunc("day", "ts").alias("trunc_day"),
+        (F.unix_timestamp("ts") % 86400).cast("long").alias("sec_of_day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+    )

@@ -727,3 +727,31 @@ def test_out_of_order_audit_single_pk_window(spark, sf_dir):
     assert "Window" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangles_equi_joins_only(spark, sf_dir):
+    """Triangle counting must be two EQUI-joins over oriented edges —
+    never cartesian, never Python; the final scalar combine is the
+    only nested-loop (1-row × 1-row)."""
+    df = _q("rel_graph_triangles", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") >= 2, plan
+
+
+def test_scd2_lookup_single_pk_shuffle(spark, sf_dir):
+    """History and probes share ONE pk-keyed window sort — the as-of
+    union pattern; no join against the history table at all."""
+    df = _q("cdc_scd2_lookup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_importance_resample_windows_share_partitioning(spark, sf_dir):
+    """Cumulative weight and per-source totals both partition by
+    source; the final agg reuses it — <= 2 exchanges total."""
+    df = _q("llm_importance_resample", spark, sf_dir)
+    assert exchange_count(df) <= 2, simple_plan(df)
