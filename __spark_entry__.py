@@ -165,8 +165,8 @@ _HEAVY = {
     # K=16 staged iterations (16 small sequential jobs each):
     "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned",
     # round-6 streaming/sink lifecycles:
-    "src_cdc_multi", "str_dedup_near_windowed", "str_restart_continuation",
-    "str_session_stream", "snk_schema_merge",
+    "src_cdc_multi", "src_tcp_multi", "str_dedup_near_windowed",
+    "str_restart_continuation", "str_session_stream", "snk_schema_merge",
 }
 
 

@@ -793,3 +793,95 @@ def snk_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_null_qty"),
     )
+
+
+@register("src_tcp_multi", _SRC_MULTI_ORACLE)
+def src_tcp_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer FLEET at the protocol level: one fake MaxScale
+    listener serving TWO tables, two real TCP transports connected
+    CONCURRENTLY (one connection per `db.table` — client.go:144-162,
+    236-248), each pumping its stream into its own spool; DDL lines
+    travel the wire like everything else, ONE registry is fed from the
+    union of both spools, and each table batch-decodes with its own
+    schema version (users v1, orders v2).  Same audit oracle as
+    src_cdc_multi — the protocol edge must be lossless for N tables,
+    not just one.
+
+    Complements src_tcp_transport (single-table lifecycle through the
+    Python DataSource) with the fleet shape on the JVM bulk-decode
+    path: the sockets are per-table pump threads; all decode
+    parallelism is Spark-side."""
+    from maxscale_cdc_spark.sources.cdc_source import (
+        classify_lines,
+        collect_schemas,
+        parse_dml,
+        resume_filter,
+    )
+    from maxscale_cdc_spark.sources.transport import (
+        CDCTransport,
+        FakeMaxScaleServer,
+    )
+
+    dirs = _render_multi_wire(spark, sf_dir)
+    server = FakeMaxScaleServer(
+        "cdcuser",
+        "cdcpw",
+        file_tables={f"app.{t}": d for t, d in dirs.items()},
+    )
+    spools: dict[str, str] = {}
+    transports = []
+    try:
+        # start BOTH transports before draining either — concurrent tails
+        for t in dirs:
+            spool = _mkdtemp(prefix=f"tcp_multi_{t}_")
+            tr = CDCTransport(server.address, "cdcuser", "cdcpw", f"uuid-{t}")
+            tr.request_data("app", t, spool_dir=spool)
+            transports.append(tr)
+            spools[t] = spool
+        for tr in transports:
+            tr.drain(timeout_s=180)
+        for tr in transports:
+            tr.stop()
+    finally:
+        server.close()
+
+    raw_all = None
+    for spool in spools.values():
+        r = spark.read.text(spool)
+        raw_all = r if raw_all is None else raw_all.union(r)
+    reg = collect_schemas(raw_all)
+
+    result = None
+    for t, spool in spools.items():
+        ts = reg.get("app", t)
+        raw = spark.read.text(spool)
+        dml = classify_lines(raw).filter(F.col("event_class") == "dml")
+        parsed = parse_dml(dml, ts.payload_struct()).filter(
+            (F.col("table_schema") == "app") & (F.col("table_name") == t)
+        )
+        parsed = resume_filter(parsed, None)
+        agg_cols = [
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.max("sequence").alias("max_seq"),
+        ]
+        has_qty = "qty" in [f.name for f in ts.payload_fields()]
+        if has_qty:
+            agg_cols.append(F.sum("qty").alias("sum_qty"))
+        part = parsed.groupBy(F.col("event_type").alias("dml_type")).agg(*agg_cols)
+        if not has_qty:
+            part = part.withColumn("sum_qty", F.lit(None).cast("long"))
+        part = part.select(
+            F.lit("app").alias("db"),
+            F.lit(t).alias("tbl"),
+            F.lit(ts.version).cast("long").alias("schema_version"),
+            "dml_type",
+            "n",
+            "sum_value_cents",
+            "max_seq",
+            "sum_qty",
+        )
+        result = part if result is None else result.unionAll(part)
+    return result
