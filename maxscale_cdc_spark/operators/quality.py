@@ -1382,3 +1382,69 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_selected_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_soft_dedup_weights — reweight duplicates instead of dropping
+# them (the SoftDeDup idea): every member of an exact-duplicate class
+# keeps weight 1/n_copies, so the class contributes one document's
+# worth of gradient no matter how many times it was crawled.  The
+# export prices the policy per source: raw vs EFFECTIVE token mass
+# (weighted), in integer micro-units — effective_tokens_micro =
+# Σ div(tokens·10⁶, n_copies), truncating integer division in BOTH
+# engines (Spark div == DuckDB //), so the fractional weights never
+# touch floating point.
+#
+# Scale shape: one content-hash class count (map-side combinable), a
+# hash-keyed join-back, one source aggregate — the llm_dedup_exact
+# shuffle plus a join, nothing quadratic.
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, source, sha256(lower(trim(text))) AS h,
+         CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tokens
+  FROM documents
+), cls AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_copies FROM hashed GROUP BY h
+), weighted AS (
+  SELECT d.source, d.n_tokens, c.n_copies,
+         (d.n_tokens * 1000000) // c.n_copies AS eff_micro
+  FROM hashed d JOIN cls c USING (h)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(eff_micro) AS BIGINT) AS effective_tokens_micro
+FROM weighted
+GROUP BY source
+"""
+
+
+@register("llm_soft_dedup_weights", _SOFT_DEDUP_ORACLE)
+def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-reweighting audit per source: raw vs effective token
+    mass under 1/n_copies weights, micro-unit integer exact."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "source",
+        F.sha2(F.lower(F.trim("text")), 256).alias("h"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens"),
+    )
+    cls = hashed.groupBy("h").agg(F.count("*").cast("long").alias("n_copies"))
+    weighted = hashed.join(cls, "h").select(
+        "source",
+        "n_tokens",
+        "n_copies",
+        F.expr("div(n_tokens * 1000000, n_copies)").alias("eff_micro"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicated_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        F.sum("eff_micro").cast("long").alias("effective_tokens_micro"),
+    )
