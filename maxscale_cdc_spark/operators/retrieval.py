@@ -591,3 +591,104 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", "vec_id", "cos_sim", F.col("cand_id").isNotNull().alias("in_cell")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_hard_negatives — contrastive-training margin audit: for every
+# vector, cosine to its OWN label prototype vs the best cosine to any
+# OTHER label's prototype.  A violation (other >= own is false —
+# i.e. cos_other > cos_own) marks the vectors a hard-negative miner
+# would surface and a label-quality audit would flag; the per-label
+# margin mass prices how separable the label space actually is before
+# anyone trains on it.
+#
+# Exactness: prototypes are the Q1.30 fixed-point means (the
+# llm_embed_centroid discipline), cosines round to 6 dp (the
+# sanctioned vector export), and margins are exported in INTEGER
+# micro-units (round((own-other)*1e6) of already-rounded values — the
+# same computation in both engines).
+#
+# Scale shape: the |labels|-row prototype table broadcasts; the
+# scoring pass fans each vector out ×|labels| (a broadcast nested
+# loop, |labels| small by construction) and aggregates per vec_id then
+# per label — both combinable keyed shuffles.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH flat AS (
+  SELECT label, i.i AS dim,
+         CAST(floor(CAST(embedding AS DOUBLE[])[i.i] * {_Q30F}) AS BIGINT) AS q30
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+), m AS (
+  SELECT label, dim,
+         CAST(sum(q30) AS DOUBLE) / (count(*) * {_Q30F}) AS m
+  FROM flat GROUP BY label, dim
+), cent AS (
+  SELECT label AS clabel, list(m ORDER BY dim) AS cv FROM m GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         {sql_cosine("CAST(e.embedding AS DOUBLE[])", "c.cv")} AS cos
+  FROM embeddings e CROSS JOIN cent c
+), per_vec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN cos END) AS cos_own,
+         max(CASE WHEN clabel <> label THEN cos END) AS cos_other
+  FROM scored GROUP BY vec_id, label
+), marg AS (
+  SELECT label, cos_own, cos_other,
+         CAST(round((cos_own - cos_other) * 1000000, 0) AS BIGINT)
+           AS margin_micro
+  FROM per_vec
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN cos_other > cos_own THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(sum(margin_micro) AS BIGINT) AS sum_margin_micro,
+       CAST(min(margin_micro) AS BIGINT) AS min_margin_micro
+FROM marg
+GROUP BY label
+"""
+
+
+@register("llm_hard_negatives", _HARDNEG_ORACLE)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label separability audit: own-prototype vs best
+    other-prototype cosine, margin mass in integer micro-units,
+    violation counts (the hard negatives)."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = q30_mean_arrays(
+        e.select("label", as_double("embedding").alias("v")), "label"
+    ).select(F.col("label").alias("clabel"), "cv")
+    cos = F.round(
+        dot(as_double("embedding"), F.col("cv"))
+        / F.sqrt(norm_sq(as_double("embedding")) * norm_sq(F.col("cv"))),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", cos.alias("cos")
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
+            "cos_own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
+            "cos_other"
+        ),
+    )
+    marg = per_vec.select(
+        "label",
+        "cos_own",
+        "cos_other",
+        F.round((F.col("cos_own") - F.col("cos_other")) * 1000000, 0)
+        .cast("long")
+        .alias("margin_micro"),
+    )
+    return marg.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("cos_other") > F.col("cos_own"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.sum("margin_micro").cast("long").alias("sum_margin_micro"),
+        F.min("margin_micro").cast("long").alias("min_margin_micro"),
+    )
