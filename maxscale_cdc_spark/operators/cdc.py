@@ -1932,3 +1932,85 @@ def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_removed_value_cents"),
         F.max("state_seq").cast("long").alias("max_state_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_rebalance_plan — consumer rebalance proposal: when
+# cdc_consumer_partition_balance flags overload, the fleet needs a NEW
+# key→consumer assignment.  Deterministic greedy-by-rank plan: rank
+# the pk-buckets by load descending and deal them round-robin across
+# consumers in serpentine order (rank 0..C-1 forward, C..2C-1
+# backward, ...) — the standard balanced-deal that provably bounds
+# consumer skew by one bucket's load, expressible as pure integer
+# arithmetic on the rank (no iterative bin packing, which cannot be
+# declared).  Export: per NEW consumer, its bucket count and total
+# load, plus the old->new movement count.
+#
+# Scale: one bucket-load aggregate (|buckets| rows — here 64), a
+# TakeOrdered-style rank over that SMALL table, integer assignment,
+# one final 16-group rollup.
+# ---------------------------------------------------------------------------
+
+_REB_BUCKETS = 64  # fine-grained load units; reassigned to _N_CONSUMERS
+
+
+_REBALANCE_ORACLE = f"""
+{CDC_SQL}
+, load AS (
+  SELECT pk % {_REB_BUCKETS} AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM cdc GROUP BY pk % {_REB_BUCKETS}
+), ranked AS (
+  SELECT bucket, n,
+         row_number() OVER (ORDER BY n DESC, bucket) - 1 AS rk
+  FROM load
+), assigned AS (
+  SELECT bucket, n, rk,
+         CAST(CASE WHEN (rk // {{c}}) % 2 = 0
+              THEN rk % {{c}}
+              ELSE {{c}} - 1 - (rk % {{c}}) END AS BIGINT) AS new_consumer,
+         CAST(bucket % {{c}} AS BIGINT) AS old_consumer
+  FROM ranked
+)
+SELECT new_consumer,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS assigned_load,
+       CAST(sum(CASE WHEN new_consumer <> old_consumer THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM assigned
+GROUP BY new_consumer
+""".replace("{c}", str(_N_CONSUMERS))
+
+
+@register("cdc_rebalance_plan", _REBALANCE_ORACLE)
+def cdc_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine greedy rebalance of 64 load buckets onto 16
+    consumers: per new consumer, bucket count, assigned load, and how
+    many buckets move from the pk%16 status quo."""
+    cdc = cdc_view(spark, sf_dir)
+    load = cdc.groupBy((F.col("pk") % _REB_BUCKETS).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # |buckets| = 64 rows: the rank window is over the aggregate, never
+    # the stream
+    ranked = load.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "bucket")) - 1
+    )
+    c = _N_CONSUMERS
+    serp = F.when(
+        F.expr(f"div(rk, {c})") % 2 == 0, F.col("rk") % c
+    ).otherwise(c - 1 - (F.col("rk") % c))
+    assigned = ranked.select(
+        "bucket",
+        "n",
+        serp.cast("long").alias("new_consumer"),
+        (F.col("bucket") % c).cast("long").alias("old_consumer"),
+    )
+    return assigned.groupBy("new_consumer").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("assigned_load"),
+        F.sum(
+            F.when(F.col("new_consumer") != F.col("old_consumer"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )

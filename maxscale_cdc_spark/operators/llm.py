@@ -1886,3 +1886,131 @@ def llm_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _DIV_PER_BUCKET)
         .select("bucket", "vec_id", "rn", "bucket_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_horizon_profile — how much near-duplication lives within
+# each arrival-distance horizon?  The sizing input for
+# str_dedup_near_windowed's watermark: band-collision candidate pairs
+# (the same 2×4 MinHash banding) bucketed by |doc_a − doc_b| arrival
+# distance (≤10 / ≤60 / ≤360 / beyond, in the synthetic
+# 1-doc-per-minute clock), each bucket with its exact-Jaccard verified
+# count.  A corpus whose duplicates cluster tightly in arrival order
+# (crawl revisits) needs only a short horizon; long-range mass means
+# windowed dedup misses it — this table measures which.
+#
+# Scale: the SAME banding shuffle as llm_dedup_near; the only
+# additions are an integer distance bucket per candidate and the
+# verify join (candidates only).
+# ---------------------------------------------------------------------------
+
+_HORIZONS = (10, 60, 360)
+
+
+def _horizon_oracle() -> str:
+    case = " ".join(
+        f"WHEN doc_b - doc_a <= {h} THEN {h}" for h in _HORIZONS
+    )
+    return f"""
+WITH {_SH_SQL},
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
+  mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+  ),
+  bucketed AS (
+    SELECT doc_a, doc_b,
+           CAST(CASE {case} ELSE 0 END AS BIGINT) AS horizon
+    FROM cand
+  ),
+  ver AS (
+    SELECT c.doc_a, c.doc_b, c.horizon,
+           (CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+            / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))))
+             >= {_JACCARD_MIN} AS dup
+    FROM bucketed c
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
+  )
+SELECT horizon,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+FROM ver
+GROUP BY horizon
+"""
+
+
+@register("llm_dedup_horizon_profile", _horizon_oracle())
+def llm_dedup_horizon_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mass by arrival-distance horizon (≤10/≤60/≤360/0=beyond):
+    the watermark-sizing table for streaming dedup."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+            for j in range(_K)
+        ]
+    )
+    d = table(spark, sf_dir, "documents")
+    docsets = d.select(
+        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
+    )
+    bands = None
+    for b in range(_BANDS):
+        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+        one = mh.select(
+            "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dist = F.col("doc_b") - F.col("doc_a")
+    horizon = F.when(dist <= _HORIZONS[0], _HORIZONS[0])
+    for h in _HORIZONS[1:]:
+        horizon = horizon.when(dist <= h, h)
+    bucketed = cand.select(
+        "doc_a", "doc_b", horizon.otherwise(0).cast("long").alias("horizon")
+    )
+    sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    ver = (
+        bucketed.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "horizon",
+            (
+                inter.cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - inter)
+                >= _JACCARD_MIN
+            ).alias("dup"),
+        )
+    )
+    return ver.groupBy("horizon").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias(
+            "n_verified"
+        ),
+    )

@@ -1448,3 +1448,81 @@ def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("raw_tokens"),
         F.sum("eff_micro").cast("long").alias("effective_tokens_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_filter_threshold_sweep — the kept-mass curve for a quality
+# signal: before committing a filter threshold over 100 TB, price
+# every candidate cutoff at once.  The signal here is the integer
+# word-count (the stand-in for any per-doc quality score); docs fall
+# into score DECILES via integer cross-multiplied boundaries against
+# the max score, and one pass yields per-decile doc/token counts plus
+# the cumulative "keep everything at or above this decile" curve — a
+# 10-row window over the decile aggregate, the llm_vocab_growth
+# mechanics pointed at filtering.
+# ---------------------------------------------------------------------------
+
+_THRESH_SWEEP_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+         CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tokens
+  FROM documents
+), mx AS (SELECT CAST(max(score) AS BIGINT) AS mx FROM scored),
+b AS (
+  -- decile d: the largest d in 0..9 with score*10 >= d*mx  (integer
+  -- cross-multiply — no double division anywhere)
+  SELECT s.doc_id, s.n_tokens,
+         CAST(least((s.score * 10) // m.mx, 9) AS BIGINT) AS decile
+  FROM scored s, mx m
+), per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY decile
+)
+SELECT decile, n_docs, sum_tokens,
+       CAST(sum(n_docs) OVER (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS kept_docs_at_or_above,
+       CAST(sum(sum_tokens) OVER (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS kept_tokens_at_or_above
+FROM per
+"""
+
+
+@register("llm_filter_threshold_sweep", _THRESH_SWEEP_ORACLE)
+def llm_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile doc/token mass + the cumulative keep-curve for a
+    quality cutoff decision; integer cross-multiplied decile
+    boundaries, one scan + a 10-row window."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.size(words("text")).cast("long").alias("score"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens"),
+    )
+    mx = scored.agg(F.max("score").cast("long").alias("mx"))
+    b = scored.crossJoin(F.broadcast(mx)).select(
+        "n_tokens",
+        F.least(F.expr("div(score * 10, mx)"), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+    )
+    per = b.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    cum = W.orderBy(F.col("decile").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_docs",
+        "sum_tokens",
+        F.sum("n_docs").over(cum).cast("long").alias("kept_docs_at_or_above"),
+        F.sum("sum_tokens").over(cum).cast("long").alias(
+            "kept_tokens_at_or_above"
+        ),
+    )

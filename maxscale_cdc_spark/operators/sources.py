@@ -885,3 +885,91 @@ def src_tcp_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = part if result is None else result.unionAll(part)
     return result
+
+
+# ---------------------------------------------------------------------------
+# src_dead_letters — the error-tolerance surface as a registered query:
+# a wire spool with deterministically injected ERR lines
+# (client.go:261-267's tolerated mid-stream errors) and >1 MiB
+# oversize lines (client.go:17's scanner cap), classified by the same
+# dispatch pipeline every reader uses, exported as the dead-letter
+# audit (per-class counts + worst line size).  The side-output no
+# registered query exercised before: `dead_letters()` is the batch
+# API; this query certifies its classification rules value-exactly.
+# ---------------------------------------------------------------------------
+
+_DL_ERR_MOD = 101
+_DL_OVERSIZE_MOD = 4999
+
+_DL_CACHE: dict[str, str] = {}
+
+
+def _render_dead_letter_wire(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _DL_CACHE:
+        return _DL_CACHE[sf_dir]
+    from maxscale_cdc_spark.sources.envelope import MAX_EVENT_BYTES
+
+    cdc = cdc_view(spark, sf_dir)
+    normal = F.to_json(
+        F.struct(
+            F.col("domain"),
+            F.col("server_id"),
+            F.col("sequence"),
+            F.col("event_number"),
+            F.col("ts_unix").alias("timestamp"),
+            F.col("dml_type").alias("event_type"),
+            F.lit("events").alias("table_name"),
+            F.lit("app").alias("table_schema"),
+            F.col("pk"),
+            F.col("value"),
+        )
+    )
+    line = (
+        F.when(
+            F.col("sequence") % _DL_OVERSIZE_MOD == 0,
+            # oversize: a DML-shaped line padded past the 1 MiB cap —
+            # the size guard must win over shape dispatch
+            F.concat(normal, F.repeat(F.lit("x"), MAX_EVENT_BYTES + 1)),
+        )
+        .when(
+            F.col("sequence") % _DL_ERR_MOD == 0,
+            F.concat(F.lit("ERR mid-stream failure at "), F.col("sequence")),
+        )
+        .otherwise(normal)
+    )
+    out = _mkdtemp(prefix="cdc_dl_wire_")
+    cdc.select(line.alias("value")).repartition(8).write.mode(
+        "overwrite"
+    ).text(out)
+    _DL_CACHE[sf_dir] = out
+    return out
+
+
+_DL_ORACLE = f"""
+{CDC_SQL}
+, classed AS (
+  SELECT CASE WHEN sequence % {_DL_OVERSIZE_MOD} = 0 THEN 'oversize'
+              WHEN sequence % {_DL_ERR_MOD} = 0 THEN 'err'
+              ELSE 'dml' END AS event_class
+  FROM cdc
+)
+SELECT event_class, CAST(count(*) AS BIGINT) AS n
+FROM classed
+GROUP BY event_class
+"""
+
+
+@register("src_dead_letters", _DL_ORACLE)
+def src_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify the fault-injected spool with the production dispatch
+    rules (oversize wins, then ERR prefix, then DML shape) and export
+    per-class counts — the dead-letter queue audit."""
+    from maxscale_cdc_spark.sources.cdc_source import classify_lines
+
+    wire = _render_dead_letter_wire(spark, sf_dir)
+    raw = spark.read.text(wire)
+    return (
+        classify_lines(raw)
+        .groupBy("event_class")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
