@@ -1526,3 +1526,81 @@ def llm_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens_at_or_above"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_register_lang_mix — cross-tab of the llm_lang_id register
+# classifier against the labeled language: per (lang, pred_class),
+# document count and the within-language share — the
+# prediction-vs-metadata audit a pipeline runs to see whether a
+# heuristic classifier's behavior drifts across language segments
+# (uniform shares = language-neutral; skew = the marker set is
+# language-biased).  Shares are integer ratios; the per-language
+# totals broadcast.
+# ---------------------------------------------------------------------------
+
+_REGISTER_MIX_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS s_art,
+         CAST(len(list_filter(w, x -> x IN ('data', 'table', 'row'))) AS BIGINT) AS s_tab,
+         CAST(len(list_filter(w, x -> x IN ('spark', 'query', 'join'))) AS BIGINT) AS s_code
+  FROM t
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_art >= s_tab AND s_art >= s_code THEN 'articles'
+              WHEN s_tab >= s_code THEN 'tabular'
+              ELSE 'code' END AS pred_class
+  FROM s
+), cell AS (
+  SELECT lang, pred_class, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_class
+), tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cell GROUP BY lang
+)
+SELECT c.lang, c.pred_class, c.n, t.lang_total,
+       CAST(c.n AS DOUBLE) / t.lang_total AS share_in_lang
+FROM cell c JOIN tot t USING (lang)
+"""
+
+
+@register("llm_register_lang_mix", _REGISTER_MIX_ORACLE)
+def llm_register_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-classifier × language cross-tab with within-language
+    shares (integer-ratio doubles); same scoring expressions as
+    llm_lang_id, one scan + two small keyed aggs."""
+    d = table(spark, sf_dir, "documents")
+    w = words("text")
+
+    def score(markers):
+        return F.size(F.filter(w, lambda x: x.isin(*markers))).cast("long")
+
+    s = d.select(
+        "lang",
+        score(["the", "a"]).alias("s_art"),
+        score(["data", "table", "row"]).alias("s_tab"),
+        score(["spark", "query", "join"]).alias("s_code"),
+    )
+    pred = s.select(
+        "lang",
+        F.when(
+            (F.col("s_art") >= F.col("s_tab"))
+            & (F.col("s_art") >= F.col("s_code")),
+            F.lit("articles"),
+        )
+        .when(F.col("s_tab") >= F.col("s_code"), F.lit("tabular"))
+        .otherwise(F.lit("code"))
+        .alias("pred_class"),
+    )
+    cell = pred.groupBy("lang", "pred_class").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("lang_total"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_class",
+        "n",
+        "lang_total",
+        (F.col("n").cast("double") / F.col("lang_total")).alias("share_in_lang"),
+    )

@@ -1891,3 +1891,55 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),
         F.last_day(F.col("ts").cast("date")).alias("month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_histogram_equi_depth — equi-DEPTH histogram (rel_histogram is
+# equi-width): 10 bins each holding ~n/10 rows via ntile over the
+# total order (o_totalprice, o_orderkey), with per-bin boundaries,
+# counts and exact cents sums.  Equi-depth edges are what optimizers
+# store (selectivity is uniform per bin by construction).  The global
+# sort is the exact-histogram cost — at 100 TB the edges come from
+# rel_agg_approx's percentile sketch or a range-partitioned sample;
+# this is the exact tier.
+# ---------------------------------------------------------------------------
+
+_EQUI_DEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t
+GROUP BY bin
+"""
+
+
+@register("rel_histogram_equi_depth", _EQUI_DEPTH_ORACLE)
+def rel_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin equi-depth histogram of order totals under the
+    (o_totalprice, o_orderkey) total order — deterministic bin
+    membership, exact boundaries and cents sums."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("long")
+        .alias("bin"),
+    )
+    return t.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
