@@ -692,3 +692,111 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("margin_micro").cast("long").alias("sum_margin_micro"),
         F.min("margin_micro").cast("long").alias("min_margin_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_nprobe_sweep — the nprobe tuning TABLE (llm_ivf_recall gives
+# the nprobe=1 floor row-by-row; this prices the whole knob): for
+# nprobe ∈ {1, 2, 4}, the candidate-scan cost (members of the top-
+# nprobe cells by query↔centroid cosine) and recall@5 against the
+# brute-force exact top-5.  The ANN-side twin of llm_lsh_tuning: one
+# shared cell assignment, cells ranked once, every sweep row derived
+# from the SAME small tables.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS
+
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe,
+       CAST((SELECT count(*) FROM members WHERE crn <= {np}) AS BIGINT)
+         AS n_candidates,
+       CAST((SELECT count(*) FROM exact e JOIN members m
+             ON e.vec_id = m.vec_id AND m.crn <= {np}) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM exact e JOIN members m
+             ON e.vec_id = m.vec_id AND m.crn <= {np}) AS DOUBLE)
+         / {_RECALL_K} AS recall_at_5"""
+        for np in _NPROBE_SWEEP
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cellrank AS (
+  SELECT c.cid,
+         row_number() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid)
+           AS crn
+  FROM cent{_KMEANS_ITERS} c CROSS JOIN q
+),
+members AS (
+  SELECT a.vec_id, r.crn
+  FROM a{_KMEANS_ITERS} a JOIN cellrank r USING (cid)
+  WHERE a.vec_id <> 0
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  ) WHERE rn <= {_RECALL_K}
+)
+{rows}
+"""
+
+
+@register("llm_ivf_nprobe_sweep", _nprobe_sweep_oracle())
+def llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan cost vs recall@5 per nprobe: cells ranked ONCE by centroid
+    cosine, candidates and hits derived per sweep row from the shared
+    assignment — recall is the integer ratio n_hits/5."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e)
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    cellrank = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cv"), F.col("qv")).alias("qsim"))
+        .withColumn(
+            "crn", F.row_number().over(W.orderBy(F.col("qsim").desc(), "cid"))
+        )
+        .select("cid", "crn")
+    )
+    members = (
+        assigned.join(F.broadcast(cellrank), "cid")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "crn")
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine(as_double("embedding"), F.col("qv")).alias("cos_sim")
+        )
+    )
+    exact = (
+        scored.orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RECALL_K)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for np in _NPROBE_SWEEP:
+        cand = members.filter(F.col("crn") <= np)
+        nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        nh = cand.join(exact, "vec_id").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        row = nc.crossJoin(nh).select(
+            F.lit(np).cast("long").alias("nprobe"),
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_5"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

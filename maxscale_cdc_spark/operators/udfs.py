@@ -89,3 +89,54 @@ def udf_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(F.slice(w, 1, 8)).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# udf_parity_audit — UDF governance: any Python kernel that shadows a
+# built-in must be PROVEN equal to it on the actual corpus before it
+# ships (the repo rule "UDFs are the slow path" needs an enforcement
+# surface, not just a convention).  The same per-doc token count is
+# computed twice — an Arrow pandas UDF and the Catalyst built-in —
+# and the export counts agreements per source: n_equal == n_docs is
+# the contract; a drifting kernel (unicode edge, NA handling, dtype
+# truncation) shows up as a deficit, located by source.
+#
+# Scale shape: ONE scan carrying both computations (the Arrow batch
+# and the codegen'd expression run in the same stage), one
+# map-side-combinable source aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "udf_parity_audit",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_equal,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def udf_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF vs built-in token count, agreement audited per
+    source.  The oracle asserts the CONTRACT (n_equal = n_docs and the
+    built-in's sum): a kernel drift breaks the value-hash, not just a
+    soft metric."""
+
+    @F.pandas_udf("bigint")
+    def py_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").map(len).astype("int64")
+
+    d = table(spark, sf_dir, "documents")
+    both = d.select(
+        "source",
+        py_tokens("text").alias("py_n"),
+        F.size(F.split("text", " ")).cast("long").alias("jvm_n"),
+    )
+    return both.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("py_n") == F.col("jvm_n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_equal"),
+        F.sum("jvm_n").cast("long").alias("sum_tokens"),
+    )
