@@ -1282,3 +1282,66 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_source_overlap_matrix — inter-SOURCE contamination: for every
+# ordered source pair, how many distinct 5-gram shingles they share —
+# the provenance governance table (two "independent" crawls sharing
+# half their shingles are one crawl twice; mixture weights computed
+# over them double-count).  Complements llm_contamination (corpus vs
+# EXTERNAL benchmark) and llm_cross_doc_overlap (doc-level spans) at
+# the source × source level.
+#
+# Scale shape: gram → distinct source-set (one keyed agg; the set is
+# bounded by |sources|, here 20), explode the per-gram ordered pairs
+# (≤ |sources|²/2 per gram, NEVER a doc-level or corpus-level
+# quadratic), count per pair.  The pair fan-out is the only
+# amplification and its bound is a catalog constant, not data.
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4])) AS gram
+  FROM t WHERE len(w) >= 5
+), gs AS (
+  SELECT gram, list_sort(list(DISTINCT source)) AS srcs FROM g GROUP BY gram
+), pairs AS (
+  SELECT u1.s AS src_a, u2.s AS src_b
+  FROM gs,
+       unnest(srcs) AS u1(s),
+       unnest(srcs) AS u2(s)
+  WHERE u1.s < u2.s
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM pairs
+GROUP BY src_a, src_b
+"""
+
+
+@register("llm_source_overlap_matrix", _SRC_OVERLAP_ORACLE)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered source-pair shared-shingle counts from the per-gram
+    distinct source set; the pair fan-out is bounded by |sources|²."""
+    d = wide_table(spark, sf_dir, "documents")
+    t = d.select("source", words("text").alias("w")).filter(F.size("w") >= 5)
+    g = t.select(
+        "source", F.explode(F.array_distinct(word_ngrams(F.col("w"), 5))).alias("gram")
+    ).distinct()
+    gs = g.groupBy("gram").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    a = F.explode("srcs").alias("src_a")
+    pairs = (
+        gs.select("srcs", a)
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_shared_grams")
+    )
