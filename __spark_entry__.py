@@ -51,6 +51,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-6 sweep greens (CORRECTNESS_r06.json, all 50 — 38 new ids,
+    # 3 honest demotions re-certified, 9 re-certifications of ids
+    # already listed below), code unchanged since:
+    "cdc_consumer_lag", "cdc_lww_conflicts", "cdc_out_of_order_audit",
+    "cdc_rebalance_plan", "cdc_scd2_lookup", "fn_interval",
+    "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned", "llm_dedup_bloom",
+    "llm_dedup_horizon_profile", "llm_dup_span_char",
+    "llm_filter_threshold_sweep", "llm_hard_negatives",
+    "llm_importance_resample", "llm_ivf_nprobe_sweep", "llm_lsh_tuning",
+    "llm_register_lang_mix", "llm_seq_len_histogram",
+    "llm_shuffle_shard_audit", "llm_soft_dedup_weights",
+    "llm_source_overlap_matrix", "llm_split_leakage",
+    "llm_tokenizer_fertility", "llm_vocab_growth", "mm_scene_segments",
+    "rel_agg_mad", "rel_funnel_windowed", "rel_graph_triangles",
+    "rel_histogram_equi_depth", "rel_profile_table", "rel_skew_profile",
+    "rel_weighted_percentile", "snk_schema_merge", "src_cdc_multi",
+    "src_dead_letters", "src_tcp_multi", "str_cdc_upsert_e2e",
+    "str_dedup_near_windowed", "str_restart_continuation",
+    "str_session_stream", "udf_parity_audit",
     # round-5 sweep greens (CORRECTNESS_r05.json, all 50), code
     # unchanged since:
     "cdc_burst_detect", "cdc_consumer_partition_balance", "cdc_ddl_timeline",
@@ -135,17 +154,9 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-6 honest demotions: all three r5 ADVICE fixes rewrote code a
-# green row certified — llm_tokenizer_fertility (n_tokens > 0 guard in
-# both engines), rel_profile_table (DECIMAL(18,4) hop before double
-# stringification), str_cdc_upsert_e2e (per-attempt generation dirs so
-# checkpoint replay cannot read+overwrite one path).  Locally green
-# before and after; they re-certify in the round-6 sweep.
-_DEMOTED = {
-    "llm_tokenizer_fertility",
-    "rel_profile_table",
-    "str_cdc_upsert_e2e",
-}
+# Round-7 honest demotions (r6's three re-certified in the r6 sweep
+# and moved back to _DRIVER_GREEN): filled as round-7 rewrites land.
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
