@@ -57,9 +57,9 @@ _DRIVER_GREEN = {
     "cdc_consumer_lag", "cdc_lww_conflicts", "cdc_out_of_order_audit",
     "cdc_rebalance_plan", "cdc_scd2_lookup", "fn_interval",
     "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned", "llm_dedup_bloom",
-    "llm_dedup_horizon_profile", "llm_dup_span_char",
+    "llm_dup_span_char",
     "llm_filter_threshold_sweep", "llm_hard_negatives",
-    "llm_importance_resample", "llm_ivf_nprobe_sweep", "llm_lsh_tuning",
+    "llm_importance_resample", "llm_ivf_nprobe_sweep",
     "llm_register_lang_mix", "llm_seq_len_histogram",
     "llm_shuffle_shard_audit", "llm_soft_dedup_weights",
     "llm_source_overlap_matrix", "llm_split_leakage",
@@ -112,7 +112,7 @@ _DRIVER_GREEN = {
     "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date", "fn_explode",
     "fn_json", "fn_map", "fn_math", "fn_stragg", "fn_string", "fn_struct",
     "fn_try", "llm_chunk_overlap", "llm_dedup_cluster", "llm_dedup_embed",
-    "llm_dedup_exact", "llm_dedup_near",
+    "llm_dedup_exact",
     "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_diversity_sample",
     "llm_domain_mix", "llm_embed_centroid", "llm_fingerprint",
     "llm_knn_graph", "llm_lang_id", "llm_ngram_top",
@@ -154,9 +154,13 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-7 honest demotions (r6's three re-certified in the r6 sweep
-# and moved back to _DRIVER_GREEN): filled as round-7 rewrites land.
-_DEMOTED: set[str] = set()
+# Round-7 honest demotions: the banded-LSH family was rewritten with
+# exact-duplicate class collapse (the r6 verdict's #1 ask) — their r≤6
+# green rows no longer certify the current code.  Locally green at
+# sf0.001/0.01/0.1 before listing.
+_DEMOTED: set[str] = {
+    "llm_dedup_near", "llm_dedup_horizon_profile", "llm_lsh_tuning",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
