@@ -449,13 +449,139 @@ def str_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "str_cdc_upsert_e2e",
-    # Same materialized-state semantics as str_cdc_apply / snk_upsert:
-    # latest non-delete image per pk under the reference total order
-    # (sequence).  The e2e composition under test is the SINK PATH, not
-    # new semantics — so the oracle is the same latest-state query.
-    f"""
+class ManifestedUpsertSink:
+    """Bucket-partitioned parquet MERGE target with a DURABLE manifest —
+    the transactional-table-format role (Delta/Iceberg commit log) in
+    one JSON file per committed merge.
+
+    Per-key state lives executor-side in bucket-partitioned parquet
+    generations (b = pmod(hash(pk), n_buckets)); a merge touches only
+    its keys' buckets, reads only those buckets of the current
+    generation, and flips them to a fresh generation dir.  The sink's
+    only driver-side state — the bucket→generation-dir map — is
+    persisted to `<root>/_manifest/manifest_{seq:08d}.json` after every
+    merge (tmp file + os.replace: atomic publish) and rebuilt from the
+    highest-seq manifest on construction, so a PROCESS restart recovers
+    the sink purely from disk.  Stop()/resume is the reference's core
+    lifecycle contract (client.go:166-181, client_test.go:169-266);
+    checkpoint recovery covers the aggregate state, the manifest covers
+    the sink's own metadata — the half that previously lived only in a
+    driver dict.
+
+    Crash-window analysis (exactly-once under availableNow replay):
+      - crash AFTER the generation write, BEFORE the manifest write:
+        recovery reads the PRE-batch manifest and the replayed epoch
+        re-merges onto pre-batch state; the orphan generation dir is
+        never referenced again;
+      - crash AFTER the manifest write, BEFORE the checkpoint commit:
+        the replayed epoch re-merges the SAME batch onto POST-batch
+        state — idempotent, because update-mode rows carry each key's
+        FULL aggregate state and the merge is replace-by-pk;
+      - generation dirs are unique PER ATTEMPT (uuid suffix — unique
+        across process restarts too, unlike an in-memory counter), so a
+        replay's reads (old dir) and writes (fresh dir) stay disjoint
+        ("Cannot overwrite a path that is also being read from").
+
+    At 100 TB: n_buckets in the thousands, manifest still O(n_buckets)
+    ints — trivially driver-side; the only per-batch collect is the
+    ≤n_buckets distinct touched-bucket ids.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 8):
+        import json
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.mdir = os.path.join(root, "_manifest")
+        os.makedirs(self.mdir, exist_ok=True)
+        names = self._manifest_names()
+        if names:
+            with open(os.path.join(self.mdir, names[-1])) as fh:
+                self.gen_of = {int(b): g for b, g in json.load(fh).items()}
+        else:
+            self.gen_of = {}
+
+    def _manifest_names(self) -> list[str]:
+        import os
+
+        return sorted(
+            n
+            for n in os.listdir(self.mdir)
+            if n.startswith("manifest_") and n.endswith(".json")
+        )
+
+    def _persist(self) -> None:
+        import json
+        import os
+
+        names = self._manifest_names()
+        seq = int(names[-1][9:17]) + 1 if names else 0
+        tmp = os.path.join(self.mdir, f".tmp_{seq:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump({str(b): g for b, g in self.gen_of.items()}, fh)
+        os.replace(tmp, os.path.join(self.mdir, f"manifest_{seq:08d}.json"))
+
+    def merge(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Replace-by-pk MERGE of an update-mode batch (one row per pk
+        whose aggregate changed, carrying that pk's full current
+        state) into the bucketed target, then publish the manifest."""
+        import os
+        import uuid
+        from collections import defaultdict
+        from functools import reduce
+
+        new = batch_df.withColumn(
+            "b", F.pmod(F.hash("pk"), F.lit(self.n_buckets))
+        )
+        touched = sorted(r["b"] for r in new.select("b").distinct().collect())
+        if not touched:
+            return
+        by_gen: dict[str, list[int]] = defaultdict(list)
+        for b in touched:
+            if b in self.gen_of:
+                by_gen[self.gen_of[b]].append(b)
+        olds = [
+            self.spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ]
+        if olds:
+            carried = reduce(lambda a, x: a.unionByName(x), olds).join(
+                new.select("pk"), "pk", "left_anti"
+            )
+            merged = carried.unionByName(new)
+        else:
+            merged = new
+        gen_dir = os.path.join(
+            self.root, f"gen_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        for b in touched:
+            self.gen_of[b] = gen_dir
+        self._persist()
+
+    def state(self) -> DataFrame | None:
+        """Current full state (all buckets of their current
+        generations), or None if nothing was ever merged."""
+        from collections import defaultdict
+        from functools import reduce
+
+        if not self.gen_of:
+            return None
+        by_gen: dict[str, list[int]] = defaultdict(list)
+        for b, g in self.gen_of.items():
+            by_gen[g].append(b)
+        return reduce(
+            lambda a, x: a.unionByName(x),
+            [
+                self.spark.read.parquet(g).filter(F.col("b").isin(bs))
+                for g, bs in by_gen.items()
+            ],
+        )
+
+
+_UPSERT_STATE_ORACLE = f"""
     WITH cdc AS (
       SELECT event_id AS sequence,
              {_DML_CASE_SQL} AS dml_type,
@@ -469,7 +595,43 @@ def str_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
     FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
-    """,
+    """
+
+
+def _cdc_update_agg(stream: DataFrame) -> DataFrame:
+    """events stream → update-mode per-pk latest-state aggregate (the
+    MERGE sink's input shape: one row per changed pk, full state)."""
+    cdc = stream.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    return cdc.groupBy("pk").agg(
+        F.max("sequence").alias("last_seq"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value", "sequence").alias("last_value"),
+        F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+    )
+
+
+_EMPTY_UPSERT_SCHEMA = (
+    "pk bigint, last_seq bigint, last_value double, last_ts_unix bigint"
+)
+
+
+@register(
+    "str_cdc_upsert_e2e",
+    # Same materialized-state semantics as str_cdc_apply / snk_upsert:
+    # latest non-delete image per pk under the reference total order
+    # (sequence).  The e2e composition under test is the SINK PATH, not
+    # new semantics — so the oracle is the same latest-state query.
+    _UPSERT_STATE_ORACLE,
 )
 def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's continuous-consumer lifecycle END-TO-END: a
@@ -489,20 +651,13 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     key ⇒ exactly-once under checkpoint replay (Stop()/resume,
     client.go:166-181).
 
-    Scale design mirrors snk_upsert (sources.py): per-key state lives
-    executor-side in bucket-partitioned parquet generations
-    (b = pmod(hash(pk), NB)); a micro-batch touches only its keys'
-    buckets, reads only those buckets of the current generation, and
-    flips them to a new generation dir — the driver holds the
-    bucket→generation manifest (O(NB) ints) and the only per-batch
-    collect is ≤NB distinct bucket ids.  Unlike snk_upsert's
-    append-mode events, the streaming AGGREGATE already reduced the
-    stream to per-key state, so MERGE input is |changed keys| rows, not
-    |events| — at 100 TB that difference is the sink's survival."""
-    import os
-    from collections import defaultdict
-    from functools import reduce
-
+    Scale design mirrors snk_upsert (sources.py): see
+    ManifestedUpsertSink — per-key state in bucket-partitioned parquet
+    generations, the bucket→generation manifest persisted per merge.
+    Unlike snk_upsert's append-mode events, the streaming AGGREGATE
+    already reduced the stream to per-key state, so MERGE input is
+    |changed keys| rows, not |events| — at 100 TB that difference is
+    the sink's survival."""
     from maxscale_cdc_spark.streaming.runners import (
         _few_state_partitions,
         _release_stream_state,
@@ -513,72 +668,14 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"), n_files=4, cache_key=f"events:{sf_dir}"
     )
     stream = read_stream(spark, staged, max_files_per_trigger=2)
-    cdc = stream.select(
-        F.col("event_id").alias("sequence"),
-        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
-        .when(F.col("event_type") == "view", F.lit("update_before"))
-        .when(F.col("event_type") == "click", F.lit("update_after"))
-        .otherwise(F.lit("delete"))
-        .alias("dml_type"),
-        F.col("user_id").alias("pk"),
-        F.col("value"),
-        F.unix_timestamp("ts").alias("ts_unix"),
-    )
-    agg = cdc.groupBy("pk").agg(
-        F.max("sequence").alias("last_seq"),
-        F.max_by("dml_type", "sequence").alias("last_dml"),
-        F.max_by("value", "sequence").alias("last_value"),
-        F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
-    )
+    agg = _cdc_update_agg(stream)
 
-    n_buckets = 8  # at 100 TB: thousands; manifest stays driver-trivial
-    root = _mkdtemp(prefix="str_upsert_tgt_")
-    gen_of: dict[int, str] = {}  # bucket -> generation dir holding its state
-    # Generation dirs are unique PER ATTEMPT, not per epoch: if a crash
-    # lands between the gen_of update and the checkpoint commit, the
-    # replayed epoch would otherwise name the SAME gen_{epoch} dir that
-    # gen_of already points at — a merge plan that reads and overwrites
-    # one path, which Spark rejects ("Cannot overwrite a path that is
-    # also being read from").  The attempt counter keeps replay reads
-    # (old dir) and writes (fresh dir) disjoint, so the idempotent
-    # replace-by-pk merge really is exactly-once under replay (r5
-    # ADVICE item 1).
-    from itertools import count as _count
-
-    attempt = _count()
-
-    def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        # update-mode batch: one row per pk whose state changed, already
-        # carrying the FULL aggregate state for that pk
-        new = batch_df.withColumn("b", F.pmod(F.hash("pk"), F.lit(n_buckets)))
-        touched = sorted(r["b"] for r in new.select("b").distinct().collect())
-        if not touched:
-            return
-        by_gen: dict[str, list[int]] = defaultdict(list)
-        for b in touched:
-            if b in gen_of:
-                by_gen[gen_of[b]].append(b)
-        olds = [
-            spark.read.parquet(g).filter(F.col("b").isin(bs))
-            for g, bs in by_gen.items()
-        ]
-        if olds:
-            carried = reduce(lambda a, x: a.unionByName(x), olds).join(
-                new.select("pk"), "pk", "left_anti"
-            )
-            merged = carried.unionByName(new)
-        else:
-            merged = new
-        gen_dir = os.path.join(root, f"gen_{epoch_id}_{next(attempt)}")
-        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
-        for b in touched:
-            gen_of[b] = gen_dir
-
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="str_upsert_tgt_"))
     ckpt = _mkdtemp(prefix="ckpt_")
     with _few_state_partitions(spark):
         q = (
             agg.writeStream.outputMode("update")
-            .foreachBatch(merge)
+            .foreachBatch(sink.merge)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -586,21 +683,81 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     _release_stream_state(spark)
 
-    if not gen_of:
-        return spark.createDataFrame(
-            [],
-            "pk bigint, last_seq bigint, last_value double, last_ts_unix bigint",
-        )
-    by_gen_final: dict[str, list[int]] = defaultdict(list)
-    for b, g in gen_of.items():
-        by_gen_final[g].append(b)
-    state = reduce(
-        lambda a, x: a.unionByName(x),
-        [
-            spark.read.parquet(g).filter(F.col("b").isin(bs))
-            for g, bs in by_gen_final.items()
-        ],
+    state = sink.state()
+    if state is None:
+        return spark.createDataFrame([], _EMPTY_UPSERT_SCHEMA)
+    return state.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value", "last_ts_unix"
     )
+
+
+@register("str_cdc_upsert_restart", _UPSERT_STATE_ORACLE)
+def str_cdc_upsert_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop()/resume for the MERGE SINK ITSELF (the r6 verdict's
+    missing-#2): two availableNow runs over one growing source dir and
+    one shared checkpoint, with the sink OBJECT discarded between runs —
+    the second run constructs a fresh ManifestedUpsertSink over the same
+    target root and must recover the bucket→generation mapping purely
+    from the on-disk `_manifest` log (no driver memory survives), then
+    continue merging the second half of the change stream on top.
+
+    Run 1 consumes the even-sequence half; run 2 lands the odd half and
+    resumes: aggregate state comes back from the CHECKPOINT (so update
+    rows still carry full per-pk state over both halves), sink metadata
+    comes back from the MANIFEST.  Final state — read through the
+    recovered manifest — must equal the batch latest-state oracle over
+    the full corpus.  Reference contract: client.go:166-181 Stop(),
+    client_test.go:169-266 reconnect-and-continue."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    src = _mkdtemp(prefix="upsert_restart_src_")
+    ckpt = _mkdtemp(prefix="upsert_restart_ckpt_")
+    root = _mkdtemp(prefix="upsert_restart_tgt_")
+    halves = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+
+    def run_once(sink: ManifestedUpsertSink) -> None:
+        stream = read_stream(spark, src, max_files_per_trigger=2)
+        agg = _cdc_update_agg(stream)
+        with _few_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(sink.merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    # phase 1: even half lands, first sink object consumes it and stops
+    halves[0].coalesce(2).write.mode("append").parquet(src)
+    sink1 = ManifestedUpsertSink(spark, root)
+    run_once(sink1)
+    committed = dict(sink1.gen_of)
+    del sink1  # the "process" dies: nothing survives but disk
+
+    # phase 2: odd half lands AFTER the stop; a NEW sink object recovers
+    # the manifest from disk and a NEW query resumes from the checkpoint
+    halves[1].coalesce(2).write.mode("append").parquet(src)
+    sink2 = ManifestedUpsertSink(spark, root)
+    if sink2.gen_of != committed:
+        raise RuntimeError(
+            "manifest recovery diverged from the committed mapping: "
+            f"{sink2.gen_of} != {committed}"
+        )
+    run_once(sink2)
+    _release_stream_state(spark)
+
+    state = sink2.state()
+    if state is None:
+        return spark.createDataFrame([], _EMPTY_UPSERT_SCHEMA)
     return state.filter(F.col("last_dml") != "delete").select(
         "pk", "last_seq", "last_value", "last_ts_unix"
     )
