@@ -1299,6 +1299,43 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_tuning_frame(spark, sf_dir)
 
 
+_LSH_SAMPLE_PCT = 40
+
+
+def _lsh_tuning_sampled_oracle() -> str:
+    from maxscale_cdc_spark.functions.sample import sql_hash_sample
+
+    inner = _lsh_tuning_oracle().replace("FROM documents", "FROM documents_s")
+    inner = inner.replace(
+        "WITH",
+        "WITH documents_s AS (SELECT * FROM documents WHERE "
+        f"{sql_hash_sample('doc_id', _LSH_SAMPLE_PCT)}),",
+        1,
+    )
+    return f"""
+SELECT bands, rows_per_band, n_candidates, n_verified, precision,
+       CAST({_LSH_SAMPLE_PCT} AS BIGINT) AS sample_pct
+FROM ({inner}) t
+"""
+
+
+@register("llm_lsh_tuning_sampled", _lsh_tuning_sampled_oracle())
+def llm_lsh_tuning_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knob table on a deterministic hash sample of the corpus —
+    how a 100 TB user runs it: band-config tuning needs estimator-grade
+    input, not the full corpus, so the sample predicate (md5-bucket
+    of doc_id < pct, `functions/sample.py` — stable under layout,
+    rerun, and cluster size) bounds every downstream stage BY
+    CONSTRUCTION, and the exported `sample_pct` column makes the
+    estimate's basis part of the result.  Identical predicate in the
+    oracle; identical class-collapsed machinery as llm_lsh_tuning."""
+    from maxscale_cdc_spark.functions.sample import hash_sample
+
+    return _lsh_tuning_frame(
+        spark, sf_dir, doc_filter=hash_sample("doc_id", _LSH_SAMPLE_PCT)
+    ).withColumn("sample_pct", F.lit(_LSH_SAMPLE_PCT).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # llm_importance_resample — deterministic SYSTEMATIC weighted sampling:
 # select ~K documents per source with probability proportional to a

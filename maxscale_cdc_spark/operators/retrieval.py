@@ -800,3 +800,87 @@ def llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_NPROBE_SAMPLE_PCT = 40
+
+
+def _nprobe_sweep_sampled_oracle() -> str:
+    from maxscale_cdc_spark.functions.sample import sql_hash_sample
+    from maxscale_cdc_spark.operators.llm import _N_CELLS
+
+    inner = _nprobe_sweep_oracle().replace("FROM embeddings", "FROM embeddings_s")
+    inner = inner.replace(
+        "WITH",
+        "WITH embeddings_s AS (SELECT * FROM embeddings WHERE "
+        f"{sql_hash_sample('vec_id', _NPROBE_SAMPLE_PCT)} "
+        f"OR vec_id < {_N_CELLS}),",
+        1,
+    )
+    return f"""
+SELECT nprobe, n_candidates, n_hits, recall_at_5,
+       CAST({_NPROBE_SAMPLE_PCT} AS BIGINT) AS sample_pct
+FROM ({inner}) t
+"""
+
+
+@register("llm_ivf_nprobe_sweep_sampled", _nprobe_sweep_sampled_oracle())
+def llm_ivf_nprobe_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe knob table on a deterministic hash sample of the
+    vector corpus (md5-bucket of vec_id < pct, `functions/sample.py`) —
+    the 100 TB tuning path: cells, assignment, exact top-5, and every
+    sweep row are computed over the SAME bounded sample, with the
+    k-means seed rows (vec_id < K, which include the query vec_id 0)
+    kept so the cell structure is well-defined under any sample
+    fraction.  `sample_pct` is exported as part of the estimate."""
+    from maxscale_cdc_spark.functions.sample import hash_sample
+    from maxscale_cdc_spark.operators.llm import _N_CELLS, _kmeans_cells
+
+    e = table(spark, sf_dir, "embeddings").filter(
+        hash_sample("vec_id", _NPROBE_SAMPLE_PCT) | (F.col("vec_id") < _N_CELLS)
+    )
+    cents, assigned = _kmeans_cells(e)
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    cellrank = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cv"), F.col("qv")).alias("qsim"))
+        .withColumn(
+            "crn", F.row_number().over(W.orderBy(F.col("qsim").desc(), "cid"))
+        )
+        .select("cid", "crn")
+    )
+    members = (
+        assigned.join(F.broadcast(cellrank), "cid")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "crn")
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine(as_double("embedding"), F.col("qv")).alias("cos_sim")
+        )
+    )
+    exact = (
+        scored.orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RECALL_K)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for np in _NPROBE_SWEEP:
+        cand = members.filter(F.col("crn") <= np)
+        nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        nh = cand.join(exact, "vec_id").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        row = nc.crossJoin(nh).select(
+            F.lit(np).cast("long").alias("nprobe"),
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_5"),
+            F.lit(_NPROBE_SAMPLE_PCT).cast("long").alias("sample_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
