@@ -68,7 +68,7 @@ _DRIVER_GREEN = {
     "rel_histogram_equi_depth", "rel_profile_table", "rel_skew_profile",
     "rel_weighted_percentile", "snk_schema_merge", "src_cdc_multi",
     "src_dead_letters", "src_tcp_multi",
-    "str_dedup_near_windowed", "str_restart_continuation",
+    "str_restart_continuation",
     "str_session_stream", "udf_parity_audit",
     # round-5 sweep greens (CORRECTNESS_r05.json, all 50), code
     # unchanged since:
@@ -162,6 +162,8 @@ _DEMOTED: set[str] = {
     "llm_dedup_near", "llm_dedup_horizon_profile", "llm_lsh_tuning",
     # rewritten through ManifestedUpsertSink (durable manifest):
     "str_cdc_upsert_e2e",
+    # rewritten through the horizon-parameterized _nearwin_result:
+    "str_dedup_near_windowed",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
@@ -184,8 +186,9 @@ _HEAVY = {
     # round-6 streaming/sink lifecycles:
     "src_cdc_multi", "src_tcp_multi", "str_dedup_near_windowed",
     "str_restart_continuation", "str_session_stream", "snk_schema_merge",
-    # round-7 sink-manifest restart lifecycle (two streaming runs):
-    "str_cdc_upsert_restart",
+    # round-7 sink-manifest restart lifecycle (two streaming runs) and
+    # the measure-then-stream closure (batch lineage + streaming run):
+    "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
 }
 
 

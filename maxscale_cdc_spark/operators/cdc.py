@@ -2014,3 +2014,76 @@ def cdc_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_moved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2_merge_history — INCREMENTAL SCD2 maintenance: the third
+# member of the SCD2 family (cdc_scd2 builds intervals from scratch,
+# cdc_scd2_lookup reads them point-in-time; this MAINTAINS the history
+# table from a new CDC batch — the MERGE-into-history shape every
+# warehouse CDC consumer runs, the batch twin of event.go:35-36's
+# version increments).
+#
+# Merge algebra (per arriving pk): the history table's OPEN row
+# (valid_to IS NULL) closes at the first new image's timestamp; the
+# batch's own images chain among themselves, last one open.  pks
+# untouched by the batch pass through unchanged.  The proof that the
+# incremental merge equals full recomputation is the ORACLE itself:
+# Spark computes ONLY history ⊕ batch, DuckDB recomputes SCD2 from the
+# whole log, and the driver's value hash certifies the identity
+# (stronger than an exported `matches` flag — every interval bound is
+# bit-compared).
+# ---------------------------------------------------------------------------
+
+
+@register("cdc_scd2_merge_history", _SCD2_ORACLE)
+def cdc_scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the SCD2 history INCREMENTALLY from a CDC batch.
+
+    The prior history (intervals over images below the 80% cutover,
+    pinned with localCheckpoint as the stored-table stand-in) is
+    merged with the new batch: one broadcast of the batch's per-pk
+    first timestamps closes history's open rows via coalesce(valid_to,
+    first_new_ts) — closed rows keep their bound, untouched pks keep
+    NULL — and the batch's own intervals (lead over the batch alone)
+    are appended.  No window ever runs over history ∪ batch together:
+    at 100 TB the history table is orders of magnitude larger than a
+    batch, and this plan touches it with one join against an O(|batch
+    pks|) broadcast — the update cost is batch-sized, not
+    history-sized."""
+    cdc = cdc_view(spark, sf_dir)
+    images = cdc.filter(F.col("dml_type").isin("insert", "update_after")).select(
+        "pk", "sequence", "value", "ts_unix"
+    )
+    cut = images.agg(F.expr("div(max(sequence) * 4, 5)").alias("cutoff"))
+    images = images.join(F.broadcast(cut))
+    hist_src = images.filter(F.col("sequence") <= F.col("cutoff")).drop("cutoff")
+    batch = images.filter(F.col("sequence") > F.col("cutoff")).drop("cutoff")
+
+    w = W.partitionBy("pk").orderBy("sequence")
+    history = hist_src.select(
+        "pk",
+        "sequence",
+        "value",
+        F.col("ts_unix").alias("valid_from"),
+        F.lead("ts_unix").over(w).alias("valid_to"),
+    ).localCheckpoint(eager=False)  # the stored warehouse table
+
+    batch_iv = batch.select(
+        "pk",
+        "sequence",
+        "value",
+        F.col("ts_unix").alias("valid_from"),
+        F.lead("ts_unix").over(w).alias("valid_to"),
+    )
+    first_new = batch.groupBy("pk").agg(
+        F.min_by("ts_unix", "sequence").alias("first_new_ts")
+    )
+    closed = history.join(F.broadcast(first_new), "pk", "left").select(
+        "pk",
+        "sequence",
+        "value",
+        "valid_from",
+        F.coalesce("valid_to", "first_new_ts").alias("valid_to"),
+    )
+    return closed.unionByName(batch_iv)

@@ -883,12 +883,15 @@ def _nearwin_oracle() -> str:
     )
 
 
-@register("str_dedup_near_windowed", _nearwin_oracle())
-def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming near-dup dedup within a watermark horizon: per-row
-    MinHash banding in-stream, in-horizon candidate pairs from a
-    watermarked (band, key) stream-stream self-join, batch exact-
-    Jaccard verify over candidates only.
+def _nearwin_result(
+    spark: SparkSession, sf_dir: str, horizon_min: int
+) -> DataFrame:
+    """Streaming near-dup within a `horizon_min`-minute watermark
+    horizon: per-row MinHash banding in-stream, in-horizon candidate
+    pairs from a watermarked (band, key) stream-stream self-join,
+    batch exact-Jaccard verify over candidates only.  Shared by
+    str_dedup_near_windowed (fixed 60-min horizon) and
+    str_dedup_horizon_autosized (the measured loss-free horizon).
 
     State bound: the join holds only rows whose event time is within
     watermark reach — O(docs per horizon × 2 band rows), independent
@@ -937,10 +940,10 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_as_stream(bands, cache_key=f"nearwin:{sf_dir}")
     schema = "doc_id bigint, ts timestamp, band int, key string"
     new = read_stream(spark, staged, schema=schema).withWatermark(
-        "ts", f"{_NEARWIN_HORIZON_MIN + 1} minutes"
+        "ts", f"{horizon_min + 1} minutes"
     )
     old = read_stream(spark, staged, schema=schema).withWatermark(
-        "ts", f"{_NEARWIN_HORIZON_MIN + 1} minutes"
+        "ts", f"{horizon_min + 1} minutes"
     )
     n, o = new.alias("n"), old.alias("o")
     # Ordering is expressed ONLY in event time (ts is strictly
@@ -955,7 +958,7 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n.ts") > F.col("o.ts"))
         & (
             F.col("n.ts")
-            <= F.col("o.ts") + F.expr(f"INTERVAL {_NEARWIN_HORIZON_MIN} MINUTES")
+            <= F.col("o.ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
         ),
     ).select(
         F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
@@ -978,6 +981,79 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
     return inter.filter(jac >= 0.5).select(
         "doc_a", "doc_b", "n_common", jac.alias("jaccard")
+    )
+
+
+@register("str_dedup_near_windowed", _nearwin_oracle())
+def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-horizon streaming near-dup (60 min): see
+    _nearwin_result."""
+    return _nearwin_result(spark, sf_dir, _NEARWIN_HORIZON_MIN)
+
+
+# ---------------------------------------------------------------------------
+# str_dedup_horizon_autosized — the WATERMARK AUTO-SIZING CLOSURE (the
+# r6 verdict's #6 ask): cdc_out_of_order_audit measures loss-free
+# horizons and llm_dedup_horizon_profile prices near-dup mass per
+# horizon; this query WIRES the loop.  Phase 1 measures the loss-free
+# dedup horizon from the batch lineage (max arrival distance over all
+# verified near-dup pairs — one scalar); phase 2 runs the streaming
+# near-dup with exactly that horizon; the ORACLE is UNBOUNDED batch
+# dedup, so the driver's value hash PROVES streaming-with-measured-
+# horizon == batch — the self-tuning-pipeline contract.
+#
+# The honest lesson this query encodes: on a CDC-fed corpus
+# (at-least-once replay, client.go:253-287) exact duplicates arrive at
+# ANY distance — the measured horizon here is ~the stream span
+# (doc_id-distance max(doc_b−doc_a) ≈ n_docs), exported as the
+# constant `horizon_min` column so the result SHOWS what lossless
+# streaming dedup costs in state.  A pipeline that wants bounded state
+# must either accept the beyond-horizon loss llm_dedup_horizon_profile
+# prices, or collapse exact classes upstream (the batch family's fix).
+# ---------------------------------------------------------------------------
+
+
+def _autosize_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _MH_COLS_SQL
+
+    base = _NEARWIN_ORACLE.replace("__MH_COLS__", _MH_COLS_SQL)
+    # unbounded batch dedup: drop the arrival-distance bound from the
+    # candidate join, keep everything else byte-identical
+    base = base.replace("     AND b.doc_id - a.doc_id <= __HORIZON__\n", "")
+    head, final = base.rsplit("SELECT doc_a, doc_b, n_common,", 1)
+    pairs_sql = "SELECT doc_a, doc_b, n_common," + final
+    return f"""{head}, pairs AS (
+{pairs_sql}
+)
+SELECT p.doc_a, p.doc_b, p.n_common, p.jaccard,
+       (SELECT CAST(coalesce(max(doc_b - doc_a), 0) AS BIGINT) FROM pairs)
+         AS horizon_min
+FROM pairs p
+"""
+
+
+@register("str_dedup_horizon_autosized", _autosize_oracle())
+def str_dedup_horizon_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the loss-free horizon, stream with it, prove equality
+    to batch dedup (see block comment).  The measure phase reuses the
+    class-collapsed llm_dedup_near lineage; its max-distance collect is
+    a one-scalar driver read (the convergence-check precedent), needed
+    because a watermark duration is query CONFIG, not a column."""
+    from maxscale_cdc_spark.operators.llm import llm_dedup_near
+
+    pairs = llm_dedup_near(spark, sf_dir)
+    row = pairs.agg(
+        F.max(F.col("doc_b") - F.col("doc_a")).alias("h")
+    ).collect()[0]
+    horizon = int(row["h"]) if row["h"] is not None else 0
+    if horizon == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_a bigint, doc_b bigint, n_common bigint, "
+            "jaccard double, horizon_min bigint",
+        )
+    return _nearwin_result(spark, sf_dir, horizon).withColumn(
+        "horizon_min", F.lit(horizon).cast("long")
     )
 
 
