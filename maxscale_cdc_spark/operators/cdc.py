@@ -2087,3 +2087,67 @@ def cdc_scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", "first_new_ts").alias("valid_to"),
     )
     return closed.unionByName(batch_iv)
+
+
+# ---------------------------------------------------------------------------
+# cdc_txn_boundaries — transaction grouping under the reference's GTID
+# model: one GTID covers every row event of a transaction, with
+# event_number incrementing within it (event.go:189-200 — domain,
+# server_id, sequence identify the txn; event_number the row).  The
+# synthetic envelope carries one row per GTID, so transactions are
+# synthesized deterministically (txn = div(event_id, 4): runs of ≤4
+# consecutive events — the multi-row-txn decode shape), then audited:
+# per txn-size bucket, how many transactions, rows, deletes-containing
+# txns, and the widest event-time span a single transaction covers —
+# the numbers a downstream applier needs to size its per-txn buffers.
+# ---------------------------------------------------------------------------
+
+_TXN_ORACLE = f"""
+{CDC_SQL}
+, txe AS (
+  SELECT CAST(sequence AS BIGINT) // 4 AS txn_seq,
+         sequence % 4 + 1 AS event_number,
+         dml_type, ts_unix
+  FROM cdc
+), per_txn AS (
+  SELECT txn_seq,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(ts_unix) - min(ts_unix) AS BIGINT) AS span_s,
+         CAST(max(CASE WHEN dml_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+           AS has_delete
+  FROM txe GROUP BY txn_seq
+)
+SELECT n_rows AS txn_size,
+       CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(sum(n_rows) AS BIGINT) AS n_events,
+       CAST(sum(has_delete) AS BIGINT) AS n_with_delete,
+       CAST(max(span_s) AS BIGINT) AS max_span_s
+FROM per_txn
+GROUP BY n_rows
+"""
+
+
+@register("cdc_txn_boundaries", _TXN_ORACLE)
+def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-size profile over synthesized multi-row GTIDs: one
+    keyed agg to per-txn stats (integer div == DuckDB //), one
+    map-side-combinable agg to size buckets."""
+    cdc = cdc_view(spark, sf_dir)
+    txe = cdc.select(
+        F.expr("div(CAST(sequence AS BIGINT), 4)").alias("txn_seq"),
+        "dml_type",
+        "ts_unix",
+    )
+    per_txn = txe.groupBy("txn_seq").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.max("ts_unix") - F.min("ts_unix")).cast("long").alias("span_s"),
+        F.max(F.when(F.col("dml_type") == "delete", 1).otherwise(0))
+        .cast("long")
+        .alias("has_delete"),
+    )
+    return per_txn.groupBy(F.col("n_rows").alias("txn_size")).agg(
+        F.count("*").cast("long").alias("n_txns"),
+        F.sum("n_rows").cast("long").alias("n_events"),
+        F.sum("has_delete").cast("long").alias("n_with_delete"),
+        F.max("span_s").cast("long").alias("max_span_s"),
+    )

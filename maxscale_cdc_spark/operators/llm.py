@@ -2146,3 +2146,202 @@ def llm_dedup_horizon_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_verified"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_incremental — near-dedup of a NEW corpus batch against the
+# EXISTING corpus without re-pairing the old side: the batch twin of
+# str_dedup_near_windowed and the shape every CDC-fed corpus runs
+# (at-least-once replay, client.go:253-287, delivers new content
+# continuously; re-deduping the full corpus per batch is quadratic in
+# corpus AGE).  Old docs contribute only their per-row signatures —
+# at 100 TB those live in a parquet signature STORE written at ingest
+# (per-row minhash, no shuffle to produce) and the batch run reads
+# them; here the store is a staged lineage stand-in.  The band join is
+# driven by the NEW side: candidates = new-band rows against the full
+# bucket, so cost is |batch| × bucket-collision rate, independent of
+# corpus size; old×old pairs are never generated (they were reported
+# when THEIR batch arrived).
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = f"""
+WITH {_SH_SQL},
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
+  mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+  cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+    WHERE b.doc_id > (SELECT c FROM cut)
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+           CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
+    FROM cand c
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
+  )
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard,
+       doc_a > (SELECT c FROM cut) AS new_vs_new
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
+"""
+
+
+@register("llm_dedup_incremental", _INCR_DEDUP_ORACLE)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch only (doc_id above the
+    80% cutover): new-vs-old and new-vs-new, with the cross-batch flag
+    exported.  See block comment for the signature-store design; the
+    oracle is the unbounded batch definition filtered to batch pairs,
+    certifying that incremental == full-run-restricted exactly."""
+    d = wide_table(spark, sf_dir, "documents")
+    cut = d.agg(F.expr("div(max(doc_id) * 4, 5)").alias("c"))
+    base = d.filter(F.size(words("text")) >= 2).select(
+        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
+    )
+    sigs = base.select(
+        "doc_id", *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K)]
+    ).join(F.broadcast(cut))
+    # the signature STORE: old rows staged once (written at their own
+    # ingest time in production), new rows computed this batch
+    old_sigs = sigs.filter(F.col("doc_id") <= F.col("c")).drop("c")
+    old_sigs = old_sigs.localCheckpoint(eager=False)
+    new_sigs = sigs.filter(F.col("doc_id") > F.col("c")).drop("c")
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.concat("m0", "m1", "m2", "m3").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.concat("m4", "m5", "m6", "m7").alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    all_bands = bands_of(old_sigs).unionByName(bands_of(new_sigs))
+    new_bands = bands_of(new_sigs)
+    a, b = all_bands.alias("a"), new_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return (
+        inter.filter(jac >= _JACCARD_MIN)
+        .join(F.broadcast(cut))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            jac.alias("jaccard"),
+            (F.col("doc_a") > F.col("c")).alias("new_vs_new"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_savings — what dedup BUYS: per-source document and token
+# mass removed by keeping one representative per near-dup cluster (the
+# capacity-planning number every corpus curation run reports; Lee et
+# al. 2022's headline metric).  Composes on the REGISTERED
+# llm_dedup_cluster (same code object — the fixed-point components are
+# computed once, not re-derived here); docs with no candidate edge are
+# their own keepers via the left join.
+# ---------------------------------------------------------------------------
+
+_SAVINGS_ORACLE = (
+    _CLUSTER_ORACLE.rstrip()
+    .replace(
+        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+        """tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+  ),
+  lab AS (
+    SELECT t.doc_id, t.source, t.n_tokens,
+           coalesce(r.cluster_rep, t.doc_id) AS rep
+    FROM tok t LEFT JOIN reps r USING (doc_id)
+  )
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN doc_id <> rep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_removed
+FROM lab
+GROUP BY source""",
+    )
+    .replace("  reps AS (", "  reps AS (")
+)
+# the reps CTE list needs a trailing comma before tok — splice it in:
+_SAVINGS_ORACLE = _SAVINGS_ORACLE.replace(
+    "  )\ntok AS (", "  ),\n  tok AS ("
+)
+
+
+@register("llm_dedup_savings", _SAVINGS_ORACLE)
+def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings from the cluster keepers: docs/tokens
+    removed if only each near-dup cluster's representative is kept.
+    One left join of the corpus against the (small) component table +
+    one keyed agg — the component computation is llm_dedup_cluster's,
+    invoked as the same registered callable."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    lab = d.join(reps, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce("cluster_rep", "doc_id").alias("rep"),
+    )
+    removed = F.col("doc_id") != F.col("rep")
+    return lab.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(removed, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    )

@@ -1943,3 +1943,171 @@ def rel_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_ivm_join — INCREMENTAL VIEW MAINTENANCE for a JOIN view (the join
+# twin of cdc_incremental_agg's aggregate maintenance): the stored view
+# V = O ⋈ L is maintained under simultaneous deltas on BOTH sides by
+# the classic differential identity
+#
+#   (O ∪ ΔO) ⋈ (L ∪ ΔL) = V ∪ ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL
+#
+# — three batch-sized joins instead of one corpus-sized one.  At 100 TB
+# the three delta joins touch |Δ| rows on one side each (the stored
+# view and base tables bucketed on the join key make them co-located),
+# so view maintenance costs per-batch work, never a full re-join.  The
+# deltas here are deterministic md5-bucket samples (arrival is
+# independent of the join key — a key-range split would make the cross
+# terms vacuously empty and prove nothing).
+#
+# The proof is the oracle: Spark computes ONLY the four-term union and
+# aggregates it; DuckDB joins the full tables from scratch; the value
+# hash certifies the identity bit-exactly (DECIMAL(12,4) revenue).
+# ---------------------------------------------------------------------------
+
+_IVM_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))"
+)
+
+
+@register(
+    "rel_ivm_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(SUM({_IVM_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain O ⋈ L incrementally under deltas on both sides and
+    prove it equals the full re-join (see block comment).  ΔO = 20%
+    md5-bucket sample of orders, ΔL = 30% sample of lineitems keyed by
+    (orderkey, linenumber); the old view O_old ⋈ L_old is pinned as the
+    stored-view stand-in, then the three delta joins are unioned in and
+    the maintained view is aggregated."""
+    from maxscale_cdc_spark.functions.sample import hash_sample
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,4)").alias("price"),
+        (F.lit(1) - F.col("l_discount")).cast("decimal(12,4)").alias("mult"),
+    )
+    d_o = hash_sample("o_orderkey", 20)
+    d_l = hash_sample(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        30,
+    )
+    o_old, o_new = o.filter(~d_o), o.filter(d_o)
+    l_old, l_new = l.filter(~d_l), l.filter(d_l)
+
+    def j(os: DataFrame, ls: DataFrame) -> DataFrame:
+        return os.join(ls, os.o_orderkey == ls.l_orderkey).select(
+            "o_orderpriority", "price", "mult"
+        )
+
+    v_old = j(o_old, l_old).localCheckpoint(eager=False)  # the stored view
+    maintained = (
+        v_old.unionByName(j(o_new, l_old))
+        .unionByName(j(o_old, l_new))
+        .unionByName(j(o_new, l_new))
+    )
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum(F.col("price") * F.col("mult")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_ewma_dyadic — exponentially-weighted moving average with DYADIC
+# weights (α = 1/2, depth 8): the one EWMA both engines can compute
+# bit-exactly, because every weight is a power of two and the value is
+# integer cents — the numerator is a BIGINT dot product with weights
+# 2^7..2^0 over the last 8 observations and the denominator the
+# matching weight sum, so no float accumulation order can differ.
+# Missing leading history simply drops those weights (no
+# renormalization division); the smoothed value is exported as the
+# exact integer division num // den ALONGSIDE num and den, so a
+# consumer can re-derive any precision it wants.
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 8
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num, den = [], []
+    for k in range(_EWMA_DEPTH):
+        w = 1 << (_EWMA_DEPTH - 1 - k)
+        lagv = (
+            f"lag(v_cents, {k}) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        )
+        num.append(f"coalesce({lagv} * {w}, 0)")
+        den.append(f"CASE WHEN {lagv} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+_EWMA_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+  FROM events
+), terms AS (
+  SELECT user_id, event_id,
+         CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+         CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den
+  FROM ev
+)
+SELECT user_id, event_id, ewma_num, ewma_den,
+       CAST(ewma_num // ewma_den AS BIGINT) AS ewma_cents
+FROM terms
+"""
+
+
+@register("rel_ewma_dyadic", _EWMA_ORACLE)
+def rel_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dyadic EWMA over the event stream: 8 lag() reads share
+    ONE window partitioning (a single keyed shuffle + sort), all
+    arithmetic BIGINT.  At 100 TB this is the feature-engineering shape
+    (rel_lag_features' sibling) with the smoothing folded into exact
+    integer weights."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for k in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - k)
+        lagv = F.lag("v_cents", k).over(w)
+        num = num + F.coalesce(lagv * wt, F.lit(0))
+        den = den + F.when(lagv.isNotNull(), wt).otherwise(0)
+    terms = ev.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+    return terms.select(
+        "user_id",
+        "event_id",
+        "ewma_num",
+        "ewma_den",
+        F.expr("div(ewma_num, ewma_den)").cast("long").alias("ewma_cents"),
+    )
