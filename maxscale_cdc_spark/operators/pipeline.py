@@ -1345,3 +1345,80 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("src_a", "src_b").agg(
         F.count("*").cast("long").alias("n_shared_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_curriculum_order — deterministic CURRICULUM ordering: easy-first
+# (shortest documents first — the classic length-based curriculum)
+# while round-robin interleaving sources so no training window is
+# single-source.  Pure integer rule:
+#
+#   position = (rank_in_source − 1) · n_sources + source_index
+#
+# with rank_in_source the (n_chars, doc_id) row_number within the
+# source and source_index the dense rank of the source name.  The
+# same construction as llm_shuffle_shard_audit's deterministic order,
+# but difficulty-sorted instead of hash-shuffled — the two ends of the
+# data-ordering spectrum a training pipeline schedules between.  At
+# 100 TB: two window ranks (one per-source, one over the O(|sources|)
+# dimension) and zero data movement beyond the source partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_curriculum_order",
+    """
+    WITH srcs AS (
+      SELECT source,
+             CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ), nsrc AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM srcs),
+    ranked AS (
+      SELECT doc_id, d.source, n_chars,
+             CAST(row_number() OVER (PARTITION BY d.source
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rank_in_source
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           CAST((r.rank_in_source - 1) * n.n_src + s.src_idx AS BIGINT)
+             AS position
+    FROM ranked r JOIN srcs s USING (source) CROSS JOIN nsrc n
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-first source-interleaved curriculum position per document
+    (see block comment): bit-identical in both engines because every
+    step is an integer rank under a total order."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            (F.dense_rank().over(W.orderBy("source")) - 1).cast("long"),
+        )
+    )
+    nsrc = srcs.agg(F.count("*").cast("long").alias("n_src"))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("rank_in_source"),
+    )
+    return (
+        ranked.join(F.broadcast(srcs.select("source", "src_idx")), "source")
+        .join(F.broadcast(nsrc))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            ((F.col("rank_in_source") - 1) * F.col("n_src") + F.col("src_idx"))
+            .cast("long")
+            .alias("position"),
+        )
+    )

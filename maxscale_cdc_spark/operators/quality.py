@@ -1650,3 +1650,64 @@ def llm_register_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_total",
         (F.col("n").cast("double") / F.col("lang_total")).alias("share_in_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_word_entropy — unigram word entropy per document, the log-based
+# diversity signal (llm_unigram_diversity's type/token ratio misses
+# distribution shape: "a a a a b" and "a a b b b"-style skews).  The
+# exactness discipline is llm_lm_score's (the only sanctioned log):
+# each term's ln(count/n) is quantized to INTEGER micro-nats BEFORE
+# any accumulation, so both engines sum identical BIGINTs;
+# h_num_micro = −Σ count·⌊ln(count/n)·10⁶⌉ = n·H in micro-nats, and
+# the per-token mean is exported as integer division.  One explode +
+# one keyed agg — scan-speed at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_word_entropy",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ex AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n, unnest(w) AS wd FROM t),
+    c AS (SELECT doc_id, n, wd, CAST(count(*) AS BIGINT) AS cnt
+          FROM ex GROUP BY doc_id, n, wd),
+    terms AS (
+      SELECT doc_id, n,
+             cnt * CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+               AS term
+      FROM c
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(-sum(term) AS BIGINT) AS h_num_micro,
+           CAST(CAST(-sum(term) AS BIGINT) // n AS BIGINT) AS h_micro_nats
+    FROM terms
+    GROUP BY doc_id, n
+    """,
+)
+def llm_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy in integer micro-nats (see block
+    comment).  n rides the explode as a functionally-dependent group
+    key so the count and the entropy fold into ONE keyed aggregation
+    family."""
+    d = wide_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.size(words("text")).cast("long").alias("n"),
+        F.explode(words("text")).alias("wd"),
+    )
+    c = ex.groupBy("doc_id", "n", "wd").agg(F.count("*").cast("long").alias("cnt"))
+    term = F.col("cnt") * F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000, 0
+    ).cast("long")
+    return (
+        c.select("doc_id", "n", term.alias("term"))
+        .groupBy("doc_id", "n")
+        .agg((-F.sum("term")).cast("long").alias("h_num_micro"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "h_num_micro",
+            F.expr("div(h_num_micro, n)").cast("long").alias("h_micro_nats"),
+        )
+    )

@@ -580,6 +580,32 @@ class ManifestedUpsertSink:
             ],
         )
 
+    def compact(self) -> list[str]:
+        """Rewrite every bucket's current generation into ONE new
+        generation dir and point the whole manifest at it — the
+        commit-log compaction every generational/merge-on-read table
+        format eventually runs: after many merges the state is spread
+        over as many generation dirs as there were epochs, each scan
+        union-reads all of them, and superseded bucket copies in old
+        dirs are dead weight.  Returns the now-unreferenced generation
+        dirs (the GC list — deletion stays the caller's policy, since
+        a concurrent reader may still hold the previous manifest).
+        Crash-safe like merge(): the manifest flip is the atomic
+        commit; a crash before it leaves the old manifest fully
+        consistent."""
+        import os
+        import uuid
+
+        state = self.state()
+        if state is None:
+            return []
+        old_dirs = sorted(set(self.gen_of.values()))
+        gen_dir = os.path.join(self.root, f"gen_compact_{uuid.uuid4().hex[:8]}")
+        state.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        self.gen_of = {b: gen_dir for b in self.gen_of}
+        self._persist()
+        return old_dirs
+
 
 _UPSERT_STATE_ORACLE = f"""
     WITH cdc AS (
@@ -683,6 +709,56 @@ def str_cdc_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     _release_stream_state(spark)
 
+    state = sink.state()
+    if state is None:
+        return spark.createDataFrame([], _EMPTY_UPSERT_SCHEMA)
+    return state.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value", "last_ts_unix"
+    )
+
+
+@register("snk_upsert_compact", _UPSERT_STATE_ORACLE)
+def snk_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation COMPACTION for the manifested upsert sink: run the
+    streaming MERGE lifecycle (generations accumulate per epoch), then
+    compact — every bucket rewritten into one generation, the manifest
+    atomically flipped, the superseded dirs returned as the GC list —
+    and read the state back THROUGH the compacted manifest.  The oracle
+    (batch latest-state) certifies compaction changed nothing; the
+    loud check below certifies it actually compacted.  At 100 TB this
+    is the maintenance job that keeps merge-on-read scan cost O(state)
+    instead of O(epochs)."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), n_files=4, cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=2)
+    agg = _cdc_update_agg(stream)
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_compact_tgt_"))
+    ckpt = _mkdtemp(prefix="ckpt_")
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink.merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+
+    orphaned = sink.compact()
+    live = set(sink.gen_of.values())
+    if len(live) > 1 or (orphaned and live & set(orphaned)):
+        raise RuntimeError(
+            f"compaction left {len(live)} live generations "
+            f"(orphaned={orphaned})"
+        )
     state = sink.state()
     if state is None:
         return spark.createDataFrame([], _EMPTY_UPSERT_SCHEMA)
