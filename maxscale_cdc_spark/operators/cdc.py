@@ -2151,3 +2151,124 @@ def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_delete").cast("long").alias("n_with_delete"),
         F.max("span_s").cast("long").alias("max_span_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_pk_cardinality_drift — table-growth monitoring over the change
+# stream: per (epoch) day, events, active keys, NEVER-SEEN-BEFORE keys
+# (first-touch attribution via one per-pk min), the running distinct
+# total, and the day-over-day active delta.  The capacity/drift
+# numbers a CDC consumer alarms on (a key-cardinality step change
+# usually means an upstream backfill or a PK redefinition).  Day is
+# div(ts_unix, 86400) — pure integer bucketing, no calendar/timezone
+# semantics to disagree on.
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+{CDC_SQL}
+, ev AS (
+  SELECT pk, CAST(ts_unix AS BIGINT) // 86400 AS day_num FROM cdc
+), daily AS (
+  SELECT day_num,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT pk) AS BIGINT) AS n_active
+  FROM ev GROUP BY day_num
+), firsts AS (
+  SELECT pk, min(day_num) AS first_day FROM ev GROUP BY pk
+), news AS (
+  SELECT first_day AS day_num, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day
+)
+SELECT d.day_num,
+       d.n_events,
+       d.n_active,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(n.n_new, 0))
+              OVER (ORDER BY d.day_num
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct,
+       CAST(d.n_active - coalesce(lag(d.n_active) OVER (ORDER BY d.day_num), 0)
+            AS BIGINT) AS active_delta
+FROM daily d LEFT JOIN news n USING (day_num)
+"""
+
+
+@register("cdc_pk_cardinality_drift", _CARD_ORACLE)
+def cdc_pk_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily key-cardinality drift: two keyed aggs (daily stats,
+    per-pk first day) + one O(days)-sized window — the running
+    distinct is Σ first-touches, never a growing distinct state."""
+    cdc = cdc_view(spark, sf_dir)
+    ev = cdc.select("pk", F.expr("div(ts_unix, 86400)").alias("day_num"))
+    daily = ev.groupBy("day_num").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("pk").cast("long").alias("n_active"),
+    )
+    firsts = ev.groupBy("pk").agg(F.min("day_num").alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("day_num")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = daily.join(news, "day_num", "left").select(
+        "day_num",
+        "n_events",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    return joined.select(
+        "day_num",
+        "n_events",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct"),
+        (
+            F.col("n_active")
+            - F.coalesce(F.lag("n_active").over(W.orderBy("day_num")), F.lit(0))
+        )
+        .cast("long")
+        .alias("active_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_delete_ratio_alarm — windowed delete-share spike detection: per
+# 6 h event-time window, the delete share vs a 20% alarm threshold
+# evaluated by INTEGER cross-multiply (5·deletes > events — no ratio
+# double ever compared).  The ops alarm for runaway deletion jobs /
+# retention-sweep misfires arriving through the change stream.
+# ---------------------------------------------------------------------------
+
+_DELRATIO_ORACLE = f"""
+{CDC_SQL}
+, win AS (
+  SELECT CAST(ts_unix AS BIGINT) // 21600 AS w,
+         CASE WHEN dml_type = 'delete' THEN 1 ELSE 0 END AS is_del
+  FROM cdc
+)
+SELECT w * 21600 AS wstart_unix,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_del) AS BIGINT) AS n_deletes,
+       (CAST(sum(is_del) AS BIGINT) * 5 > CAST(count(*) AS BIGINT)) AS alarm
+FROM win
+GROUP BY w
+"""
+
+
+@register("cdc_delete_ratio_alarm", _DELRATIO_ORACLE)
+def cdc_delete_ratio_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6 h delete-share alarm: one map-side-combinable agg; the
+    threshold is an integer cross-multiply."""
+    cdc = cdc_view(spark, sf_dir)
+    win = cdc.select(
+        F.expr("div(ts_unix, 21600)").alias("w"),
+        F.when(F.col("dml_type") == "delete", 1).otherwise(0).alias("is_del"),
+    )
+    return win.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_del").cast("long").alias("n_deletes"),
+    ).select(
+        (F.col("w") * 21600).cast("long").alias("wstart_unix"),
+        "n_events",
+        "n_deletes",
+        (F.col("n_deletes") * 5 > F.col("n_events")).alias("alarm"),
+    )

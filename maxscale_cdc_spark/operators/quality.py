@@ -1711,3 +1711,58 @@ def llm_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(h_num_micro, n)").cast("long").alias("h_micro_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_signal_agreement — do two quality signals SAY the same thing?
+# Decile cross-tab of document length (n_chars) against lexical
+# diversity (distinct-word share), both deciled by ntile(10) under a
+# doc_id-tiebroken total order — bit-identical bucket membership in
+# both engines.  A curation pipeline keeps filters whose deciles
+# DISAGREE (near-diagonal mass ⇒ the second signal adds nothing);
+# this is the redundancy audit for llm_filter_pipeline's signal set.
+# The diversity decile orders by the integer pair (1000·distinct //
+# total, doc_id) — the cross-multiplied share, never a double.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_signal_agreement",
+    """
+    WITH sig AS (
+      SELECT doc_id, n_chars,
+             CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                  // len(string_split(text, ' ')) AS BIGINT) AS div_milli
+      FROM documents
+    ), deciled AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS d_len,
+             CAST(ntile(10) OVER (ORDER BY div_milli, doc_id) AS BIGINT) AS d_div
+      FROM sig
+    )
+    SELECT d_len, d_div, CAST(count(*) AS BIGINT) AS n
+    FROM deciled
+    GROUP BY d_len, d_div
+    """,
+)
+def llm_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile × diversity-decile contingency table (≤100 rows
+    out).  Two global ntiles over total orders, one agg."""
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(div(1000 * size(array_distinct(split(text, ' '))), "
+            "size(split(text, ' '))) AS BIGINT)"
+        ).alias("div_milli"),
+    )
+    deciled = sig.select(
+        F.ntile(10).over(W.orderBy("n_chars", "doc_id")).cast("long").alias("d_len"),
+        F.ntile(10)
+        .over(W.orderBy("div_milli", "doc_id"))
+        .cast("long")
+        .alias("d_div"),
+    )
+    return deciled.groupBy("d_len", "d_div").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -755,3 +755,93 @@ def test_importance_resample_windows_share_partitioning(spark, sf_dir):
     source; the final agg reuses it — <= 2 exchanges total."""
     df = _q("llm_importance_resample", spark, sf_dir)
     assert exchange_count(df) <= 2, simple_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 gates
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_classes_lineage_jvm_only(spark, sf_dir):
+    """The class-collapsed LSH lineage (stage=False so the full plan is
+    visible below the checkpoints): no Python, no cartesian, exactly
+    one keyed aggregation family building the classes."""
+    from maxscale_cdc_spark.operators.llm import (
+        class_band_pairs,
+        class_pair_jaccard,
+        shingle_classes,
+    )
+
+    doc_map, classes = shingle_classes(spark, sf_dir, stage=False)
+    cp = class_band_pairs(classes, 2, 4)
+    ver = class_pair_jaccard(cp, classes)
+    plan = formatted_plan(ver)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "md5" in plan, plan
+
+
+def test_lsh_tuning_sampled_filter_reaches_scan(spark, sf_dir):
+    """The hash-sample predicate must prune before the shingle work:
+    the md5-bucket filter appears below the class aggregation (a
+    Filter on the scan side), not above it."""
+    from maxscale_cdc_spark.operators.llm import shingle_classes
+    from maxscale_cdc_spark.functions.sample import hash_sample
+
+    doc_map, _ = shingle_classes(
+        spark, sf_dir, stage=False, doc_filter=hash_sample("doc_id", 40)
+    )
+    plan = formatted_plan(doc_map)
+    assert "conv(substring(md5" in plan.replace(" ", "").lower() or "conv" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_scd2_merge_history_broadcasts_batch_firsts(spark, sf_dir):
+    """Incremental SCD2: the close-open join must broadcast the
+    O(|batch pks|) first-timestamp side, never shuffle history."""
+    df = _q("cdc_scd2_merge_history", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ivm_join_four_terms_no_cartesian(spark, sf_dir):
+    df = _q("rel_ivm_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """8 lag() reads must share ONE user_id window partitioning."""
+    df = _q("rel_ewma_dyadic", spark, sf_dir)
+    assert exchange_count(df) == 1, simple_plan(df)
+    # exactly one Window NODE (formatted plans mention the operator
+    # again in the details section — count node headers only)
+    plan = formatted_plan(df)
+    assert plan.count(") Window") == 1, plan
+
+
+def test_word_entropy_single_agg_family(spark, sf_dir):
+    """Explode → one keyed agg family; no joins, no Python."""
+    df = _q("llm_word_entropy", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_curriculum_order_broadcasts_source_dim(spark, sf_dir):
+    df = _q("llm_curriculum_order", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_dedup_incremental_new_side_drives_band_join(spark, sf_dir):
+    """No Python, no cartesian; the staged old-signature side is a
+    checkpoint (the signature-store stand-in)."""
+    df = _q("llm_dedup_incremental", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
