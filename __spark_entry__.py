@@ -111,7 +111,7 @@ _DRIVER_GREEN = {
     "cdc_snapshot_tail", "cdc_update_pair", "flagship_cdc_segment",
     "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date", "fn_explode",
     "fn_json", "fn_map", "fn_math", "fn_stragg", "fn_string", "fn_struct",
-    "fn_try", "llm_chunk_overlap", "llm_dedup_cluster", "llm_dedup_embed",
+    "fn_try", "llm_chunk_overlap", "llm_dedup_embed",
     "llm_dedup_exact",
     "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_diversity_sample",
     "llm_domain_mix", "llm_embed_centroid", "llm_fingerprint",
@@ -164,6 +164,9 @@ _DEMOTED: set[str] = {
     "str_cdc_upsert_e2e",
     # rewritten through the horizon-parameterized _nearwin_result:
     "str_dedup_near_windowed",
+    # gained the (session, sf_dir) component cache (the _LEARN_CACHE
+    # pattern) so llm_dedup_savings reads instead of re-looping:
+    "llm_dedup_cluster",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

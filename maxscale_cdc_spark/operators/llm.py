@@ -475,6 +475,15 @@ FROM reps
 """
 
 
+# The fixed-point closure is iterative (per-round collect-based
+# convergence checks re-execute on every call), and llm_dedup_savings
+# composes on llm_dedup_cluster in the same session — cache the final
+# component table per (session, sf_dir), the _LEARN_CACHE pattern
+# (bpe.py): the paired query reads the staged result instead of
+# re-running the loop.
+_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 @register("llm_dedup_cluster", _CLUSTER_ORACLE)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment to a FIXED POINT: min-label propagation
@@ -482,6 +491,14 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a~b~c without a direct a~c edge) collapse to one keeper — the
     oracle is a recursive reachability CTE, i.e. true connected
     components, not 1-hop neighborhoods."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _CLUSTER_CACHE:
+        reps = _CLUSTER_CACHE[cache_key]
+        return reps.select(
+            "doc_id",
+            "cluster_rep",
+            (F.col("doc_id") == F.col("cluster_rep")).alias("is_keeper"),
+        )
     sh = _shingles(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
@@ -509,6 +526,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nb")
     ).unionByName(cand.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nb")))
     reps = min_label_closure(spark, neighbors)
+    _CLUSTER_CACHE[cache_key] = reps
     return reps.select(
         "doc_id",
         "cluster_rep",
@@ -2344,4 +2362,82 @@ def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(removed, F.col("n_tokens")).otherwise(0))
         .cast("long")
         .alias("tokens_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_threshold_curve — the THRESHOLD knob's yield curve: how
+# much near-dup pair mass each Jaccard cutoff admits, in exact integer
+# bands (band = ⌊10·J⌋ = div(10·n_common, union) — never a double
+# compare).  Rides the class-collapsed lineage: cross-class bands are
+# priced once per CLASS pair and expanded algebraically (n_a·n_b);
+# exact-duplicate mass is the closed-form Σ C(n,2) at band 10.  The
+# companion to llm_lsh_tuning (which sweeps the BANDING config at a
+# fixed threshold; this sweeps the threshold at the fixed 2×4 config).
+# ---------------------------------------------------------------------------
+
+_THRESH_CURVE_ORACLE = f"""
+WITH {_SH_SQL},
+  docsets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
+    FROM documents
+  ),
+  mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+           CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
+    FROM cand c
+    JOIN docsets sa ON sa.doc_id = c.doc_a
+    JOIN docsets sb ON sb.doc_id = c.doc_b
+  )
+SELECT CAST(10 * n_common // (sz_sum - n_common) AS BIGINT) AS jac_band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM inter
+WHERE 10 * n_common >= 5 * (sz_sum - n_common)
+GROUP BY 1
+"""
+
+
+@register("llm_dedup_threshold_curve", _THRESH_CURVE_ORACLE)
+def llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair mass per Jaccard decile band ≥0.5 under the 2×4
+    banding (see block comment); integer cross-multiplied threshold,
+    counts reconstructed algebraically from class pairs."""
+    doc_map, classes = shingle_classes(spark, sf_dir)
+    cpairs = class_band_pairs(classes, _BANDS, 4)
+    ver = class_pair_jaccard(cpairs, classes)
+    union_sz = F.col("sz_sum") - F.col("n_common")
+    cross = (
+        ver.filter(10 * F.col("n_common") >= 5 * union_sz)
+        .select(
+            F.expr("CAST(div(10 * n_common, sz_sum - n_common) AS BIGINT)").alias(
+                "jac_band"
+            ),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("npairs"),
+        )
+        .groupBy("jac_band")
+        .agg(F.sum("npairs").cast("long").alias("n_pairs"))
+    )
+    intra = classes.agg(
+        F.coalesce(F.sum(F.expr("div(n_docs * (n_docs - 1), 2)")), F.lit(0))
+        .cast("long")
+        .alias("n_pairs")
+    ).select(F.lit(10).cast("long").alias("jac_band"), "n_pairs")
+    # identical docs (jac exactly 1) are candidates under every config;
+    # merge their closed-form count into band 10
+    both = cross.unionByName(intra.filter(F.col("n_pairs") > 0))
+    return both.groupBy("jac_band").agg(
+        F.sum("n_pairs").cast("long").alias("n_pairs")
     )

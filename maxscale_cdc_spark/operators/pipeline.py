@@ -1422,3 +1422,92 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_token_budget_plan — proportional token-budget APPORTIONMENT with
+# largest-remainder rounding (Hamilton's method): given a training
+# budget of half the corpus, each source's integer quota is
+# floor(B·tᵢ/T) plus one bonus token for the (B − Σfloor) largest
+# remainders (remainderᵢ = B·tᵢ mod T — an exact integer, tie-broken
+# by source name).  Σ quota == B EXACTLY, which per-source rounding
+# can't promise — the difference between a data-mix plan and a wish.
+# llm_domain_mix applies a given mixture; this PLANS one.  Everything
+# after the per-source token agg runs on |sources| rows.  (The B·tᵢ
+# products are BIGINT; at real 100 TB token counts plan in units of
+# 10⁶ tokens to keep the cross-multiply under 2⁶³.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_token_budget_plan",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             CAST(sum(n_tokens) AS BIGINT) // 2 AS b
+      FROM per_src
+    ), shares AS (
+      SELECT source, n_tokens,
+             CAST(b * n_tokens // t AS BIGINT) AS floor_share,
+             CAST(b * n_tokens % t AS BIGINT) AS remainder,
+             t, b
+      FROM per_src CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY remainder DESC, source) AS BIGINT)
+               AS rr,
+             CAST(sum(floor_share) OVER () AS BIGINT) AS sum_floor
+      FROM shares
+    )
+    SELECT source, n_tokens, floor_share,
+           CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder token apportionment (see block comment): one
+    corpus agg, then pure integer arithmetic over |sources| rows."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(words("text"))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.expr("div(CAST(sum(n_tokens) AS BIGINT), 2)").alias("b"),
+    )
+    shares = per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("div(b * n_tokens, t)").cast("long").alias("floor_share"),
+        (F.col("b") * F.col("n_tokens") % F.col("t")).cast("long").alias("remainder"),
+        "b",
+    )
+    ranked = shares.select(
+        "source",
+        "n_tokens",
+        "floor_share",
+        "b",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "source"))
+        .cast("long")
+        .alias("rr"),
+        F.sum("floor_share").over(W.partitionBy()).cast("long").alias("sum_floor"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "floor_share",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rr") <= F.col("b") - F.col("sum_floor"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
