@@ -570,3 +570,70 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_scenes"),
         F.max("scene_len").cast("long").alias("longest_scene"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_dedup_savings — what media dedup BUYS, per source: blobs and BYTES
+# removed by keeping one representative per exact-pHash class (the
+# storage-planning twin of llm_dedup_savings — for media corpora the
+# pay-off is storage/egress, not just token mass; blank frames and logo
+# images routinely make this the single largest cost lever in a crawl).
+# Same stub pHash feature as mm_dedup_phash (multimodal.py) — identical
+# hash ⇔ same class; one keyed class agg + one join + one source agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_dedup_savings",
+    """
+    WITH ph AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             substr(sha256(array_to_string(list_slice(
+               list_sort(list_distinct(string_split(text, ' '))), 1, 8), ' ')),
+               1, 15) AS p
+      FROM documents
+    ), reps AS (
+      SELECT p, CAST(min(doc_id) AS BIGINT) AS rep FROM ph GROUP BY p
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+           CAST(sum(CASE WHEN doc_id <> rep THEN n_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_removed
+    FROM ph JOIN reps USING (p)
+    GROUP BY source
+    """,
+)
+def mm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source media-dedup savings over exact-pHash classes (see
+    block comment)."""
+    d = table(spark, sf_dir, "documents")
+    feat = F.concat_ws(
+        " ",
+        F.slice(
+            F.array_sort(F.array_distinct(F.split("text", " "))), 1, 8
+        ),
+    )
+    ph = d.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.substring(F.sha2(feat, 256), 1, 15).alias("p"),
+    )
+    reps = ph.groupBy("p").agg(F.min("doc_id").cast("long").alias("rep"))
+    removed = F.col("doc_id") != F.col("rep")
+    return (
+        ph.join(reps, "p")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_blobs"),
+            F.sum(F.when(removed, 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sum("n_bytes").cast("long").alias("bytes_total"),
+            F.sum(F.when(removed, F.col("n_bytes")).otherwise(0))
+            .cast("long")
+            .alias("bytes_removed"),
+        )
+    )
