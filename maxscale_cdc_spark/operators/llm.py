@@ -2441,3 +2441,108 @@ def llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy("jac_band").agg(
         F.sum("n_pairs").cast("long").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_lsh_recall_audit — ties the PROBABILISTIC dedup family to the
+# EXACT one: MinHash banding has false negatives by construction
+# (J ≥ 0.5 pairs whose 8 minhashes happen to collide in neither band);
+# this measures that recall ON THE CORPUS, against the exact set-
+# similarity join's ground truth (llm_dedup_jaccard_prefix — same
+# trigram shingle space, provably complete).  The number that decides
+# whether a production pipeline can run LSH-only or needs the exact
+# join as a sweeper.  Banding cost is the usual linear signature pass;
+# ground truth comes from the REGISTERED exact operator (same code
+# object); the audit itself is one pair join over two small pair sets.
+# ---------------------------------------------------------------------------
+
+_RECALL_AUDIT_ORACLE = f"""
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  tsets AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+    FROM docw
+    WHERE len(w) >= 3
+  ),
+  mh AS (
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(shs, s -> md5('{j}:' || s))) AS m{j}" for j in range(_K))}
+    FROM tsets
+  ),
+  bands AS (
+    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
+     AND a.doc_id < b.doc_id
+  ),
+  exact AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+          / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+          >= {_JACCARD_MIN}
+  ),
+  caught AS (SELECT e.doc_a FROM exact e JOIN cand c USING (doc_a, doc_b)),
+  stats AS (
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught
+  )
+SELECT n_exact, n_caught,
+       CAST(n_exact - n_caught AS BIGINT) AS n_missed,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_caught AS DOUBLE) / n_exact END AS recall
+FROM stats
+"""
+
+
+@register("llm_lsh_recall_audit", _RECALL_AUDIT_ORACLE)
+def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the 2×4 MinHash banding against the exact trigram
+    set-similarity join (see block comment)."""
+    d = wide_table(spark, sf_dir, "documents")
+    tset = d.filter(F.size(words("text")) >= 3).select(
+        "doc_id", F.array_distinct(word_trigrams(words("text"))).alias("shs")
+    )
+    # hash lineage consumed by BOTH band-join sides and the audit join:
+    # un-staged, each side recomputes all 8×|trigrams| md5s (the
+    # measured 6× footgun, CLAUDE.md rule 5)
+    sigs = tset.select(
+        "doc_id",
+        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K)],
+    ).localCheckpoint(eager=False)
+    bands = None
+    for b in range(_BANDS):
+        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+        one = sigs.select(
+            "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = llm_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_caught = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_caught")
+    )
+    return n_exact.crossJoin(n_caught).select(
+        "n_exact",
+        "n_caught",
+        (F.col("n_exact") - F.col("n_caught")).cast("long").alias("n_missed"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_caught").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )

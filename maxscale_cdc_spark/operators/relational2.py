@@ -2111,3 +2111,79 @@ def rel_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ewma_den",
         F.expr("div(ewma_num, ewma_den)").cast("long").alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_referential_integrity — FK orphan audit across the three core
+# relationships (lineitem→orders, orders→customer, customer→nation):
+# per relationship, child rows, orphaned child rows (LEFT ANTI), and
+# distinct orphan keys.  The data-quality gate every CDC-fed warehouse
+# runs after a backfill — deletes arriving out of order routinely strand
+# children.  Three anti-joins, each a plain keyed join at scale (the
+# parent side of customer→nation broadcasts; the others shuffle on
+# their natural keys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS rel,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphan_keys
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders r
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = r.o_custkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders r
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = r.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT c_nationkey) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def rel_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan counts for the three core relationships via LEFT ANTI
+    joins (see block comment)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child: DataFrame, key: str, parent: DataFrame, pkey: str, rel: str,
+              broadcast_parent: bool = False) -> DataFrame:
+        p = F.broadcast(parent) if broadcast_parent else parent
+        orphans = child.join(p, child[key] == p[pkey], "left_anti")
+        tot = child.agg(F.count("*").cast("long").alias("n_child"))
+        orp = orphans.agg(
+            F.count("*").cast("long").alias("n_orphans"),
+            F.countDistinct(key).cast("long").alias("n_orphan_keys"),
+        )
+        return tot.crossJoin(orp).select(
+            F.lit(rel).alias("rel"), "n_child", "n_orphans", "n_orphan_keys"
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(
+            audit(c, "c_nationkey", n, "n_nationkey", "customer->nation",
+                  broadcast_parent=True)
+        )
+    )
