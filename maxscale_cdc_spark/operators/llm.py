@@ -181,6 +181,13 @@ def _mh_over_set(shs: F.Column, j: int) -> F.Column:
     )
 
 
+# Four queries consume the unfiltered staged lineage in one session
+# (llm_dedup_near / llm_dedup_horizon_profile / llm_lsh_tuning /
+# llm_dedup_threshold_curve) — cache it per (session, sf_dir), the
+# _LEARN_CACHE pattern, so the shingling + class aggregation runs once.
+_SHINGLE_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def shingle_classes(
     spark: SparkSession,
     sf_dir: str,
@@ -199,7 +206,11 @@ def shingle_classes(
     pinned once (8 minhash transforms — consumed by every band config
     and both verify sides).  `stage=False` exposes the full lineage for
     plan gates.  `doc_filter` pre-filters documents (the deterministic
-    hash-sample knob tables)."""
+    hash-sample knob tables).  The staged unfiltered lineage is cached
+    per (session, sf_dir) — see _SHINGLE_CACHE."""
+    cache_key = (id(spark), sf_dir)
+    if stage and doc_filter is None and cache_key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[cache_key]
     d = wide_table(spark, sf_dir, "documents")
     if doc_filter is not None:
         d = d.filter(doc_filter)
@@ -231,6 +242,8 @@ def shingle_classes(
     )
     if stage:
         classes = classes.localCheckpoint(eager=False)
+    if stage and doc_filter is None:
+        _SHINGLE_CACHE[cache_key] = (doc_map, classes)
     return doc_map, classes
 
 
