@@ -767,6 +767,168 @@ def snk_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_STREAM_ORACLE = f"""
+WITH cdc AS (
+  SELECT event_id AS sequence,
+         {_DML_CASE_SQL} AS dml_type,
+         user_id AS pk, value,
+         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+  FROM events
+), images AS (
+  SELECT pk, sequence, value, ts_unix
+  FROM cdc WHERE dml_type IN ('insert', 'update_after')
+)
+SELECT pk, sequence, value,
+       ts_unix AS valid_from,
+       lead(ts_unix) OVER (PARTITION BY pk ORDER BY sequence) AS valid_to
+FROM images
+"""
+
+
+@register("str_cdc_scd2_stream", _SCD2_STREAM_ORACLE)
+def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained CONTINUOUSLY on the stream — the
+    streaming member of the SCD2 family (cdc_scd2 full build,
+    cdc_scd2_merge_history one-batch incremental; this runs the merge
+    per MICRO-BATCH against durable state): closed interval rows
+    append to an immutable parquet log; the per-pk OPEN interval lives
+    in a ManifestedUpsertSink (replace-by-pk + durable manifest — the
+    same machinery, reused because an open row IS per-key latest
+    state).  Each batch: close the stored open rows its pks touch at
+    the batch's first image timestamp, append the batch's own interior
+    intervals, replace the open rows with the batch's last images.
+
+    Ordering: interval maintenance is order-SENSITIVE, so the source
+    is staged with stage_as_stream_sequenced (range-split on sequence,
+    ascending mtimes, maxFilesPerTrigger=1) — the reference's in-order
+    delivery contract (client.go:219-251), reproduced batch-exactly;
+    arbitrary interleaving would instead route through
+    cdc_out_of_order_audit's watermark machinery.
+
+    Exactly-once: the open-row half inherits the manifest sink's
+    crash-window guarantees; the closed-row half is at-least-once
+    append of DETERMINISTIC rows keyed (pk, sequence) — replay writes
+    byte-identical rows, and the guard `open.sequence < batch's first
+    sequence per pk` keeps a replayed batch from re-closing its own
+    opens — so the final distinct() is exact dedup, not masking.
+
+    Oracle: the full batch SCD2 over the whole log — streaming
+    maintenance must equal it bit-for-bit, open rows as NULL
+    valid_to."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream_sequenced(
+        ev, "event_id", n_batches=4, cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=1)
+
+    closed_dir = _mkdtemp(prefix="scd2_closed_")
+    open_sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="scd2_open_"))
+    wrote_closed = {"any": False}
+
+    def merge_history(batch_df: DataFrame, epoch_id: int) -> None:
+        imgs = batch_df.filter(
+            F.col("event_type").isin("signup", "purchase", "click")
+        ).select(
+            F.col("user_id").alias("pk"),
+            F.col("event_id").alias("sequence"),
+            "value",
+            F.unix_timestamp("ts").alias("ts_unix"),
+        )
+        imgs = imgs.localCheckpoint(eager=True)  # consumed 3× below
+        if imgs.isEmpty():
+            return
+        w = W.partitionBy("pk").orderBy("sequence")
+        iv = imgs.select(
+            "pk",
+            "sequence",
+            "value",
+            F.col("ts_unix").alias("valid_from"),
+            F.lead("ts_unix").over(w).alias("valid_to"),
+        )
+        firsts = imgs.groupBy("pk").agg(
+            F.min("sequence").alias("first_seq"),
+            F.min_by("ts_unix", "sequence").alias("first_ts"),
+        )
+        closed_parts = [iv.filter(F.col("valid_to").isNotNull())]
+        state = open_sink.state()
+        if state is not None:
+            closed_parts.append(
+                state.join(F.broadcast(firsts), "pk")
+                # replay guard: a re-delivered batch must not close the
+                # open rows it itself installed
+                .filter(F.col("sequence") < F.col("first_seq"))
+                .select(
+                    "pk",
+                    "sequence",
+                    "value",
+                    "valid_from",
+                    F.col("first_ts").alias("valid_to"),
+                )
+            )
+        closed = closed_parts[0]
+        for c in closed_parts[1:]:
+            closed = closed.unionByName(c)
+        closed.write.mode("append").parquet(closed_dir)
+        wrote_closed["any"] = True
+        opens = (
+            imgs.groupBy("pk")
+            .agg(
+                F.max("sequence").alias("sequence"),
+                F.max_by("value", "sequence").alias("value"),
+                F.max_by("ts_unix", "sequence").alias("valid_from"),
+            )
+        )
+        open_sink.merge(opens, epoch_id)
+
+    ckpt = _mkdtemp(prefix="scd2_ckpt_")
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge_history)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+
+    parts = []
+    if wrote_closed["any"]:
+        parts.append(
+            spark.read.parquet(closed_dir).select(
+                "pk", "sequence", "value", "valid_from", "valid_to"
+            )
+        )
+    state = open_sink.state()
+    if state is not None:
+        parts.append(
+            state.select(
+                "pk",
+                "sequence",
+                "value",
+                "valid_from",
+                F.lit(None).cast("long").alias("valid_to"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "pk bigint, sequence bigint, value double, "
+            "valid_from bigint, valid_to bigint",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 @register("str_cdc_upsert_restart", _UPSERT_STATE_ORACLE)
 def str_cdc_upsert_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop()/resume for the MERGE SINK ITSELF (the r6 verdict's

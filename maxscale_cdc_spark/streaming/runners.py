@@ -68,6 +68,48 @@ def stage_as_stream_ordered(df: DataFrame, late: Column) -> str:
     return flat
 
 
+def stage_as_stream_sequenced(
+    df: DataFrame,
+    order_col: str,
+    n_batches: int = 4,
+    cache_key: str | None = None,
+) -> str:
+    """Stage `df` as `n_batches` files RANGE-SPLIT on `order_col` with
+    strictly increasing mtimes: the file source processes oldest-first,
+    so with maxFilesPerTrigger=1 the stream replays as `n_batches`
+    micro-batches whose `order_col` ranges are disjoint and ascending —
+    the in-order delivery contract of the reference socket
+    (client.go:219-251), reproduced batch-exactly.  Order-SENSITIVE
+    stateful consumers (interval maintenance, SCD2) need this; the
+    order-free aggregates keep using stage_as_stream."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    key = f"seq:{cache_key}:{order_col}:{n_batches}" if cache_key else None
+    if key is not None and key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    flat = _mkdtemp(prefix="cdc_stream_")
+    ranked = df.withColumn(
+        "__b", _F.ntile(n_batches).over(_W.orderBy(order_col))
+    )
+    i = 0
+    for b in range(1, n_batches + 1):
+        sub = _mkdtemp(prefix="cdc_stage_part_")
+        ranked.filter(_F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"part-{i:05d}.parquet")
+                shutil.copy(os.path.join(sub, f), dst)
+                os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+                i += 1
+        shutil.rmtree(sub)
+    if key is not None:
+        _STAGE_CACHE[key] = flat
+    return flat
+
+
 def read_stream(
     spark: SparkSession,
     staged_dir: str,
