@@ -194,7 +194,7 @@ _HEAVY = {
     # round-7 sink-manifest restart lifecycle (two streaming runs) and
     # the measure-then-stream closure (batch lineage + streaming run):
     "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
-    "snk_upsert_compact", "str_cdc_scd2_stream",
+    "snk_upsert_compact", "str_cdc_scd2_stream", "str_cdc_scd2_restart",
 }
 
 

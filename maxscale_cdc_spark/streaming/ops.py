@@ -785,54 +785,46 @@ FROM images
 """
 
 
-@register("str_cdc_scd2_stream", _SCD2_STREAM_ORACLE)
-def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 history maintained CONTINUOUSLY on the stream — the
-    streaming member of the SCD2 family (cdc_scd2 full build,
-    cdc_scd2_merge_history one-batch incremental; this runs the merge
-    per MICRO-BATCH against durable state): closed interval rows
-    append to an immutable parquet log; the per-pk OPEN interval lives
-    in a ManifestedUpsertSink (replace-by-pk + durable manifest — the
-    same machinery, reused because an open row IS per-key latest
-    state).  Each batch: close the stored open rows its pks touch at
-    the batch's first image timestamp, append the batch's own interior
-    intervals, replace the open rows with the batch's last images.
+class Scd2HistorySink:
+    """Durable SCD2 history target for a change stream, built from two
+    primitives this engine already proves: closed interval rows append
+    to an IMMUTABLE parquet log under <root>/closed, and the per-pk
+    OPEN interval rides a ManifestedUpsertSink under <root>/open (an
+    open row IS per-key latest state, so the replace-by-pk merge + the
+    durable bucket manifest apply unchanged).  A process restart
+    recovers by constructing a fresh object over the same root: the
+    closed log is already on disk, the open sink rebuilds from its
+    manifest.
 
-    Ordering: interval maintenance is order-SENSITIVE, so the source
-    is staged with stage_as_stream_sequenced (range-split on sequence,
-    ascending mtimes, maxFilesPerTrigger=1) — the reference's in-order
-    delivery contract (client.go:219-251), reproduced batch-exactly;
-    arbitrary interleaving would instead route through
-    cdc_out_of_order_audit's watermark machinery.
+    Exactly-once: the open half inherits the manifest sink's crash
+    windows; the closed half is at-least-once append of DETERMINISTIC
+    rows keyed (pk, sequence) — a replayed batch writes byte-identical
+    rows, and the `open.sequence < batch first sequence` guard keeps
+    it from re-closing its own opens — so history()'s distinct() is
+    exact dedup, not masking.
 
-    Exactly-once: the open-row half inherits the manifest sink's
-    crash-window guarantees; the closed-row half is at-least-once
-    append of DETERMINISTIC rows keyed (pk, sequence) — replay writes
-    byte-identical rows, and the guard `open.sequence < batch's first
-    sequence per pk` keeps a replayed batch from re-closing its own
-    opens — so the final distinct() is exact dedup, not masking.
+    Ordering contract: interval maintenance is order-SENSITIVE; feed
+    it in-order micro-batches (stage_as_stream_sequenced — the
+    reference socket's delivery order, client.go:219-251)."""
 
-    Oracle: the full batch SCD2 over the whole log — streaming
-    maintenance must equal it bit-for-bit, open rows as NULL
-    valid_to."""
-    from maxscale_cdc_spark.streaming.runners import (
-        _few_state_partitions,
-        _release_stream_state,
-        stage_as_stream_sequenced,
-    )
-    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+    def __init__(self, spark: SparkSession, root: str):
+        import os
 
-    ev = table(spark, sf_dir, "events")
-    staged = stage_as_stream_sequenced(
-        ev, "event_id", n_batches=4, cache_key=f"events:{sf_dir}"
-    )
-    stream = read_stream(spark, staged, max_files_per_trigger=1)
+        self.spark = spark
+        self.closed_dir = os.path.join(root, "closed")
+        os.makedirs(self.closed_dir, exist_ok=True)
+        self.open_sink = ManifestedUpsertSink(spark, os.path.join(root, "open"))
 
-    closed_dir = _mkdtemp(prefix="scd2_closed_")
-    open_sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="scd2_open_"))
-    wrote_closed = {"any": False}
+    def _has_closed(self) -> bool:
+        import os
 
-    def merge_history(batch_df: DataFrame, epoch_id: int) -> None:
+        return any(n.endswith(".parquet") for n in os.listdir(self.closed_dir))
+
+    def merge(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Apply one in-order micro-batch of raw events: close stored
+        open rows at the batch's first image timestamp, append the
+        batch's interior intervals, replace opens with its last
+        images."""
         imgs = batch_df.filter(
             F.col("event_type").isin("signup", "purchase", "click")
         ).select(
@@ -841,7 +833,7 @@ def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.unix_timestamp("ts").alias("ts_unix"),
         )
-        imgs = imgs.localCheckpoint(eager=True)  # consumed 3× below
+        imgs = imgs.localCheckpoint(eager=True)  # consumed 3x below
         if imgs.isEmpty():
             return
         w = W.partitionBy("pk").orderBy("sequence")
@@ -856,10 +848,10 @@ def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sequence").alias("first_seq"),
             F.min_by("ts_unix", "sequence").alias("first_ts"),
         )
-        closed_parts = [iv.filter(F.col("valid_to").isNotNull())]
-        state = open_sink.state()
+        closed = iv.filter(F.col("valid_to").isNotNull())
+        state = self.open_sink.state()
         if state is not None:
-            closed_parts.append(
+            closed = closed.unionByName(
                 state.join(F.broadcast(firsts), "pk")
                 # replay guard: a re-delivered batch must not close the
                 # open rows it itself installed
@@ -872,61 +864,146 @@ def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("first_ts").alias("valid_to"),
                 )
             )
-        closed = closed_parts[0]
-        for c in closed_parts[1:]:
-            closed = closed.unionByName(c)
-        closed.write.mode("append").parquet(closed_dir)
-        wrote_closed["any"] = True
-        opens = (
-            imgs.groupBy("pk")
-            .agg(
-                F.max("sequence").alias("sequence"),
-                F.max_by("value", "sequence").alias("value"),
-                F.max_by("ts_unix", "sequence").alias("valid_from"),
-            )
+        closed.write.mode("append").parquet(self.closed_dir)
+        opens = imgs.groupBy("pk").agg(
+            F.max("sequence").alias("sequence"),
+            F.max_by("value", "sequence").alias("value"),
+            F.max_by("ts_unix", "sequence").alias("valid_from"),
         )
-        open_sink.merge(opens, epoch_id)
+        self.open_sink.merge(opens, epoch_id)
 
-    ckpt = _mkdtemp(prefix="scd2_ckpt_")
+    def history(self) -> DataFrame:
+        """The full SCD2 table: closed log ∪ open rows (NULL valid_to)."""
+        parts = []
+        if self._has_closed():
+            parts.append(
+                self.spark.read.parquet(self.closed_dir).select(
+                    "pk", "sequence", "value", "valid_from", "valid_to"
+                )
+            )
+        state = self.open_sink.state()
+        if state is not None:
+            parts.append(
+                state.select(
+                    "pk",
+                    "sequence",
+                    "value",
+                    "valid_from",
+                    F.lit(None).cast("long").alias("valid_to"),
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                "pk bigint, sequence bigint, value double, "
+                "valid_from bigint, valid_to bigint",
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()
+
+
+def _run_scd2_stream(spark: SparkSession, src: str, sink: Scd2HistorySink,
+                     ckpt: str) -> None:
+    from maxscale_cdc_spark.streaming.runners import _few_state_partitions
+
+    stream = read_stream(spark, src, max_files_per_trigger=1)
     with _few_state_partitions(spark):
         q = (
             stream.writeStream.outputMode("append")
-            .foreachBatch(merge_history)
+            .foreachBatch(sink.merge)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    _release_stream_state(spark)
 
-    parts = []
-    if wrote_closed["any"]:
-        parts.append(
-            spark.read.parquet(closed_dir).select(
-                "pk", "sequence", "value", "valid_from", "valid_to"
-            )
-        )
-    state = open_sink.state()
-    if state is not None:
-        parts.append(
-            state.select(
-                "pk",
-                "sequence",
-                "value",
-                "valid_from",
-                F.lit(None).cast("long").alias("valid_to"),
-            )
-        )
-    if not parts:
-        return spark.createDataFrame(
-            [],
-            "pk bigint, sequence bigint, value double, "
-            "valid_from bigint, valid_to bigint",
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+
+@register("str_cdc_scd2_stream", _SCD2_STREAM_ORACLE)
+def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained CONTINUOUSLY on the stream — the
+    streaming member of the SCD2 family (cdc_scd2 full build,
+    cdc_scd2_lookup point-in-time, cdc_scd2_merge_history one-batch
+    incremental; this runs the merge per MICRO-BATCH against durable
+    state — see Scd2HistorySink).  The source is staged in sequence
+    order (stage_as_stream_sequenced, maxFilesPerTrigger=1); the
+    oracle is the full batch SCD2 over the whole log, so streaming
+    maintenance must equal it bit-for-bit."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream_sequenced(
+        ev, "event_id", n_batches=4, cache_key=f"events:{sf_dir}"
+    )
+    sink = Scd2HistorySink(spark, _mkdtemp(prefix="scd2_hist_"))
+    _run_scd2_stream(spark, staged, sink, _mkdtemp(prefix="scd2_ckpt_"))
+    _release_stream_state(spark)
+    return sink.history()
+
+
+@register("str_cdc_scd2_restart", _SCD2_STREAM_ORACLE)
+def str_cdc_scd2_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop()/resume for the STREAMING SCD2 pipeline: the first run
+    consumes the lower half of the sequence range and dies (the sink
+    OBJECT is discarded — nothing survives but the closed log, the
+    open sink's manifest, and the checkpoint); the second run
+    constructs a fresh Scd2HistorySink over the same root, recovers
+    the open rows from the manifest, and continues interval
+    maintenance over the upper half.  The recovered history must equal
+    the batch SCD2 over the FULL log — closing intervals correctly
+    ACROSS the process boundary (an open row installed before the
+    crash is closed by the first post-restart image).  Reference
+    contract: client.go:166-181 Stop(), client_test.go:169-266."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("div(max(event_id), 2)").alias("c")).collect()[0]["c"]
+    src = _mkdtemp(prefix="scd2_restart_src_")
+    ckpt = _mkdtemp(prefix="scd2_restart_ckpt_")
+    root = _mkdtemp(prefix="scd2_restart_hist_")
+
+    import os as _os
+    import shutil as _shutil
+
+    def land(half: DataFrame, idx: int) -> None:
+        # one sequence-ordered file per landing, mtime after the prior
+        # half so the file source keeps delivery order (batch staging
+        # is per-run here — a growing dir, not the cached replay set)
+        tmp = _mkdtemp(prefix="scd2_restart_part_")
+        half.orderBy("event_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+        i = 0
+        for f in sorted(_os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = _os.path.join(src, f"part-{idx}-{i:05d}.parquet")
+                _shutil.copy(_os.path.join(tmp, f), dst)
+                _os.utime(dst, (1_000_000_000 + idx, 1_000_000_000 + idx))
+                i += 1
+        _shutil.rmtree(tmp)
+
+    # phase 1: lower half lands; first sink object consumes it and dies
+    land(ev.filter(F.col("event_id") <= cut), 0)
+    sink1 = Scd2HistorySink(spark, root)
+    _run_scd2_stream(spark, src, sink1, ckpt)
+    committed = dict(sink1.open_sink.gen_of)
+    del sink1  # process death: only disk survives
+
+    # phase 2: upper half lands AFTER the stop; a fresh sink recovers
+    land(ev.filter(F.col("event_id") > cut), 1)
+    sink2 = Scd2HistorySink(spark, root)
+    if sink2.open_sink.gen_of != committed:
+        raise RuntimeError("open-sink manifest recovery diverged")
+    _run_scd2_stream(spark, src, sink2, ckpt)
+    _release_stream_state(spark)
+    return sink2.history()
 
 
 @register("str_cdc_upsert_restart", _UPSERT_STATE_ORACLE)
