@@ -2272,3 +2272,168 @@ def cdc_delete_ratio_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deletes",
         (F.col("n_deletes") * 5 > F.col("n_events")).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_schema_compat — schema-version COMPATIBILITY audit over the DDL
+# registry: for each consecutive version pair of each table, the field
+# delta (added / added-required / dropped / retyped) and the resulting
+# compatibility class — 'backward' when the new version only adds
+# nullable fields (old readers keep working, the Avro evolution rule
+# the reference's versioned DDL stream implies, event.go:35-40),
+# 'breaking' when a field is dropped, retyped, or added non-nullable.
+# The governance gate in front of cdc_schema_evolution's mechanics:
+# evolution tells you WHAT changed, this tells you whether consumers
+# survive it.  Spark computes from the DECODED wire fixtures (the real
+# polymorphic-field decode path, schema_registry.py); the oracle
+# recomputes from the registry VALUES — same certification shape as
+# cdc_schema_registry.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_schema_compat",
+    """
+    WITH reg AS (
+      SELECT * FROM (VALUES
+        ('test', 'tests', 1, 'id',    0, 'int',    TRUE),
+        ('test', 'tests', 2, 'id',    0, 'int',    TRUE),
+        ('test', 'tests', 2, 'name',  1, 'string', TRUE),
+        ('test', 'tests', 2, 'flags', 2, 'bigint', TRUE),
+        ('test', 'tests', 2, 'state', 3, 'string', FALSE)
+      ) AS t(database_name, table_name, version, field_name, field_pos, spark_type, nullable)
+    ), vers AS (
+      SELECT DISTINCT database_name, table_name, version FROM reg
+    ), pairs AS (
+      SELECT v1.database_name, v1.table_name,
+             v1.version AS v_from, v2.version AS v_to
+      FROM vers v1 JOIN vers v2
+        ON v1.database_name = v2.database_name
+       AND v1.table_name = v2.table_name
+       AND v2.version = v1.version + 1
+    ), olds AS (
+      SELECT p.*, r.field_name, r.spark_type
+      FROM pairs p JOIN reg r
+        ON r.database_name = p.database_name
+       AND r.table_name = p.table_name AND r.version = p.v_from
+    ), news AS (
+      SELECT p.*, r.field_name, r.spark_type, r.nullable
+      FROM pairs p JOIN reg r
+        ON r.database_name = p.database_name
+       AND r.table_name = p.table_name AND r.version = p.v_to
+    ), deltas AS (
+      SELECT p.database_name, p.table_name, p.v_from, p.v_to,
+        CAST((SELECT count(*) FROM news n
+              WHERE n.database_name = p.database_name AND n.table_name = p.table_name
+                AND n.v_from = p.v_from
+                AND NOT EXISTS (SELECT 1 FROM olds o
+                                WHERE o.database_name = n.database_name
+                                  AND o.table_name = n.table_name
+                                  AND o.v_from = n.v_from
+                                  AND o.field_name = n.field_name)) AS BIGINT) AS n_added,
+        CAST((SELECT count(*) FROM news n
+              WHERE n.database_name = p.database_name AND n.table_name = p.table_name
+                AND n.v_from = p.v_from AND NOT n.nullable
+                AND NOT EXISTS (SELECT 1 FROM olds o
+                                WHERE o.database_name = n.database_name
+                                  AND o.table_name = n.table_name
+                                  AND o.v_from = n.v_from
+                                  AND o.field_name = n.field_name)) AS BIGINT) AS n_added_required,
+        CAST((SELECT count(*) FROM olds o
+              WHERE o.database_name = p.database_name AND o.table_name = p.table_name
+                AND o.v_from = p.v_from
+                AND NOT EXISTS (SELECT 1 FROM news n
+                                WHERE n.database_name = o.database_name
+                                  AND n.table_name = o.table_name
+                                  AND n.v_from = o.v_from
+                                  AND n.field_name = o.field_name)) AS BIGINT) AS n_dropped,
+        CAST((SELECT count(*) FROM olds o JOIN news n
+              ON n.database_name = o.database_name AND n.table_name = o.table_name
+             AND n.v_from = o.v_from AND n.field_name = o.field_name
+             AND n.spark_type <> o.spark_type
+              WHERE o.database_name = p.database_name
+                AND o.table_name = p.table_name AND o.v_from = p.v_from) AS BIGINT) AS n_retyped
+      FROM pairs p
+    )
+    SELECT database_name, table_name,
+           CAST(v_from AS BIGINT) AS v_from, CAST(v_to AS BIGINT) AS v_to,
+           n_added, n_added_required, n_dropped, n_retyped,
+           CASE WHEN n_dropped + n_retyped + n_added_required > 0
+                THEN 'breaking' ELSE 'backward' END AS compat
+    FROM deltas
+    """,
+)
+def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-version field deltas + compatibility class from the
+    decoded DDL registry (see block comment)."""
+    reg = cdc_schema_registry(spark, sf_dir)
+    vers = reg.select("database_name", "table_name", "version").distinct()
+    v1, v2 = vers.alias("v1"), vers.alias("v2")
+    pairs = v1.join(
+        v2,
+        (F.col("v1.database_name") == F.col("v2.database_name"))
+        & (F.col("v1.table_name") == F.col("v2.table_name"))
+        & (F.col("v2.version") == F.col("v1.version") + 1),
+    ).select(
+        F.col("v1.database_name").alias("database_name"),
+        F.col("v1.table_name").alias("table_name"),
+        F.col("v1.version").alias("v_from"),
+        F.col("v2.version").alias("v_to"),
+    )
+    olds = pairs.join(
+        reg.select(
+            "database_name", "table_name",
+            F.col("version").alias("v_from"),
+            "field_name", F.col("spark_type").alias("t_old"),
+        ),
+        ["database_name", "table_name", "v_from"],
+    )
+    news = pairs.join(
+        reg.select(
+            "database_name", "table_name",
+            F.col("version").alias("v_to"),
+            "field_name", F.col("spark_type").alias("t_new"), "nullable",
+        ),
+        ["database_name", "table_name", "v_to"],
+    )
+    keys = ["database_name", "table_name", "v_from", "v_to", "field_name"]
+    both = olds.join(news, keys, "full")
+    delta = both.groupBy("database_name", "table_name", "v_from", "v_to").agg(
+        F.sum(F.when(F.col("t_old").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(
+            F.when(F.col("t_old").isNull() & ~F.col("nullable"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_added_required"),
+        F.sum(F.when(F.col("t_new").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(
+            F.when(
+                F.col("t_old").isNotNull()
+                & F.col("t_new").isNotNull()
+                & (F.col("t_old") != F.col("t_new")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retyped"),
+    )
+    return delta.select(
+        "database_name",
+        "table_name",
+        F.col("v_from").cast("long").alias("v_from"),
+        F.col("v_to").cast("long").alias("v_to"),
+        "n_added",
+        "n_added_required",
+        "n_dropped",
+        "n_retyped",
+        F.when(
+            F.col("n_dropped") + F.col("n_retyped") + F.col("n_added_required")
+            > 0,
+            "breaking",
+        )
+        .otherwise("backward")
+        .alias("compat"),
+    )
