@@ -2238,24 +2238,40 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     80% cutover): new-vs-old and new-vs-new, with the cross-batch flag
     exported.  See block comment for the signature-store design; the
     oracle is the unbounded batch definition filtered to batch pairs,
-    certifying that incremental == full-run-restricted exactly."""
-    d = wide_table(spark, sf_dir, "documents")
-    cut = d.agg(F.expr("div(max(doc_id) * 4, 5)").alias("c"))
-    base = d.filter(F.size(words("text")) >= 2).select(
-        "doc_id", F.array_distinct(word_bigrams(words("text"))).alias("shs")
-    )
-    sigs = base.select(
-        "doc_id", *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K)]
-    ).join(F.broadcast(cut))
-    # the signature STORE: old rows staged once (written at their own
-    # ingest time in production), new rows computed this batch
-    old_sigs = sigs.filter(F.col("doc_id") <= F.col("c")).drop("c")
-    old_sigs = old_sigs.localCheckpoint(eager=False)
-    new_sigs = sigs.filter(F.col("doc_id") > F.col("c")).drop("c")
+    certifying that incremental == full-run-restricted exactly.
 
-    def bands_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
+    CLASS-COLLAPSED on both sides (the same shingle_classes lineage as
+    the batch trio): k identical OLD docs contribute ONE stored class
+    row, so a colliding new doc verifies once and expands to k true
+    pairs — without the collapse, duplicate-heavy old corpora (the CDC
+    replay norm) re-inflate the band join with k copies of every
+    false-positive candidate too.  The band join is driven by the NEW
+    side (a.rep < b.rep with b restricted to new classes; old reps are
+    always smaller, so old-vs-new orientation is automatic and old×old
+    never forms); intra-NEW exact classes add their closed-form member
+    pairs (candidates in every config, Jaccard exactly 1); intra-OLD
+    pairs were reported when THEIR batch arrived."""
+    d = wide_table(spark, sf_dir, "documents")
+    cut = int(
+        d.agg(F.expr("div(max(doc_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    # the signature STORE: old classes staged once (written at their own
+    # ingest in production), new classes computed this batch.  Same-
+    # content classes exist on BOTH sides as separate rows (ckey equal),
+    # so member expansion is side-qualified.
+    old_map, old_classes = shingle_classes(
+        spark, sf_dir, doc_filter=F.col("doc_id") <= cut
+    )
+    new_map, new_classes = shingle_classes(
+        spark, sf_dir, doc_filter=F.col("doc_id") > cut
+    )
+
+    def banded(classes: DataFrame, side: str) -> DataFrame:
+        return classes.select(
+            F.concat(F.lit(side), "ckey").alias("skey"),
+            "rep",
+            "shs",
+            "sz",
             F.explode(
                 F.array(
                     F.struct(
@@ -2268,44 +2284,89 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("bk"),
-        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        ).select(
+            "skey", "rep", "shs", "sz",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
 
-    all_bands = bands_of(old_sigs).unionByName(bands_of(new_sigs))
-    new_bands = bands_of(new_sigs)
+    all_bands = banded(old_classes, "o").unionByName(banded(new_classes, "n"))
+    new_bands = banded(new_classes, "n")
     a, b = all_bands.alias("a"), new_bands.alias("b")
-    cand = (
+    # class-pair candidates: b is a NEW class; a.rep < b.rep keeps
+    # new-new pairs unique and admits every old-vs-new pair (old reps
+    # are <= cut < new reps by construction)
+    cpairs = (
         a.join(
             b,
             (F.col("a.key") == F.col("b.key"))
             & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.skey").alias("skey_a"),
+            F.col("b.skey").alias("skey_b"),
+        )
         .distinct()
     )
-    sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    inter = (
-        cand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
-            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+    csets = (
+        old_classes.select(
+            F.concat(F.lit("o"), "ckey").alias("skey"), "shs", "sz"
+        )
+        .unionByName(
+            new_classes.select(
+                F.concat(F.lit("n"), "ckey").alias("skey"), "shs", "sz"
+            )
         )
     )
-    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
-    return (
-        inter.filter(jac >= _JACCARD_MIN)
-        .join(F.broadcast(cut))
+    sa = csets.select(
+        F.col("skey").alias("skey_a"), F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = csets.select(
+        F.col("skey").alias("skey_b"), F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ver = (
+        cpairs.join(sa, "skey_a")
+        .join(sb, "skey_b")
         .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            jac.alias("jaccard"),
-            (F.col("doc_a") > F.col("c")).alias("new_vs_new"),
+            "skey_a",
+            "skey_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.col("sz_a") + F.col("sz_b")).cast("long").alias("sz_sum"),
         )
+    )
+    jac_c = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    dup = ver.filter(jac_c >= _JACCARD_MIN)
+    members = (
+        old_map.select(F.concat(F.lit("o"), "ckey").alias("skey"), "doc_id")
+        .unionByName(
+            new_map.select(F.concat(F.lit("n"), "ckey").alias("skey"), "doc_id")
+        )
+    )
+    ma = members.select(F.col("skey").alias("skey_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("skey").alias("skey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        dup.join(ma, "skey_a")
+        .join(mb, "skey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "sz_sum",
+        )
+    )
+    # intra-NEW exact classes: identical signatures collide everywhere,
+    # Jaccard exactly 1 — closed-form member pairs
+    intra = _intra_class_pairs(new_map, new_classes)
+    pairs = cross.unionByName(intra)
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        jac.alias("jaccard"),
+        (F.col("doc_a") > cut).alias("new_vs_new"),
     )
 
 
