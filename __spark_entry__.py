@@ -182,8 +182,8 @@ _HEAVY = {
     "str_topk_windowed", "str_cdc_apply", "str_cdc_upsert_e2e",
     "str_distinct_windowed",
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
-    # runs the full CC closure (llm_dedup_cluster) inside:
-    "llm_dedup_savings",
+    # run the full CC closure (llm_dedup_cluster) inside:
+    "llm_dedup_savings", "llm_dedup_cluster_profile",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",
     # K=16 staged iterations (16 small sequential jobs each):

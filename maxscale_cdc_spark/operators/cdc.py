@@ -2437,3 +2437,83 @@ def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("backward")
         .alias("compat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_diff — TABLE DIFF between two stream positions: the
+# reconciliation every warehouse runs ("what changed between
+# yesterday's load and today's?") expressed against the log — state at
+# the 60% GTID position vs state at the head, full-outer-joined on pk,
+# classified added / removed / changed / unchanged.  Replaying the log
+# twice is the SPEC; the plan computes both states from ONE pk-keyed
+# shuffle (a single window over the full log yields head state, a
+# second rank restricted to ≤cutoff yields the historical state —
+# same exchange, no second scan).
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = f"""
+{CDC_SQL}
+, cut AS (SELECT (max(sequence) * 3) // 5 AS cutoff FROM cdc),
+  head AS (
+    SELECT pk, value FROM (
+      SELECT pk, value, dml_type,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc
+    ) WHERE rn = 1 AND dml_type <> 'delete'
+  ),
+  old AS (
+    SELECT pk, value FROM (
+      SELECT pk, value, dml_type,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc, cut WHERE sequence <= cutoff
+    ) WHERE rn = 1 AND dml_type <> 'delete'
+  ),
+  diff AS (
+    SELECT coalesce(h.pk, o.pk) AS pk,
+           CASE WHEN o.pk IS NULL THEN 'added'
+                WHEN h.pk IS NULL THEN 'removed'
+                WHEN h.value <> o.value THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM head h FULL JOIN old o ON h.pk = o.pk
+  )
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+FROM diff GROUP BY change_type
+"""
+
+
+@register("cdc_snapshot_diff", _SNAPDIFF_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed/changed/unchanged key counts between the 60%
+    stream position and the head (see block comment)."""
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
+    base = cdc.join(F.broadcast(cut)).select(
+        "pk", "sequence", "dml_type", "value",
+        (F.col("sequence") <= F.col("cutoff")).alias("in_old"),
+    )
+    w_all = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    # one pk partitioning serves both ranks: rn over the full log and
+    # rn over the ≤cutoff prefix (count of later in-prefix events + 1)
+    ranked = base.select(
+        "pk", "dml_type", "value", "in_old",
+        F.row_number().over(w_all).alias("rn_head"),
+        F.sum(F.when(F.col("in_old"), 1).otherwise(0))
+        .over(w_all.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("rn_old_if"),
+    )
+    head = ranked.filter(
+        (F.col("rn_head") == 1) & (F.col("dml_type") != "delete")
+    ).select("pk", F.col("value").alias("v_head"))
+    old = ranked.filter(
+        F.col("in_old") & (F.col("rn_old_if") == 1) & (F.col("dml_type") != "delete")
+    ).select("pk", F.col("value").alias("v_old"))
+    diff = head.join(old, "pk", "full").select(
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_head").isNull(), "removed")
+        .when(F.col("v_head") != F.col("v_old"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )

@@ -2620,3 +2620,55 @@ def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_caught").cast("double") / F.col("n_exact"),
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_cluster_profile — the component-structure profile on top
+# of the cached fixed-point table: cluster-size histogram, per-size
+# doc mass, and the share that are singletons vs the largest class —
+# the numbers that decide whether dedup output needs the transitive
+# closure at all (mostly 2-cliques) or hits the giant-component
+# pathology (one template page chaining half the corpus).  Composes
+# the REGISTERED llm_dedup_cluster (the _CLUSTER_CACHE makes this a
+# read of the staged component table).
+# ---------------------------------------------------------------------------
+
+_CLUSTER_PROFILE_ORACLE = (
+    _CLUSTER_ORACLE.rstrip()
+    .replace(
+        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+        """alldocs AS (
+    SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS rep
+    FROM documents d LEFT JOIN reps r USING (doc_id)
+  ),
+  sizes AS (
+    SELECT rep, CAST(count(*) AS BIGINT) AS csize
+    FROM alldocs GROUP BY rep
+  )
+SELECT csize AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(csize) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY csize""",
+    )
+)
+_CLUSTER_PROFILE_ORACLE = _CLUSTER_PROFILE_ORACLE.replace(
+    "  )\nalldocs AS (", "  ),\n  alldocs AS ("
+)
+
+
+@register("llm_dedup_cluster_profile", _CLUSTER_PROFILE_ORACLE)
+def llm_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components (singletons
+    included via the left join): one join against the cached component
+    table + two tiny aggs."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    lab = d.join(reps, "doc_id", "left").select(
+        F.coalesce("cluster_rep", "doc_id").alias("rep")
+    )
+    sizes = lab.groupBy("rep").agg(F.count("*").cast("long").alias("csize"))
+    return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("csize").cast("long").alias("n_docs"),
+    )
