@@ -103,3 +103,88 @@ def test_compact_gc_dirs_are_dead(spark):
     s2 = ManifestedUpsertSink(spark, root, n_buckets=4)
     assert _state_dict(s2) == before
     shutil.rmtree(root)
+
+
+# ---------------------------------------------------------------------------
+# Scd2HistorySink — interval-maintenance recovery semantics
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, value, ts_str)"""
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, value double, ts_ts string"
+    )
+    return df.select(
+        "event_id", "user_id", "event_type", "value",
+        F.to_timestamp("ts_ts").alias("ts"),
+    )
+
+
+def _hist_dict(sink):
+    return {
+        (r["pk"], r["sequence"]): (r["valid_from"], r["valid_to"])
+        for r in sink.history().collect()
+    }
+
+
+def test_scd2_sink_recovery_and_cross_boundary_close(spark):
+    """An open interval installed before 'process death' must be closed
+    by the first post-restart image — through a FRESH sink object."""
+    from maxscale_cdc_spark.streaming.ops import Scd2HistorySink
+
+    root = tempfile.mkdtemp(prefix="scd2sink_")
+    s1 = Scd2HistorySink(spark, root)
+    s1.merge(
+        _events(spark, [(1, 7, "signup", 1.0, "2024-01-01 00:00:10"),
+                        (2, 7, "click", 2.0, "2024-01-01 00:01:10")]),
+        0,
+    )
+    h1 = _hist_dict(s1)
+    assert h1[(7, 1)][1] is not None and h1[(7, 2)][1] is None
+    del s1  # process death
+
+    s2 = Scd2HistorySink(spark, root)
+    assert _hist_dict(s2) == h1  # pure disk recovery
+    s2.merge(
+        _events(spark, [(3, 7, "purchase", 3.0, "2024-01-01 00:02:10")]), 1
+    )
+    h2 = _hist_dict(s2)
+    # the pre-crash open row (seq 2) closed at seq 3's timestamp
+    assert h2[(7, 2)][1] == h2[(7, 3)][0]
+    assert h2[(7, 3)][1] is None
+    shutil.rmtree(root)
+
+
+def test_scd2_sink_replay_guard(spark):
+    """Re-delivering the same batch must not re-close the open rows it
+    itself installed (history unchanged after replay + distinct)."""
+    from maxscale_cdc_spark.streaming.ops import Scd2HistorySink
+
+    root = tempfile.mkdtemp(prefix="scd2sink_")
+    s = Scd2HistorySink(spark, root)
+    batch = _events(spark, [(1, 9, "signup", 1.0, "2024-01-01 00:00:10"),
+                            (2, 9, "click", 2.0, "2024-01-01 00:03:10")])
+    s.merge(batch, 0)
+    before = _hist_dict(s)
+    s.merge(batch, 0)  # the crash-replay
+    assert _hist_dict(s) == before
+    shutil.rmtree(root)
+
+
+def test_scd2_sink_ignores_delete_events(spark):
+    """view (update_before) and other (delete) event types carry no
+    image — they must not open or close intervals."""
+    from maxscale_cdc_spark.streaming.ops import Scd2HistorySink
+
+    root = tempfile.mkdtemp(prefix="scd2sink_")
+    s = Scd2HistorySink(spark, root)
+    s.merge(
+        _events(spark, [(1, 5, "signup", 1.0, "2024-01-01 00:00:10"),
+                        (2, 5, "other", 0.0, "2024-01-01 00:01:10"),
+                        (3, 5, "view", 0.0, "2024-01-01 00:02:10")]),
+        0,
+    )
+    h = _hist_dict(s)
+    assert set(h) == {(5, 1)} and h[(5, 1)][1] is None
+    shutil.rmtree(root)
