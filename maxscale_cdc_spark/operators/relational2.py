@@ -2187,3 +2187,72 @@ def rel_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   broadcast_parent=True)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_outlier_mad — row-level ROBUST outlier detection: flag rows more
+# than 3 MADs from their group median (the robust z-score — immune to
+# the outliers themselves, unlike stddev-based flags, which is the
+# whole point of using MAD as the scale estimate).  Two broadcast-back
+# passes over one group key, same as rel_agg_mad; the flag compares
+# doubles that are bit-identical cross-engine because median/MAD come
+# from the same interpolated-percentile values rel_agg_mad already
+# certifies and |x−m| / 3·mad are single IEEE ops on them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_outlier_mad",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, median(o_totalprice) AS m
+      FROM orders GROUP BY o_orderstatus
+    ), dev AS (
+      SELECT o.o_orderstatus, o.o_totalprice, med.m,
+             abs(o.o_totalprice - med.m) AS d
+      FROM orders o JOIN med USING (o_orderstatus)
+    ), mad AS (
+      SELECT o_orderstatus, median(d) AS mad FROM dev GROUP BY o_orderstatus
+    ), flagged AS (
+      SELECT dev.o_orderstatus, dev.o_totalprice,
+             dev.d > 3 * mad.mad AS is_outlier
+      FROM dev JOIN mad USING (o_orderstatus)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           max(CASE WHEN is_outlier THEN o_totalprice END) AS max_outlier_price
+    FROM flagged
+    GROUP BY o_orderstatus
+    """,
+)
+def rel_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status robust outlier counts at the 3-MAD fence (see block
+    comment)."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("m")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("d") > 3 * F.col("mad")).alias("is_outlier"),
+    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.max(F.when(F.col("is_outlier"), F.col("o_totalprice"))).alias(
+            "max_outlier_price"
+        ),
+    )
