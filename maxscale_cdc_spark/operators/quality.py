@@ -1766,3 +1766,72 @@ def llm_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deciled.groupBy("d_len", "d_div").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_chunk_dedup — dedup at the CHUNK level: fixed 64-char windows of
+# each document hashed to exact classes; a chunk whose hash occurs
+# more than once anywhere in the corpus is duplicated mass.  This
+# catches what DOC-level dedup (exact or near) structurally misses —
+# boilerplate headers/footers and templated passages shared between
+# otherwise-distinct documents — and is the granularity training-data
+# pipelines actually price ("what fraction of my TOKENS are repeated
+# content?").  Between llm_line_dedup (line granularity) and
+# llm_dup_span (pairwise shared spans): corpus-global, fixed-width,
+# one hash-keyed aggregation — no pairing at any scale.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+
+
+@register(
+    "llm_chunk_dedup",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, source,
+             md5(unnest(list_transform(
+               generate_series(0, CAST(ceil(length(text) / {_CHUNK_W}.0) AS INTEGER) - 1,
+                               1),
+               i -> substr(text, i * {_CHUNK_W} + 1, {_CHUNK_W})))) AS h
+      FROM documents WHERE length(text) > 0
+    ), freq AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n FROM chunks GROUP BY h
+    ), labeled AS (
+      SELECT c.doc_id, c.source, f.n > 1 AS dup
+      FROM chunks c JOIN freq f USING (h)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(count(DISTINCT CASE WHEN dup THEN doc_id END) AS BIGINT)
+             AS n_docs_with_dup
+    FROM labeled
+    GROUP BY source
+    """,
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-chunk mass over fixed 64-char windows (see
+    block comment): explode chunks, one hash-keyed frequency agg
+    joined back, one source agg."""
+    d = wide_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(text) / {_CHUNK_W}.0) AS INT) - 1), "
+                f"i -> md5(substr(text, i * {_CHUNK_W} + 1, {_CHUNK_W})))"
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").cast("long").alias("n"))
+    labeled = chunks.join(freq, "h").select(
+        "doc_id", "source", (F.col("n") > 1).alias("dup")
+    )
+    return labeled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.countDistinct(F.when(F.col("dup"), F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_with_dup"),
+    )
