@@ -2517,3 +2517,118 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n_keys")
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_value_drift — metric drift over the change stream: per epoch
+# day, the event count and EXACT mean value in integer micro-cents
+# (sum of cents × 100 // count — no double accumulation), plus the
+# day-over-day delta of that mean.  The payload-level companion to
+# cdc_pk_cardinality_drift's key-level monitoring: a step change in
+# the mean is an upstream unit change or backfill, the alarm every
+# metrics pipeline wants straight off the stream.
+# ---------------------------------------------------------------------------
+
+_VALUE_DRIFT_ORACLE = f"""
+{CDC_SQL}
+, ev AS (
+  SELECT CAST(ts_unix AS BIGINT) // 86400 AS day_num,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM cdc
+), daily AS (
+  SELECT day_num,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST((CAST(sum(cents) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS mean_microcents
+  FROM ev GROUP BY day_num
+)
+SELECT day_num, n_events, mean_microcents,
+       CAST(mean_microcents
+            - coalesce(lag(mean_microcents) OVER (ORDER BY day_num),
+                       mean_microcents) AS BIGINT) AS mean_delta
+FROM daily
+"""
+
+
+@register("cdc_value_drift", _VALUE_DRIFT_ORACLE)
+def cdc_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily exact integer-micro-cent mean + day-over-day delta: one
+    map-side-combinable agg + one O(days) window."""
+    cdc = cdc_view(spark, sf_dir)
+    ev = cdc.select(
+        F.expr("div(ts_unix, 86400)").alias("day_num"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("day_num").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("div(CAST(sum(cents) AS BIGINT) * 100, count(*))")
+        .cast("long")
+        .alias("mean_microcents"),
+    )
+    w = W.orderBy("day_num")
+    return daily.select(
+        "day_num",
+        "n_events",
+        "mean_microcents",
+        (
+            F.col("mean_microcents")
+            - F.coalesce(
+                F.lag("mean_microcents").over(w), F.col("mean_microcents")
+            )
+        )
+        .cast("long")
+        .alias("mean_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_heartbeat_gap — producer LIVENESS audit: the largest event-time
+# silence per stream partition (pk % 16, the consumer-group layout)
+# and the count of gaps above an alarm threshold (1 h).  A partition
+# whose max gap far exceeds the others has a stalled producer or a
+# broken route — the liveness alarm the reference's ordered channel
+# makes detectable (silence is observable exactly because delivery is
+# ordered, client.go:219-251).
+# ---------------------------------------------------------------------------
+
+_HEARTBEAT_ORACLE = f"""
+{CDC_SQL}
+, seq AS (
+  SELECT pk % 16 AS part, ts_unix,
+         lag(ts_unix) OVER (PARTITION BY pk % 16 ORDER BY ts_unix, sequence)
+           AS prev_ts
+  FROM cdc
+), gaps AS (
+  SELECT part, ts_unix - prev_ts AS gap_s
+  FROM seq WHERE prev_ts IS NOT NULL
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps_over_1h
+FROM gaps
+GROUP BY part
+"""
+
+
+@register("cdc_heartbeat_gap", _HEARTBEAT_ORACLE)
+def cdc_heartbeat_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max event-time silence + over-threshold gap counts per stream
+    partition: one keyed window + one map-side-combinable agg."""
+    cdc = cdc_view(spark, sf_dir)
+    part = (F.col("pk") % 16).alias("part")
+    w = W.partitionBy(F.col("pk") % 16).orderBy("ts_unix", "sequence")
+    seq = cdc.select(
+        part, "ts_unix", F.lag("ts_unix").over(w).alias("prev_ts")
+    )
+    gaps = seq.filter(F.col("prev_ts").isNotNull()).select(
+        "part", (F.col("ts_unix") - F.col("prev_ts")).alias("gap_s")
+    )
+    return gaps.groupBy(F.col("part").cast("long").alias("part")).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps_over_1h"),
+    )

@@ -2672,3 +2672,59 @@ def llm_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         F.sum("csize").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_syndication — SOURCE diversity of near-dup clusters: for
+# each component of the near-dup graph, how many distinct sources its
+# members span — then the histogram.  Multi-source clusters are
+# SYNDICATED content (the same article mirrored across sites), the
+# case where per-source dedup quotas silently double-count; clusters
+# confined to one source are internal republication.  Reads the cached
+# fixed-point table (llm_dedup_cluster) + one join to the doc→source
+# map; singletons count via the left join.
+# ---------------------------------------------------------------------------
+
+_SYNDICATION_ORACLE = (
+    _CLUSTER_ORACLE.rstrip()
+    .replace(
+        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+        """alldocs AS (
+    SELECT d.doc_id, d.source, coalesce(r.cluster_rep, d.doc_id) AS rep
+    FROM documents d LEFT JOIN reps r USING (doc_id)
+  ),
+  per_cluster AS (
+    SELECT rep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM alldocs GROUP BY rep
+  )
+SELECT n_sources,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM per_cluster
+GROUP BY n_sources""",
+    )
+)
+_SYNDICATION_ORACLE = _SYNDICATION_ORACLE.replace(
+    "  )\nalldocs AS (", "  ),\n  alldocs AS ("
+)
+
+
+@register("llm_dedup_syndication", _SYNDICATION_ORACLE)
+def llm_dedup_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup clusters by source span (see block
+    comment)."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = d.join(reps, "doc_id", "left").select(
+        F.coalesce("cluster_rep", "doc_id").alias("rep"), "source"
+    )
+    per_cluster = lab.groupBy("rep").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return per_cluster.groupBy("n_sources").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
