@@ -184,6 +184,7 @@ _HEAVY = {
     "llm_dedup_cluster", "llm_dedup_near", "llm_dedup_embed",
     # run the full CC closure (llm_dedup_cluster) inside:
     "llm_dedup_savings", "llm_dedup_cluster_profile",
+    "llm_dedup_syndication",
     "llm_dedup_simhash_pairs", "llm_sim_ivf", "llm_sim_ivf_probe",
     "mm_decode_stub",
     # K=16 staged iterations (16 small sequential jobs each):
