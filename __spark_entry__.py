@@ -51,6 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-7 sweep greens (CORRECTNESS_r07.json, all 50 — 31 new ids,
+    # 6 honest demotions re-certified, 13 re-certifications of ids
+    # already listed below), code unchanged since:
+    "cdc_delete_ratio_alarm", "cdc_heartbeat_gap",
+    "cdc_pk_cardinality_drift", "cdc_scd2_merge_history",
+    "cdc_schema_compat", "cdc_snapshot_diff", "cdc_txn_boundaries",
+    "cdc_value_drift", "llm_chunk_dedup", "llm_curriculum_order",
+    "llm_dedup_cluster", "llm_dedup_cluster_profile",
+    "llm_dedup_horizon_profile", "llm_dedup_incremental", "llm_dedup_near",
+    "llm_dedup_savings", "llm_dedup_syndication",
+    "llm_dedup_threshold_curve", "llm_ivf_nprobe_sweep_sampled",
+    "llm_lsh_recall_audit", "llm_lsh_tuning", "llm_lsh_tuning_sampled",
+    "llm_signal_agreement", "llm_token_budget_plan", "llm_word_entropy",
+    "mm_dedup_savings", "rel_ewma_dyadic", "rel_ivm_join",
+    "rel_outlier_mad", "rel_referential_integrity", "snk_upsert_compact",
+    "str_cdc_scd2_restart", "str_cdc_scd2_stream", "str_cdc_upsert_e2e",
+    "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
+    "str_dedup_near_windowed",
     # round-6 sweep greens (CORRECTNESS_r06.json, all 50 — 38 new ids,
     # 3 honest demotions re-certified, 9 re-certifications of ids
     # already listed below), code unchanged since:
@@ -154,20 +172,10 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-7 honest demotions: the banded-LSH family was rewritten with
-# exact-duplicate class collapse (the r6 verdict's #1 ask) — their r≤6
-# green rows no longer certify the current code.  Locally green at
-# sf0.001/0.01/0.1 before listing.
-_DEMOTED: set[str] = {
-    "llm_dedup_near", "llm_dedup_horizon_profile", "llm_lsh_tuning",
-    # rewritten through ManifestedUpsertSink (durable manifest):
-    "str_cdc_upsert_e2e",
-    # rewritten through the horizon-parameterized _nearwin_result:
-    "str_dedup_near_windowed",
-    # gained the (session, sf_dir) component cache (the _LEARN_CACHE
-    # pattern) so llm_dedup_savings reads instead of re-looping:
-    "llm_dedup_cluster",
-}
+# Round-8 honest demotions (round 7 closed fully certified; every id
+# listed here was rewritten this round and is locally green at
+# sf0.001/0.01/0.1 before listing).
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
