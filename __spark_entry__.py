@@ -64,7 +64,7 @@ _DRIVER_GREEN = {
     "llm_dedup_threshold_curve", "llm_ivf_nprobe_sweep_sampled",
     "llm_lsh_recall_audit", "llm_lsh_tuning", "llm_lsh_tuning_sampled",
     "llm_signal_agreement", "llm_token_budget_plan", "llm_word_entropy",
-    "mm_dedup_savings", "rel_ewma_dyadic", "rel_ivm_join",
+    "rel_ewma_dyadic", "rel_ivm_join",
     "rel_outlier_mad", "rel_referential_integrity", "snk_upsert_compact",
     "str_cdc_scd2_restart", "str_cdc_scd2_stream", "str_cdc_upsert_e2e",
     "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
@@ -175,7 +175,11 @@ _DEFERRED: set[str] = set()
 # Round-8 honest demotions (round 7 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
 # sf0.001/0.01/0.1 before listing).
-_DEMOTED: set[str] = set()
+_DEMOTED: set[str] = {
+    # oracle rewritten byte-based (octet_length(encode(text))) to match
+    # the Spark side for non-ASCII text (ADVICE r7 #1):
+    "mm_dedup_savings",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.text import words
 from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.session import (
+    prune_dead_cache_entries,
+    session_cache_key,
+)
 from maxscale_cdc_spark.tables import wide_table
 
 # Fixed merge vocabulary: frequent English subwords, longest-match
@@ -354,7 +358,7 @@ def _merge_fold(seg, ma, mb):
 # caching the checkpointed DataFrames halves the cost when both run in
 # one session (the driver's sweep and bench both do).  Only the
 # staged, default-K variant is cached.
-_LEARN_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_LEARN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _learn_merges(
@@ -371,7 +375,8 @@ def _learn_merges(
     with a small `k`: iteration i references seg_{i-1} twice (argmax +
     fold), so the UN-staged logical plan doubles per iteration; the
     checkpoint is what makes K=16 linear."""
-    cache_key = (id(spark), sf_dir)
+    prune_dead_cache_entries(_LEARN_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
     if stage and k == _K_MERGES and cache_key in _LEARN_CACHE:
         return _LEARN_CACHE[cache_key]
     d = wide_table(spark, sf_dir, "documents")

@@ -39,7 +39,11 @@ from maxscale_cdc_spark.functions.vectors import (
     norm_sq,
     sql_cosine,
 )
-from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.registry import oracle_splice, register
+from maxscale_cdc_spark.session import (
+    prune_dead_cache_entries,
+    session_cache_key,
+)
 from maxscale_cdc_spark.tables import table, wide_table
 
 # ---------------------------------------------------------------------------
@@ -185,7 +189,7 @@ def _mh_over_set(shs: F.Column, j: int) -> F.Column:
 # (llm_dedup_near / llm_dedup_horizon_profile / llm_lsh_tuning /
 # llm_dedup_threshold_curve) — cache it per (session, sf_dir), the
 # _LEARN_CACHE pattern, so the shingling + class aggregation runs once.
-_SHINGLE_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def shingle_classes(
@@ -208,7 +212,8 @@ def shingle_classes(
     plan gates.  `doc_filter` pre-filters documents (the deterministic
     hash-sample knob tables).  The staged unfiltered lineage is cached
     per (session, sf_dir) — see _SHINGLE_CACHE."""
-    cache_key = (id(spark), sf_dir)
+    prune_dead_cache_entries(_SHINGLE_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
     if stage and doc_filter is None and cache_key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[cache_key]
     d = wide_table(spark, sf_dir, "documents")
@@ -494,7 +499,7 @@ FROM reps
 # component table per (session, sf_dir), the _LEARN_CACHE pattern
 # (bpe.py): the paired query reads the staged result instead of
 # re-running the loop.
-_CLUSTER_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @register("llm_dedup_cluster", _CLUSTER_ORACLE)
@@ -504,7 +509,8 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a~b~c without a direct a~c edge) collapse to one keeper — the
     oracle is a recursive reachability CTE, i.e. true connected
     components, not 1-hop neighborhoods."""
-    cache_key = (id(spark), sf_dir)
+    prune_dead_cache_entries(_CLUSTER_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
     if cache_key in _CLUSTER_CACHE:
         reps = _CLUSTER_CACHE[cache_key]
         return reps.select(
@@ -2380,10 +2386,9 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their own keepers via the left join.
 # ---------------------------------------------------------------------------
 
-_SAVINGS_ORACLE = (
-    _CLUSTER_ORACLE.rstrip()
-    .replace(
-        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+_SAVINGS_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
         """tok AS (
     SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2402,12 +2407,10 @@ SELECT source,
          AS tokens_removed
 FROM lab
 GROUP BY source""",
-    )
-    .replace("  reps AS (", "  reps AS (")
 )
 # the reps CTE list needs a trailing comma before tok — splice it in:
-_SAVINGS_ORACLE = _SAVINGS_ORACLE.replace(
-    "  )\ntok AS (", "  ),\n  tok AS ("
+_SAVINGS_ORACLE = oracle_splice(
+    _SAVINGS_ORACLE, "  )\ntok AS (", "  ),\n  tok AS ("
 )
 
 
@@ -2633,10 +2636,9 @@ def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read of the staged component table).
 # ---------------------------------------------------------------------------
 
-_CLUSTER_PROFILE_ORACLE = (
-    _CLUSTER_ORACLE.rstrip()
-    .replace(
-        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+_CLUSTER_PROFILE_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
         """alldocs AS (
     SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS rep
     FROM documents d LEFT JOIN reps r USING (doc_id)
@@ -2650,10 +2652,9 @@ SELECT csize AS cluster_size,
        CAST(sum(csize) AS BIGINT) AS n_docs
 FROM sizes
 GROUP BY csize""",
-    )
 )
-_CLUSTER_PROFILE_ORACLE = _CLUSTER_PROFILE_ORACLE.replace(
-    "  )\nalldocs AS (", "  ),\n  alldocs AS ("
+_CLUSTER_PROFILE_ORACLE = oracle_splice(
+    _CLUSTER_PROFILE_ORACLE, "  )\nalldocs AS (", "  ),\n  alldocs AS ("
 )
 
 
@@ -2685,10 +2686,9 @@ def llm_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map; singletons count via the left join.
 # ---------------------------------------------------------------------------
 
-_SYNDICATION_ORACLE = (
-    _CLUSTER_ORACLE.rstrip()
-    .replace(
-        "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+_SYNDICATION_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
         """alldocs AS (
     SELECT d.doc_id, d.source, coalesce(r.cluster_rep, d.doc_id) AS rep
     FROM documents d LEFT JOIN reps r USING (doc_id)
@@ -2704,10 +2704,9 @@ SELECT n_sources,
        CAST(sum(n_docs) AS BIGINT) AS n_docs
 FROM per_cluster
 GROUP BY n_sources""",
-    )
 )
-_SYNDICATION_ORACLE = _SYNDICATION_ORACLE.replace(
-    "  )\nalldocs AS (", "  ),\n  alldocs AS ("
+_SYNDICATION_ORACLE = oracle_splice(
+    _SYNDICATION_ORACLE, "  )\nalldocs AS (", "  ),\n  alldocs AS ("
 )
 
 

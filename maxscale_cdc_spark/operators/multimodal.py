@@ -588,7 +588,7 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ph AS (
       SELECT doc_id, source,
-             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              substr(sha256(array_to_string(list_slice(
                list_sort(list_distinct(string_split(text, ' '))), 1, 8), ' ')),
                1, 15) AS p

@@ -17,6 +17,19 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def oracle_splice(sql: str, anchor: str, replacement: str) -> str:
+    """`str.replace` for DERIVED oracles (a consumer query's SQL built
+    by splicing into a base oracle) that fails AT IMPORT TIME if the
+    anchor drifted: a silent no-op replace produces malformed SQL that
+    would otherwise only surface when the driver runs the oracle."""
+    if anchor not in sql:
+        raise AssertionError(
+            f"oracle splice anchor not found (base oracle drifted): "
+            f"{anchor[:80]!r}"
+        )
+    return sql.replace(anchor, replacement)
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn

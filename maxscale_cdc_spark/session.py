@@ -45,6 +45,24 @@ def get_spark(app_name: str = "maxscale-cdc-spark") -> SparkSession:
     return spark
 
 
+def session_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Key for the per-(session, sf_dir) staged-DataFrame caches
+    (_SHINGLE_CACHE / _CLUSTER_CACHE / _LEARN_CACHE).  Keyed by the
+    SparkContext applicationId, NOT id(spark): a stopped-and-GC'd
+    session's id can be reused by a new SparkSession, which would
+    return checkpointed DataFrames bound to a dead SparkContext."""
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def prune_dead_cache_entries(cache: dict, spark: SparkSession) -> None:
+    """Evict cache entries keyed to any OTHER application id — they
+    reference lineage owned by a context that no longer exists (one
+    live context per process), so they can never be read again."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings the driver-provided session needs for oracle parity.
 

@@ -1191,10 +1191,13 @@ WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5
 
 def _nearwin_oracle() -> str:
     from maxscale_cdc_spark.operators.llm import _K, _MH_COLS_SQL
+    from maxscale_cdc_spark.registry import oracle_splice
 
     assert _K == 8  # band layout below is 2×4
-    return _NEARWIN_ORACLE.replace("__MH_COLS__", _MH_COLS_SQL).replace(
-        "__HORIZON__", str(_NEARWIN_HORIZON_MIN)
+    return oracle_splice(
+        oracle_splice(_NEARWIN_ORACLE, "__MH_COLS__", _MH_COLS_SQL),
+        "__HORIZON__",
+        str(_NEARWIN_HORIZON_MIN),
     )
 
 
@@ -1330,11 +1333,14 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _autosize_oracle() -> str:
     from maxscale_cdc_spark.operators.llm import _MH_COLS_SQL
+    from maxscale_cdc_spark.registry import oracle_splice
 
-    base = _NEARWIN_ORACLE.replace("__MH_COLS__", _MH_COLS_SQL)
+    base = oracle_splice(_NEARWIN_ORACLE, "__MH_COLS__", _MH_COLS_SQL)
     # unbounded batch dedup: drop the arrival-distance bound from the
     # candidate join, keep everything else byte-identical
-    base = base.replace("     AND b.doc_id - a.doc_id <= __HORIZON__\n", "")
+    base = oracle_splice(
+        base, "     AND b.doc_id - a.doc_id <= __HORIZON__\n", ""
+    )
     head, final = base.rsplit("SELECT doc_a, doc_b, n_common,", 1)
     pairs_sql = "SELECT doc_a, doc_b, n_common," + final
     return f"""{head}, pairs AS (

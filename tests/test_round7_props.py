@@ -54,10 +54,7 @@ def test_ewma_matches_reference_model(spark, sf_dir):
     per user — the window arithmetic against an independent model."""
     import __spark_entry__ as e
 
-    rows = (
-        e.queries()["rel_ewma_dyadic"](spark, "/root/testdata/sf0.001")
-        .collect()
-    )
+    rows = e.queries()["rel_ewma_dyadic"](spark, sf_dir).collect()
     got = {(r["user_id"], r["event_id"]): (r["ewma_num"], r["ewma_den"], r["ewma_cents"]) for r in rows}
     ev = sorted(
         table(spark, sf_dir, "events")
@@ -68,7 +65,12 @@ def test_ewma_matches_reference_model(spark, sf_dir):
     from collections import defaultdict
 
     hist = defaultdict(list)
-    import math
+
+    def trunc_div(a: int, b: int) -> int:
+        # Spark div() / DuckDB // on BIGINT truncate toward zero;
+        # Python's // floors — they differ on negative numerators.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
 
     for r in ev:
         hist[r["user_id"]].append((r["event_id"], r["c"]))
@@ -82,9 +84,7 @@ def test_ewma_matches_reference_model(spark, sf_dir):
                 w = 1 << (7 - k)
                 num += seq[i - k][1] * w
                 den += w
-            cents = int(math.floor(num / den)) if den else None
-            # Spark div() is euclidean-like floor for positive den
-            exp = (num, den, num // den)
+            exp = (num, den, trunc_div(num, den))
             assert got[(uid, eid)] == exp, (uid, eid, got[(uid, eid)], exp)
             checked += 1
     assert checked == len(got)
