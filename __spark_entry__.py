@@ -62,7 +62,7 @@ _DRIVER_GREEN = {
     "llm_dedup_horizon_profile", "llm_dedup_incremental", "llm_dedup_near",
     "llm_dedup_savings", "llm_dedup_syndication",
     "llm_dedup_threshold_curve", "llm_ivf_nprobe_sweep_sampled",
-    "llm_lsh_recall_audit", "llm_lsh_tuning", "llm_lsh_tuning_sampled",
+    "llm_lsh_tuning", "llm_lsh_tuning_sampled",
     "llm_signal_agreement", "llm_token_budget_plan", "llm_word_entropy",
     "rel_ewma_dyadic", "rel_ivm_join",
     "rel_outlier_mad", "rel_referential_integrity", "snk_upsert_compact",
@@ -94,7 +94,6 @@ _DRIVER_GREEN = {
     "cdc_event_size_profile",
     "fn_hof", "fn_url", "llm_bpe_learn_pairs", "llm_bpe_tokenize",
     "llm_contamination", "llm_countmin_audit", "llm_cross_doc_overlap",
-    "llm_dedup_jaccard_prefix",
     "llm_dup_span", "llm_ivf_recall", "llm_line_dedup", "llm_lm_score",
     "llm_quality_ablation", "llm_repetition", "llm_title_fuzzy_dedup",
     "mm_dedup_phash", "rel_agg_distinct_bitmap", "rel_join_interval",
@@ -179,6 +178,10 @@ _DEMOTED: set[str] = {
     # oracle rewritten byte-based (octet_length(encode(text))) to match
     # the Spark side for non-ASCII text (ADVICE r7 #1):
     "mm_dedup_savings",
+    # rewired onto the SHARED staged trigram-set builder
+    # (llm.trigram_sets — VERDICT r7 ask #5): same oracles, same
+    # values, new lineage:
+    "llm_dedup_jaccard_prefix", "llm_lsh_recall_audit",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
@@ -208,6 +211,11 @@ _HEAVY = {
     # the measure-then-stream closure (batch lineage + streaming run):
     "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
     "snk_upsert_compact", "str_cdc_scd2_stream", "str_cdc_scd2_restart",
+    # round-8 measure-then-run closure (sampled curve + full-corpus
+    # dedup at the chosen banding), and the double-closure capped
+    # clustering (base CC + re-cut CC inside oversized components):
+    "llm_banding_recall_curve", "llm_dedup_near_autotuned",
+    "llm_dedup_cluster_capped",
 }
 
 

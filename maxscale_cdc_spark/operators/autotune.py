@@ -1,0 +1,518 @@
+"""Recall-governed LSH banding — the round-8 quality-at-scale closure.
+
+The measured problem (llm_lsh_recall_audit, BASELINE.md): the
+production 2×4 banding over 8 minhashes misses a growing share of true
+near-duplicate pairs as the corpus grows — recall vs the exact
+set-similarity join fell 0.980 (sf0.1) → 0.830 (sf1.0).  The
+reference's delivery contract makes this worse with scale:
+at-least-once replay (client.go:253-287) grows near-dup mass with
+corpus size, and a FIXED banding's recall degrades exactly then.
+
+The closure (the str_dedup_horizon_autosized pattern — measure the
+knob from data, then run the production op at the measured knob):
+
+1. `llm_banding_recall_curve` — on a deterministic hash sample,
+   measure each candidate banding's recall against EXACT ground truth
+   (class-level AllPairs/PPJoin prefix join — provably complete, never
+   all-pairs) and its candidate-pair cost.  Configs split a K=16
+   minhash signature: 2×4 (production, first 8), 2×8, 4×4, 8×2.
+2. `llm_dedup_near_autotuned` — CHOOSE the cheapest config meeting the
+   0.95 recall floor (integer cross-multiplied rule; fall back to the
+   max-recall config if none meets it), then run the class-collapsed
+   near-dedup over the FULL corpus at the chosen config.
+
+Exactness discipline (CLAUDE.md rule 3): recall is an integer ratio
+(n_caught / n_true), the floor test is pure BIGINT cross-multiply
+(20·n_caught >= 19·n_true), the chooser is a total order over integers
+in BOTH engines, and the one driver read is a single scalar config row
+(the autosize pattern, streaming/ops.py).
+
+Scale shape: everything before the final expansion runs over DISTINCT
+shingle-set classes (llm.py's class-collapse rule — duplicate mass
+never inflates banding); the sample bounds the tuning stage BY
+CONSTRUCTION; ground truth uses prefix filtering (Bayardo et al.
+AllPairs + PPJoin's length/positional filters) so the exact join is
+candidate-bounded, not quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_spark.functions.sample import hash_sample, sql_hash_sample
+from maxscale_cdc_spark.operators.llm import (
+    _JACCARD_MIN,
+    _intra_class_pairs,
+    _mh_over_set,
+    class_band_pairs,
+    class_pair_jaccard,
+    trigram_sets,
+)
+from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.session import (
+    prune_dead_cache_entries,
+    session_cache_key,
+)
+
+_K16 = 16                 # extended signature width (production keeps 8)
+_AT_SAMPLE_PCT = 40       # same deterministic sample as llm_lsh_tuning_sampled
+# (bands, rows_per_band): 2×4 = production prefix of the signature;
+# the rest split all 16 hashes.  P(candidate | J=0.5): 0.12 / 0.008 /
+# 0.23 / 0.90 — the curve brackets the floor from both sides.
+_AUTOTUNE_CONFIGS = ((2, 4), (2, 8), (4, 4), (8, 2))
+_FLOOR_NUM, _FLOOR_DEN = 19, 20   # recall floor 0.95 = 19/20, pure ints
+
+
+# ---------------------------------------------------------------------------
+# K=16 trigram class signature — the shared lineage for both queries.
+# Same class-collapse structure as llm.shingle_classes (bigram, K=8),
+# over the SHARED staged trigram sets.
+# ---------------------------------------------------------------------------
+
+_TCLASS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def trigram_classes16(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: bool = True,
+    doc_filter: F.Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_map, classes) over TRIGRAM shingle sets with a K=16 MinHash
+    signature.  doc_map: (doc_id, ckey); classes: (ckey, rep, n_docs,
+    shs, sz, m0..m15) — one row per distinct set.  The class table is
+    checkpoint-staged (16 minhash transforms consumed by every band
+    config and both verify sides); the unfiltered lineage is cached per
+    (session, sf_dir)."""
+    prune_dead_cache_entries(_TCLASS_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
+    if stage and doc_filter is None and cache_key in _TCLASS_CACHE:
+        return _TCLASS_CACHE[cache_key]
+    base = trigram_sets(spark, sf_dir, stage=stage, doc_filter=doc_filter)
+    keyed = base.select(
+        "doc_id", "shs", F.md5(F.concat_ws("\x1f", "shs")).alias("ckey")
+    )
+    doc_map = keyed.select("doc_id", "ckey")
+    classes = keyed.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.min_by("shs", "doc_id").alias("shs"),
+    )
+    classes = classes.select(
+        "ckey",
+        "rep",
+        "n_docs",
+        "shs",
+        F.size("shs").cast("long").alias("sz"),
+        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K16)],
+    )
+    if stage:
+        classes = classes.localCheckpoint(eager=False)
+    if stage and doc_filter is None:
+        _TCLASS_CACHE[cache_key] = (doc_map, classes)
+    return doc_map, classes
+
+
+def _class_exact_pairs(classes: DataFrame) -> DataFrame:
+    """EXACT ground truth: all cross-class pairs (ckey_a, ckey_b;
+    rep_a < rep_b) with trigram Jaccard >= 0.5, via prefix filtering
+    over DISTINCT classes (the llm_dedup_jaccard_prefix machinery at
+    class level — completeness lemma identical; the sampled-curve
+    oracle is brute-force all-pairs, so a green row proves
+    completeness of this join on real data)."""
+    sh = classes.select("ckey", "rep", F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    toks = (
+        sh.join(dfreq, "sh")
+        .groupBy("ckey", "rep")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
+            F.count("*").alias("sz"),
+        )
+    )
+    pref = toks.select(
+        "ckey",
+        "rep",
+        "sz",
+        F.expr("slice(ts, 1, sz - div(sz + 1, 2) + 1)").alias("pref"),
+    )
+    expl = pref.select(
+        "ckey", "rep", "sz", F.posexplode("pref").alias("pos0", "p")
+    ).select(
+        "ckey",
+        "rep",
+        "sz",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("p.sh").alias("sh"),
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    length_ok = (F.col("a.sz") * 2 >= F.col("b.sz")) & (
+        F.col("b.sz") * 2 >= F.col("a.sz")
+    )
+    overlap_ub = (
+        F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+        + 1
+    )
+    alpha = F.expr("div(a.sz + b.sz + 2, 3)")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            & length_ok
+            & (overlap_ub >= alpha),
+        )
+        .select(F.col("a.ckey").alias("ckey_a"), F.col("b.ckey").alias("ckey_b"))
+        .distinct()
+    )
+    sa = classes.select(
+        F.col("ckey").alias("ckey_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = classes.select(
+        F.col("ckey").alias("ckey_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ver = cand.join(sa, "ckey_a").join(sb, "ckey_b").select(
+        "ckey_a",
+        "ckey_b",
+        F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("nc"),
+        (F.col("sz_a") + F.col("sz_b")).cast("long").alias("ss"),
+    )
+    jac = F.col("nc").cast("double") / (F.col("ss") - F.col("nc"))
+    return ver.filter(jac >= _JACCARD_MIN).select("ckey_a", "ckey_b")
+
+
+_CURVE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _banding_curve_frame(
+    spark: SparkSession, sf_dir: str, stage: bool = True
+) -> DataFrame:
+    """Per-config recall/cost table on the deterministic hash sample:
+    (bands, rows_per_band, k_hashes, n_true, n_caught, n_candidates,
+    recall, meets_floor).  Counts are CROSS-CLASS pair counts — the
+    honest banding-quality basis (intra-class pairs collide in every
+    config with Jaccard exactly 1, so including them only inflates
+    recall).  Staged + cached: both registered queries consume it in
+    one session."""
+    prune_dead_cache_entries(_CURVE_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
+    if stage and cache_key in _CURVE_CACHE:
+        return _CURVE_CACHE[cache_key]
+    _, classes = trigram_classes16(
+        spark,
+        sf_dir,
+        stage=stage,
+        doc_filter=hash_sample("doc_id", _AT_SAMPLE_PCT),
+    )
+    truth = _class_exact_pairs(classes)
+    if stage:
+        truth = truth.localCheckpoint(eager=False)
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    out = None
+    for nb, rpb in _AUTOTUNE_CONFIGS:
+        cand = class_band_pairs(classes, nb, rpb).select("ckey_a", "ckey_b")
+        if stage:
+            # consumed twice below (cost count + recall join)
+            cand = cand.localCheckpoint(eager=False)
+        counts = cand.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        ).crossJoin(
+            truth.join(cand, ["ckey_a", "ckey_b"]).agg(
+                F.count("*").cast("long").alias("n_caught")
+            )
+        )
+        row = counts.select(
+            F.lit(nb).cast("long").alias("bands"),
+            F.lit(rpb).cast("long").alias("rows_per_band"),
+            F.lit(nb * rpb).cast("long").alias("k_hashes"),
+            "n_caught",
+            "n_candidates",
+        )
+        out = row if out is None else out.unionByName(row)
+    curve = out.crossJoin(F.broadcast(n_true)).select(
+        "bands",
+        "rows_per_band",
+        "k_hashes",
+        "n_true",
+        "n_caught",
+        "n_candidates",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_caught").cast("double") / F.col("n_true"),
+        ).alias("recall"),
+        (
+            F.lit(_FLOOR_DEN) * F.col("n_caught")
+            >= F.lit(_FLOOR_NUM) * F.col("n_true")
+        ).alias("meets_floor"),
+    )
+    if stage:
+        curve = curve.localCheckpoint(eager=False)
+        _CURVE_CACHE[cache_key] = curve
+    return curve
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL — shared CTE fragments.  Brute-force all-pairs ground
+# truth in the oracle (implementation-independent; fine at the
+# driver's sf0.01) vs the prefix-filtered join on the Spark side: the
+# green row PROVES completeness, the _JP_ORACLE pattern.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_SQL = """
+  tset AS (
+    SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shs
+    FROM docw WHERE len(w) >= 3
+  )"""
+
+_MH16_SQL = ", ".join(
+    f"list_min(list_transform(shs, s -> md5('{j}:' || s))) AS m{j}"
+    for j in range(_K16)
+)
+
+
+def _bands_sql(src: str, ident: str, nb: int, rpb: int) -> str:
+    parts = []
+    for b in range(nb):
+        key = " || ".join(f"m{j}" for j in range(b * rpb, (b + 1) * rpb))
+        parts.append(f"SELECT {ident}, rep, {b} AS band, {key} AS key FROM {src}")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _cand_sql(src: str, ident: str, out_a: str, out_b: str, nb: int, rpb: int) -> str:
+    tag = f"{nb}x{rpb}"
+    return f"""  bands_{src}_{tag} AS (
+{_bands_sql(src, ident, nb, rpb)}
+  ),
+  cand_{src}_{tag} AS (
+    SELECT DISTINCT a.{ident} AS {out_a}, b.{ident} AS {out_b}
+    FROM bands_{src}_{tag} a JOIN bands_{src}_{tag} b
+      ON a.key = b.key AND a.band = b.band AND a.rep < b.rep
+  )"""
+
+
+def _sampled_curve_ctes(doc_src: str) -> str:
+    """CTE chain from `docw` through the per-config sampled curve.
+    `doc_src` pre-filters documents (the curve oracle filters in docw;
+    the autotuned oracle samples an already-built keyed table)."""
+    cand_ctes = ",\n".join(
+        _cand_sql("smh", "ckey", "ckey_a", "ckey_b", nb, rpb)
+        for nb, rpb in _AUTOTUNE_CONFIGS
+    )
+    scand_union = "\nUNION ALL\n".join(
+        f"SELECT {nb} AS bands, {rpb} AS rows_per_band, ckey_a, ckey_b "
+        f"FROM cand_smh_{nb}x{rpb}"
+        for nb, rpb in _AUTOTUNE_CONFIGS
+    )
+    cfg_values = ", ".join(
+        f"({nb}, {rpb}, {nb * rpb})" for nb, rpb in _AUTOTUNE_CONFIGS
+    )
+    return f"""  sclasses AS (
+    SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
+    FROM {doc_src} GROUP BY ckey
+  ),
+  smh AS MATERIALIZED (
+    SELECT ckey, rep, shs, CAST(len(shs) AS BIGINT) AS sz, {_MH16_SQL}
+    FROM sclasses
+  ),
+  truth AS MATERIALIZED (
+    SELECT a.ckey AS ckey_a, b.ckey AS ckey_b
+    FROM smh a JOIN smh b ON a.rep < b.rep
+    WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+          / (a.sz + b.sz - len(list_intersect(a.shs, b.shs))) >= {_JACCARD_MIN}
+  ),
+{cand_ctes},
+  scand AS (
+{scand_union}
+  ),
+  curve0 AS (
+    SELECT bands, rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(CASE WHEN t.ckey_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+    FROM scand c LEFT JOIN truth t USING (ckey_a, ckey_b)
+    GROUP BY bands, rows_per_band
+  ),
+  cfgs AS (SELECT * FROM (VALUES {cfg_values}) v(bands, rows_per_band, k_hashes)),
+  nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+  curve AS MATERIALIZED (
+    SELECT CAST(c.bands AS BIGINT) AS bands,
+           CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(c.k_hashes AS BIGINT) AS k_hashes,
+           CAST(coalesce(k.n_caught, 0) AS BIGINT) AS n_caught,
+           CAST(coalesce(k.n_candidates, 0) AS BIGINT) AS n_candidates
+    FROM cfgs c LEFT JOIN curve0 k
+      ON k.bands = c.bands AND k.rows_per_band = c.rows_per_band
+  )"""
+
+
+_CURVE_ORACLE = f"""
+WITH docw AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}
+  ),
+{_TRIGRAM_SQL},
+  keyed AS (
+    SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM tset
+  ),
+{_sampled_curve_ctes('keyed')}
+SELECT c.bands, c.rows_per_band, c.k_hashes, nt.n_true, c.n_caught,
+       c.n_candidates,
+       CASE WHEN nt.n_true > 0
+            THEN CAST(c.n_caught AS DOUBLE) / nt.n_true END AS recall,
+       {_FLOOR_DEN} * c.n_caught >= {_FLOOR_NUM} * nt.n_true AS meets_floor,
+       CAST({_AT_SAMPLE_PCT} AS BIGINT) AS sample_pct
+FROM curve c CROSS JOIN nt
+"""
+
+
+@register("llm_banding_recall_curve", _CURVE_ORACLE)
+def llm_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost per banding config on the deterministic hash sample
+    (see module docstring).  The knob table a 100 TB dedup run prices
+    before committing to a banding: unlike llm_lsh_tuning (cost and
+    precision only), this one measures RECALL against exact ground
+    truth — the quantity llm_lsh_recall_audit showed degrading with
+    scale."""
+    return _banding_curve_frame(spark, sf_dir).withColumn(
+        "sample_pct", F.lit(_AT_SAMPLE_PCT).cast("long")
+    )
+
+
+def _autotuned_oracle() -> str:
+    fcand_ctes = ",\n".join(
+        _cand_sql("fmh", "ckey", "ckey_a", "ckey_b", nb, rpb)
+        for nb, rpb in _AUTOTUNE_CONFIGS
+    )
+    fcand_union = "\nUNION ALL\n".join(
+        f"SELECT {nb} AS bands, {rpb} AS rows_per_band, ckey_a, ckey_b "
+        f"FROM cand_fmh_{nb}x{rpb}"
+        for nb, rpb in _AUTOTUNE_CONFIGS
+    )
+    return f"""
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+{_TRIGRAM_SQL},
+  keyed AS MATERIALIZED (
+    SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM tset
+  ),
+  skeyed AS (SELECT * FROM keyed WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}),
+{_sampled_curve_ctes('skeyed')},
+  chosen AS MATERIALIZED (
+    SELECT bands, rows_per_band FROM curve CROSS JOIN nt
+    ORDER BY ({_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true) DESC,
+             CASE WHEN {_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true
+                  THEN n_candidates ELSE -n_caught END,
+             bands, rows_per_band
+    LIMIT 1
+  ),
+  fclasses AS (
+    SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
+    FROM keyed GROUP BY ckey
+  ),
+  fmh AS MATERIALIZED (
+    SELECT ckey, rep, shs, CAST(len(shs) AS BIGINT) AS sz, {_MH16_SQL}
+    FROM fclasses
+  ),
+{fcand_ctes},
+  fcand_all AS (
+{fcand_union}
+  ),
+  fcand AS MATERIALIZED (
+    SELECT c.ckey_a, c.ckey_b
+    FROM fcand_all c JOIN chosen ch
+      ON c.bands = ch.bands AND c.rows_per_band = ch.rows_per_band
+  ),
+  fver AS (
+    SELECT f.ckey_a, f.ckey_b,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+           a.sz + b.sz AS sz_sum
+    FROM fcand f
+    JOIN fmh a ON a.ckey = f.ckey_a
+    JOIN fmh b ON b.ckey = f.ckey_b
+  ),
+  fdup AS (
+    SELECT * FROM fver
+    WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
+  ),
+  cross_pairs AS (
+    SELECT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b,
+           d.n_common, d.sz_sum
+    FROM fdup d
+    JOIN keyed x ON x.ckey = d.ckey_a
+    JOIN keyed y ON y.ckey = d.ckey_b
+  ),
+  intra AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(len(x.shs) AS BIGINT) AS n_common,
+           CAST(2 * len(x.shs) AS BIGINT) AS sz_sum
+    FROM keyed x JOIN keyed y
+      ON x.ckey = y.ckey AND x.doc_id < y.doc_id
+  ),
+  allp AS (
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra
+  )
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard,
+       (SELECT CAST(bands AS BIGINT) FROM chosen) AS chosen_bands,
+       (SELECT CAST(rows_per_band AS BIGINT) FROM chosen) AS chosen_rows
+FROM allp
+"""
+
+
+@register("llm_dedup_near_autotuned", _autotuned_oracle())
+def llm_dedup_near_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup at the RECALL-GOVERNED banding: measure the sampled
+    recall curve, choose the cheapest config meeting the 0.95 floor
+    (max-recall config if none does — total integer order, identical
+    in both engines), run the class-collapsed trigram near-dedup over
+    the full corpus at that config.  The one driver read is the single
+    chosen-config row (the str_dedup_horizon_autosized pattern).  The
+    oracle recomputes the whole decision + the dedup in SQL, so the
+    green row certifies the CHOICE and the RESULT together."""
+    curve = _banding_curve_frame(spark, sf_dir)
+    meets = F.col("meets_floor")
+    pick = (
+        curve.orderBy(
+            meets.desc(),
+            F.when(meets, F.col("n_candidates")).otherwise(-F.col("n_caught")).asc(),
+            F.col("bands").asc(),
+            F.col("rows_per_band").asc(),
+        )
+        .select("bands", "rows_per_band")
+        .limit(1)
+        .collect()[0]
+    )
+    nb, rpb = int(pick["bands"]), int(pick["rows_per_band"])
+    doc_map, classes = trigram_classes16(spark, sf_dir)
+    cpairs = class_band_pairs(classes, nb, rpb)
+    ver = class_pair_jaccard(cpairs, classes)
+    jac_c = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    dup = ver.filter(jac_c >= _JACCARD_MIN)
+    ma = doc_map.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    mb = doc_map.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        dup.join(ma, "ckey_a")
+        .join(mb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "sz_sum",
+        )
+    )
+    intra = _intra_class_pairs(doc_map, classes)
+    allp = cross.unionByName(intra)
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return allp.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        jac.alias("jaccard"),
+        F.lit(nb).cast("long").alias("chosen_bands"),
+        F.lit(rpb).cast("long").alias("chosen_rows"),
+    )

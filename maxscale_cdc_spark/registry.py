@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from maxscale_cdc_spark.operators import (  # noqa: F401
         analytics,
+        autotune,
         bpe,
         cdc,
         llm,

@@ -487,13 +487,28 @@ class ManifestedUpsertSink:
     ≤n_buckets distinct touched-bucket ids.
     """
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 8,
+        retain_manifests: int = 10,
+    ):
         import json
         import os
 
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # Commit-log retention (the r7 verdict's ops gap): keep the
+        # newest N manifest files, delete-behind AFTER each successful
+        # publish.  Recovery only ever reads the highest-seq manifest,
+        # so any retain >= 1 is recovery-safe; N > 1 keeps a short
+        # history for concurrent readers holding a previous manifest
+        # (the same reason compact() returns a GC list instead of
+        # deleting).  Without this the log grows one file per merge
+        # forever and recovery listdir()s the whole set.
+        self.retain_manifests = max(1, int(retain_manifests))
         self.mdir = os.path.join(root, "_manifest")
         os.makedirs(self.mdir, exist_ok=True)
         names = self._manifest_names()
@@ -522,6 +537,14 @@ class ManifestedUpsertSink:
         with open(tmp, "w") as fh:
             json.dump({str(b): g for b, g in self.gen_of.items()}, fh)
         os.replace(tmp, os.path.join(self.mdir, f"manifest_{seq:08d}.json"))
+        # delete-behind: truncation runs AFTER the atomic publish, so a
+        # crash mid-truncation leaves extra old files, never a missing
+        # newest one.
+        for stale in self._manifest_names()[: -self.retain_manifests]:
+            try:
+                os.remove(os.path.join(self.mdir, stale))
+            except OSError:
+                pass  # already GC'd by a concurrent writer — harmless
 
     def merge(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Replace-by-pk MERGE of an update-mode batch (one row per pk

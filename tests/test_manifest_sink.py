@@ -105,6 +105,45 @@ def test_compact_gc_dirs_are_dead(spark):
     shutil.rmtree(root)
 
 
+def test_manifest_retention_truncates_log(spark):
+    """The commit log keeps only the newest `retain_manifests` files:
+    merging more epochs than the retention window must leave exactly
+    `retain` manifest files, the newest of them current."""
+    root = tempfile.mkdtemp(prefix="msink_")
+    s = ManifestedUpsertSink(spark, root, n_buckets=4, retain_manifests=3)
+    for i in range(6):
+        s.merge(_batch(spark, [(i, 10 + i, "insert", float(i))]), i)
+    names = s._manifest_names()
+    assert len(names) == 3
+    # sequence numbering continues across truncation (highest = 6th merge)
+    assert names[-1] == "manifest_00000005.json"
+    shutil.rmtree(root)
+
+
+def test_recovery_after_truncation(spark):
+    """A fresh sink over a truncated log must recover the full state:
+    recovery only needs the newest manifest, and merge sequence numbers
+    keep ascending after a restart over a truncated log."""
+    root = tempfile.mkdtemp(prefix="msink_")
+    s1 = ManifestedUpsertSink(spark, root, n_buckets=4, retain_manifests=2)
+    for i in range(5):
+        s1.merge(
+            _batch(spark, [(i, 10 + i, "insert", float(i)), (9, 50 + i, "update_after", 9.0 + i)]),
+            i,
+        )
+    live = _state_dict(s1)
+    assert len(s1._manifest_names()) == 2
+    # process restart over the truncated log
+    s2 = ManifestedUpsertSink(spark, root, n_buckets=4, retain_manifests=2)
+    assert _state_dict(s2) == live
+    assert live[9] == (54, "update_after", 13.0)
+    # post-restart merges keep publishing monotonically increasing seqs
+    s2.merge(_batch(spark, [(9, 60, "update_after", 20.0)]), 5)
+    assert s2._manifest_names()[-1] == "manifest_00000005.json"
+    assert _state_dict(s2)[9] == (60, "update_after", 20.0)
+    shutil.rmtree(root)
+
+
 # ---------------------------------------------------------------------------
 # Scd2HistorySink — interval-maintenance recovery semantics
 # ---------------------------------------------------------------------------
