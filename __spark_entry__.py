@@ -216,6 +216,8 @@ _HEAVY = {
     # clustering (base CC + re-cut CC inside oversized components):
     "llm_banding_recall_curve", "llm_dedup_near_autotuned",
     "llm_dedup_cluster_capped",
+    # old-slice k-means + batch assignment (the IVF Lloyd cost):
+    "llm_ivf_incremental",
 }
 
 

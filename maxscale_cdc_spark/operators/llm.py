@@ -900,17 +900,19 @@ _KMEANS_ITERS = 2
 _Q30 = "1073741824.0"  # 2^30: power-of-two multiply never rounds in IEEE
 
 
-def _sql_kmeans_ctes(n_cells: int = _N_CELLS) -> str:
+def _sql_kmeans_ctes(n_cells: int = _N_CELLS, src: str = "embeddings") -> str:
     """CTE chain for k-means cells: cent0 = first K vectors, then
     `_KMEANS_ITERS` Lloyd rounds of (assign to nearest by cosine, update
     centroid as the Q1.30-quantized elementwise mean — see
     llm_embed_centroid for why Q1.30 makes the mean cross-engine exact).
-    With the default `n_cells` the emitted SQL is byte-identical to the
-    pre-parameterized version (the IVF oracles are unchanged)."""
+    With the default `n_cells`/`src` the emitted SQL is byte-identical
+    to the pre-parameterized version (the IVF oracles are unchanged);
+    `src` lets the incremental-index oracle cluster the OLD corpus
+    slice only (retrieval.llm_ivf_incremental)."""
     parts = [
-        "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
         f"cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
-        f"FROM embeddings WHERE vec_id < {n_cells})",
+        f"FROM {src} WHERE vec_id < {n_cells})",
     ]
     for it in range(_KMEANS_ITERS + 1):
         parts.append(

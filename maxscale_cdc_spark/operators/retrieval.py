@@ -884,3 +884,192 @@ def llm_ivf_nprobe_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_incremental — INCREMENTAL index maintenance for the IVF
+# vector store (the r7 verdict's ask #4: the llm_dedup_incremental
+# signature-store pattern applied to ANN).  A 100 TB vector store
+# cannot recluster per ingest: the new batch is assigned to the
+# EXISTING cells (one broadcast-join pass — centroids are KB-sized, no
+# Lloyd rounds), and the index publishes per-cell DRIFT so the owner
+# can decide when a recluster is actually due:
+#
+#   - n_seed / n_new     cell mass before / from this batch
+#   - growth_ratio       n_new / n_seed (integer-ratio double)
+#   - disp_l1_*          L1 centroid displacement if the cell's
+#                        centroid were recomputed over seed+new —
+#                        in PURE INTEGER Q1.30 space: per dim,
+#                        stored − combined = (snum·n_all − cnum·n_old)
+#                        / (n_old·n_all) with snum/cnum the Q1.30
+#                        coordinate sums; the exported numerator is
+#                        Σ_dim |snum·n_all − cnum·n_old| (BIGINT,
+#                        bounded by 64·n_old·n_all·2³⁰ — fine up to
+#                        ~10⁵ vectors/cell; production rescales per
+#                        cell), denominator n_old·n_all
+#   - recluster_needed   batch mass > 20% of seed mass (pure-BIGINT
+#                        cross-multiply) OR L1 displacement > 0.01
+#                        real units (the double compare is the same
+#                        expression tree in both engines)
+#
+# The old corpus slice is vec_id <= div(4·max,5) (the
+# llm_dedup_incremental cutover); the oracle recomputes the OLD-only
+# k-means (the src-parameterized CTE chain) and the batch assignment
+# from scratch — certifying that incremental assignment == full
+# recompute restricted to the batch.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_incr_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30, _sql_kmeans_ctes as _ctes
+
+    flat = (
+        "SELECT cid, i.i AS dim, CAST(floor(v[i.i] * {q30}) AS BIGINT) AS q "
+        "FROM {src}, (SELECT unnest(generate_series(1, 64)) AS i) i"
+    )
+    return f"""
+WITH cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+old_e AS (SELECT * FROM embeddings WHERE vec_id <= (SELECT c FROM cut)),
+{_ctes(src="old_e")},
+newv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id > (SELECT c FROM cut)
+),
+nassign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {sql_cosine('n.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM newv n CROSS JOIN cent{_KMEANS_ITERS} c
+  ) WHERE rn = 1
+),
+seed_flat AS ({flat.format(q30=_Q30, src=f'a{_KMEANS_ITERS}')}),
+new_flat AS ({flat.format(q30=_Q30, src='nassign')}),
+seed_dim AS (
+  SELECT cid, dim, CAST(sum(q) AS BIGINT) AS snum,
+         CAST(count(*) AS BIGINT) AS n_old
+  FROM seed_flat GROUP BY cid, dim
+),
+all_dim AS (
+  SELECT cid, dim, CAST(sum(q) AS BIGINT) AS cnum,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM (SELECT * FROM seed_flat UNION ALL SELECT * FROM new_flat)
+  GROUP BY cid, dim
+),
+disp AS (
+  SELECT s.cid,
+         CAST(sum(abs(s.snum * a.n_all - a.cnum * s.n_old)) AS BIGINT)
+           AS disp_l1_num,
+         CAST(max(s.n_old * a.n_all) AS BIGINT) AS disp_den
+  FROM seed_dim s JOIN all_dim a USING (cid, dim)
+  GROUP BY s.cid
+),
+cseed AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_seed FROM a{_KMEANS_ITERS} GROUP BY cid),
+cnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM nassign GROUP BY cid),
+cells AS (
+  SELECT coalesce(s.cid, n.cid) AS cid,
+         CAST(coalesce(s.n_seed, 0) AS BIGINT) AS n_seed,
+         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM cseed s FULL JOIN cnew n ON s.cid = n.cid
+)
+SELECT c.cid, c.n_seed, c.n_new,
+       CASE WHEN c.n_seed > 0 THEN CAST(c.n_new AS DOUBLE) / c.n_seed END
+         AS growth_ratio,
+       d.disp_l1_num, d.disp_den,
+       CASE WHEN d.disp_den IS NOT NULL
+            THEN CAST(d.disp_l1_num AS DOUBLE) / d.disp_den END AS disp_l1_q30,
+       (5 * c.n_new > c.n_seed)
+         OR (CAST(d.disp_l1_num AS DOUBLE) / d.disp_den > 0.01 * {_Q30})
+         AS recluster_needed
+FROM cells c LEFT JOIN disp d ON d.cid = c.cid
+"""
+
+
+@register("llm_ivf_incremental", _ivf_incr_oracle())
+def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell drift table for an incremental IVF ingest (see block
+    comment): old-slice k-means reused read-only (llm._kmeans_cells —
+    the helper backing the driver-green IVF queries, unchanged), the
+    new batch assigned to the EXISTING centroids in one broadcast
+    pass, displacement in pure integer Q1.30 space."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    cents, assigned = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    newv = e.filter(F.col("vec_id") > cut).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    scored = newv.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    nassign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+    def flat(df: DataFrame) -> DataFrame:
+        return df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+
+    seed_flat = flat(assigned)
+    new_flat = flat(nassign)
+    seed_dim = seed_flat.groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("snum"),
+        F.count("*").cast("long").alias("n_old"),
+    )
+    all_dim = seed_flat.unionByName(new_flat).groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("cnum"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    disp = (
+        seed_dim.join(all_dim, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.abs(F.col("snum") * F.col("n_all") - F.col("cnum") * F.col("n_old"))
+            )
+            .cast("long")
+            .alias("disp_l1_num"),
+            F.max(F.col("n_old") * F.col("n_all")).cast("long").alias("disp_den"),
+        )
+    )
+    cseed = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_seed"))
+    cnew = nassign.groupBy("cid").agg(F.count("*").cast("long").alias("n_new"))
+    cells = (
+        cseed.join(cnew, "cid", "full")
+        .select(
+            "cid",
+            F.coalesce("n_seed", F.lit(0)).cast("long").alias("n_seed"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    out = cells.join(disp, "cid", "left")
+    return out.select(
+        "cid",
+        "n_seed",
+        "n_new",
+        F.when(
+            F.col("n_seed") > 0, F.col("n_new").cast("double") / F.col("n_seed")
+        ).alias("growth_ratio"),
+        "disp_l1_num",
+        "disp_den",
+        F.when(
+            F.col("disp_den").isNotNull(),
+            F.col("disp_l1_num").cast("double") / F.col("disp_den"),
+        ).alias("disp_l1_q30"),
+        (
+            (5 * F.col("n_new") > F.col("n_seed"))
+            | (
+                F.col("disp_l1_num").cast("double") / F.col("disp_den")
+                > F.lit(0.01) * F.lit(1073741824.0)
+            )
+        ).alias("recluster_needed"),
+    )
