@@ -218,6 +218,8 @@ _HEAVY = {
     "llm_dedup_cluster_capped",
     # old-slice k-means + batch assignment (the IVF Lloyd cost):
     "llm_ivf_incremental",
+    # replayed-delivery streaming lifecycle (dedup + band self-join):
+    "str_dedup_near_prefiltered",
 }
 
 

@@ -1333,6 +1333,150 @@ def str_dedup_near_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# str_dedup_near_prefiltered — the STREAMING half of the class-collapse
+# rule (the r7 verdict's ask #6).  SCALING.md's honest limit stands:
+# the streaming near-dup path cannot class-collapse (a class
+# aggregation would break watermark eviction).  But the dominant
+# duplicate source under the reference's delivery contract is
+# AT-LEAST-ONCE REPLAY (client.go:253-287): the same document
+# re-delivered with its ORIGINAL payload — same delivery key, same
+# event time.  An in-stream dropDuplicatesWithinWatermark on the
+# delivery key BEFORE banding removes that replay mass from the
+# expensive stream-stream join's state WITHOUT breaking eviction (the
+# dedup operator's own state is watermark-bounded too, one row per
+# in-horizon delivery key vs two band rows per DELIVERY in the join).
+#
+# Determinism: replayed copies carry identical payloads (ts included),
+# so whichever copy survives the dedup, the surviving ROW is
+# byte-identical — batch-boundary timing cannot change the output.
+# The oracle is the UNREPLAYED batch definition (_nearwin_oracle):
+# the green row proves the prefilter restores exactly-once near-dup
+# output under duplicated delivery.  Content-level exact classes at
+# arbitrary arrival distance remain batch-side territory
+# (llm_dedup_near) — bounded state cannot see them, as SCALING.md
+# records.
+#
+# Measured state evidence (BASELINE.md round 8): the replayed stream
+# WITHOUT the prefilter carries 2× the join state rows and emits 4×
+# candidate pairs per colliding pair (collapsed only by the batch-side
+# distinct); the prefilter restores both to the unreplayed cost.
+# ---------------------------------------------------------------------------
+
+
+def _nearwin_prefiltered_result(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_min: int,
+    prefilter: bool = True,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Replayed-delivery variant of _nearwin_result: every signature
+    row is staged TWICE (at-least-once), doc-level signatures enter the
+    stream un-exploded, the delivery-key dedup (when `prefilter`) runs
+    before the 2-row band explode, and the band self-join proceeds as
+    in _nearwin_result.  `prefilter=False` exposes the unfiltered
+    replayed pipeline for the state-evidence measurement."""
+    from maxscale_cdc_spark.functions.text import word_bigrams, words
+    from maxscale_cdc_spark.operators.llm import _K
+
+    from maxscale_cdc_spark.tables import wide_table
+
+    d = wide_table(spark, sf_dir, "documents")
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    shs = F.array_distinct(word_bigrams(words("text")))
+
+    def _mh(j):
+        # single-param lambda via enclosing closure (the CLAUDE.md
+        # two-param-HOF-lambda gotcha)
+        return F.array_min(
+            F.transform(
+                F.col("shs"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+            )
+        ).alias(f"m{j}")
+
+    sig = d.select(
+        "doc_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id, 0)").alias("ts"),
+        shs.alias("shs"),
+    ).select("doc_id", "ts", *[_mh(j) for j in range(_K)])
+    # at-least-once delivery: identical payload, identical event time
+    staged = stage_as_stream(
+        sig.unionAll(sig), cache_key=f"nearwin2x:{sf_dir}"
+    )
+    schema = "doc_id bigint, ts timestamp, " + ", ".join(
+        f"m{j} string" for j in range(_K)
+    )
+
+    def side() -> DataFrame:
+        s = read_stream(spark, staged, schema=schema).withWatermark(
+            "ts", f"{horizon_min + 1} minutes"
+        )
+        if prefilter:
+            s = s.dropDuplicatesWithinWatermark(["doc_id"])
+        return s.select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.concat("m0", "m1", "m2", "m3").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.concat("m4", "m5", "m6", "m7").alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "ts", "bk.band", "bk.key")
+
+    n, o = side().alias("n"), side().alias("o")
+    pairs = n.join(
+        o,
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.key") == F.col("o.key"))
+        & (F.col("n.ts") > F.col("o.ts"))
+        & (
+            F.col("n.ts")
+            <= F.col("o.ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+    ).select(
+        F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+    )
+    cand = run_to_files(pairs, progress_out=progress_out).distinct()
+
+    docsets = d.select("doc_id", shs.alias("shs"))
+    sets_a = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    sets_b = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    inter = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return inter.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", "n_common", jac.alias("jaccard")
+    )
+
+
+@register("str_dedup_near_prefiltered", _nearwin_oracle())
+def str_dedup_near_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup under at-least-once replay with the
+    delivery-key dedup prefilter (see block comment); oracle = the
+    unreplayed batch definition, proving exactly-once restoration."""
+    return _nearwin_prefiltered_result(spark, sf_dir, _NEARWIN_HORIZON_MIN)
+
+
+# ---------------------------------------------------------------------------
 # str_dedup_horizon_autosized — the WATERMARK AUTO-SIZING CLOSURE (the
 # r6 verdict's #6 ask): cdc_out_of_order_audit measures loss-free
 # horizons and llm_dedup_horizon_profile prices near-dup mass per

@@ -188,13 +188,18 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return out
 
 
-def run_to_files(stream_df: DataFrame) -> DataFrame:
+def run_to_files(
+    stream_df: DataFrame, progress_out: list | None = None
+) -> DataFrame:
     """Run an APPEND-mode streaming DataFrame to completion through a
     parquet file sink and return a batch read of the output — the
     scale-safe path for queries whose streaming output is row-shaped
     (joins, dedup passes): rows go executor→disk, never through the
     driver or a memory-sink table.  Releases stream state on the way
-    out, like run_to_memory."""
+    out, like run_to_memory.  With `progress_out`, the query's recent
+    StreamingQueryProgress dicts are appended to it (state-store row
+    evidence for the bench notes) — the default leaves behavior
+    unchanged."""
     spark = stream_df.sparkSession
     out_dir = _mkdtemp(prefix="snk_files_")
     ckpt = _mkdtemp(prefix="ckpt_")
@@ -208,6 +213,8 @@ def run_to_files(stream_df: DataFrame) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     _release_stream_state(spark)
     return spark.read.parquet(out_dir)
 
