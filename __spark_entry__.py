@@ -217,9 +217,11 @@ _HEAVY = {
     "llm_banding_recall_curve", "llm_dedup_near_autotuned",
     "llm_dedup_cluster_capped",
     # old-slice k-means + batch assignment (the IVF Lloyd cost):
-    "llm_ivf_incremental",
+    "llm_ivf_incremental", "llm_ivf_rebalance_plan",
     # replayed-delivery streaming lifecycle (dedup + band self-join):
     "str_dedup_near_prefiltered",
+    # rides the CC closure:
+    "llm_dedup_chain_audit",
 }
 
 

@@ -2926,3 +2926,115 @@ def llm_dedup_cluster_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_split",
         (F.col("doc_id") == F.col("final_rep")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_chain_audit — TRANSITIVITY profile of the dedup clusters:
+# per cluster size, how many member pairs are DIRECT candidate edges
+# vs merely CHAINED (reachable through intermediates).  The number that
+# says whether cluster keepers rest on verified similarity or on
+# transitive leaps — high chained share at a size is exactly where
+# llm_dedup_cluster_capped's re-cut earns its keep (a giant component
+# is ~all chained pairs).  Companion to llm_dedup_cluster_profile
+# (sizes only, no edge structure).
+#
+# Scale shape: rides the cached fixed point (cluster reps) and the
+# class-collapsed lineage — direct-edge counts are reconstructed
+# ALGEBRAICALLY (intra-class C(n,2) closed-form + colliding class
+# pairs expanded n_a·n_b), never by materializing doc-level edges;
+# chained = C(csize,2) − direct, pure BIGINT.
+# ---------------------------------------------------------------------------
+
+_CHAIN_AUDIT_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+    """sizes AS (
+    SELECT cluster_rep, CAST(count(*) AS BIGINT) AS csize
+    FROM reps GROUP BY cluster_rep
+  ),
+  edgec AS (
+    SELECT r.cluster_rep, CAST(count(*) AS BIGINT) AS n_edges
+    FROM cand c JOIN reps r ON r.doc_id = c.doc_a
+    GROUP BY r.cluster_rep
+  ),
+  per AS (
+    SELECT s.cluster_rep, s.csize,
+           CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges
+    FROM sizes s LEFT JOIN edgec e USING (cluster_rep)
+  )
+SELECT csize AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_edges) AS BIGINT) AS n_direct_edges,
+       CAST(sum(csize * (csize - 1) // 2 - n_edges) AS BIGINT)
+         AS n_chained_pairs
+FROM per
+GROUP BY csize""",
+)
+_CHAIN_AUDIT_ORACLE = oracle_splice(
+    _CHAIN_AUDIT_ORACLE, "  )\nsizes AS (", "  ),\n  sizes AS ("
+)
+
+
+@register("llm_dedup_chain_audit", _CHAIN_AUDIT_ORACLE)
+def llm_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-vs-chained pair profile per cluster size (see block
+    comment).  Direct edges are counted algebraically from the
+    class-collapsed lineage; every class's members share one cluster
+    (intra edges connect them), so class→cluster maps through any
+    member."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    sizes = reps.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("csize")
+    )
+    doc_map, classes = shingle_classes(spark, sf_dir)
+    cls_cluster = (
+        doc_map.join(reps, "doc_id")
+        .select("ckey", "cluster_rep")
+        .distinct()
+    )
+    # cross-class direct edges: one row per colliding class pair,
+    # expanded n_a·n_b; the pair's cluster comes through ckey_a (both
+    # classes share it by construction)
+    cpairs = class_band_pairs(classes, _BANDS, 4)
+    cross = (
+        cpairs.join(
+            cls_cluster.select(
+                F.col("ckey").alias("ckey_a"), "cluster_rep"
+            ),
+            "ckey_a",
+        )
+        .groupBy("cluster_rep")
+        .agg(
+            F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("n_cross")
+        )
+    )
+    # intra-class direct edges: C(n_docs, 2) closed-form per class
+    intra = (
+        classes.filter(F.col("n_docs") >= 2)
+        .join(cls_cluster, "ckey")
+        .groupBy("cluster_rep")
+        .agg(
+            F.sum(F.expr("div(n_docs * (n_docs - 1), 2)"))
+            .cast("long")
+            .alias("n_intra")
+        )
+    )
+    per = (
+        sizes.join(cross, "cluster_rep", "left")
+        .join(intra, "cluster_rep", "left")
+        .select(
+            "csize",
+            (
+                F.coalesce("n_cross", F.lit(0)) + F.coalesce("n_intra", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_edges"),
+        )
+    )
+    return per.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_edges").cast("long").alias("n_direct_edges"),
+        F.sum(F.expr("div(csize * (csize - 1), 2) - n_edges"))
+        .cast("long")
+        .alias("n_chained_pairs"),
+    )

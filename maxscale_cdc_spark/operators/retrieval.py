@@ -920,7 +920,10 @@ def llm_ivf_nprobe_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivf_incr_oracle() -> str:
+def _ivf_incr_prefix() -> str:
+    """Shared WITH-chain through the per-cell `cells`/`disp` tables —
+    consumed by llm_ivf_incremental's final SELECT and extended by
+    llm_ivf_rebalance_plan."""
     from maxscale_cdc_spark.operators.llm import _Q30, _sql_kmeans_ctes as _ctes
 
     flat = (
@@ -971,7 +974,13 @@ cells AS (
          CAST(coalesce(s.n_seed, 0) AS BIGINT) AS n_seed,
          CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
   FROM cseed s FULL JOIN cnew n ON s.cid = n.cid
-)
+)"""
+
+
+def _ivf_incr_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30
+
+    return f"""{_ivf_incr_prefix()}
 SELECT c.cid, c.n_seed, c.n_new,
        CASE WHEN c.n_seed > 0 THEN CAST(c.n_new AS DOUBLE) / c.n_seed END
          AS growth_ratio,
@@ -985,13 +994,13 @@ FROM cells c LEFT JOIN disp d ON d.cid = c.cid
 """
 
 
-@register("llm_ivf_incremental", _ivf_incr_oracle())
-def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cell drift table for an incremental IVF ingest (see block
-    comment): old-slice k-means reused read-only (llm._kmeans_cells —
-    the helper backing the driver-green IVF queries, unchanged), the
-    new batch assigned to the EXISTING centroids in one broadcast
-    pass, displacement in pure integer Q1.30 space."""
+def _ivf_batch_state(spark: SparkSession, sf_dir: str):
+    """(cents, assigned, nassign) for the incremental-ingest pair:
+    old-slice k-means reused read-only (llm._kmeans_cells — the helper
+    backing the driver-green IVF queries, unchanged) plus the new
+    batch assigned to the EXISTING centroids in one broadcast pass.
+    The one driver read is the scalar cutover (the
+    llm_dedup_incremental pattern)."""
     from maxscale_cdc_spark.operators.llm import _kmeans_cells
 
     e = wide_table(spark, sf_dir, "embeddings")
@@ -1011,6 +1020,28 @@ def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cid")
     )
+    return cents, assigned, nassign
+
+
+def _ivf_cells(assigned: DataFrame, nassign: DataFrame) -> DataFrame:
+    """(cid, n_seed, n_new) with absent sides as 0 — the per-cell mass
+    table both maintenance queries read."""
+    cseed = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_seed")
+    )
+    cnew = nassign.groupBy("cid").agg(F.count("*").cast("long").alias("n_new"))
+    return cseed.join(cnew, "cid", "full").select(
+        "cid",
+        F.coalesce("n_seed", F.lit(0)).cast("long").alias("n_seed"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+
+
+@register("llm_ivf_incremental", _ivf_incr_oracle())
+def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell drift table for an incremental IVF ingest (see block
+    comment): displacement in pure integer Q1.30 space."""
+    cents, assigned, nassign = _ivf_batch_state(spark, sf_dir)
 
     def flat(df: DataFrame) -> DataFrame:
         return df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
@@ -1041,16 +1072,7 @@ def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("n_old") * F.col("n_all")).cast("long").alias("disp_den"),
         )
     )
-    cseed = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_seed"))
-    cnew = nassign.groupBy("cid").agg(F.count("*").cast("long").alias("n_new"))
-    cells = (
-        cseed.join(cnew, "cid", "full")
-        .select(
-            "cid",
-            F.coalesce("n_seed", F.lit(0)).cast("long").alias("n_seed"),
-            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
-        )
-    )
+    cells = _ivf_cells(assigned, nassign)
     out = cells.join(disp, "cid", "left")
     return out.select(
         "cid",
@@ -1072,4 +1094,89 @@ def llm_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.lit(0.01) * F.lit(1073741824.0)
             )
         ).alias("recluster_needed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_rebalance_plan — the ACTION half of incremental index
+# maintenance: given post-ingest cell masses (llm_ivf_incremental's
+# cells table), emit the rebalance decision per cell the way a 100 TB
+# vector store schedules shard surgery:
+#
+#   split  if  n_total·K > 2·N      (cell above 2× the mean — the
+#                                    partition-skew rule, pure BIGINT)
+#   merge  if  4·n_total·K < N      (cell below ¼ of the mean) — with
+#                                    merge_target = the NEAREST OTHER
+#                                    centroid (cosine desc, cid asc:
+#                                    the deterministic argmax over a
+#                                    K×K centroid table, KB-sized)
+#   keep   otherwise
+#
+# All thresholds integer cross-multiplies; the centroid-pair cosine is
+# the same 6-dp-rounded expression tree in both engines.  The oracle
+# recomputes the whole chain (old-slice k-means, batch assignment,
+# cell masses, nearest-centroid table, action rules) from scratch.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_rebalance_oracle() -> str:
+    return f"""{_ivf_incr_prefix()},
+tot AS (
+  SELECT CAST(sum(n_seed + n_new) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+),
+cpair AS (
+  SELECT a.cid, b.cid AS other,
+         row_number() OVER (PARTITION BY a.cid
+                            ORDER BY {sql_cosine('a.cv', 'b.cv')} DESC, b.cid) AS rn
+  FROM cent{_KMEANS_ITERS} a JOIN cent{_KMEANS_ITERS} b ON a.cid <> b.cid
+),
+nearest AS (SELECT cid, CAST(other AS BIGINT) AS other FROM cpair WHERE rn = 1)
+SELECT c.cid,
+       CAST(c.n_seed + c.n_new AS BIGINT) AS n_total,
+       CASE WHEN (c.n_seed + c.n_new) * t.k > 2 * t.n THEN 'split'
+            WHEN 4 * (c.n_seed + c.n_new) * t.k < t.n THEN 'merge'
+            ELSE 'keep' END AS action,
+       CASE WHEN 4 * (c.n_seed + c.n_new) * t.k < t.n THEN nr.other END
+         AS merge_target
+FROM cells c CROSS JOIN tot t LEFT JOIN nearest nr ON nr.cid = c.cid
+"""
+
+
+@register("llm_ivf_rebalance_plan", _ivf_rebalance_oracle())
+def llm_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split/merge/keep plan per IVF cell after the incremental ingest
+    (see block comment)."""
+    cents, assigned, nassign = _ivf_batch_state(spark, sf_dir)
+    cells = _ivf_cells(assigned, nassign)
+    tot = cells.agg(
+        F.sum(F.col("n_seed") + F.col("n_new")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    a = cents.select(F.col("cid"), F.col("cv"))
+    b = cents.select(F.col("cid").alias("other"), F.col("cv").alias("cv_b"))
+    pair = a.join(F.broadcast(b), F.col("cid") != F.col("other")).select(
+        "cid", "other", cosine(F.col("cv"), F.col("cv_b")).alias("sim")
+    )
+    w = W.partitionBy("cid").orderBy(F.col("sim").desc(), "other")
+    nearest = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("other").cast("long").alias("other"))
+    )
+    n_total = F.col("n_seed") + F.col("n_new")
+    out = cells.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(nearest), "cid", "left"
+    )
+    split_c = n_total * F.col("k") > 2 * F.col("n")
+    merge_c = 4 * n_total * F.col("k") < F.col("n")
+    return out.select(
+        "cid",
+        n_total.cast("long").alias("n_total"),
+        F.when(split_c, F.lit("split"))
+        .when(merge_c, F.lit("merge"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(merge_c, F.col("other")).alias("merge_target"),
     )

@@ -1,0 +1,155 @@
+"""Round-8 property and plan-gate tests: the recall-governed banding
+closure (operators/autotune.py), capped clustering, incremental IVF
+drift, and the shared trigram lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from maxscale_cdc_spark.plans.inspect import formatted_plan
+
+
+def _q(name, spark, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_trigram_classes16_lineage_jvm_only(spark, sf_dir):
+    """The K=16 class lineage (stage=False so the full plan is visible
+    below the checkpoints): no Python, no cartesian, hashing present."""
+    from maxscale_cdc_spark.operators.autotune import trigram_classes16
+    from maxscale_cdc_spark.operators.llm import (
+        class_band_pairs,
+        class_pair_jaccard,
+    )
+
+    doc_map, classes = trigram_classes16(spark, sf_dir, stage=False)
+    cp = class_band_pairs(classes, 8, 2)
+    ver = class_pair_jaccard(cp, classes)
+    plan = formatted_plan(ver)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "md5" in plan, plan
+
+
+def test_banding_sample_filter_reaches_scan(spark, sf_dir):
+    """The curve's deterministic hash-sample predicate must prune
+    documents BEFORE the shingling/minhash work, not after."""
+    from maxscale_cdc_spark.functions.sample import hash_sample
+    from maxscale_cdc_spark.operators.autotune import trigram_classes16
+
+    doc_map, _ = trigram_classes16(
+        spark, sf_dir, stage=False, doc_filter=hash_sample("doc_id", 40)
+    )
+    plan = formatted_plan(doc_map)
+    assert "conv" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_trigram_sets_cached_per_session(spark, sf_dir):
+    """The shared staged trigram lineage is one object per
+    (session, sf_dir) — jaccard_prefix / recall audit / autotune all
+    read the same checkpoint."""
+    from maxscale_cdc_spark.operators.llm import trigram_sets
+
+    a = trigram_sets(spark, sf_dir)
+    b = trigram_sets(spark, sf_dir)
+    assert a is b
+    # filtered builds must NOT hit the unfiltered cache
+    c = trigram_sets(spark, sf_dir, doc_filter=F.col("doc_id") < 10)
+    assert c is not a
+
+
+def test_class_exact_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Completeness of the class-level prefix-filtered exact join: on
+    the sf0.001 sample, it must return EXACTLY the brute-force all-pairs
+    J >= 0.5 set (the no-false-negative lemma on real data)."""
+    from maxscale_cdc_spark.functions.sample import hash_sample
+    from maxscale_cdc_spark.operators.autotune import (
+        _AT_SAMPLE_PCT,
+        _class_exact_pairs,
+        trigram_classes16,
+    )
+
+    _, classes = trigram_classes16(
+        spark,
+        "/root/testdata/sf0.001",
+        stage=False,
+        doc_filter=hash_sample("doc_id", _AT_SAMPLE_PCT),
+    )
+    got = {
+        (r["ckey_a"], r["ckey_b"])
+        for r in _class_exact_pairs(classes).collect()
+    }
+    rows = classes.select("ckey", "rep", "shs").collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            lo, hi = (a, b) if a["rep"] < b["rep"] else (b, a)
+            sa, sb = set(lo["shs"]), set(hi["shs"])
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.5:
+                want.add((lo["ckey"], hi["ckey"]))
+    assert got == want
+
+
+def test_capped_cluster_invariants(spark, sf_dir):
+    """Structural invariants of the capped clustering: was_split iff
+    the base component exceeds the cap; unsplit docs keep their base
+    rep; a split doc's new rep is a member of the SAME base component
+    (re-cutting never merges across components)."""
+    from maxscale_cdc_spark.operators.llm import _CLUSTER_CAP
+
+    rows = _q("llm_dedup_cluster_capped", spark, sf_dir).collect()
+    base_of = {r["doc_id"]: r["base_rep"] for r in rows}
+    split_seen = False
+    for r in rows:
+        assert r["was_split"] == (r["csize"] > _CLUSTER_CAP), r
+        if not r["was_split"]:
+            assert r["cluster_rep"] == r["base_rep"], r
+        else:
+            split_seen = True
+            # the new rep must belong to the same base component
+            assert base_of[r["cluster_rep"]] == r["base_rep"], r
+        assert r["is_keeper"] == (r["doc_id"] == r["cluster_rep"]), r
+    assert split_seen, "cap never triggered — test corpus changed?"
+
+
+def test_ivf_incremental_conservation(spark, sf_dir):
+    """Mass conservation and pure-integer drift identities: cell seed
+    masses sum to the old slice, batch masses to the new slice, and
+    disp_den == n_seed * (n_seed + n_new) wherever defined."""
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("llm_ivf_incremental", spark, sf_dir).collect()
+    e = table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.expr("div(max(vec_id) * 4, 5)")).collect()[0][0]
+    n_old = e.filter(F.col("vec_id") <= mx).count()
+    n_new = e.filter(F.col("vec_id") > mx).count()
+    assert sum(r["n_seed"] for r in rows) == n_old
+    assert sum(r["n_new"] for r in rows) == n_new
+    for r in rows:
+        if r["disp_den"] is not None:
+            assert r["disp_den"] == r["n_seed"] * (r["n_seed"] + r["n_new"]), r
+            assert r["disp_l1_num"] >= 0
+        if r["n_seed"] > 0:
+            assert abs(r["growth_ratio"] - r["n_new"] / r["n_seed"]) == 0.0
+
+
+def test_autotuned_chooser_meets_floor_or_max_recall(spark, sf_dir):
+    """The exported chosen config must be consistent with the curve:
+    cheapest among floor-meeting configs, else the max-recall one."""
+    curve = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in _q("llm_banding_recall_curve", spark, sf_dir).collect()
+    }
+    out = _q("llm_dedup_near_autotuned", spark, sf_dir).limit(1).collect()
+    if not out:  # no near-dup pairs at this scale — nothing to check
+        return
+    chosen = (out[0]["chosen_bands"], out[0]["chosen_rows"])
+    meeting = [k for k, r in curve.items() if r["meets_floor"]]
+    if meeting:
+        best = min(meeting, key=lambda k: (curve[k]["n_candidates"], k))
+    else:
+        best = min(curve, key=lambda k: (-curve[k]["n_caught"], k))
+    assert chosen == best, (chosen, best)
