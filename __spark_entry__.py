@@ -220,6 +220,8 @@ _HEAVY = {
     "llm_ivf_incremental", "llm_ivf_rebalance_plan",
     # replayed-delivery streaming lifecycle (dedup + band self-join):
     "str_dedup_near_prefiltered",
+    # streaming ingest against the static index (kmeans + stream agg):
+    "str_ivf_assign_stream",
     # rides the CC closure:
     "llm_dedup_chain_audit",
 }

@@ -1687,3 +1687,117 @@ def str_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_files(agg)
+
+
+# ---------------------------------------------------------------------------
+# str_ivf_assign_stream — STREAMING vector ingest against a static IVF
+# index: the arrival half of llm_ivf_incremental.  A 100 TB vector
+# store ingests continuously; each arriving vector is assigned to its
+# nearest EXISTING centroid (stream⋈static broadcast join — KB-sized
+# centroid table, the stream never shuffles for the join) and the
+# index publishes per-(5-min-window, cell) arrival counts — the mass-drift
+# monitor feeding the rebalance plan.
+#
+# Spark-first shape: the argmax over K centroids is ONE windowed
+# aggregation (max over a (sim, -cid) struct — lexicographic struct
+# ordering gives sim DESC, cid ASC deterministically, the same total
+# order as the batch row_number), then the per-cell counts are a
+# batch-side regroup of the appended per-vector rows.  Event time is
+# synthetic-deterministic (ts = 2024-01-01 + vec_id minutes), so the
+# oracle expresses the 5-minute window start in pure integer epoch
+# math, gated on the watermark (the str_watermark_late contract).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_stream_oracle() -> str:
+    from maxscale_cdc_spark.functions.vectors import sql_cosine
+    from maxscale_cdc_spark.operators.llm import (
+        _KMEANS_ITERS,
+        _sql_kmeans_ctes,
+    )
+
+    return f"""
+WITH cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+old_e AS (SELECT * FROM embeddings WHERE vec_id <= (SELECT c FROM cut)),
+{_sql_kmeans_ctes(src="old_e")},
+newv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id > (SELECT c FROM cut)
+),
+nassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {sql_cosine('n.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM newv n CROSS JOIN cent{_KMEANS_ITERS} c
+  ) WHERE rn = 1
+),
+wm AS (
+  -- append-mode finalization gate: a window emits only once the
+  -- watermark (max event time - 10 min) passes its END (the
+  -- str_watermark_late contract), in pure integer epoch seconds
+  SELECT 1704067200 + 60 * max(vec_id) - 120 AS w FROM newv
+),
+win AS (
+  SELECT CAST(cid AS BIGINT) AS cid,
+         (1704067200 + 60 * vec_id) // 300 AS wdiv
+  FROM nassign
+)
+SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart, cid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM win, wm
+WHERE (wdiv + 1) * 300 <= wm.w
+GROUP BY 1, 2
+"""
+
+
+@register("str_ivf_assign_stream", _ivf_stream_oracle())
+def str_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingest monitor (see block comment): new-slice
+    vectors stream against the broadcast old-slice centroid table; one
+    watermarked windowed argmax per vector; per-(window, cell) counts;
+    oracle = the batch assignment bucketed by integer epoch math."""
+    from maxscale_cdc_spark.functions.vectors import as_double, cosine
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.tables import wide_table
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    newv = e.filter(F.col("vec_id") > cut).select(
+        "vec_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, vec_id, 0)").alias("ts"),
+        as_double("embedding").alias("v"),
+    )
+    staged = stage_as_stream(newv, cache_key=f"ivfstream:{sf_dir}")
+    stream = read_stream(
+        spark, staged, schema="vec_id bigint, ts timestamp, v array<double>"
+    ).withWatermark("ts", "2 minutes")
+    # stream⋈static on a constant key: the centroid table broadcasts,
+    # the stream side never shuffles for the join
+    cb = F.broadcast(cents.withColumn("k", F.lit(1)))
+    scored = stream.withColumn("k", F.lit(1)).join(cb, "k").select(
+        "ts",
+        "vec_id",
+        "cid",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    agg = scored.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "vec_id"
+    ).agg(
+        F.max(
+            F.struct(F.col("sim").alias("sim"), (-F.col("cid")).alias("negcid"))
+        ).alias("best")
+    )
+    out = run_to_files(agg)
+    return (
+        out.select(
+            F.col("w.start").alias("wstart"),
+            (-F.col("best.negcid")).cast("long").alias("cid"),
+        )
+        .groupBy("wstart", "cid")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
