@@ -637,3 +637,107 @@ def mm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bytes_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_modality_budget_plan — byte-budget APPORTIONMENT across modalities
+# (the llm_token_budget_plan discipline applied to the media corpus): a
+# multimodal training run fixes a storage/compute budget of half the
+# corpus BYTES and needs per-modality integer quotas that sum to the
+# budget EXACTLY — largest-remainder (Hamilton) rounding over the
+# per-modality byte mass.  Modality is the synthetic doc_id % 3 tag
+# (the corpus carries one mime type; the plumbing — byte accounting,
+# exact apportionment — is the real part, the mm_* stub convention).
+# Pure BIGINT: floor-share b·mᵢ // M, remainder b·mᵢ mod M, bonus
+# bytes to the largest remainders (tie-broken by modality name).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_modality_budget_plan",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), per_mod AS (
+      SELECT modality,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+      FROM tagged GROUP BY modality
+    ), tot AS (
+      SELECT CAST(sum(n_bytes) AS BIGINT) AS m,
+             CAST(sum(n_bytes) AS BIGINT) // 2 AS b
+      FROM per_mod
+    ), shares AS (
+      SELECT modality, n_items, n_bytes,
+             CAST(b * n_bytes // m AS BIGINT) AS floor_share,
+             CAST(b * n_bytes % m AS BIGINT) AS remainder,
+             b
+      FROM per_mod CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY remainder DESC, modality) AS BIGINT) AS rr,
+             CAST(sum(floor_share) OVER () AS BIGINT) AS sum_floor
+      FROM shares
+    )
+    SELECT modality, n_items, n_bytes, floor_share,
+           CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                AS BIGINT) AS byte_quota
+    FROM ranked
+    """,
+)
+def mm_modality_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder byte apportionment across modalities (see
+    block comment): one byte aggregation, then pure integer arithmetic
+    over |modalities| rows — Σ byte_quota == budget exactly."""
+    m = media_frame(spark, sf_dir)
+    tagged = m.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    per_mod = tagged.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    tot = per_mod.agg(
+        F.sum("n_bytes").cast("long").alias("m"),
+        F.expr("div(CAST(sum(n_bytes) AS BIGINT), 2)").alias("b"),
+    )
+    shares = per_mod.join(F.broadcast(tot)).select(
+        "modality",
+        "n_items",
+        "n_bytes",
+        F.expr("div(b * n_bytes, m)").cast("long").alias("floor_share"),
+        (F.col("b") * F.col("n_bytes") % F.col("m")).cast("long").alias("remainder"),
+        "b",
+    )
+    ranked = shares.select(
+        "modality",
+        "n_items",
+        "n_bytes",
+        "floor_share",
+        "b",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "modality"))
+        .cast("long")
+        .alias("rr"),
+        F.sum("floor_share").over(W.partitionBy()).cast("long").alias("sum_floor"),
+    )
+    return ranked.select(
+        "modality",
+        "n_items",
+        "n_bytes",
+        "floor_share",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rr") <= F.col("b") - F.col("sum_floor"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("byte_quota"),
+    )

@@ -1511,3 +1511,102 @@ def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_pack_boundary_audit — packing-efficiency audit for the
+# llm_pack_sequences layout (llm.py: per-lang greedy in-order cumsum
+# packer, 512-token packs): per language, the fill ratio against pack
+# capacity, how many pack boundaries document bodies cross, and the
+# token mass spilled past each document's starting pack — the numbers
+# that decide whether a pretraining run pays attention-masking
+# complexity (straddling docs) or padding waste (low fill).  Pure
+# integer arithmetic on the same cumsum window (Spark div == DuckDB
+# BIGINT //); fill_ratio is an integer-ratio double.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_pack_boundary_audit",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    ), audit AS (
+      SELECT lang, n_tok,
+             cum // 512 - (cum - n_tok) // 512 AS n_crossed,
+             greatest(CAST(0 AS BIGINT),
+                      cum - 512 * ((cum - n_tok) // 512 + 1)) AS spilled
+      FROM runs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tok) + 511) // 512 AS BIGINT) AS n_packs,
+           CAST(sum(n_tok) AS DOUBLE)
+             / (512 * ((sum(n_tok) + 511) // 512)) AS fill_ratio,
+           CAST(sum(n_crossed) AS BIGINT) AS boundary_crossings,
+           CAST(sum(CASE WHEN n_crossed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           CAST(sum(spilled) AS BIGINT) AS spilled_tokens
+    FROM audit GROUP BY lang
+    """,
+)
+def llm_pack_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing efficiency for the 512-token greedy packer
+    (see block comment).  One keyed cumsum window (the packer's own
+    shuffle shape) + one aggregation."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.expr(
+        "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = toks.withColumn("cum", F.sum("n_tok").over(w))
+    audit = runs.select(
+        "lang",
+        "n_tok",
+        F.expr("div(cum, 512) - div(cum - n_tok, 512)").alias("n_crossed"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (
+                F.col("cum")
+                - 512 * (F.expr("div(cum - n_tok, 512)") + F.lit(1))
+            ).cast("long"),
+        ).alias("spilled"),
+    )
+    agg = audit.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_crossed").cast("long").alias("boundary_crossings"),
+        F.sum(F.when(F.col("n_crossed") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddlers"),
+        F.sum("spilled").cast("long").alias("spilled_tokens"),
+    )
+    n_packs = F.expr("div(total_tokens + 511, 512)").cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        (
+            F.col("total_tokens").cast("double")
+            / (512 * F.expr("div(total_tokens + 511, 512)"))
+        ).alias("fill_ratio"),
+        "boundary_crossings",
+        "n_straddlers",
+        "spilled_tokens",
+    )
