@@ -2632,3 +2632,110 @@ def cdc_heartbeat_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_gaps_over_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay_request_plan — turn detected sequence gaps into the replay
+# REQUESTS the reference protocol actually issues: resuming a stream is
+# `REQUEST-DATA database.table GTID` anchored at the last-safe position
+# (client.go:349-369; GTID synthesized as domain-server-sequence,
+# event.go:216-236).  Per-key gaps (cdc_gap_detect's lag definition)
+# are first MERGED into global replay ranges (overlapping/adjacent
+# intervals coalesce — the gaps-and-islands pattern: running max of
+# range ends, new island when a range starts past it), then each merged
+# range becomes one request anchored at range_start − 1.  Replay is
+# idempotent under the at-least-once contract, so coalescing can only
+# over-replay, never under-replay.  All interval math is BIGINT; the
+# request string is deterministic concatenation.
+# ---------------------------------------------------------------------------
+
+_REPLAY_PLAN_ORACLE = f"""
+{{cdc}}
+, seq AS (
+  SELECT pk, sequence,
+         lag(sequence) OVER (PARTITION BY pk ORDER BY sequence) AS prev_seq
+  FROM cdc
+), gaps AS (
+  SELECT pk, prev_seq + 1 AS lo, sequence - 1 AS hi
+  FROM seq
+  WHERE prev_seq IS NOT NULL AND sequence - prev_seq > 20
+), marked AS (
+  SELECT pk, lo, hi,
+         max(hi) OVER (ORDER BY lo, hi, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM gaps
+), islands AS (
+  SELECT lo, hi,
+         CAST(sum(CASE WHEN prev_max IS NULL OR lo > prev_max + 1
+                       THEN 1 ELSE 0 END)
+              OVER (ORDER BY lo, hi, pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM marked
+)
+SELECT CAST(min(lo) AS BIGINT) AS range_start,
+       CAST(max(hi) AS BIGINT) AS range_end,
+       CAST(count(*) AS BIGINT) AS n_source_gaps,
+       CAST(max(hi) - min(lo) + 1 AS BIGINT) AS span,
+       'REQUEST-DATA testdb.events 0-1-' || CAST(min(lo) - 1 AS VARCHAR)
+         AS request_cmd
+FROM islands
+GROUP BY island
+"""
+
+
+@register("cdc_replay_request_plan", _REPLAY_PLAN_ORACLE.format(cdc=CDC_SQL))
+def cdc_replay_request_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged replay ranges + REQUEST-DATA command strings from per-key
+    sequence gaps (see block comment)."""
+    cdc = cdc_view(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy("sequence")
+    seq = cdc.select(
+        "pk", "sequence", F.lag("sequence").over(w).alias("prev_seq")
+    )
+    gaps = seq.filter(
+        F.col("prev_seq").isNotNull() & (F.col("sequence") - F.col("prev_seq") > 20)
+    ).select(
+        "pk",
+        (F.col("prev_seq") + 1).alias("lo"),
+        (F.col("sequence") - 1).alias("hi"),
+    )
+    worder = W.orderBy("lo", "hi", "pk")
+    marked = gaps.select(
+        "pk",
+        "lo",
+        "hi",
+        F.max("hi")
+        .over(worder.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_max"),
+    )
+    island_flag = F.when(
+        F.col("prev_max").isNull() | (F.col("lo") > F.col("prev_max") + 1), 1
+    ).otherwise(0)
+    # the running sum's window is TOTAL-ordered (lo, hi, pk): with ties
+    # broken, both engines assign identical island ids row-by-row (a
+    # partial order here could split a tied pair across islands
+    # differently per engine)
+    islands = marked.select(
+        "lo",
+        "hi",
+        F.sum(island_flag)
+        .over(
+            W.orderBy("lo", "hi", "pk").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .cast("long")
+        .alias("island"),
+    )
+    return islands.groupBy("island").agg(
+        F.min("lo").cast("long").alias("range_start"),
+        F.max("hi").cast("long").alias("range_end"),
+        F.count("*").cast("long").alias("n_source_gaps"),
+        (F.max("hi") - F.min("lo") + 1).cast("long").alias("span"),
+        F.concat(
+            F.lit("REQUEST-DATA testdb.events 0-1-"),
+            (F.min("lo") - 1).cast("string"),
+        ).alias("request_cmd"),
+    ).drop("island")

@@ -1835,3 +1835,68 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_with_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_quality_decile_dup_rate — CROSS-SIGNAL curation audit: exact-
+# duplicate rate per quality decile.  The question a filtering pipeline
+# must answer before composing signals: if low-quality docs are also
+# the duplicated ones, dedup-then-filter double-counts the removal and
+# the quality threshold can relax; if duplication is flat across
+# quality, the two signals are independent budget lines.  Quality here
+# is the n_chars proxy (the llm_signal_agreement convention); the
+# decile is ntile(10) over the TOTAL order (n_chars, doc_id) — ties
+# broken identically in both engines; dup membership is the exact
+# md5(text) class (llm_dedup_exact's definition).  Two scans + one
+# window + one keyed agg; dup_rate is an integer-ratio double.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_quality_decile_dup_rate",
+    """
+    WITH cls AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY md5(text)
+    ), lab AS (
+      SELECT d.doc_id,
+             CAST(ntile(10) OVER (ORDER BY d.n_chars, d.doc_id) AS BIGINT)
+               AS q_decile,
+             (c.n >= 2) AS is_dup
+      FROM documents d JOIN cls c ON md5(d.text) = c.h
+    )
+    SELECT q_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS dup_rate
+    FROM lab GROUP BY q_decile
+    """,
+)
+def llm_quality_decile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup rate per quality decile (see block comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    cls = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lab = (
+        d.select("doc_id", "n_chars", F.md5("text").alias("h"))
+        .join(cls, "h")
+        .select(
+            F.ntile(10)
+            .over(W.orderBy("n_chars", "doc_id"))
+            .cast("long")
+            .alias("q_decile"),
+            (F.col("n") >= 2).alias("is_dup"),
+        )
+    )
+    return lab.groupBy("q_decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+        (
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("dup_rate"),
+    )

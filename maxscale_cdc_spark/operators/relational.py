@@ -1024,3 +1024,42 @@ def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_variant — the semi-structured VARIANT surface (Spark 4's native
+# open-schema type): parse the reference's dynamic JSON payload
+# (map[string]interface{}, event.go:220-236) into a VARIANT once, then
+# do typed path extraction (variant_get), lossy-cast extraction, and
+# try-semantics on a missing path.  At 100 TB VARIANT beats re-parsing
+# JSON strings per expression: one binary-encoded parse, pruned typed
+# reads.  The oracle reads the same paths with DuckDB's JSON ops —
+# exported values are engine-neutral (BIGINT / VARCHAR / BOOLEAN).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT payload access: one parse_json, typed variant_get reads,
+    try-semantics on an absent path (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").isNull().alias(
+            "missing_is_null"
+        ),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+    )
