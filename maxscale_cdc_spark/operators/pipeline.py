@@ -1610,3 +1610,95 @@ def llm_pack_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_straddlers",
         "spilled_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_pipeline_e2e — the WHOLE curation funnel as ONE composed plan:
+# quality gate → exact dedup (keep the class minimum) → 512-token
+# greedy packing per language → 64-pack training shards, exported as
+# the per-(lang, shard) manifest a downstream trainer mounts.  The
+# individual stages exist as registered operators (llm_heuristic_
+# filters / llm_dedup_exact / llm_pack_sequences / mm_shard_manifest);
+# this query proves the COMPOSITION: one Catalyst plan, stage
+# boundaries as exchanges only where a stage is keyed differently
+# (the dedup's class agg and the per-lang pack window), everything
+# else fused.  All rules integer (cross-multiplied uniqueness ratio,
+# div-based pack/shard ids); the oracle chains the same CTEs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_pipeline_e2e",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), gated AS (
+      -- quality gate: >=20 words, <=10k chars, >=20% distinct words
+      SELECT doc_id, lang, text, w FROM base
+      WHERE len(w) >= 20 AND length(text) <= 10000
+        AND 5 * len(list_distinct(w)) >= len(w)
+    ), cls AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM gated GROUP BY md5(text)
+    ), kept AS (
+      SELECT g.doc_id, g.lang,
+             CAST(list_sum(list_transform(g.w, x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM gated g JOIN cls c ON md5(g.text) = c.h AND g.doc_id = c.keeper
+    ), runs AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM kept
+    ), packed AS (
+      SELECT lang, n_tok, (cum - n_tok) // 512 AS pack_id
+      FROM runs
+    )
+    SELECT lang,
+           CAST(pack_id // 64 AS BIGINT) AS shard_id,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY lang, pack_id // 64
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → exact-dedup → pack → shard manifest in one plan (see
+    block comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "text", words("text").alias("w"))
+    gated = base.filter(
+        (F.size("w") >= 20)
+        & (F.length("text") <= 10000)
+        & (5 * F.size(F.array_distinct("w")) >= F.size("w"))
+    )
+    cls = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    n_tok = F.expr(
+        "CAST(aggregate(w, 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+    )
+    kept = (
+        gated.withColumn("h", F.md5("text"))
+        .join(cls, "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", n_tok.alias("n_tok"))
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = kept.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "lang",
+        "n_tok",
+        F.expr("div(cum - n_tok, 512)").alias("pack_id"),
+    )
+    return packed.groupBy(
+        "lang", F.expr("div(pack_id, 64)").cast("long").alias("shard_id")
+    ).agg(
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

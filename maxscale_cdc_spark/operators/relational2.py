@@ -2256,3 +2256,98 @@ def rel_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_outlier_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_ivm_distinct — INCREMENTAL distinct-count maintenance, the IVM
+# family's ordered-set member (joins: rel_ivm_join; sums:
+# cdc_incremental_agg; intervals: cdc_scd2_merge_history; signatures:
+# llm_dedup_incremental; ANN: llm_ivf_incremental).  COUNT(DISTINCT)
+# is not partially-aggregable, so the stored state is the distinct
+# KEY SET itself (per group) — at 100 TB a bucketed parquet key store;
+# here the base-slice lineage.  A new batch maintains it with ONE
+# anti-join (batch-distinct against stored keys): merged = stored +
+# genuinely-new, never a full re-distinct of history.  The oracle
+# recomputes the full distinct from scratch AND the incremental sum —
+# both exported, so the green row certifies merged == full bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_ivm_distinct",
+    """
+    WITH cut AS (SELECT (max(event_id) * 4) // 5 AS c FROM events),
+    b AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_id <= (SELECT c FROM cut)
+    ), d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_id > (SELECT c FROM cut)
+    ), newu AS (
+      SELECT d.event_type, d.user_id FROM d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE b.event_type = d.event_type AND b.user_id = d.user_id
+      )
+    ), stored AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS stored_distinct
+      FROM b GROUP BY event_type
+    ), fresh AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS batch_new_distinct
+      FROM newu GROUP BY event_type
+    ), full_cnt AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS full_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST(coalesce(s.stored_distinct, 0) AS BIGINT) AS stored_distinct,
+           CAST(coalesce(n.batch_new_distinct, 0) AS BIGINT) AS batch_new_distinct,
+           CAST(coalesce(s.stored_distinct, 0)
+                + coalesce(n.batch_new_distinct, 0) AS BIGINT) AS merged_distinct,
+           f.full_distinct
+    FROM full_cnt f
+    LEFT JOIN stored s ON s.event_type = f.event_type
+    LEFT JOIN fresh n ON n.event_type = f.event_type
+    """,
+)
+def rel_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance (see block comment):
+    batch-distinct anti-joined against the stored key set; the oracle's
+    full recompute is exported beside the incremental sum, certifying
+    the identity."""
+    ev = table(spark, sf_dir, "events")
+    cut = int(
+        ev.agg(F.expr("div(max(event_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    b = ev.filter(F.col("event_id") <= cut).select("event_type", "user_id").distinct()
+    d = ev.filter(F.col("event_id") > cut).select("event_type", "user_id").distinct()
+    newu = d.join(b, ["event_type", "user_id"], "left_anti")
+    stored = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("stored_distinct")
+    )
+    fresh = newu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("batch_new_distinct")
+    )
+    full_cnt = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("full_distinct")
+    )
+    return (
+        full_cnt.join(stored, "event_type", "left")
+        .join(fresh, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("stored_distinct", F.lit(0)).cast("long").alias(
+                "stored_distinct"
+            ),
+            F.coalesce("batch_new_distinct", F.lit(0)).cast("long").alias(
+                "batch_new_distinct"
+            ),
+            (
+                F.coalesce("stored_distinct", F.lit(0))
+                + F.coalesce("batch_new_distinct", F.lit(0))
+            )
+            .cast("long")
+            .alias("merged_distinct"),
+            "full_distinct",
+        )
+    )
