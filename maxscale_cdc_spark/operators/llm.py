@@ -3038,3 +3038,57 @@ def llm_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chained_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_source_matrix — WHICH sources duplicate WHICH: near-dup
+# pair counts per unordered source pair (diagonal = within-source
+# duplication), over the registered llm_dedup_near pairs (the cached
+# class-collapsed lineage — this consumer adds two dimension joins and
+# one keyed agg).  The procurement view of duplication:
+# llm_dedup_syndication says HOW WIDE clusters spread;
+# this says BETWEEN WHOM, which is what a licensing/dedup-order
+# decision needs.  |sources|²-bounded output.
+# ---------------------------------------------------------------------------
+
+_SOURCE_MATRIX_ORACLE = oracle_splice(
+    _NEAR_ORACLE.rstrip(),
+    """SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5""",
+    """pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5
+  ),
+  lab AS (
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+  )
+SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY src_lo, src_hi""",
+)
+_SOURCE_MATRIX_ORACLE = oracle_splice(
+    _SOURCE_MATRIX_ORACLE, "  )\npairs AS (", "  ),\n  pairs AS ("
+)
+
+
+@register("llm_dedup_source_matrix", _SOURCE_MATRIX_ORACLE)
+def llm_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair (see block
+    comment); composes the REGISTERED llm_dedup_near (same code
+    object, cached lineage)."""
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = pairs.join(da, "doc_a").join(db, "doc_b").select(
+        F.least("sa", "sb").alias("src_lo"),
+        F.greatest("sa", "sb").alias("src_hi"),
+    )
+    return lab.groupBy("src_lo", "src_hi").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
