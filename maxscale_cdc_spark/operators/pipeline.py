@@ -1702,3 +1702,98 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_rag_chunk_rank — retrieval over CHUNKS, not documents: the RAG
+# serving shape (chunk the corpus with the production 64/48 sliding
+# window — llm_chunk_overlap's exact arithmetic — score each chunk
+# against a fixed conjunctive keyword query, return the global top-10
+# with their parent documents).  Chunk-level ranking beats doc-level
+# (llm_bm25_rank) when answers are local to a passage; the score here
+# is the pure-INTEGER term-frequency sum over the chunk (no idf — the
+# fixed query's terms are near-uniform across this corpus, and integer
+# scoring keeps the rank total-ordered without any double in the
+# tie-break: score DESC, doc_id, chunk_id).
+#
+# Scale shape: chunking is scan-speed per-row fan-out (no shuffle);
+# scoring is a per-chunk array filter; the only shuffle is the global
+# top-10 TakeOrdered.  At 100 TB this is the batch half of a RAG
+# index build: rank-prune candidate chunks before paying embedding
+# inference on survivors.
+# ---------------------------------------------------------------------------
+
+_RAG_TERMS = ["table", "join", "query"]
+_RAG_TOPK = 10
+
+_RAG_CHUNK_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), k AS (
+  SELECT doc_id, w, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+                ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+           END)) AS ck
+  FROM p
+), chunks AS (
+  SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id,
+         list_slice(w, 1 + ck * {_CHUNK_STRIDE},
+                    least(n, ck * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS cw
+  FROM k
+), scored AS (
+  SELECT doc_id, chunk_id,
+         CAST({' + '.join(f"len(list_filter(cw, x -> x = '{t}'))" for t in _RAG_TERMS)}
+              AS BIGINT) AS score
+  FROM chunks
+)
+SELECT doc_id, chunk_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rk
+FROM scored
+ORDER BY score DESC, doc_id, chunk_id
+LIMIT {_RAG_TOPK}
+"""
+
+
+@register("llm_rag_chunk_rank", _RAG_CHUNK_ORACLE)
+def llm_rag_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 chunks for the fixed keyword query (see block
+    comment): 64/48 chunk fan-out at scan speed, integer tf scoring,
+    TakeOrdered top-k."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    p = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n")
+    )
+    kmax = F.when(F.col("n") <= _CHUNK_SIZE, F.lit(0)).otherwise(
+        F.expr(f"div(n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1, {_CHUNK_STRIDE})")
+    )
+    c = p.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), kmax)).alias("ck"),
+    )
+    cw = F.expr(f"slice(w, 1 + ck * {_CHUNK_STRIDE}, {_CHUNK_SIZE})")
+    chunks = c.select(
+        "doc_id", F.col("ck").cast("long").alias("chunk_id"), cw.alias("cw")
+    )
+
+    def tf(term: str):
+        # closure-bound term (the two-param-HOF-lambda gotcha)
+        return F.size(F.filter(F.col("cw"), lambda x: x == F.lit(term)))
+
+    score = tf(_RAG_TERMS[0])
+    for t in _RAG_TERMS[1:]:
+        score = score + tf(t)
+    scored = chunks.select(
+        "doc_id", "chunk_id", score.cast("long").alias("score")
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), "doc_id", "chunk_id"
+    ).limit(_RAG_TOPK)
+    w = W.orderBy(F.col("score").desc(), "doc_id", "chunk_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
