@@ -1734,13 +1734,17 @@ nassign AS (
 ),
 wm AS (
   -- append-mode finalization gate: a window emits only once the
-  -- watermark (max event time - 10 min) passes its END (the
-  -- str_watermark_late contract), in pure integer epoch seconds
-  SELECT 1704067200 + 60 * max(vec_id) - 120 AS w FROM newv
+  -- watermark (max event time - 2 min) passes its END (the
+  -- str_watermark_late contract), in pure integer epoch seconds.
+  -- The synthetic clock is vec_id minutes MOD 2^20 — a no-op at the
+  -- oracle-checked scales (max vec_id << 2^20) that keeps the
+  -- derived sf1.0 ids (offset by 10^8 per replica) inside the
+  -- harness's nanosecond-timestamp range.
+  SELECT max(1704067200 + 60 * (vec_id % 1048576)) - 120 AS w FROM newv
 ),
 win AS (
   SELECT CAST(cid AS BIGINT) AS cid,
-         (1704067200 + 60 * vec_id) // 300 AS wdiv
+         (1704067200 + 60 * (vec_id % 1048576)) // 300 AS wdiv
   FROM nassign
 )
 SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart, cid,
@@ -1769,7 +1773,9 @@ def str_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_ts = "timestamp'2024-01-01 00:00:00'"
     newv = e.filter(F.col("vec_id") > cut).select(
         "vec_id",
-        F.expr(f"{base_ts} + make_dt_interval(0, 0, vec_id, 0)").alias("ts"),
+        F.expr(
+            f"{base_ts} + make_dt_interval(0, 0, vec_id % 1048576, 0)"
+        ).alias("ts"),
         as_double("embedding").alias("v"),
     )
     staged = stage_as_stream(newv, cache_key=f"ivfstream:{sf_dir}")
