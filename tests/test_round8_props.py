@@ -153,3 +153,92 @@ def test_autotuned_chooser_meets_floor_or_max_recall(spark, sf_dir):
     else:
         best = min(curve, key=lambda k: (-curve[k]["n_caught"], k))
     assert chosen == best, (chosen, best)
+
+
+def test_pipeline_e2e_plan_shape(spark, sf_dir):
+    """The composed funnel stays JVM-side with no cartesian: stage
+    boundaries are keyed exchanges only."""
+    from maxscale_cdc_spark.plans.inspect import (
+        formatted_plan,
+        has_cartesian,
+    )
+
+    df = _q("llm_pipeline_e2e", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert not has_cartesian(df)
+
+
+def test_rag_chunk_rank_takeordered(spark, sf_dir):
+    """The global top-k must be a TakeOrdered (per-partition heap +
+    k-row merge), not a full sort shuffle."""
+    from maxscale_cdc_spark.plans.inspect import formatted_plan
+
+    df = _q("llm_rag_chunk_rank", spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_ivf_rebalance_actions_follow_rules(spark, sf_dir):
+    """Every action is the integer skew rule applied to the cell's own
+    mass; merge targets exist only on merges and never self-point."""
+    rows = _q("llm_ivf_rebalance_plan", spark, sf_dir).collect()
+    n = sum(r["n_total"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        if r["n_total"] * k > 2 * n:
+            want = "split"
+        elif 4 * r["n_total"] * k < n:
+            want = "merge"
+        else:
+            want = "keep"
+        assert r["action"] == want, r
+        if r["action"] == "merge":
+            assert r["merge_target"] is not None and r["merge_target"] != r["cid"]
+        else:
+            assert r["merge_target"] is None
+
+
+def test_replay_plan_ranges_merged_disjoint(spark, sf_dir):
+    """Merged replay ranges are sorted, non-adjacent and non-
+    overlapping (that's what 'merged' means), and each command string
+    anchors one position before its range."""
+    rows = sorted(
+        _q("cdc_replay_request_plan", spark, sf_dir).collect(),
+        key=lambda r: r["range_start"],
+    )
+    prev_end = None
+    for r in rows:
+        assert r["range_start"] <= r["range_end"]
+        assert r["span"] == r["range_end"] - r["range_start"] + 1
+        assert r["request_cmd"].endswith(str(r["range_start"] - 1))
+        if prev_end is not None:
+            assert r["range_start"] > prev_end + 1
+        prev_end = r["range_end"]
+
+
+def test_source_matrix_mass_conserved(spark, sf_dir):
+    """Σ n_pairs over the source matrix == |llm_dedup_near| pairs."""
+    total = sum(
+        r["n_pairs"] for r in _q("llm_dedup_source_matrix", spark, sf_dir).collect()
+    )
+    assert total == _q("llm_dedup_near", spark, sf_dir).count()
+
+
+def test_ivm_distinct_identity(spark, sf_dir):
+    """merged == full recompute on every group (the IVM contract)."""
+    for r in _q("rel_ivm_distinct", spark, sf_dir).collect():
+        assert r["merged_distinct"] == r["full_distinct"], r
+
+
+def test_pack_boundary_identities(spark, sf_dir):
+    for r in _q("llm_pack_boundary_audit", spark, sf_dir).collect():
+        assert r["n_packs"] == (r["total_tokens"] + 511) // 512
+        assert 0 <= r["spilled_tokens"] <= r["total_tokens"]
+        assert r["n_straddlers"] <= r["boundary_crossings"]
+        assert 0.0 < r["fill_ratio"] <= 1.0
+
+
+def test_modality_budget_sums_exactly(spark, sf_dir):
+    rows = _q("mm_modality_budget_plan", spark, sf_dir).collect()
+    total = sum(r["n_bytes"] for r in rows)
+    assert sum(r["byte_quota"] for r in rows) == total // 2
