@@ -2739,3 +2739,81 @@ def cdc_replay_request_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("lo") - 1).cast("string"),
         ).alias("request_cmd"),
     ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# cdc_gtid_watermark — multi-source replication LOW WATERMARK per GTID
+# domain: the reference's GTID is domain-server-sequence precisely so a
+# consumer can track multiple replication sources (event.go:216-236);
+# the safe RESUME position for a domain is the MINIMUM over its servers
+# of each server's maximum delivered sequence — rewinding to it loses
+# nothing from any server (the same min-of-maxes shape as Kafka
+# consumer-group low watermarks).  The canonical fixture is
+# single-source (domain 0, server 3000, cdc_view); this op models the
+# multi-source deployment with the documented synthetic fan-out
+# (domain = pk % 4, server = 3000 + pk % 2).
+#
+# Exactness: the per-domain argmin over (max_seq, server_id) is packed
+# into ONE BIGINT (max_seq·4096 + server offset; max_seq < 2⁵⁰ holds
+# by construction — event ids) because DuckDB's min_by/arg_min takes
+# only SCALAR order keys (CLAUDE.md gotcha); unpack via div/%.
+# ---------------------------------------------------------------------------
+
+_GTID_WM_ORACLE = """
+WITH src AS (
+  SELECT CAST(user_id % 4 AS INT) AS domain,
+         CAST(3000 + user_id % 2 AS INT) AS server_id,
+         event_id AS sequence
+  FROM events
+), per_server AS (
+  SELECT domain, server_id, CAST(max(sequence) AS BIGINT) AS max_seq
+  FROM src GROUP BY domain, server_id
+), packed AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_servers,
+         CAST(max(max_seq) AS BIGINT) AS domain_max_seq,
+         CAST(min(max_seq * 4096 + (server_id - 3000)) AS BIGINT) AS mn
+  FROM per_server GROUP BY domain
+)
+SELECT domain, n_servers, domain_max_seq,
+       CAST(mn // 4096 AS BIGINT) AS low_watermark_seq,
+       CAST(domain AS VARCHAR) || '-'
+         || CAST(3000 + mn % 4096 AS VARCHAR) || '-'
+         || CAST(mn // 4096 AS VARCHAR) AS resume_gtid
+FROM packed
+"""
+
+
+@register("cdc_gtid_watermark", _GTID_WM_ORACLE)
+def cdc_gtid_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain replication low watermark + resume GTID (see block
+    comment): two keyed aggregations, packed-BIGINT argmin."""
+    ev = table(spark, sf_dir, "events")
+    src = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("domain"),
+        (3000 + F.col("user_id") % 2).cast("int").alias("server_id"),
+        F.col("event_id").alias("sequence"),
+    )
+    per_server = src.groupBy("domain", "server_id").agg(
+        F.max("sequence").cast("long").alias("max_seq")
+    )
+    packed = per_server.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_servers"),
+        F.max("max_seq").cast("long").alias("domain_max_seq"),
+        F.min(F.col("max_seq") * 4096 + (F.col("server_id") - 3000))
+        .cast("long")
+        .alias("mn"),
+    )
+    return packed.select(
+        "domain",
+        "n_servers",
+        "domain_max_seq",
+        F.expr("div(mn, 4096)").cast("long").alias("low_watermark_seq"),
+        F.concat(
+            F.col("domain").cast("string"),
+            F.lit("-"),
+            (3000 + F.col("mn") % 4096).cast("string"),
+            F.lit("-"),
+            F.expr("div(mn, 4096)").cast("string"),
+        ).alias("resume_gtid"),
+    )
