@@ -1797,3 +1797,126 @@ def llm_rag_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_RAG_TOPK)
     w = W.orderBy(F.col("score").desc(), "doc_id", "chunk_id")
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# llm_embedding_coverage — cross-table pipeline hygiene: which
+# documents have no embedding row, which vectors have no parent
+# document, per source.  The referential-integrity audit
+# (rel_referential_integrity) applied to the ML side of the house —
+# after every backfill/ingest a 100 TB feature store answers exactly
+# this before training reads it.  Two anti-joins (the small side is
+# the id projection — at 100 TB both are id-only columnar scans) +
+# one keyed agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embedding_coverage",
+    """
+    WITH docs AS (SELECT doc_id, source FROM documents),
+    vecs AS (SELECT vec_id FROM embeddings),
+    cov AS (
+      SELECT d.source,
+             CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_vec
+      FROM docs d LEFT JOIN vecs v ON v.vec_id = d.doc_id
+    ), orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM vecs v
+      WHERE NOT EXISTS (SELECT 1 FROM docs d WHERE d.doc_id = v.vec_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_vec) AS BIGINT) AS n_covered,
+           CAST(count(*) - sum(has_vec) AS BIGINT) AS n_missing,
+           CAST(sum(has_vec) AS DOUBLE) / count(*) AS coverage,
+           (SELECT n FROM orphans) AS n_orphan_vectors
+    FROM cov GROUP BY source
+    """,
+)
+def llm_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding coverage + global orphan-vector count (see
+    block comment)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = table(spark, sf_dir, "embeddings").select("vec_id")
+    cov = d.join(v, d.doc_id == v.vec_id, "left").select(
+        "source", F.col("vec_id").isNotNull().cast("int").alias("has_vec")
+    )
+    orphans = v.join(d, d.doc_id == v.vec_id, "left_anti").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    agg = cov.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("has_vec").cast("long").alias("n_covered"),
+        (F.count("*") - F.sum("has_vec")).cast("long").alias("n_missing"),
+        (F.sum("has_vec").cast("double") / F.count("*")).alias("coverage"),
+    )
+    return agg.crossJoin(F.broadcast(orphans)).select(
+        "source",
+        "n_docs",
+        "n_covered",
+        "n_missing",
+        "coverage",
+        F.col("n").alias("n_orphan_vectors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_inference_batch_plan — length-sorted INFERENCE batching: sort
+# documents by token length, cut fixed-size batches of 32, and price
+# the padding waste (Σ batch_max − n_tok per batch) — the serving-side
+# twin of llm_pack_boundary_audit (training packs concatenate;
+# inference batches pad to the max).  Length-sorting is THE padding
+# lever: random batching pads every doc to the global tail.  One
+# global sort window (at 100 TB: range-partitioned sort, the same
+# shape as zorder/compaction) + one keyed agg; everything integer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_inference_batch_plan",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch_id
+      FROM toks
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS batch_max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
+           CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)) AS efficiency
+    FROM ranked GROUP BY batch_id
+    """,
+)
+def llm_inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted fixed-size inference batches with padding-waste
+    accounting (see block comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.expr(
+        "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+    )
+    toks = d.select("doc_id", n_tok.alias("n_tok"))
+    ranked = toks.select(
+        "n_tok",
+        F.expr("div(row_number() OVER (ORDER BY n_tok, doc_id) - 1, 32)").alias(
+            "batch_id"
+        ),
+    )
+    return ranked.groupBy(F.col("batch_id").cast("long").alias("batch_id")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("batch_max_tok"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_tokens"),
+        (
+            F.sum("n_tok").cast("double") / (F.count("*") * F.max("n_tok"))
+        ).alias("efficiency"),
+    )
