@@ -242,3 +242,51 @@ def test_modality_budget_sums_exactly(spark, sf_dir):
     rows = _q("mm_modality_budget_plan", spark, sf_dir).collect()
     total = sum(r["n_bytes"] for r in rows)
     assert sum(r["byte_quota"] for r in rows) == total // 2
+
+
+def test_gtid_watermark_matches_bruteforce(spark, sf_dir):
+    """The packed-BIGINT argmin must equal the brute-force min-over-
+    servers-of-max-sequence, and the resume GTID names that server."""
+    from collections import defaultdict
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("cdc_gtid_watermark", spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id").collect()
+    mx = defaultdict(dict)
+    for r in ev:
+        d, s = r["user_id"] % 4, 3000 + r["user_id"] % 2
+        mx[d][s] = max(mx[d].get(s, 0), r["event_id"])
+    for r in rows:
+        servers = mx[r["domain"]]
+        low_seq, low_srv = min((v, k) for k, v in servers.items())
+        assert r["n_servers"] == len(servers)
+        assert r["domain_max_seq"] == max(servers.values())
+        assert r["low_watermark_seq"] == low_seq
+        assert r["resume_gtid"] == f"{r['domain']}-{low_srv}-{low_seq}"
+
+
+def test_inference_batches_sorted_and_full(spark, sf_dir):
+    """Every batch except the last holds exactly 32 docs; batch max
+    tokens are non-decreasing across batch ids (the length sort)."""
+    rows = sorted(
+        _q("llm_inference_batch_plan", spark, sf_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    for r in rows[:-1]:
+        assert r["n_docs"] == 32, r
+    prev = -1
+    for r in rows:
+        assert r["batch_max_tok"] >= prev
+        prev = r["batch_max_tok"]
+        assert r["pad_tokens"] == r["n_docs"] * r["batch_max_tok"] - r["real_tokens"]
+
+
+def test_embedding_coverage_conservation(spark, sf_dir):
+    """Covered + missing == docs per source; orphan count is global
+    and consistent across rows."""
+    rows = _q("llm_embedding_coverage", spark, sf_dir).collect()
+    orphans = {r["n_orphan_vectors"] for r in rows}
+    assert len(orphans) == 1
+    for r in rows:
+        assert r["n_covered"] + r["n_missing"] == r["n_docs"], r
