@@ -590,3 +590,76 @@ def llm_bpe_tokenize_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_vocab_truncation_curve — the vocab-SIZE knob table: at each
+# candidate vocabulary cutoff (top-N word types by corpus frequency,
+# total-ordered freq DESC / word ASC), the out-of-vocabulary token and
+# type share.  llm_vocab_coverage audits ONE fixed external vocab;
+# this sweeps the cutoff — the table a tokenizer design prices before
+# fixing |V| (OOV mass is what falls back to byte/char pieces).
+#
+# Scale shape: ONE word-frequency aggregation (map-side combinable),
+# one rank window over |vocab| rows (corpus-size-independent), then
+# every cutoff is a conditional sum over the same ranked table — no
+# joins, no per-N passes.  All integer counts; rates integer-ratio.
+# ---------------------------------------------------------------------------
+
+_VOCAB_CUTS = (64, 256, 1024)
+
+_VOCAB_CURVE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY word
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rk FROM freq
+), cuts AS (SELECT unnest([{', '.join(str(n) for n in _VOCAB_CUTS)}]) AS vocab_size)
+SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size,
+       CAST(sum(r.f) AS BIGINT) AS n_tokens_total,
+       CAST(sum(CASE WHEN r.rk > c.vocab_size THEN r.f ELSE 0 END) AS BIGINT)
+         AS n_tokens_oov,
+       CAST(sum(CASE WHEN r.rk > c.vocab_size THEN r.f ELSE 0 END) AS DOUBLE)
+         / sum(r.f) AS oov_rate,
+       CAST(count(*) AS BIGINT) AS n_types_total,
+       CAST(sum(CASE WHEN r.rk > c.vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types_oov
+FROM ranked r CROSS JOIN cuts c
+GROUP BY c.vocab_size
+"""
+
+
+@register("llm_vocab_truncation_curve", _VOCAB_CURVE_ORACLE)
+def llm_vocab_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV token/type share per vocabulary cutoff (see block comment)."""
+    from pyspark.sql import Window as W
+
+    d = wide_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number().over(W.orderBy(F.col("f").desc(), "word")).alias("rk"),
+    )
+    cuts = ranked.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(n) for n in _VOCAB_CUTS])
+                ).alias("vocab_size")
+            )
+        )
+    )
+    oov_f = F.when(F.col("rk") > F.col("vocab_size"), F.col("f")).otherwise(0)
+    oov_t = F.when(F.col("rk") > F.col("vocab_size"), 1).otherwise(0)
+    return cuts.groupBy(F.col("vocab_size").cast("long").alias("vocab_size")).agg(
+        F.sum("f").cast("long").alias("n_tokens_total"),
+        F.sum(oov_f).cast("long").alias("n_tokens_oov"),
+        (F.sum(oov_f).cast("double") / F.sum("f")).alias("oov_rate"),
+        F.count("*").cast("long").alias("n_types_total"),
+        F.sum(oov_t).cast("long").alias("n_types_oov"),
+    )
