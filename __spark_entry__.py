@@ -222,6 +222,8 @@ _HEAVY = {
     "str_dedup_near_prefiltered",
     # streaming ingest against the static index (kmeans + stream agg):
     "str_ivf_assign_stream",
+    # full scd2 stream lifecycle + log rewrite:
+    "snk_scd2_compact",
     # rides the CC closure:
     "llm_dedup_chain_audit",
 }

@@ -895,6 +895,45 @@ class Scd2HistorySink:
         )
         self.open_sink.merge(opens, epoch_id)
 
+    def compact_closed(self) -> tuple[int, int]:
+        """Compact the closed-interval append log: per-epoch merges (and
+        cross-boundary closes) leave one small parquet file per write —
+        after E epochs a history read opens O(E) files.  Rewrite the
+        whole log as ONE sorted file.
+
+        Crash-safety rides the log's own exactly-once invariant: closed
+        rows are DETERMINISTIC and `history()` ends in distinct(), so
+        the compacted rows are first APPENDED (a crash here leaves
+        duplicates that distinct() absorbs — same as an at-least-once
+        replay), and the superseded small files are deleted AFTER (a
+        crash mid-delete likewise leaves absorbed duplicates).  No
+        pointer file, no directory swap — every intermediate state is a
+        valid log.  Returns (files_before, files_after)."""
+        import os
+
+        if not self._has_closed():
+            return (0, 0)
+        olds = [
+            n for n in os.listdir(self.closed_dir) if n.endswith(".parquet")
+        ]
+        # eager pin BEFORE writing: the write targets the directory the
+        # lineage reads from ("cannot write to a path being read")
+        compacted = (
+            self.spark.read.parquet(self.closed_dir)
+            .select("pk", "sequence", "value", "valid_from", "valid_to")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        compacted.coalesce(1).sortWithinPartitions("pk", "sequence").write.mode(
+            "append"
+        ).parquet(self.closed_dir)
+        for n in olds:
+            os.remove(os.path.join(self.closed_dir, n))
+        after = sum(
+            1 for n in os.listdir(self.closed_dir) if n.endswith(".parquet")
+        )
+        return (len(olds), after)
+
     def history(self) -> DataFrame:
         """The full SCD2 table: closed log ∪ open rows (NULL valid_to)."""
         parts = []
@@ -965,6 +1004,36 @@ def str_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = Scd2HistorySink(spark, _mkdtemp(prefix="scd2_hist_"))
     _run_scd2_stream(spark, staged, sink, _mkdtemp(prefix="scd2_ckpt_"))
+    _release_stream_state(spark)
+    return sink.history()
+
+
+@register("snk_scd2_compact", _SCD2_STREAM_ORACLE)
+def snk_scd2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-log compaction for the streaming SCD2 sink: run the
+    4-batch sequence-ordered lifecycle (one small closed file per
+    merge), compact the append log to ONE sorted file
+    (Scd2HistorySink.compact_closed — crash-safe because every
+    intermediate state is a valid log under history()'s distinct), and
+    return the history read THROUGH the compacted log.  Oracle = the
+    full batch SCD2, so the green row proves compaction preserves the
+    history bit-exactly.  The commit-log-compaction role every
+    merge-on-read table format runs; companion to snk_upsert_compact
+    (the open-state half)."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream_sequenced(
+        ev, "event_id", n_batches=4, cache_key=f"events:{sf_dir}"
+    )
+    sink = Scd2HistorySink(spark, _mkdtemp(prefix="scd2_hist_"))
+    _run_scd2_stream(spark, staged, sink, _mkdtemp(prefix="scd2_ckpt_"))
+    before, after = sink.compact_closed()
+    assert after < before, (before, after)  # the compaction must compact
     _release_stream_state(spark)
     return sink.history()
 

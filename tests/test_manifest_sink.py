@@ -211,6 +211,45 @@ def test_scd2_sink_replay_guard(spark):
     shutil.rmtree(root)
 
 
+def test_scd2_closed_log_compaction_preserves_history(spark):
+    """compact_closed() rewrites the append log to one file with the
+    history unchanged; the crash window (compacted rows appended, old
+    files NOT yet deleted) is also a valid log — duplicates are
+    absorbed by history()'s distinct."""
+    import os
+
+    from maxscale_cdc_spark.streaming.ops import Scd2HistorySink
+
+    root = tempfile.mkdtemp(prefix="scd2sink_")
+    s = Scd2HistorySink(spark, root)
+    for i, t0 in enumerate(["00:00:10", "00:01:10", "00:02:10"]):
+        s.merge(
+            _events(spark, [(2 * i + 1, 7, "signup", float(i), f"2024-01-01 {t0}"),
+                            (2 * i + 2, 8, "click", float(i), f"2024-01-01 {t0}")]),
+            i,
+        )
+    before = _hist_dict(s)
+    n_files0 = sum(1 for n in os.listdir(s.closed_dir) if n.endswith(".parquet"))
+    assert n_files0 > 1
+    # the crash window: compacted rows present ALONGSIDE old files
+    compacted = (
+        spark.read.parquet(s.closed_dir)
+        .select("pk", "sequence", "value", "valid_from", "valid_to")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    compacted.coalesce(1).write.mode("append").parquet(s.closed_dir)
+    assert _hist_dict(s) == before  # duplicates absorbed
+    # the real compaction from that state
+    nb, na = s.compact_closed()
+    assert na == 1 and nb > 1
+    assert _hist_dict(s) == before
+    # recovery through the compacted log
+    s2 = Scd2HistorySink(spark, root)
+    assert _hist_dict(s2) == before
+    shutil.rmtree(root)
+
+
 def test_scd2_sink_ignores_delete_events(spark):
     """view (update_before) and other (delete) event types carry no
     image — they must not open or close intervals."""
