@@ -156,9 +156,12 @@ def test_autotuned_chooser_meets_floor_or_max_recall(spark, sf_dir):
 
 
 def test_pipeline_e2e_plan_shape(spark, sf_dir):
-    """The composed funnel stays JVM-side with no cartesian: stage
-    boundaries are keyed exchanges only."""
+    """The composed funnel stays JVM-side with no cartesian, and the
+    whole gate→dedup→pack→shard chain costs exactly TWO exchanges (the
+    dedup class agg feeding the join, and the per-lang pack window
+    whose partitioning the final lang-keyed agg reuses)."""
     from maxscale_cdc_spark.plans.inspect import (
+        exchange_count,
         formatted_plan,
         has_cartesian,
     )
@@ -167,6 +170,7 @@ def test_pipeline_e2e_plan_shape(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan, plan
     assert not has_cartesian(df)
+    assert exchange_count(df) <= 3, plan
 
 
 def test_rag_chunk_rank_takeordered(spark, sf_dir):
