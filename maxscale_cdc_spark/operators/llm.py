@@ -3092,3 +3092,136 @@ def llm_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("src_lo", "src_hi").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_lang_confusion — the CONFUSION MATRIX for the register classifier
+# (llm_lang_id): predicted class × labeled lang with counts and
+# per-label share.  The standard eval artifact any heuristic
+# classifier publishes before it gates a corpus; one keyed agg over
+# the registered classifier's own output (same code object — no
+# definition drift possible).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_lang_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS s_art,
+             CAST(len(list_filter(w, x -> x IN ('data', 'table', 'row'))) AS BIGINT) AS s_tab,
+             CAST(len(list_filter(w, x -> x IN ('spark', 'query', 'join'))) AS BIGINT) AS s_code
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE WHEN s_art >= s_tab AND s_art >= s_code THEN 'articles'
+                  WHEN s_tab >= s_code THEN 'tabular'
+                  ELSE 'code' END AS pred_class
+      FROM s
+    ), tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM p GROUP BY lang
+    )
+    SELECT p.lang, p.pred_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / max(t.n_lang) AS share_of_label
+    FROM p JOIN tot t ON t.lang = p.lang
+    GROUP BY p.lang, p.pred_class
+    """,
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-class × label confusion counts over the REGISTERED
+    llm_lang_id output (see block comment)."""
+    pred = llm_lang_id(spark, sf_dir).select("lang", "pred_class")
+    tot = pred.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    return (
+        pred.join(tot, "lang")
+        .groupBy("lang", "pred_class")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.count("*").cast("double") / F.max("n_lang")).alias(
+                "share_of_label"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_shard_checksums — REPRODUCIBILITY manifest for training shards:
+# per (lang, 512-token pack // 64) shard, the member count, token
+# mass, and an order-independent content checksum (md5 over the
+# doc_id-ordered concatenation of member text md5s).  The artifact a
+# training run pins so "same data" is checkable across reruns,
+# clusters, and storage migrations — the data-side analogue of the
+# sink's commit manifest.  The checksum is deterministic in BOTH
+# engines because the member order is the total (doc_id) order, not
+# arrival order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_shard_checksums",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, lang, h, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    ), sharded AS (
+      SELECT lang, doc_id, h, n_tok,
+             ((cum - n_tok) // 512) // 64 AS shard_id
+      FROM runs
+    )
+    SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(h, '' ORDER BY doc_id)) AS content_checksum
+    FROM sharded
+    GROUP BY lang, shard_id
+    """,
+)
+def llm_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard reproducibility checksums (see block comment): the
+    pack/shard layout of llm_pipeline_e2e's manifest, plus an
+    order-deterministic md5-of-md5s content digest."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.expr(
+        "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+    )
+    toks = d.select(
+        "doc_id", "lang", F.md5("text").alias("h"), n_tok.alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sharded = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "lang",
+        "doc_id",
+        "h",
+        "n_tok",
+        F.expr("div(div(cum - n_tok, 512), 64)").alias("shard_id"),
+    )
+    return sharded.groupBy(
+        "lang", F.col("shard_id").cast("long").alias("shard_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("content_checksum"),
+    )
