@@ -51,6 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-8 sweep greens (CORRECTNESS_r08.json, all 50 — 24 new ids,
+    # 3 honest demotions re-certified, 23 re-certifications of ids
+    # already listed below), code unchanged since:
+    "cdc_gtid_watermark", "cdc_replay_request_plan", "fn_variant",
+    "llm_banding_recall_curve", "llm_dedup_chain_audit",
+    "llm_dedup_cluster_capped", "llm_dedup_jaccard_prefix",
+    "llm_dedup_near_autotuned", "llm_dedup_source_matrix",
+    "llm_embedding_coverage", "llm_inference_batch_plan",
+    "llm_ivf_incremental", "llm_ivf_rebalance_plan", "llm_lang_confusion",
+    "llm_lsh_recall_audit", "llm_pack_boundary_audit", "llm_pipeline_e2e",
+    "llm_quality_decile_dup_rate", "llm_rag_chunk_rank",
+    "llm_shard_checksums", "llm_vocab_truncation_curve",
+    "mm_dedup_savings", "mm_modality_budget_plan", "rel_ivm_distinct",
+    "snk_scd2_compact", "str_dedup_near_prefiltered",
+    "str_ivf_assign_stream",
     # round-7 sweep greens (CORRECTNESS_r07.json, all 50 — 31 new ids,
     # 6 honest demotions re-certified, 13 re-certifications of ids
     # already listed below), code unchanged since:
@@ -171,18 +186,10 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-8 honest demotions (round 7 closed fully certified; every id
+# Round-9 honest demotions (round 8 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
 # sf0.001/0.01/0.1 before listing).
-_DEMOTED: set[str] = {
-    # oracle rewritten byte-based (octet_length(encode(text))) to match
-    # the Spark side for non-ASCII text (ADVICE r7 #1):
-    "mm_dedup_savings",
-    # rewired onto the SHARED staged trigram-set builder
-    # (llm.trigram_sets — VERDICT r7 ask #5): same oracles, same
-    # values, new lineage:
-    "llm_dedup_jaccard_prefix", "llm_lsh_recall_audit",
-}
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
