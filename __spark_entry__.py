@@ -55,9 +55,9 @@ _DRIVER_GREEN = {
     # 3 honest demotions re-certified, 23 re-certifications of ids
     # already listed below), code unchanged since:
     "cdc_gtid_watermark", "cdc_replay_request_plan", "fn_variant",
-    "llm_banding_recall_curve", "llm_dedup_chain_audit",
+    "llm_dedup_chain_audit",
     "llm_dedup_cluster_capped", "llm_dedup_jaccard_prefix",
-    "llm_dedup_near_autotuned", "llm_dedup_source_matrix",
+    "llm_dedup_source_matrix",
     "llm_embedding_coverage", "llm_inference_batch_plan",
     "llm_ivf_incremental", "llm_ivf_rebalance_plan", "llm_lang_confusion",
     "llm_lsh_recall_audit", "llm_pack_boundary_audit", "llm_pipeline_e2e",
@@ -188,8 +188,12 @@ _DEFERRED: set[str] = set()
 # locally green before and after).
 # Round-9 honest demotions (round 8 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
-# sf0.001/0.01/0.1 before listing).
-_DEMOTED: set[str] = set()
+# sf0.001/0.01 before listing, sf0.1 before round close).
+_DEMOTED: set[str] = {
+    # chooser extended to 7 configs + bi-criteria (recall floor AND
+    # verify-cost budget) — r8 verdict ask #4:
+    "llm_banding_recall_curve", "llm_dedup_near_autotuned",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap

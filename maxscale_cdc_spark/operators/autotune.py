@@ -14,12 +14,19 @@ knob from data, then run the production op at the measured knob):
 1. `llm_banding_recall_curve` — on a deterministic hash sample,
    measure each candidate banding's recall against EXACT ground truth
    (class-level AllPairs/PPJoin prefix join — provably complete, never
-   all-pairs) and its candidate-pair cost.  Configs split a K=16
-   minhash signature: 2×4 (production, first 8), 2×8, 4×4, 8×2.
-2. `llm_dedup_near_autotuned` — CHOOSE the cheapest config meeting the
-   0.95 recall floor (integer cross-multiplied rule; fall back to the
-   max-recall config if none meets it), then run the class-collapsed
-   near-dedup over the FULL corpus at the chosen config.
+   all-pairs) and its candidate-pair cost.  Configs split (a prefix
+   of) a K=16 minhash signature: 2×4 (the r8 production prefix), 2×8,
+   3×4, 4×3, 4×4, 5×3, 8×2 — the mid-curve points exist to meet the
+   floor below 8×2's candidate mass (r8 verdict ask #4).
+2. `llm_dedup_near_autotuned` — CHOOSE bi-criteria: the cheapest
+   config meeting the 0.95 recall floor WITHIN the verify-cost budget
+   (n_candidates <= 8·n_true), degrading to cheapest-meeting-floor,
+   then max-recall (integer cross-multiplied rules throughout), then
+   run the class-collapsed near-dedup over the FULL corpus at the
+   chosen config.  Round 9 (`chosen_banding`) propagates the same
+   measured config to the whole dedup family: llm_dedup_near, the
+   cluster-edge build and its consumers, llm_dedup_incremental's
+   signature store, and the streaming near-dup (r8 verdict ask #1/#2).
 
 Exactness discipline (CLAUDE.md rule 3): recall is an integer ratio
 (n_caught / n_true), the floor test is pure BIGINT cross-multiply
@@ -57,11 +64,21 @@ from maxscale_cdc_spark.session import (
 
 _K16 = 16                 # extended signature width (production keeps 8)
 _AT_SAMPLE_PCT = 40       # same deterministic sample as llm_lsh_tuning_sampled
-# (bands, rows_per_band): 2×4 = production prefix of the signature;
-# the rest split all 16 hashes.  P(candidate | J=0.5): 0.12 / 0.008 /
-# 0.23 / 0.90 — the curve brackets the floor from both sides.
-_AUTOTUNE_CONFIGS = ((2, 4), (2, 8), (4, 4), (8, 2))
+# (bands, rows_per_band): 2×4 = the former production prefix of the
+# signature; the rest split (a prefix of) all 16 hashes.  P(candidate |
+# J=0.5): 2×4 0.12 / 2×8 0.008 / 3×4 0.18 / 4×3 0.44 / 4×4 0.23 /
+# 5×3 0.51 / 8×2 0.90 — the r8 curve showed only 8×2 meeting the 0.95
+# floor at 15× the candidate mass of 2×4; the mid-curve points (r8
+# verdict ask #4) exist to meet the floor cheaper.
+_AUTOTUNE_CONFIGS = ((2, 4), (2, 8), (3, 4), (4, 3), (4, 4), (5, 3), (8, 2))
 _FLOOR_NUM, _FLOOR_DEN = 19, 20   # recall floor 0.95 = 19/20, pure ints
+# Verify-cost ceiling (the bi-criteria chooser's second constraint):
+# a config is within budget when n_candidates <= 8 × n_true — i.e. the
+# exact-Jaccard verify pays at most 8 candidate checks per true pair.
+# Pure BIGINT cross-multiply in both engines; when NO config meets
+# floor+budget the chooser degrades to cheapest-meeting-floor (the r8
+# behavior), then to max-recall — a total integer order throughout.
+_COST_CEIL_MULT = 8
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +266,9 @@ def _banding_curve_frame(
             F.lit(_FLOOR_DEN) * F.col("n_caught")
             >= F.lit(_FLOOR_NUM) * F.col("n_true")
         ).alias("meets_floor"),
+        (
+            F.col("n_candidates") <= F.lit(_COST_CEIL_MULT) * F.col("n_true")
+        ).alias("within_budget"),
     )
     if stage:
         curve = curve.localCheckpoint(eager=False)
@@ -365,9 +385,51 @@ SELECT c.bands, c.rows_per_band, c.k_hashes, nt.n_true, c.n_caught,
        CASE WHEN nt.n_true > 0
             THEN CAST(c.n_caught AS DOUBLE) / nt.n_true END AS recall,
        {_FLOOR_DEN} * c.n_caught >= {_FLOOR_NUM} * nt.n_true AS meets_floor,
+       c.n_candidates <= {_COST_CEIL_MULT} * nt.n_true AS within_budget,
        CAST({_AT_SAMPLE_PCT} AS BIGINT) AS sample_pct
 FROM curve c CROSS JOIN nt
 """
+
+
+def _chosen_cte() -> str:
+    """The `chosen(bands, rows_per_band)` CTE — the bi-criteria total
+    order shared verbatim by every oracle that embeds the chooser:
+    (meets floor AND within verify budget) first, then meets floor,
+    then cheapest candidates among floor-meeting configs / max recall
+    otherwise, (bands, rows_per_band) as the final total-order key.
+    Assumes CTEs `curve` and `nt` are in scope."""
+    floor = f"{_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true"
+    budget = f"n_candidates <= {_COST_CEIL_MULT} * n_true"
+    return f"""  chosen AS MATERIALIZED (
+    SELECT bands, rows_per_band FROM curve CROSS JOIN nt
+    ORDER BY ({floor} AND {budget}) DESC,
+             ({floor}) DESC,
+             CASE WHEN {floor} THEN n_candidates ELSE -n_caught END,
+             bands, rows_per_band
+    LIMIT 1
+  )"""
+
+
+def chooser_prefix_sql() -> str:
+    """Self-contained CTE chain (no leading WITH, no trailing comma)
+    from the raw `documents` table through `chosen(bands,
+    rows_per_band)` — the block every recall-governed family oracle
+    prepends so DuckDB reproduces the measured choice exactly.  CTE
+    names (at_docw/at_tset/at_keyed + the _sampled_curve_ctes names +
+    chosen) are disjoint from the family oracles' own CTEs."""
+    tri = _TRIGRAM_SQL.replace("FROM docw", "FROM at_docw").replace(
+        "  tset AS (", "  at_tset AS ("
+    )
+    return f"""  at_docw AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}
+  ),
+{tri},
+  at_keyed AS (
+    SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM at_tset
+  ),
+{_sampled_curve_ctes('at_keyed')},
+{_chosen_cte()}"""
 
 
 @register("llm_banding_recall_curve", _CURVE_ORACLE)
@@ -401,14 +463,7 @@ WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
   ),
   skeyed AS (SELECT * FROM keyed WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}),
 {_sampled_curve_ctes('skeyed')},
-  chosen AS MATERIALIZED (
-    SELECT bands, rows_per_band FROM curve CROSS JOIN nt
-    ORDER BY ({_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true) DESC,
-             CASE WHEN {_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true
-                  THEN n_candidates ELSE -n_caught END,
-             bands, rows_per_band
-    LIMIT 1
-  ),
+{_chosen_cte()},
   fclasses AS (
     SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
     FROM keyed GROUP BY ckey
@@ -464,20 +519,26 @@ FROM allp
 """
 
 
-@register("llm_dedup_near_autotuned", _autotuned_oracle())
-def llm_dedup_near_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup at the RECALL-GOVERNED banding: measure the sampled
-    recall curve, choose the cheapest config meeting the 0.95 floor
-    (max-recall config if none does — total integer order, identical
-    in both engines), run the class-collapsed trigram near-dedup over
-    the full corpus at that config.  The one driver read is the single
-    chosen-config row (the str_dedup_horizon_autosized pattern).  The
-    oracle recomputes the whole decision + the dedup in SQL, so the
-    green row certifies the CHOICE and the RESULT together."""
+# The measured config, read ONCE per (session, sf_dir) — the scalar
+# every recall-governed consumer (batch near-dedup, the cluster-edge
+# build, the incremental signature store, the streaming near-dup)
+# bands at.  ONE driver read (the str_dedup_horizon_autosized
+# pattern); the chooser is the same total integer order as the SQL
+# `chosen` CTE (_chosen_cte), so both engines pick identically.
+_CHOSEN_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def chosen_banding(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    prune_dead_cache_entries(_CHOSEN_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
+    if cache_key in _CHOSEN_CACHE:
+        return _CHOSEN_CACHE[cache_key]
     curve = _banding_curve_frame(spark, sf_dir)
     meets = F.col("meets_floor")
+    budget = F.col("within_budget")
     pick = (
         curve.orderBy(
+            (meets & budget).desc(),
             meets.desc(),
             F.when(meets, F.col("n_candidates")).otherwise(-F.col("n_caught")).asc(),
             F.col("bands").asc(),
@@ -487,7 +548,24 @@ def llm_dedup_near_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()[0]
     )
-    nb, rpb = int(pick["bands"]), int(pick["rows_per_band"])
+    cfg = (int(pick["bands"]), int(pick["rows_per_band"]))
+    _CHOSEN_CACHE[cache_key] = cfg
+    return cfg
+
+
+@register("llm_dedup_near_autotuned", _autotuned_oracle())
+def llm_dedup_near_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup at the RECALL-GOVERNED banding: measure the sampled
+    recall curve, choose the cheapest config meeting the 0.95 recall
+    floor within the verify-cost budget (degrading to
+    cheapest-meeting-floor, then max-recall — a total integer order,
+    identical in both engines), run the class-collapsed trigram
+    near-dedup over the full corpus at that config.  The one driver
+    read is the single chosen-config row (the
+    str_dedup_horizon_autosized pattern).  The oracle recomputes the
+    whole decision + the dedup in SQL, so the green row certifies the
+    CHOICE and the RESULT together."""
+    nb, rpb = chosen_banding(spark, sf_dir)
     doc_map, classes = trigram_classes16(spark, sf_dir)
     cpairs = class_band_pairs(classes, nb, rpb)
     ver = class_pair_jaccard(cpairs, classes)
