@@ -48,6 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.sample import hash_sample, sql_hash_sample
+from maxscale_cdc_spark.operators import banding
+from maxscale_cdc_spark.operators.banding import (
+    chooser_prefix_sql,  # noqa: F401 — re-exported for family oracles
+)
 from maxscale_cdc_spark.operators.llm import (
     _JACCARD_MIN,
     _intra_class_pairs,
@@ -62,23 +66,15 @@ from maxscale_cdc_spark.session import (
     session_cache_key,
 )
 
-_K16 = 16                 # extended signature width (production keeps 8)
-_AT_SAMPLE_PCT = 40       # same deterministic sample as llm_lsh_tuning_sampled
-# (bands, rows_per_band): 2×4 = the former production prefix of the
-# signature; the rest split (a prefix of) all 16 hashes.  P(candidate |
-# J=0.5): 2×4 0.12 / 2×8 0.008 / 3×4 0.18 / 4×3 0.44 / 4×4 0.23 /
-# 5×3 0.51 / 8×2 0.90 — the r8 curve showed only 8×2 meeting the 0.95
-# floor at 15× the candidate mass of 2×4; the mid-curve points (r8
-# verdict ask #4) exist to meet the floor cheaper.
-_AUTOTUNE_CONFIGS = ((2, 4), (2, 8), (3, 4), (4, 3), (4, 4), (5, 3), (8, 2))
-_FLOOR_NUM, _FLOOR_DEN = 19, 20   # recall floor 0.95 = 19/20, pure ints
-# Verify-cost ceiling (the bi-criteria chooser's second constraint):
-# a config is within budget when n_candidates <= 8 × n_true — i.e. the
-# exact-Jaccard verify pays at most 8 candidate checks per true pair.
-# Pure BIGINT cross-multiply in both engines; when NO config meets
-# floor+budget the chooser degrades to cheapest-meeting-floor (the r8
-# behavior), then to max-recall — a total integer order throughout.
-_COST_CEIL_MULT = 8
+# Constants + oracle-SQL builders live in operators/banding.py (a leaf
+# module, so llm.py's family oracles can embed the chooser without an
+# import cycle); this module keeps the Spark-side measurement lineage
+# and the two registered queries.
+_K16 = banding.K16
+_AT_SAMPLE_PCT = banding.SAMPLE_PCT
+_AUTOTUNE_CONFIGS = banding.CONFIGS
+_FLOOR_NUM, _FLOOR_DEN = banding.FLOOR_NUM, banding.FLOOR_DEN
+_COST_CEIL_MULT = banding.COST_CEIL_MULT
 
 
 # ---------------------------------------------------------------------------
@@ -277,97 +273,18 @@ def _banding_curve_frame(
 
 
 # ---------------------------------------------------------------------------
-# Oracle SQL — shared CTE fragments.  Brute-force all-pairs ground
-# truth in the oracle (implementation-independent; fine at the
-# driver's sf0.01) vs the prefix-filtered join on the Spark side: the
-# green row PROVES completeness, the _JP_ORACLE pattern.
+# Oracle SQL — CTE fragments shared with the whole dedup family via
+# operators/banding.py.  Brute-force all-pairs ground truth in the
+# oracle (implementation-independent; fine at the driver's sf0.01) vs
+# the prefix-filtered join on the Spark side: the green row PROVES
+# completeness, the _JP_ORACLE pattern.
 # ---------------------------------------------------------------------------
 
-_TRIGRAM_SQL = """
-  tset AS (
-    SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(w) - 2),
-                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shs
-    FROM docw WHERE len(w) >= 3
-  )"""
-
-_MH16_SQL = ", ".join(
-    f"list_min(list_transform(shs, s -> md5('{j}:' || s))) AS m{j}"
-    for j in range(_K16)
-)
-
-
-def _bands_sql(src: str, ident: str, nb: int, rpb: int) -> str:
-    parts = []
-    for b in range(nb):
-        key = " || ".join(f"m{j}" for j in range(b * rpb, (b + 1) * rpb))
-        parts.append(f"SELECT {ident}, rep, {b} AS band, {key} AS key FROM {src}")
-    return "\nUNION ALL\n".join(parts)
-
-
-def _cand_sql(src: str, ident: str, out_a: str, out_b: str, nb: int, rpb: int) -> str:
-    tag = f"{nb}x{rpb}"
-    return f"""  bands_{src}_{tag} AS (
-{_bands_sql(src, ident, nb, rpb)}
-  ),
-  cand_{src}_{tag} AS (
-    SELECT DISTINCT a.{ident} AS {out_a}, b.{ident} AS {out_b}
-    FROM bands_{src}_{tag} a JOIN bands_{src}_{tag} b
-      ON a.key = b.key AND a.band = b.band AND a.rep < b.rep
-  )"""
-
-
-def _sampled_curve_ctes(doc_src: str) -> str:
-    """CTE chain from `docw` through the per-config sampled curve.
-    `doc_src` pre-filters documents (the curve oracle filters in docw;
-    the autotuned oracle samples an already-built keyed table)."""
-    cand_ctes = ",\n".join(
-        _cand_sql("smh", "ckey", "ckey_a", "ckey_b", nb, rpb)
-        for nb, rpb in _AUTOTUNE_CONFIGS
-    )
-    scand_union = "\nUNION ALL\n".join(
-        f"SELECT {nb} AS bands, {rpb} AS rows_per_band, ckey_a, ckey_b "
-        f"FROM cand_smh_{nb}x{rpb}"
-        for nb, rpb in _AUTOTUNE_CONFIGS
-    )
-    cfg_values = ", ".join(
-        f"({nb}, {rpb}, {nb * rpb})" for nb, rpb in _AUTOTUNE_CONFIGS
-    )
-    return f"""  sclasses AS (
-    SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
-    FROM {doc_src} GROUP BY ckey
-  ),
-  smh AS MATERIALIZED (
-    SELECT ckey, rep, shs, CAST(len(shs) AS BIGINT) AS sz, {_MH16_SQL}
-    FROM sclasses
-  ),
-  truth AS MATERIALIZED (
-    SELECT a.ckey AS ckey_a, b.ckey AS ckey_b
-    FROM smh a JOIN smh b ON a.rep < b.rep
-    WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-          / (a.sz + b.sz - len(list_intersect(a.shs, b.shs))) >= {_JACCARD_MIN}
-  ),
-{cand_ctes},
-  scand AS (
-{scand_union}
-  ),
-  curve0 AS (
-    SELECT bands, rows_per_band,
-           CAST(count(*) AS BIGINT) AS n_candidates,
-           CAST(coalesce(sum(CASE WHEN t.ckey_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
-    FROM scand c LEFT JOIN truth t USING (ckey_a, ckey_b)
-    GROUP BY bands, rows_per_band
-  ),
-  cfgs AS (SELECT * FROM (VALUES {cfg_values}) v(bands, rows_per_band, k_hashes)),
-  nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
-  curve AS MATERIALIZED (
-    SELECT CAST(c.bands AS BIGINT) AS bands,
-           CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
-           CAST(c.k_hashes AS BIGINT) AS k_hashes,
-           CAST(coalesce(k.n_caught, 0) AS BIGINT) AS n_caught,
-           CAST(coalesce(k.n_candidates, 0) AS BIGINT) AS n_candidates
-    FROM cfgs c LEFT JOIN curve0 k
-      ON k.bands = c.bands AND k.rows_per_band = c.rows_per_band
-  )"""
+_TRIGRAM_SQL = banding.TRIGRAM_SQL
+_MH16_SQL = banding.MH16_SET_SQL
+_cand_sql = banding.cand_sql
+_sampled_curve_ctes = banding.sampled_curve_ctes
+_chosen_cte = banding.chosen_cte
 
 
 _CURVE_ORACLE = f"""
@@ -389,47 +306,6 @@ SELECT c.bands, c.rows_per_band, c.k_hashes, nt.n_true, c.n_caught,
        CAST({_AT_SAMPLE_PCT} AS BIGINT) AS sample_pct
 FROM curve c CROSS JOIN nt
 """
-
-
-def _chosen_cte() -> str:
-    """The `chosen(bands, rows_per_band)` CTE — the bi-criteria total
-    order shared verbatim by every oracle that embeds the chooser:
-    (meets floor AND within verify budget) first, then meets floor,
-    then cheapest candidates among floor-meeting configs / max recall
-    otherwise, (bands, rows_per_band) as the final total-order key.
-    Assumes CTEs `curve` and `nt` are in scope."""
-    floor = f"{_FLOOR_DEN} * n_caught >= {_FLOOR_NUM} * n_true"
-    budget = f"n_candidates <= {_COST_CEIL_MULT} * n_true"
-    return f"""  chosen AS MATERIALIZED (
-    SELECT bands, rows_per_band FROM curve CROSS JOIN nt
-    ORDER BY ({floor} AND {budget}) DESC,
-             ({floor}) DESC,
-             CASE WHEN {floor} THEN n_candidates ELSE -n_caught END,
-             bands, rows_per_band
-    LIMIT 1
-  )"""
-
-
-def chooser_prefix_sql() -> str:
-    """Self-contained CTE chain (no leading WITH, no trailing comma)
-    from the raw `documents` table through `chosen(bands,
-    rows_per_band)` — the block every recall-governed family oracle
-    prepends so DuckDB reproduces the measured choice exactly.  CTE
-    names (at_docw/at_tset/at_keyed + the _sampled_curve_ctes names +
-    chosen) are disjoint from the family oracles' own CTEs."""
-    tri = _TRIGRAM_SQL.replace("FROM docw", "FROM at_docw").replace(
-        "  tset AS (", "  at_tset AS ("
-    )
-    return f"""  at_docw AS (
-    SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}
-  ),
-{tri},
-  at_keyed AS (
-    SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM at_tset
-  ),
-{_sampled_curve_ctes('at_keyed')},
-{_chosen_cte()}"""
 
 
 @register("llm_banding_recall_curve", _CURVE_ORACLE)
