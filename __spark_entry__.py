@@ -55,12 +55,10 @@ _DRIVER_GREEN = {
     # 3 honest demotions re-certified, 23 re-certifications of ids
     # already listed below), code unchanged since:
     "cdc_gtid_watermark", "cdc_replay_request_plan", "fn_variant",
-    "llm_dedup_chain_audit",
-    "llm_dedup_cluster_capped", "llm_dedup_jaccard_prefix",
-    "llm_dedup_source_matrix",
+    "llm_dedup_jaccard_prefix",
     "llm_embedding_coverage", "llm_inference_batch_plan",
     "llm_ivf_incremental", "llm_ivf_rebalance_plan", "llm_lang_confusion",
-    "llm_lsh_recall_audit", "llm_pack_boundary_audit", "llm_pipeline_e2e",
+    "llm_pack_boundary_audit", "llm_pipeline_e2e",
     "llm_quality_decile_dup_rate", "llm_rag_chunk_rank",
     "llm_shard_checksums", "llm_vocab_truncation_curve",
     "mm_dedup_savings", "mm_modality_budget_plan", "rel_ivm_distinct",
@@ -73,11 +71,7 @@ _DRIVER_GREEN = {
     "cdc_pk_cardinality_drift", "cdc_scd2_merge_history",
     "cdc_schema_compat", "cdc_snapshot_diff", "cdc_txn_boundaries",
     "cdc_value_drift", "llm_chunk_dedup", "llm_curriculum_order",
-    "llm_dedup_cluster", "llm_dedup_cluster_profile",
-    "llm_dedup_horizon_profile", "llm_dedup_incremental", "llm_dedup_near",
-    "llm_dedup_savings", "llm_dedup_syndication",
-    "llm_dedup_threshold_curve", "llm_ivf_nprobe_sweep_sampled",
-    "llm_lsh_tuning", "llm_lsh_tuning_sampled",
+    "llm_ivf_nprobe_sweep_sampled",
     "llm_signal_agreement", "llm_token_budget_plan", "llm_word_entropy",
     "rel_ewma_dyadic", "rel_ivm_join",
     "rel_outlier_mad", "rel_referential_integrity", "snk_upsert_compact",
@@ -193,6 +187,19 @@ _DEMOTED: set[str] = {
     # chooser extended to 7 configs + bi-criteria (recall floor AND
     # verify-cost budget) — r8 verdict ask #4:
     "llm_banding_recall_curve", "llm_dedup_near_autotuned",
+    # recall-governed banding propagated to the whole batch dedup
+    # family (r8 verdict ask #1): these now band at the MEASURED
+    # config with the chooser embedded in their oracles…
+    "llm_dedup_near", "llm_dedup_incremental", "llm_dedup_cluster",
+    "llm_dedup_cluster_profile", "llm_dedup_savings",
+    "llm_dedup_syndication", "llm_dedup_source_matrix",
+    "llm_dedup_cluster_capped", "llm_dedup_chain_audit",
+    "llm_lsh_recall_audit",
+    # …and these keep their fixed-2×4 oracles (the config is their
+    # SUBJECT) but their staged shingle_classes lineage widened to the
+    # K=16 signature, so the emitted plan changed:
+    "llm_dedup_threshold_curve", "llm_dedup_horizon_profile",
+    "llm_lsh_tuning", "llm_lsh_tuning_sampled",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

@@ -220,11 +220,16 @@ def chosen_doc_cand_ctes(
         f"FROM cand_{mh_src}_{nb}x{rpb}"
         for nb, rpb in CONFIGS
     )
+    # MATERIALIZED: the chosen-config pair set is consumed by verify
+    # joins AND (in the cluster family) a recursive reachability CTE —
+    # DuckDB default-INLINES CTEs, which would recompute the whole
+    # 7-config band join per recursion round (measured: 4 s → 230 s on
+    # the capped-cluster oracle before this mark; CLAUDE.md rule 4).
     return f"""{ctes},
   cand_all_{mh_src} AS (
 {union}
   ),
-  {out_name} AS (
+  {out_name} AS MATERIALIZED (
     SELECT c.{out_a}, c.{out_b} FROM cand_all_{mh_src} c
     JOIN chosen ch
       ON c.bands = ch.bands AND c.rows_per_band = ch.rows_per_band

@@ -39,6 +39,7 @@ from maxscale_cdc_spark.functions.vectors import (
     norm_sq,
     sql_cosine,
 )
+from maxscale_cdc_spark.operators import banding
 from maxscale_cdc_spark.registry import oracle_splice, register
 from maxscale_cdc_spark.session import (
     prune_dead_cache_entries,
@@ -81,9 +82,14 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dedup (candidates + exact-Jaccard verify)
 # ---------------------------------------------------------------------------
 
-_K = 8          # minhash permutations
-_BANDS = 2      # 2 bands × 4 rows: P(candidate) ≈ 1-(1-J⁴)² — sharp at J≳0.8
-_JACCARD_MIN = 0.5
+_K = 8          # legacy signature width (fixed-config knob tables)
+_BANDS = 2      # the r8 production config 2×4 — now only the SUBJECT of
+#                 the fixed-config knob tables (threshold_curve,
+#                 horizon_profile, lsh_tuning); every production dedup
+#                 consumer bands at the MEASURED config
+#                 (autotune.chosen_banding — r8 verdict ask #1)
+_K16 = banding.K16   # full signature width: every config splits a prefix
+_JACCARD_MIN = banding.JACCARD_MIN
 
 _SH_SQL = """
   docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -98,6 +104,13 @@ _MH_COLS_SQL = ", ".join(
     f"min(md5('{j}:' || sh)) AS m{j}" for j in range(_K)
 )
 
+# The near-dedup oracle reproduces the WHOLE recall-governed pipeline:
+# sampled trigram curve → bi-criteria chosen config (chooser_prefix_sql)
+# → K=16 bigram signatures → banding at the CHOSEN config → exact
+# verify.  The Spark side reads the same choice via
+# autotune.chosen_banding (one scalar), so the green row certifies the
+# choice and the result together (the _autotuned pattern, propagated —
+# r8 verdict ask #1).
 _NEAR_ORACLE = f"""
 WITH {_SH_SQL},
   docsets AS (
@@ -106,18 +119,10 @@ WITH {_SH_SQL},
                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
     FROM documents
   ),
-  mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
+  mh AS (SELECT doc_id, {banding.MH16_GROUP_SQL}, CAST(count(*) AS BIGINT) AS sz
          FROM sh GROUP BY doc_id),
-  bands AS (
-    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
-  ),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
-     AND a.doc_id < b.doc_id
-  ),
+{banding.chooser_prefix_sql()},
+{banding.chosen_doc_cand_ctes('mh')},
   inter AS (
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
@@ -131,17 +136,6 @@ SELECT doc_a, doc_b, n_common,
 FROM inter
 WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
 """
-
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct shingles per doc via row-local array_distinct BEFORE the
-    explode — set semantics with zero shuffle (a global `.distinct()`
-    here would shuffle every (doc, shingle) pair)."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_bigrams(words("text")))).alias("sh"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +237,11 @@ def shingle_classes(
         "n_docs",
         "shs",
         F.size("shs").cast("long").alias("sz"),
-        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K)],
+        # full K=16 signature (m0..m15): every banding config the
+        # chooser can pick splits a prefix of it, so ONE staged class
+        # table serves the measured config AND the fixed-config knob
+        # tables (which band the first 8)
+        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K16)],
     )
     if stage:
         classes = classes.localCheckpoint(eager=False)
@@ -347,24 +345,30 @@ def _intra_class_pairs(doc_map: DataFrame, classes: DataFrame) -> DataFrame:
 
 @register("llm_dedup_near", _NEAR_ORACLE)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate detection with exact-class collapse.
+    """MinHash+LSH near-duplicate detection with exact-class collapse,
+    banded at the MEASURED config (autotune.chosen_banding — the fixed
+    2×4 this replaced measurably missed 17% of true pairs at sf1.0,
+    llm_lsh_recall_audit/BASELINE.md).
 
     shingle SET per doc (2-gram words, array_distinct) → exact-dup
-    classes keyed by the sorted set's md5 (ONE keyed aggregation) → 8
-    MinHashes per class row (array_min over the set — no explode) → 2
-    LSH bands of 4 over DISTINCT classes → same-band bucket self-join
-    for CLASS candidates → exact Jaccard once per class pair →
-    threshold 0.5 → doc pairs reconstituted from the class map:
-    cross-class survivors expand via two member joins (output-linear),
-    intra-class pairs join in with Jaccard exactly 1.
+    classes keyed by the sorted set's md5 (ONE keyed aggregation) → 16
+    MinHashes per class row (array_min over the set — no explode) →
+    the CHOSEN nb×rpb LSH banding over DISTINCT classes → same-band
+    bucket self-join for CLASS candidates → exact Jaccard once per
+    class pair → threshold 0.5 → doc pairs reconstituted from the
+    class map: cross-class survivors expand via two member joins
+    (output-linear), intra-class pairs join in with Jaccard exactly 1.
 
     Scale: the band self-join and the verify are linear in DISTINCT
     content — k copies of one page cost one class row, not k(k−1)/2
     candidate pairs (the r6 verdict's flagged superlinearity; the
-    oracle stays the doc-level brute-force definition, so the collapse
-    is certified value-exact against it)."""
+    oracle stays the doc-level definition with the chooser embedded,
+    so the collapse AND the choice are certified value-exact)."""
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
     doc_map, classes = shingle_classes(spark, sf_dir)
-    cpairs = class_band_pairs(classes, _BANDS, 4)
+    cpairs = class_band_pairs(classes, nb, rpb)
     ver = class_pair_jaccard(cpairs, classes)
     jac_c = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
     dup = ver.filter(jac_c >= _JACCARD_MIN)
@@ -460,20 +464,15 @@ def min_label_closure(
     return labels
 
 
+# Cluster edges = band collisions at the MEASURED config (the chooser
+# CTEs are embedded so the oracle reproduces the choice; `cand` keeps
+# its name/shape — every downstream splice consumer reads it).
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE {_SH_SQL},
-  mh AS (SELECT doc_id, {_MH_COLS_SQL}, CAST(count(*) AS BIGINT) AS sz
+  mh AS (SELECT doc_id, {banding.MH16_GROUP_SQL}, CAST(count(*) AS BIGINT) AS sz
          FROM sh GROUP BY doc_id),
-  bands AS (
-    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
-  ),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
-     AND a.doc_id < b.doc_id
-  ),
+{banding.chooser_prefix_sql()},
+{banding.chosen_doc_cand_ctes('mh')},
   neighbors AS (
     SELECT doc_a AS doc_id, doc_b AS nb FROM cand
     UNION ALL
@@ -508,7 +507,15 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min_label_closure) until convergence, so chained near-dup groups
     (a~b~c without a direct a~c edge) collapse to one keeper — the
     oracle is a recursive reachability CTE, i.e. true connected
-    components, not 1-hop neighborhoods."""
+    components, not 1-hop neighborhoods.
+
+    Edges are band collisions at the MEASURED config
+    (autotune.chosen_banding), built CLASS-COLLAPSED: one (rep_a,
+    rep_b) edge per colliding class pair + a (member, rep) star inside
+    each multi-doc class — connectivity identical to the oracle's
+    doc-level collision graph (signatures are class functions, so a
+    doc-pair collision ⟺ its class pair collides), with edge count
+    linear in classes instead of quadratic in duplicate mass."""
     prune_dead_cache_entries(_CLUSTER_CACHE, spark)
     cache_key = session_cache_key(spark, sf_dir)
     if cache_key in _CLUSTER_CACHE:
@@ -518,29 +525,27 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_rep",
             (F.col("doc_id") == F.col("cluster_rep")).alias("is_keeper"),
         )
-    sh = _shingles(spark, sf_dir)
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
-            for j in range(_K)
-        ]
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
+    doc_map, classes = shingle_classes(spark, sf_dir)
+    # one edge per colliding CLASS pair, anchored at the class reps
+    cross = class_band_pairs(classes, nb, rpb).select(
+        F.col("ckey_a"), F.col("ckey_b")
     )
-    bands = None
-    for b in range(_BANDS):
-        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
-        one = mh.select("doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key"))
-        bands = one if bands is None else bands.unionByName(one)
-    a, bb = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    reps_a = classes.select(F.col("ckey").alias("ckey_a"), F.col("rep").alias("doc_a"))
+    reps_b = classes.select(F.col("ckey").alias("ckey_b"), F.col("rep").alias("doc_b"))
+    cross_e = cross.join(reps_a, "ckey_a").join(reps_b, "ckey_b").select(
+        "doc_a", "doc_b"
     )
+    # (member, rep) star inside each multi-doc class: same component as
+    # the oracle's all-pairs intra edges, linearly many
+    star = (
+        doc_map.join(classes.select("ckey", "rep"), "ckey")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = cross_e.unionByName(star)
     neighbors = cand.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nb")
     ).unionByName(cand.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nb")))
@@ -2238,18 +2243,13 @@ WITH {_SH_SQL},
                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
     FROM documents
   ),
-  mh AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh GROUP BY doc_id),
+  mh AS (SELECT doc_id, {banding.MH16_GROUP_SQL} FROM sh GROUP BY doc_id),
   cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
-  bands AS (
-    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
-  ),
+{banding.chooser_prefix_sql()},
+{banding.chosen_doc_cand_ctes('mh', out_name='cand0')},
   cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
-     AND a.doc_id < b.doc_id
-    WHERE b.doc_id > (SELECT c FROM cut)
+    SELECT doc_a, doc_b FROM cand0
+    WHERE doc_b > (SELECT c FROM cut)
   ),
   inter AS (
     SELECT c.doc_a, c.doc_b,
@@ -2285,7 +2285,14 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     always smaller, so old-vs-new orientation is automatic and old×old
     never forms); intra-NEW exact classes add their closed-form member
     pairs (candidates in every config, Jaccard exactly 1); intra-OLD
-    pairs were reported when THEIR batch arrived."""
+    pairs were reported when THEIR batch arrived.
+
+    Bands at the MEASURED config (autotune.chosen_banding): the stored
+    signatures carry all 16 minhashes, so a re-measured config changes
+    only the band-key derivation, never the store."""
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
     d = wide_table(spark, sf_dir, "documents")
     cut = int(
         d.agg(F.expr("div(max(doc_id) * 4, 5)").alias("c")).collect()[0]["c"]
@@ -2309,14 +2316,15 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sz",
             F.explode(
                 F.array(
-                    F.struct(
-                        F.lit(0).alias("band"),
-                        F.concat("m0", "m1", "m2", "m3").alias("key"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("band"),
-                        F.concat("m4", "m5", "m6", "m7").alias("key"),
-                    ),
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
+                            ).alias("key"),
+                        )
+                        for b in range(nb)
+                    ]
                 )
             ).alias("bk"),
         ).select(
@@ -2571,20 +2579,11 @@ WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     WHERE len(w) >= 3
   ),
   mh AS (
-    SELECT doc_id,
-           {", ".join(f"list_min(list_transform(shs, s -> md5('{j}:' || s))) AS m{j}" for j in range(_K))}
+    SELECT doc_id, {banding.MH16_SET_SQL}
     FROM tsets
   ),
-  bands AS (
-    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
-  ),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
-     AND a.doc_id < b.doc_id
-  ),
+{banding.chooser_prefix_sql()},
+{banding.chosen_doc_cand_ctes('mh')},
   exact AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
@@ -2600,30 +2599,39 @@ WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 SELECT n_exact, n_caught,
        CAST(n_exact - n_caught AS BIGINT) AS n_missed,
        CASE WHEN n_exact > 0
-            THEN CAST(n_caught AS DOUBLE) / n_exact END AS recall
+            THEN CAST(n_caught AS DOUBLE) / n_exact END AS recall,
+       (SELECT CAST(bands AS BIGINT) FROM chosen) AS chosen_bands,
+       (SELECT CAST(rows_per_band AS BIGINT) FROM chosen) AS chosen_rows
 FROM stats
 """
 
 
 @register("llm_lsh_recall_audit", _RECALL_AUDIT_ORACLE)
 def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the 2×4 MinHash banding against the exact trigram
-    set-similarity join (see block comment).  Trigram sets come from
-    the SHARED staged builder (`trigram_sets`) also feeding
-    llm_dedup_jaccard_prefix — the r7 verdict's shared-lineage ask:
-    the shingling pass runs once per session and the two trigram
-    definitions can no longer drift."""
+    """Recall of the CHOSEN MinHash banding (autotune.chosen_banding)
+    against the exact trigram set-similarity join — the full-corpus
+    closure check on the chooser's sampled promise: the sampled curve
+    says the config meets the 0.95 floor; this measures what it
+    actually achieves corpus-wide.  (Through round 8 this audited the
+    fixed 2×4 config — recall 0.980 sf0.1 / 0.830 sf1.0, the evidence
+    that motivated the propagation.)  Trigram sets come from the SHARED
+    staged builder (`trigram_sets`) also feeding
+    llm_dedup_jaccard_prefix, so the two trigram definitions can never
+    drift."""
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
     tset = trigram_sets(spark, sf_dir)
     # hash lineage consumed by BOTH band-join sides and the audit join:
-    # un-staged, each side recomputes all 8×|trigrams| md5s (the
+    # un-staged, each side recomputes all 16×|trigrams| md5s (the
     # measured 6× footgun, CLAUDE.md rule 5)
     sigs = tset.select(
         "doc_id",
-        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K)],
+        *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K16)],
     ).localCheckpoint(eager=False)
     bands = None
-    for b in range(_BANDS):
-        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+    for b in range(nb):
+        cols = [f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
         one = sigs.select(
             "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
         )
@@ -2652,6 +2660,8 @@ def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact") > 0,
             F.col("n_caught").cast("double") / F.col("n_exact"),
         ).alias("recall"),
+        F.lit(nb).cast("long").alias("chosen_bands"),
+        F.lit(rpb).cast("long").alias("chosen_rows"),
     )
 
 
@@ -2869,10 +2879,13 @@ def llm_dedup_cluster_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-class pairs are verified once per CLASS pair.  A candidate
     # edge's endpoints always share a base component, so restricting
     # on doc_a restricts both sides (the oracle does the same).
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
     doc_map, classes = shingle_classes(spark, sf_dir)
     ov_map = doc_map.join(ov, "doc_id")
     ov_classes = classes.join(ov_map.select("ckey").distinct(), "ckey")
-    cpairs = class_band_pairs(ov_classes, _BANDS, 4)
+    cpairs = class_band_pairs(ov_classes, nb, rpb)
     ver = class_pair_jaccard(cpairs, ov_classes)
     tightc = ver.filter(
         _TIGHT_DEN * F.col("n_common")
@@ -2994,8 +3007,12 @@ def llm_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cross-class direct edges: one row per colliding class pair,
     # expanded n_a·n_b; the pair's cluster comes through ckey_a (both
-    # classes share it by construction)
-    cpairs = class_band_pairs(classes, _BANDS, 4)
+    # classes share it by construction) — at the MEASURED config, the
+    # same edges the cluster assignment is built from
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
+    cpairs = class_band_pairs(classes, nb, rpb)
     cross = (
         cpairs.join(
             cls_cluster.select(
