@@ -61,8 +61,7 @@ _DRIVER_GREEN = {
     "llm_pack_boundary_audit", "llm_pipeline_e2e",
     "llm_quality_decile_dup_rate", "llm_rag_chunk_rank",
     "llm_shard_checksums", "llm_vocab_truncation_curve",
-    "mm_dedup_savings", "mm_modality_budget_plan", "rel_ivm_distinct",
-    "snk_scd2_compact", "str_dedup_near_prefiltered",
+    "mm_dedup_savings", "rel_ivm_distinct",
     "str_ivf_assign_stream",
     # round-7 sweep greens (CORRECTNESS_r07.json, all 50 — 31 new ids,
     # 6 honest demotions re-certified, 13 re-certifications of ids
@@ -76,8 +75,7 @@ _DRIVER_GREEN = {
     "rel_ewma_dyadic", "rel_ivm_join",
     "rel_outlier_mad", "rel_referential_integrity", "snk_upsert_compact",
     "str_cdc_scd2_restart", "str_cdc_scd2_stream", "str_cdc_upsert_e2e",
-    "str_cdc_upsert_restart", "str_dedup_horizon_autosized",
-    "str_dedup_near_windowed",
+    "str_cdc_upsert_restart",
     # round-6 sweep greens (CORRECTNESS_r06.json, all 50 — 38 new ids,
     # 3 honest demotions re-certified, 9 re-certifications of ids
     # already listed below), code unchanged since:
@@ -200,6 +198,14 @@ _DEMOTED: set[str] = {
     # K=16 signature, so the emitted plan changed:
     "llm_dedup_threshold_curve", "llm_dedup_horizon_profile",
     "llm_lsh_tuning", "llm_lsh_tuning_sampled",
+    # r8 ADVICE fixes: no-op-compaction guard (assert relaxation, plan
+    # unchanged) and the HUGEINT/DECIMAL(38,0) cross-multiply widening
+    # (both engines' expression changed):
+    "snk_scd2_compact", "mm_modality_budget_plan",
+    # streaming half of the banding propagation (r8 verdict ask #2):
+    # the nearwin family bands at the measured config + capped clock:
+    "str_dedup_near_windowed", "str_dedup_near_prefiltered",
+    "str_dedup_horizon_autosized",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

@@ -673,8 +673,8 @@ def mm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_mod
     ), shares AS (
       SELECT modality, n_items, n_bytes,
-             CAST(b * n_bytes // m AS BIGINT) AS floor_share,
-             CAST(b * n_bytes % m AS BIGINT) AS remainder,
+             CAST((CAST(b AS HUGEINT) * n_bytes) // m AS BIGINT) AS floor_share,
+             CAST((CAST(b AS HUGEINT) * n_bytes) % m AS BIGINT) AS remainder,
              b
       FROM per_mod CROSS JOIN tot
     ), ranked AS (
@@ -709,12 +709,23 @@ def mm_modality_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("m"),
         F.expr("div(CAST(sum(n_bytes) AS BIGINT), 2)").alias("b"),
     )
+    # b·n_bytes in BIGINT overflows (DuckDB raises, non-ANSI Spark
+    # silently wraps) once corpus bytes reach ~3e9 per side — widen the
+    # cross-multiply: HUGEINT in the oracle, DECIMAL(38,0) here (Spark
+    # decimal div → BIGINT, mod exact while the product < 1e38, i.e.
+    # for EVERY valid BIGINT byte total since b·nᵢ ≤ M²/2 < 1e38).
     shares = per_mod.join(F.broadcast(tot)).select(
         "modality",
         "n_items",
         "n_bytes",
-        F.expr("div(b * n_bytes, m)").cast("long").alias("floor_share"),
-        (F.col("b") * F.col("n_bytes") % F.col("m")).cast("long").alias("remainder"),
+        F.expr(
+            "CAST(div(CAST(b AS DECIMAL(38,0)) * CAST(n_bytes AS DECIMAL(38,0)),"
+            " CAST(m AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("floor_share"),
+        F.expr(
+            "CAST(CAST(b AS DECIMAL(38,0)) * CAST(n_bytes AS DECIMAL(38,0))"
+            " % CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("remainder"),
         "b",
     )
     ranked = shares.select(

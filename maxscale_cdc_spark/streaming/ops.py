@@ -1033,7 +1033,13 @@ def snk_scd2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = Scd2HistorySink(spark, _mkdtemp(prefix="scd2_hist_"))
     _run_scd2_stream(spark, staged, sink, _mkdtemp(prefix="scd2_ckpt_"))
     before, after = sink.compact_closed()
-    assert after < before, (before, after)  # the compaction must compact
+    # A valid lifecycle can close <2 files at tiny scales (the
+    # _has_closed() False path returns (0, 0)) — a no-op compaction is
+    # a success, not a crash; only a log that GREW is a bug.  The
+    # strict must-compact check applies once there is anything to
+    # compact.
+    assert after <= before, (before, after)
+    assert before < 2 or after < before, (before, after)
     _release_stream_state(spark)
     return sink.history()
 
@@ -1239,79 +1245,86 @@ def str_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARWIN_HORIZON_MIN = 60
 
-_NEARWIN_ORACLE = """
-WITH
-  docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-  sh AS (
-    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
-                                        i -> w[i] || ' ' || w[i + 1]))) AS sh
-    FROM docw
+
+def _nearwin_ctes(horizon: int | None) -> str:
+    """CTE chain (no leading WITH) from `documents` through `nw_dup`:
+    the banding-chooser prefix (so DuckDB reproduces the MEASURED
+    config choice), doc-level K=16 bigram-minhash signatures, one band
+    CTE per chooser config with the arrival-distance bound spliced
+    into the band join (when `horizon` is not None), chosen-config
+    candidate selection, exact-Jaccard verify at ≥ 0.5.
+
+    The streaming half of the recall-governed banding propagation (r8
+    verdict ask #2): the old fixed 2×4/K=8 layout measurably missed
+    17% of true pairs at sf1.0 (llm_lsh_recall_audit, BASELINE.md);
+    the stream now bands at `autotune.chosen_banding`'s config, and
+    this oracle embeds the same chooser CTE chain the batch family
+    oracles use, so the driver certifies the CHOICE and the streaming
+    RESULT together."""
+    from maxscale_cdc_spark.operators import banding
+
+    extra = "" if horizon is None else f" AND b.doc_id - a.doc_id <= {horizon}"
+    return f"""{banding.chooser_prefix_sql()},
+  nw_docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  nw_sets AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS shs
+    FROM nw_docw
   ),
-  docsets AS (
-    SELECT doc_id,
-           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS shs
-    FROM documents
+  nwmh AS MATERIALIZED (
+    SELECT doc_id, shs, {banding.MH16_SET_SQL} FROM nw_sets
   ),
-  mh AS (SELECT doc_id, __MH_COLS__, CAST(count(*) AS BIGINT) AS sz
-         FROM sh GROUP BY doc_id),
-  bands AS (
-    SELECT doc_id, 0 AS band, m0 || m1 || m2 || m3 AS key FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band, m4 || m5 || m6 || m7 AS key FROM mh
-  ),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band
-     AND a.doc_id < b.doc_id
-     AND b.doc_id - a.doc_id <= __HORIZON__
-  ),
-  inter AS (
+{banding.chosen_doc_cand_ctes("nwmh", extra_pred=extra)},
+  nw_pairs AS (
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
            CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
     FROM cand c
-    JOIN docsets sa ON sa.doc_id = c.doc_a
-    JOIN docsets sb ON sb.doc_id = c.doc_b
-  )
-SELECT doc_a, doc_b, n_common,
-       CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
-FROM inter
-WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5
-"""
+    JOIN nwmh sa ON sa.doc_id = c.doc_a
+    JOIN nwmh sb ON sb.doc_id = c.doc_b
+  ),
+  nw_dup AS (
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sz_sum - n_common) AS jaccard
+    FROM nw_pairs
+    WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= 0.5
+  )"""
 
 
 def _nearwin_oracle() -> str:
-    from maxscale_cdc_spark.operators.llm import _K, _MH_COLS_SQL
-    from maxscale_cdc_spark.registry import oracle_splice
-
-    assert _K == 8  # band layout below is 2×4
-    return oracle_splice(
-        oracle_splice(_NEARWIN_ORACLE, "__MH_COLS__", _MH_COLS_SQL),
-        "__HORIZON__",
-        str(_NEARWIN_HORIZON_MIN),
-    )
+    return f"""
+WITH
+{_nearwin_ctes(_NEARWIN_HORIZON_MIN)}
+SELECT doc_a, doc_b, n_common, jaccard FROM nw_dup
+"""
 
 
 def _nearwin_result(
     spark: SparkSession, sf_dir: str, horizon_min: int
 ) -> DataFrame:
     """Streaming near-dup within a `horizon_min`-minute watermark
-    horizon: per-row MinHash banding in-stream, in-horizon candidate
-    pairs from a watermarked (band, key) stream-stream self-join,
-    batch exact-Jaccard verify over candidates only.  Shared by
+    horizon: per-row MinHash banding in-stream at the MEASURED
+    (bands × rows) config (autotune.chosen_banding — one batch scalar
+    read, the horizon-autosize precedent), in-horizon candidate pairs
+    from a watermarked (band, key) stream-stream self-join, batch
+    exact-Jaccard verify over candidates only.  Shared by
     str_dedup_near_windowed (fixed 60-min horizon) and
     str_dedup_horizon_autosized (the measured loss-free horizon).
 
     State bound: the join holds only rows whose event time is within
-    watermark reach — O(docs per horizon × 2 band rows), independent
-    of stream age; the verify side never enters the stream."""
+    watermark reach — O(docs per horizon × nb band rows), independent
+    of stream age; the verify side never enters the stream.  The
+    recall upgrade's state price is nb/2× the old fixed-2-band layout,
+    paid knowingly (the chooser's verify-cost budget bounds the
+    candidate side)."""
     from maxscale_cdc_spark.functions.text import words, word_bigrams
-    from maxscale_cdc_spark.operators.llm import _K
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+    from maxscale_cdc_spark.operators.banding import K16
 
     from maxscale_cdc_spark.tables import wide_table
 
-    # wide_table: the 8×|shingles| md5 signature pass is per-row compute
+    nb, rpb = chosen_banding(spark, sf_dir)
+    # wide_table: the 16×|shingles| md5 signature pass is per-row compute
     # — serializing it on a one-row-group scan costs the whole pass
     d = wide_table(spark, sf_dir, "documents")
     base_ts = "timestamp'2024-01-01 00:00:00'"
@@ -1328,26 +1341,33 @@ def _nearwin_result(
 
     sig = d.select(
         "doc_id",
-        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id, 0)").alias("ts"),
+        # doc_id % 2^20: keeps the synthetic clock inside the harness's
+        # nanosecond timestamp range at derived-scale replica-offset
+        # ids (a no-op at every oracle-checked scale, where doc_id <
+        # 2^20 and ts therefore stays strictly increasing in doc_id —
+        # the invariant the time-only join ordering relies on; the
+        # str_ivf_assign_stream precedent, CLAUDE.md rule 4)
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id % 1048576, 0)").alias("ts"),
         shs.alias("shs"),
-    ).select("doc_id", "ts", *[_mh(j) for j in range(_K)])
+    ).select("doc_id", "ts", *[_mh(j) for j in range(K16)])
     bands = sig.select(
         "doc_id",
         "ts",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    F.concat("m0", "m1", "m2", "m3").alias("key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.concat("m4", "m5", "m6", "m7").alias("key"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
+                        ).alias("key"),
+                    )
+                    for b in range(nb)
+                ]
             )
         ).alias("bk"),
     ).select("doc_id", "ts", "bk.band", "bk.key")
-    staged = stage_as_stream(bands, cache_key=f"nearwin:{sf_dir}")
+    staged = stage_as_stream(bands, cache_key=f"nearwin:{nb}x{rpb}:{sf_dir}")
     schema = "doc_id bigint, ts timestamp, band int, key string"
     new = read_stream(spark, staged, schema=schema).withWatermark(
         "ts", f"{horizon_min + 1} minutes"
@@ -1444,12 +1464,19 @@ def _nearwin_prefiltered_result(
     stream un-exploded, the delivery-key dedup (when `prefilter`) runs
     before the 2-row band explode, and the band self-join proceeds as
     in _nearwin_result.  `prefilter=False` exposes the unfiltered
-    replayed pipeline for the state-evidence measurement."""
+    replayed pipeline for the state-evidence measurement.
+
+    Bands at the MEASURED config (autotune.chosen_banding), like the
+    rest of the nearwin family — the dedup prefilter runs on the
+    un-exploded doc rows, so its state is one row per in-horizon
+    delivery key regardless of the banding layout."""
     from maxscale_cdc_spark.functions.text import word_bigrams, words
-    from maxscale_cdc_spark.operators.llm import _K
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+    from maxscale_cdc_spark.operators.banding import K16
 
     from maxscale_cdc_spark.tables import wide_table
 
+    nb, rpb = chosen_banding(spark, sf_dir)
     d = wide_table(spark, sf_dir, "documents")
     base_ts = "timestamp'2024-01-01 00:00:00'"
     shs = F.array_distinct(word_bigrams(words("text")))
@@ -1465,15 +1492,17 @@ def _nearwin_prefiltered_result(
 
     sig = d.select(
         "doc_id",
-        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id, 0)").alias("ts"),
+        # doc_id % 2^20: the nanosecond-range clock cap (see
+        # _nearwin_result; no-op at oracle-checked scales)
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, doc_id % 1048576, 0)").alias("ts"),
         shs.alias("shs"),
-    ).select("doc_id", "ts", *[_mh(j) for j in range(_K)])
+    ).select("doc_id", "ts", *[_mh(j) for j in range(K16)])
     # at-least-once delivery: identical payload, identical event time
     staged = stage_as_stream(
         sig.unionAll(sig), cache_key=f"nearwin2x:{sf_dir}"
     )
     schema = "doc_id bigint, ts timestamp, " + ", ".join(
-        f"m{j} string" for j in range(_K)
+        f"m{j} string" for j in range(K16)
     )
 
     def side() -> DataFrame:
@@ -1487,14 +1516,15 @@ def _nearwin_prefiltered_result(
             "ts",
             F.explode(
                 F.array(
-                    F.struct(
-                        F.lit(0).alias("band"),
-                        F.concat("m0", "m1", "m2", "m3").alias("key"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("band"),
-                        F.concat("m4", "m5", "m6", "m7").alias("key"),
-                    ),
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
+                            ).alias("key"),
+                        )
+                        for b in range(nb)
+                    ]
                 )
             ).alias("bk"),
         ).select("doc_id", "ts", "bk.band", "bk.key")
@@ -1568,24 +1598,20 @@ def str_dedup_near_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _autosize_oracle() -> str:
-    from maxscale_cdc_spark.operators.llm import _MH_COLS_SQL
-    from maxscale_cdc_spark.registry import oracle_splice
-
-    base = oracle_splice(_NEARWIN_ORACLE, "__MH_COLS__", _MH_COLS_SQL)
-    # unbounded batch dedup: drop the arrival-distance bound from the
-    # candidate join, keep everything else byte-identical
-    base = oracle_splice(
-        base, "     AND b.doc_id - a.doc_id <= __HORIZON__\n", ""
-    )
-    head, final = base.rsplit("SELECT doc_a, doc_b, n_common,", 1)
-    pairs_sql = "SELECT doc_a, doc_b, n_common," + final
-    return f"""{head}, pairs AS (
-{pairs_sql}
-)
+    # unbounded batch dedup (no arrival-distance bound in the band
+    # join) at the chosen config, plus the measured horizon scalar.
+    # llm_dedup_near's class-level banding and nw_dup's doc-level
+    # banding yield the SAME pair set (identical shingle sets have
+    # identical signatures, so intra-class doc pairs collide in every
+    # band a class pair does), so the Spark side's horizon — measured
+    # from llm_dedup_near — equals max(doc_b - doc_a) over nw_dup.
+    return f"""
+WITH
+{_nearwin_ctes(None)}
 SELECT p.doc_a, p.doc_b, p.n_common, p.jaccard,
-       (SELECT CAST(coalesce(max(doc_b - doc_a), 0) AS BIGINT) FROM pairs)
+       (SELECT CAST(coalesce(max(doc_b - doc_a), 0) AS BIGINT) FROM nw_dup)
          AS horizon_min
-FROM pairs p
+FROM nw_dup p
 """
 
 
