@@ -242,6 +242,9 @@ _HEAVY = {
     "llm_dedup_cluster_capped",
     # old-slice k-means + batch assignment (the IVF Lloyd cost):
     "llm_ivf_incremental", "llm_ivf_rebalance_plan",
+    # round-9 surgery closure: plan + per-cell 2-means + reassignment
+    # + brute-force recall audit:
+    "llm_ivf_rebalance_apply",
     # replayed-delivery streaming lifecycle (dedup + band self-join):
     "str_dedup_near_prefiltered",
     # streaming ingest against the static index (kmeans + stream agg):

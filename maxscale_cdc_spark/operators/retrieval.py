@@ -1180,3 +1180,377 @@ def llm_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
         F.when(merge_c, F.col("other")).alias("merge_target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_rebalance_apply — EXECUTE the rebalance plan (the r8
+# verdict's action→state closure): llm_ivf_rebalance_plan only EMITS
+# split/merge/keep; this op performs the surgery and certifies the
+# post-surgery index.
+#
+#   split  cells: 2-way Lloyd inside the cell (seeds = the members
+#          with min / max vec_id — deterministic; `_SPLIT_ITERS`
+#          rounds of assign-by-cosine / Q1.30-mean update, the
+#          _kmeans_cells recipe scoped per cell) → two sub-centroids
+#          at cid_out = 2·cid and 2·cid + 1 (a singleton sub simply
+#          produces no centroid row).
+#   merge  cells: centroid REMOVED; members are routed by the global
+#          post-surgery nearest-centroid reassignment (the plan's
+#          merge_target is advisory — executing the merge as
+#          centroid-removal + reassignment is what a production
+#          index does, and avoids cascades when the target itself
+#          merges).
+#   keep   cells: centroid unchanged, cid_out = 2·cid.
+#
+# The audit half: recall@5 vs brute force over a deterministic query
+# sample (the first `_APPLY_NQ` new-batch vector ids — a pure
+# predicate, no sort), BEFORE (old centroids, old assignment) and
+# AFTER (new centroids, full reassignment); `not_worse` exports the
+# ≥ comparison.  Output: one row per post-surgery centroid with its
+# member count plus the constant audit columns (the chosen_bands
+# export pattern).
+#
+# Scale: every stage is a broadcast-assignment (centroid tables are
+# KB-sized) or a cell-bounded aggregation; the brute-force side is
+# sample-bounded (|Q|·N) by construction — the llm_ivf_recall rule
+# that an index's recall is priced on a query SAMPLE, never
+# corpus-wide.  At 100 TB only split/merge cells' members actually
+# move; the full reassignment here doubles as the proof that kept
+# cells' members stay put (their nearest centroid is unchanged).
+# The oracle recomputes the whole chain — old-slice k-means, batch
+# assignment, plan, per-cell 2-means, reassignment, both recall
+# numbers — from scratch in SQL.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ITERS = 2
+_APPLY_NQ = 8
+
+
+def _ivf_apply_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30
+
+    k = _KMEANS_ITERS
+
+    def sql_assign(src: str, cent: str) -> str:
+        return (
+            f"SELECT vec_id, v, cid, sub FROM ("
+            f"SELECT m.vec_id, m.v, m.cid, s.sub, "
+            f"row_number() OVER (PARTITION BY m.cid, m.vec_id "
+            f"ORDER BY {sql_cosine('m.v', 's.cv')} DESC, s.sub) AS rn "
+            f"FROM {src} m JOIN {cent} s ON s.cid = m.cid) WHERE rn = 1"
+        )
+
+    def sql_update(src: str) -> str:
+        return (
+            f"SELECT cid, sub, i.i AS dim, "
+            f"CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)"
+            f" / (COUNT(*) * {_Q30}) AS m "
+            f"FROM {src}, (SELECT unnest(generate_series(1, 64)) AS i) i "
+            f"GROUP BY cid, sub, i.i"
+        )
+
+    lloyd = [f"sa0 AS ({sql_assign('sm', 'seeds')})"]
+    for it in range(_SPLIT_ITERS):
+        lloyd.append(f"su{it} AS ({sql_update(f'sa{it}')})")
+        lloyd.append(
+            f"scent{it + 1} AS (SELECT cid, sub, list(m ORDER BY dim) AS cv "
+            f"FROM su{it} GROUP BY cid, sub)"
+        )
+        if it + 1 < _SPLIT_ITERS:
+            lloyd.append(f"sa{it + 1} AS ({sql_assign('sm', f'scent{it + 1}')})")
+    lloyd_sql = ",\n".join(lloyd)
+
+    return f"""{_ivf_incr_prefix()},
+tot AS (
+  SELECT CAST(sum(n_seed + n_new) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+),
+plan AS (
+  SELECT c.cid,
+         CASE WHEN (c.n_seed + c.n_new) * t.k > 2 * t.n THEN 'split'
+              WHEN 4 * (c.n_seed + c.n_new) * t.k < t.n THEN 'merge'
+              ELSE 'keep' END AS action
+  FROM cells c CROSS JOIN tot t
+),
+allv AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM a{k}
+  UNION ALL
+  SELECT vec_id, v, cid FROM nassign
+),
+sm AS (
+  SELECT a.vec_id, a.v, a.cid FROM allv a
+  JOIN plan p ON p.cid = a.cid AND p.action = 'split'
+),
+seeds AS (
+  SELECT cid, 0 AS sub, arg_min(v, vec_id) AS cv FROM sm GROUP BY cid
+  UNION ALL
+  SELECT cid, 1 AS sub, arg_max(v, vec_id) AS cv FROM sm GROUP BY cid
+),
+{lloyd_sql},
+newcent AS MATERIALIZED (
+  SELECT CAST(2 * c.cid AS BIGINT) AS cid_out,
+         CAST(c.cid AS BIGINT) AS src_cid, 'kept' AS kind, c.cv
+  FROM cent{k} c JOIN plan p ON p.cid = c.cid AND p.action = 'keep'
+  UNION ALL
+  SELECT CAST(2 * cid + sub AS BIGINT), CAST(cid AS BIGINT), 'split', cv
+  FROM scent{_SPLIT_ITERS}
+),
+post AS MATERIALIZED (
+  SELECT vec_id, cid_out FROM (
+    SELECT a.vec_id, n.cid_out,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {sql_cosine('a.v', 'n.cv')} DESC,
+                                       n.cid_out) AS rn
+    FROM allv a CROSS JOIN newcent n
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT cid_out, CAST(count(*) AS BIGINT) AS n_members
+  FROM post GROUP BY cid_out
+),
+qs AS (
+  SELECT vec_id AS qid, v AS qv, cid AS q_pre FROM allv
+  WHERE vec_id > (SELECT c FROM cut)
+    AND vec_id <= (SELECT c FROM cut) + {_APPLY_NQ}
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cosine('e.v', 'q.qv')} DESC,
+                                       e.vec_id) AS rn
+    FROM allv e JOIN qs q ON e.vec_id <> q.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+recall AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ep.cid = q.q_pre THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS recall_pre_num,
+         CAST(coalesce(sum(CASE WHEN pp.cid_out = qp.cid_out THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS recall_post_num,
+         CAST(count(*) AS BIGINT) AS recall_den
+  FROM brute b
+  JOIN qs q ON q.qid = b.qid
+  JOIN allv ep ON ep.vec_id = b.vec_id
+  JOIN post pp ON pp.vec_id = b.vec_id
+  JOIN post qp ON qp.vec_id = b.qid
+)
+SELECT n.cid_out, n.src_cid, n.kind,
+       CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members,
+       r.recall_pre_num, r.recall_post_num, r.recall_den,
+       (r.recall_post_num >= r.recall_pre_num) AS not_worse
+FROM newcent n
+LEFT JOIN members m ON m.cid_out = n.cid_out
+CROSS JOIN recall r
+"""
+
+
+def _split_cells_lloyd(sm: DataFrame) -> DataFrame:
+    """2-way Lloyd inside each split cell (see block comment): returns
+    the final sub-centroids (cid, sub, cv).  Each round is one
+    broadcast-join assignment plus one keyed Q1.30-mean aggregation —
+    _kmeans_cells scoped per cell; sub-centroid tables are KB-sized."""
+    seeds = (
+        sm.groupBy("cid")
+        .agg(F.min_by("v", "vec_id").alias("cv"))
+        .select("cid", F.lit(0).alias("sub"), "cv")
+        .unionByName(
+            sm.groupBy("cid")
+            .agg(F.max_by("v", "vec_id").alias("cv"))
+            .select("cid", F.lit(1).alias("sub"), "cv")
+        )
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = sm.join(F.broadcast(cent), "cid").select(
+            "cid", "vec_id", "v", "sub",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        w = W.partitionBy("cid", "vec_id").orderBy(F.col("sim").desc(), "sub")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", "vec_id", "v", "sub")
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        flat = a.select(
+            "cid", "sub", F.posexplode("v").alias("dim0", "val")
+        ).select(
+            "cid", "sub",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+        )
+        m = flat.groupBy("cid", "sub", "dim").agg(
+            (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias("m")
+        )
+        return m.groupBy("cid", "sub").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+
+    cents = seeds
+    a = assign(cents)
+    for _ in range(_SPLIT_ITERS):
+        cents = update(a)
+        a = assign(cents)
+    return cents
+
+
+@register("llm_ivf_rebalance_apply", _ivf_apply_oracle())
+def llm_ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the IVF rebalance plan and audit the post-surgery index
+    (see block comment).  One row per post-surgery centroid plus
+    constant recall@{_RECALL_K} audit columns; `not_worse` certifies
+    the surgery did not degrade recall on the query sample."""
+    cents, _, _ = _ivf_batch_state(spark, sf_dir)
+    # stage the Lloyd-iterated centroid table ONCE and re-derive both
+    # assignments from it with single broadcast passes (bit-identical:
+    # _kmeans_cells' returned assignment IS assign(final cents), and
+    # _ivf_batch_state's nassign IS the same argmax over the new
+    # slice) — downstream the state feeds the plan, the split Lloyd,
+    # the post reassignment, and the brute-force audit; unstaged, each
+    # consumer re-runs the whole Lloyd chain (CLAUDE.md rule 5;
+    # measured 36 s → 6 s at sf0.01)
+    cents = cents.localCheckpoint(eager=False)
+    e = wide_table(spark, sf_dir, "embeddings")
+    # same cutover scalar _ivf_batch_state derives (one config read)
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+
+    def bassign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
+        eager=False
+    )
+    nassign = bassign(vecs.filter(F.col("vec_id") > cut)).localCheckpoint(
+        eager=False
+    )
+    cells = _ivf_cells(assigned, nassign)
+    tot = cells.agg(
+        F.sum(F.col("n_seed") + F.col("n_new")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    n_total = F.col("n_seed") + F.col("n_new")
+    plan = cells.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        F.when(n_total * F.col("k") > 2 * F.col("n"), F.lit("split"))
+        .when(4 * n_total * F.col("k") < F.col("n"), F.lit("merge"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    allv = assigned.unionByName(nassign)
+    sm = allv.join(
+        F.broadcast(plan.filter(F.col("action") == "split").select("cid")),
+        "cid",
+    ).select("vec_id", "v", "cid")
+    scents = _split_cells_lloyd(sm)
+    newcent = (
+        cents.join(
+            F.broadcast(plan.filter(F.col("action") == "keep").select("cid")),
+            "cid",
+        )
+        .select(
+            (F.col("cid") * 2).cast("long").alias("cid_out"),
+            F.col("cid").cast("long").alias("src_cid"),
+            F.lit("kept").alias("kind"),
+            "cv",
+        )
+        .unionByName(
+            scents.select(
+                (F.col("cid") * 2 + F.col("sub")).cast("long").alias("cid_out"),
+                F.col("cid").cast("long").alias("src_cid"),
+                F.lit("split").alias("kind"),
+                "cv",
+            )
+        )
+    )
+    post = (
+        allv.select("vec_id", "v")
+        .crossJoin(F.broadcast(newcent.select("cid_out", "cv")))
+        .select(
+            "vec_id", "cid_out", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+    )
+    wp = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid_out")
+    post = (
+        post.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid_out")
+    )
+    members = post.groupBy("cid_out").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    qs = allv.filter(
+        (F.col("vec_id") > cut) & (F.col("vec_id") <= cut + _APPLY_NQ)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("q_pre"),
+    )
+    brute = (
+        allv.select("vec_id", "v", F.col("cid").alias("e_pre"))
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "q_pre", "vec_id", "e_pre",
+            cosine(F.col("v"), F.col("qv")).alias("sim"),
+        )
+    )
+    wb = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    brute = (
+        brute.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "q_pre", "vec_id", "e_pre")
+    )
+    ppost = post.select(
+        F.col("vec_id").alias("p_vid"), F.col("cid_out").alias("e_post")
+    )
+    qpost = post.select(
+        F.col("vec_id").alias("pq_vid"), F.col("cid_out").alias("q_post")
+    )
+    recall = (
+        brute.join(ppost, F.col("vec_id") == F.col("p_vid"))
+        .join(qpost, F.col("qid") == F.col("pq_vid"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("e_pre") == F.col("q_pre"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("recall_pre_num"),
+            F.coalesce(
+                F.sum(F.when(F.col("e_post") == F.col("q_post"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("recall_post_num"),
+            F.count("*").cast("long").alias("recall_den"),
+        )
+    )
+    return (
+        newcent.select("cid_out", "src_cid", "kind")
+        .join(members, "cid_out", "left")
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "cid_out",
+            "src_cid",
+            "kind",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            "recall_pre_num",
+            "recall_post_num",
+            "recall_den",
+            (F.col("recall_post_num") >= F.col("recall_pre_num")).alias("not_worse"),
+        )
+    )
