@@ -1920,3 +1920,91 @@ def llm_inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("double") / (F.count("*") * F.max("n_tok"))
         ).alias("efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_decontam_apply — the detect→act closure for benchmark
+# decontamination: llm_contamination (operators/llm.py) FLAGS training
+# docs whose distinct-trigram overlap with the held-out benchmark set
+# (every 50th doc) reaches 0.2; this op EXECUTES the removal and
+# exports the per-source before/removed/after ledger (doc counts and
+# whitespace-token mass) a curation pipeline signs off on —
+# conservation (after = before − removed) holds by construction and is
+# what the oracle certifies value-by-value.
+#
+# Scale: the flagged set is bounded by the contamination rate (a
+# production run alerts long before half the corpus is contaminated) —
+# it broadcasts; the ledger is one map-side-combinable aggregation per
+# source.  The whole apply is one narrow scan + one broadcast join.
+# ---------------------------------------------------------------------------
+
+
+def _decontam_apply_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _CONTAM_RATIO
+
+    return f"""
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+    FROM docw WHERE len(w) >= 3
+  ),
+  bench_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+  contam AS (
+    SELECT doc_id FROM (
+      SELECT t.doc_id, CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM grams t LEFT JOIN bench_g b ON t.g = b.g
+      WHERE t.doc_id % 50 <> 0
+    )
+    GROUP BY doc_id
+    HAVING (CAST(SUM(hit) AS DOUBLE) / COUNT(*)) >= {_CONTAM_RATIO}
+  ),
+  train AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents WHERE doc_id % 50 <> 0
+  )
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_before,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       CAST(sum(n_tok) AS BIGINT) AS tok_before,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tok_removed,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tok_after
+FROM train t LEFT JOIN contam c USING (doc_id)
+GROUP BY source
+"""
+
+
+@register("llm_decontam_apply", _decontam_apply_oracle())
+def llm_decontam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the decontamination verdicts and export the per-source
+    removal ledger (see block comment).  Reuses the registered
+    llm_contamination detection lineage read-only — same expression
+    tree as the oracle's `contam` CTE."""
+    from maxscale_cdc_spark.operators.llm import llm_contamination
+
+    contam = (
+        llm_contamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+        .withColumn("rm", F.lit(1))
+    )
+    d = wide_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    marked = train.join(F.broadcast(contam), "doc_id", "left")
+    rm = F.coalesce(F.col("rm"), F.lit(0)) == 1
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_before"),
+        F.sum(F.when(rm, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(F.when(rm, 0).otherwise(1)).cast("long").alias("n_after"),
+        F.sum("n_tok").cast("long").alias("tok_before"),
+        F.sum(F.when(rm, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_removed"),
+        F.sum(F.when(rm, 0).otherwise(F.col("n_tok"))).cast("long").alias("tok_after"),
+    )

@@ -1554,3 +1554,306 @@ def llm_ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("recall_post_num") >= F.col("recall_pre_num")).alias("not_worse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_pq_search — the COMPOSITE production ANN stack: IVF cell
+# restriction (nprobe=2) → PQ/ADC approximate scoring of the probed
+# cells' members → exact-cosine re-rank of the ADC top-R.  The three
+# pieces exist separately (llm_sim_ivf_probe, llm_sim_pq,
+# llm_sim_cosine); real vector stores run them COMPOSED — coarse
+# quantizer prunes the scan, product codes make the candidate pass
+# d-independent, a small exact re-rank repairs ADC error — and the
+# composition is where the engineering risk lives (two quantizers'
+# tie-breaks, two score scales, one final order).
+#
+# Determinism: ADC distances and cosines both round to 6 dp; the ADC
+# top-R cut and the final top-k order tie-break on vec_id; PQ code
+# assignment is the lexicographic (distance, cid) struct-min — every
+# order is total in both engines.
+#
+# Scale: probed-cell members ≈ nprobe·N/K rows read (partition
+# pruning on the cell column at 100 TB); the candidate pass is M
+# equi-join lookups into broadcast K-row ADC tables; the exact pass
+# touches R = 20 vectors.  Codes are per-vector independent, so
+# encode-after-restrict here ≡ the offline-encoded index restricted
+# to probed partitions.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_RERANK = 20
+_IVFPQ_TOPK = 5
+
+
+def _ivf_pq_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _QV_SQL
+
+    k = _KMEANS_ITERS
+    subs = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB + 1
+        hi = (m + 1) * _PQ_SUB
+        subs.append(
+            f"pcent{m} AS (SELECT vec_id AS cid, v[{lo}:{hi}] AS cv FROM vecs "
+            f"WHERE vec_id < {_PQ_K})"
+        )
+        subs.append(
+            f"pcode{m} AS (SELECT vec_id, "
+            f"min(struct_pack(d := {_sql_l2sq('s.s', 'c.cv', _PQ_SUB)}, cid := c.cid)) AS mc "
+            f"FROM (SELECT vec_id, v[{lo}:{hi}] AS s FROM cand) s "
+            f"CROSS JOIN pcent{m} c GROUP BY vec_id)"
+        )
+        subs.append(
+            f"pqd{m} AS (SELECT c.cid, {_sql_l2sq('qs.qs', 'c.cv', _PQ_SUB)} AS d "
+            f"FROM pcent{m} c CROSS JOIN "
+            f"(SELECT qv[{lo}:{hi}] AS qs FROM q) qs)"
+        )
+    adc = " + ".join(f"pqd{m}.d" for m in range(_PQ_M))
+    joins = " ".join(
+        f"JOIN pcode{m} ON pcode{m}.vec_id = c.vec_id "
+        f"JOIN pqd{m} ON pqd{m}.cid = pcode{m}.mc.cid"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {_sql_kmeans_ctes()},
+q AS {_QV_SQL},
+qcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM cent{k} c CROSS JOIN q
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+cand AS MATERIALIZED (
+  SELECT a.vec_id, a.v FROM a{k} a JOIN qcells USING (cid)
+  WHERE a.vec_id <> 0
+),
+{', '.join(subs)},
+scored AS (
+  SELECT c.vec_id, round(CAST({adc} AS DOUBLE), 6) AS adc_dist
+  FROM cand c {joins}
+),
+topr AS (
+  SELECT vec_id, adc_dist FROM (
+    SELECT vec_id, adc_dist,
+           row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_IVFPQ_RERANK}
+)
+SELECT t.vec_id, t.adc_dist,
+       {sql_cosine("v.v", "q.qv")} AS cos_sim,
+       CAST(row_number() OVER (
+         ORDER BY {sql_cosine("v.v", "q.qv")} DESC, t.vec_id) AS BIGINT) AS rk
+FROM topr t JOIN vecs v ON v.vec_id = t.vec_id CROSS JOIN q
+QUALIFY rk <= {_IVFPQ_TOPK}
+"""
+
+
+@register("llm_ivf_pq_search", _ivf_pq_oracle())
+def llm_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=2) → PQ/ADC → exact re-rank for query vector 0 (see
+    block comment)."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    # stage the Lloyd-iterated centroids once and re-derive the cell
+    # assignment as a single broadcast pass over the staged vectors
+    # (bit-identical to _kmeans_cells' returned assignment — it IS
+    # assign(final cents); CLAUDE.md rule 5: the chain was otherwise
+    # re-run by qcells and cand separately)
+    cents, _ = _kmeans_cells(e)
+    cents = cents.localCheckpoint(eager=False)
+    scored0 = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w0 = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    assigned = (
+        scored0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("sim").desc(), "cid")),
+        )
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(qcells), "cid")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "v")
+        .localCheckpoint(eager=False)
+    )
+
+    def l2sq(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    out = cand.select("vec_id")
+    adc_cols = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUB + 1
+        sub = cand.select("vec_id", F.slice("v", lo, _PQ_SUB).alias("s"))
+        cent = vecs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), F.slice("v", lo, _PQ_SUB).alias("cv")
+        )
+        code = (
+            sub.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        l2sq(F.col("s"), F.col("cv")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("mc")
+            )
+            .select("vec_id", F.col("mc.cid").alias(f"code{m}"))
+        )
+        qsub = q.select(F.slice("qv", lo, _PQ_SUB).alias("qs"))
+        qd = cent.crossJoin(F.broadcast(qsub)).select(
+            F.col("cid").alias(f"qcid{m}"),
+            l2sq(F.col("qs"), F.col("cv")).alias(f"qd{m}"),
+        )
+        out = out.join(code, "vec_id").join(
+            F.broadcast(qd), F.col(f"code{m}") == F.col(f"qcid{m}")
+        )
+        adc_cols.append(F.col(f"qd{m}"))
+    adc = adc_cols[0]
+    for c in adc_cols[1:]:
+        adc = adc + c
+    topr = (
+        out.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("adc_dist").asc(), "vec_id")),
+        )
+        .filter(F.col("rn") <= _IVFPQ_RERANK)
+        .select("vec_id", "adc_dist")
+    )
+    return (
+        topr.join(vecs, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "adc_dist", cosine(F.col("v"), F.col("qv")).alias("cos_sim")
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= _IVFPQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_embedding_drift_monitor — per-DIMENSION drift between the old
+# corpus slice and the new ingest batch (the llm_ivf_incremental
+# cutover convention: old = vec_id ≤ ⌊4·max/5⌋).  The monitor an
+# embedding pipeline runs on every batch: a changed encoder version,
+# a re-normalization bug, or a domain shift shows up as per-dim mean
+# displacement long before index recall degrades.  Complements
+# llm_embedding_coverage (norm mass) and llm_embed_outliers (points):
+# this is the DISTRIBUTION check.
+#
+# Exactness: per dim, both slice means live in Q1.30 integer space
+# (coordinate sums of floor(v·2³⁰)); the displacement is the
+# cross-multiplied integer |snew·n_old − sold·n_new| over n_old·n_new
+# — the llm_ivf_incremental discipline — and the 0.05-real-unit flag
+# compares CAST(num AS DOUBLE)/den against 0.05·2³⁰ with the same
+# expression tree in both engines.  No driver read: the cutover
+# scalar joins in-plan.
+#
+# Scale: one posexplode scan + one 64-group aggregation (map-side
+# combinable); output is exactly 64 rows.
+# ---------------------------------------------------------------------------
+
+
+def _embed_drift_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30
+
+    return f"""
+WITH cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+flat AS (
+  SELECT e.vec_id, i.i AS dim,
+         CAST(floor(CAST(e.embedding AS DOUBLE[])[i.i] * {_Q30}) AS BIGINT) AS q,
+         (e.vec_id <= (SELECT c FROM cut)) AS is_old
+  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+agg AS (
+  SELECT dim,
+         CAST(coalesce(sum(CASE WHEN is_old THEN q END), 0) AS BIGINT) AS sold,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(coalesce(sum(CASE WHEN NOT is_old THEN q END), 0) AS BIGINT) AS snew,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM flat GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, sold, n_old, snew, n_new,
+       CAST(abs(snew * n_old - sold * n_new) AS BIGINT) AS drift_num,
+       CAST(n_old * n_new AS BIGINT) AS drift_den,
+       CAST(abs(snew * n_old - sold * n_new) AS DOUBLE) / (n_old * n_new)
+         AS drift_q30,
+       (CAST(abs(snew * n_old - sold * n_new) AS DOUBLE) / (n_old * n_new)
+          > 0.05 * {_Q30}) AS drifted
+FROM agg
+"""
+
+
+@register("llm_embedding_drift_monitor", _embed_drift_oracle())
+def llm_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension old-vs-new drift table (see block comment): one
+    scan, one 64-group aggregation, zero driver reads."""
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c"))
+    flat = (
+        e.crossJoin(F.broadcast(cut))
+        .select(
+            "vec_id",
+            (F.col("vec_id") <= F.col("c")).alias("is_old"),
+            F.posexplode(as_double("embedding")).alias("dim0", "val"),
+        )
+        .select(
+            "is_old",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+    )
+    agg = flat.groupBy("dim").agg(
+        F.coalesce(F.sum(F.when(F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("sold"),
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
+        F.coalesce(F.sum(F.when(~F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("snew"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    num = F.abs(F.col("snew") * F.col("n_old") - F.col("sold") * F.col("n_new"))
+    den = F.col("n_old") * F.col("n_new")
+    drift = num.cast("double") / den
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "sold",
+        "n_old",
+        "snew",
+        "n_new",
+        num.cast("long").alias("drift_num"),
+        den.cast("long").alias("drift_den"),
+        drift.alias("drift_q30"),
+        (drift > F.lit(0.05) * F.lit(1073741824.0)).alias("drifted"),
+    )

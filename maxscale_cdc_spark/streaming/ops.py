@@ -1902,3 +1902,126 @@ def str_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wstart", "cid")
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# str_quality_gate — the STREAMING half of the quality family (which
+# was batch-only): documents flow through the Gopher-style heuristic
+# gate IN-STREAM (the llm_heuristic_filters rules, same integer
+# cross-multiplied expression trees), and a 5-minute tumbling window
+# tracks per-verdict doc counts and accepted token mass — the
+# accept-rate monitor a streaming ingest pipeline alarms on (a scraper
+# change shows up as a 'length'/'uniq_ratio' spike within minutes,
+# not at the next batch job).
+#
+# Shape: per-row array math at scan speed inside the stream (no state
+# besides the windowed agg), one watermarked tumbling aggregation.
+# The synthetic clock is the capped doc_id minutes (CLAUDE.md rule 4);
+# the oracle reproduces windows by integer epoch math (the
+# str_sliding precedent).
+# ---------------------------------------------------------------------------
+
+_QGATE_WINDOW_MIN = 5
+
+
+def _qgate_oracle() -> str:
+    from maxscale_cdc_spark.operators.quality import (
+        _HFILTER_STOPWORDS,
+        _MAX_WORDS,
+        _MIN_WORDS,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(w, x -> list_contains({_HFILTER_STOPWORDS!r}, x)))
+              AS BIGINT) AS n_stop
+  FROM t
+), v AS (
+  SELECT doc_id, n_words,
+         CASE WHEN NOT (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) THEN 'length'
+              WHEN NOT (sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) THEN 'mean_wlen'
+              WHEN NOT (5 * n_uniq > n_words) THEN 'uniq_ratio'
+              WHEN NOT (n_stop > 0) THEN 'no_stopword'
+              ELSE 'keep' END AS verdict
+  FROM m
+)
+SELECT TIMESTAMP '2024-01-01 00:00:00'
+         + to_minutes(((doc_id % 1048576) // {_QGATE_WINDOW_MIN}) * {_QGATE_WINDOW_MIN})
+         AS wstart,
+       verdict,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS tok_mass
+FROM v
+GROUP BY 1, 2
+"""
+
+
+@register("str_quality_gate", _qgate_oracle())
+def str_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream heuristic quality gate with windowed accept-rate
+    monitoring (see block comment)."""
+    from maxscale_cdc_spark.functions.text import words
+    from maxscale_cdc_spark.operators.quality import (
+        _HFILTER_STOPWORDS,
+        _MAX_WORDS,
+        _MIN_WORDS,
+    )
+    from maxscale_cdc_spark.tables import wide_table
+
+    d = wide_table(spark, sf_dir, "documents")
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    staged = stage_as_stream(
+        d.select(
+            "doc_id",
+            F.expr(
+                f"{base_ts} + make_dt_interval(0, 0, doc_id % 1048576, 0)"
+            ).alias("ts"),
+            "text",
+        ),
+        cache_key=f"qgate:{sf_dir}",
+    )
+    stream = read_stream(
+        spark, staged, schema="doc_id bigint, ts timestamp, text string"
+    ).withWatermark("ts", "1 minute")
+    w = words("text")
+    m = stream.select(
+        "ts",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.size(F.filter(w, lambda x: x.isin(*_HFILTER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    ok_length = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    ok_mean = (F.col("sum_wlen") >= 3 * F.col("n_words")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    ok_uniq = 5 * F.col("n_uniq") > F.col("n_words")
+    ok_stop = F.col("n_stop") > 0
+    verdict = (
+        F.when(~ok_length, F.lit("length"))
+        .when(~ok_mean, F.lit("mean_wlen"))
+        .when(~ok_uniq, F.lit("uniq_ratio"))
+        .when(~ok_stop, F.lit("no_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    agg = (
+        m.select("ts", "n_words", verdict.alias("verdict"))
+        .groupBy(F.window("ts", f"{_QGATE_WINDOW_MIN} minutes").alias("w"), "verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("tok_mass"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("wstart"), "verdict", "n_docs", "tok_mass"
+    )

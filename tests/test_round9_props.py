@@ -73,3 +73,56 @@ def test_nearwin_stream_bands_at_chosen_config(spark, sf_dir):
     staged_dir = _STAGE_CACHE[key]
     bands = spark.read.parquet(staged_dir).select("band").distinct().collect()
     assert sorted(r["band"] for r in bands) == list(range(nb))
+
+
+def test_decontam_apply_conserves(spark, sf_dir):
+    """after = before − removed for both docs and tokens, per source;
+    removed docs equal the contamination verdicts."""
+    rows = _q("llm_decontam_apply", spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_after"] == r["n_docs_before"] - r["n_removed"]
+        assert r["tok_after"] == r["tok_before"] - r["tok_removed"]
+    n_removed = sum(r["n_removed"] for r in rows)
+    flagged = (
+        _q("llm_contamination", spark, sf_dir)
+        .filter("contaminated")
+        .count()
+    )
+    assert n_removed == flagged
+
+
+def test_embedding_drift_monitor_shape(spark, sf_dir):
+    """Exactly 64 dims; the flag is the documented double compare; the
+    integer displacement matches its own numerator/denominator."""
+    rows = _q("llm_embedding_drift_monitor", spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert sorted(r["dim"] for r in rows) == list(range(1, 65))
+    for r in rows:
+        assert r["drift_den"] == r["n_old"] * r["n_new"]
+        assert r["drift_q30"] == r["drift_num"] / r["drift_den"]
+        assert r["drifted"] == (r["drift_q30"] > 0.05 * 1073741824.0)
+
+
+def test_quality_gate_matches_batch_filters(spark, sf_dir):
+    """The streaming gate's per-verdict doc totals equal the batch
+    heuristic-filter verdict counts (window-summed)."""
+    from collections import Counter
+
+    stream_tot = Counter()
+    for r in _q("str_quality_gate", spark, sf_dir).collect():
+        stream_tot[r["verdict"]] += r["n_docs"]
+    batch_tot = Counter(
+        r["verdict"] for r in _q("llm_heuristic_filters", spark, sf_dir).collect()
+    )
+    assert stream_tot == batch_tot
+
+
+def test_ivf_pq_search_rerank_is_exact_on_candidates(spark, sf_dir):
+    """The exported top-5 is ordered by exact cosine (desc, vec_id)
+    and rk is dense 1..5."""
+    rows = sorted(
+        _q("llm_ivf_pq_search", spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    sims = [(r["cos_sim"], -r["vec_id"]) for r in rows]
+    assert sims == sorted(sims, reverse=True)
