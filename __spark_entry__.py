@@ -245,9 +245,9 @@ _HEAVY = {
     # round-9 surgery closure: plan + per-cell 2-means + reassignment
     # + brute-force recall audit:
     "llm_ivf_rebalance_apply",
-    # round-9 composite ANN stack (coarse k-means + PQ encode + rerank)
-    # and the streaming quality-gate lifecycle:
-    "llm_ivf_pq_search", "str_quality_gate",
+    # round-9 composite ANN stack (coarse k-means + PQ encode + rerank),
+    # the batched ANN join, and the streaming quality-gate lifecycle:
+    "llm_ivf_pq_search", "llm_ann_join_topk", "str_quality_gate",
     # replayed-delivery streaming lifecycle (dedup + band self-join):
     "str_dedup_near_prefiltered",
     # streaming ingest against the static index (kmeans + stream agg):

@@ -1857,3 +1857,110 @@ def llm_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift.alias("drift_q30"),
         (drift > F.lit(0.05) * F.lit(1073741824.0)).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_join_topk — the batched ANN JOIN: every IVF query so far is
+# single-query (vec_id 0); production similarity search is a TABLE of
+# queries joined to the index — dedup candidates, retrieval batches,
+# hard-negative mining all reduce to "top-k neighbors per query row".
+# Queries = every 100th vector (the deterministic sample convention);
+# each query probes its nprobe=2 nearest cells and ranks ONLY those
+# cells' members by exact cosine; top-3 exported per query.
+#
+# Plan shape (the part that matters at 100 TB): the query→cell
+# routing table is |Q|·nprobe rows (KB — broadcast); the candidate
+# pass is ONE equi-join on cid between the index (partitioned by
+# cell) and the routed queries — per-cell work is |cell| × queries
+# routed to that cell, never |corpus| × |Q|.  The per-query top-k is
+# a window over candidate rows, partitioned by query — no global
+# sort.  Compare llm_sim_topk_pergroup (brute-force per-label top-k):
+# the IVF routing replaces the full N×Q cross product.
+#
+# Determinism: cosine 6 dp; cell routing tie-break (sim desc, cid);
+# final rank tie-break (cos_sim desc, vec_id) — total orders in both
+# engines.  Self-matches excluded (a query is its own nearest
+# neighbor in its own cell).
+# ---------------------------------------------------------------------------
+
+_ANNJ_QMOD = 100
+_ANNJ_NPROBE = 2
+_ANNJ_TOPK = 3
+
+
+def _ann_join_oracle() -> str:
+    k = _KMEANS_ITERS
+    return f"""
+WITH {_sql_kmeans_ctes()},
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id % {_ANNJ_QMOD} = 0),
+route AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM qset q CROSS JOIN cent{k} c
+  ) WHERE rn <= {_ANNJ_NPROBE}
+),
+cand AS (
+  SELECT r.qid, a.vec_id, {sql_cosine("a.v", "r.qv")} AS cos_sim
+  FROM a{k} a JOIN route r ON a.cid = r.cid
+  WHERE a.vec_id <> r.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+) WHERE rk <= {_ANNJ_TOPK}
+"""
+
+
+@register("llm_ann_join_topk", _ann_join_oracle())
+def llm_ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN join: top-3 neighbors per sampled query row via
+    IVF cell routing (see block comment)."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    cents, _ = _kmeans_cells(e)
+    cents = cents.localCheckpoint(eager=False)
+    scored0 = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w0 = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    assigned = (
+        scored0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    qset = vecs.filter(F.col("vec_id") % _ANNJ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    route = (
+        qset.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _ANNJ_NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(route), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim")
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= _ANNJ_TOPK)
+        .select("qid", "vec_id", "cos_sim", "rk")
+    )

@@ -126,3 +126,26 @@ def test_ivf_pq_search_rerank_is_exact_on_candidates(spark, sf_dir):
     assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
     sims = [(r["cos_sim"], -r["vec_id"]) for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_join_routes_all_sampled_queries(spark, sf_dir):
+    """Every sampled query exports a dense 1..k ranked list (k ≤ 3),
+    ordered by exact cosine."""
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in _q("llm_ann_join_topk", spark, sf_dir).collect():
+        per_q[r["qid"]].append(r)
+    import duckdb
+
+    n_q = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id % 100 = 0"
+    ).fetchone()[0]
+    assert len(per_q) == n_q
+    for qid, rows in per_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [(r["cos_sim"], -r["vec_id"]) for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != qid for r in rows)
