@@ -32,3 +32,12 @@ def sql_hash_sample(key_expr: str, pct: int) -> str:
         f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4)) "
         f"AS INTEGER) % 100 < {pct}"
     )
+
+
+def sql_hash_sample_expr(key_expr: str, pct_expr: str) -> str:
+    """Like sql_hash_sample but with a SQL-computed percentage (e.g. a
+    scalar subquery) — the corpus-size-capped tuning samples."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4)) "
+        f"AS INTEGER) % 100 < ({pct_expr})"
+    )

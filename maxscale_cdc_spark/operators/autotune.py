@@ -47,7 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maxscale_cdc_spark.functions.sample import hash_sample, sql_hash_sample
+from maxscale_cdc_spark.functions.sample import (
+    hash_sample,
+    sql_hash_sample_expr,
+)
 from maxscale_cdc_spark.operators import banding
 from maxscale_cdc_spark.operators.banding import (
     chooser_prefix_sql,  # noqa: F401 — re-exported for family oracles
@@ -201,6 +204,27 @@ def _class_exact_pairs(classes: DataFrame) -> DataFrame:
 
 _CURVE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Corpus-size-capped tuning-sample percentage (banding.CAP_DOCS): the
+# ONE extra scalar read the estimator needs to stay corpus-size-flat
+# (the cut-point-collect precedent).  Identical to the old fixed 40%
+# at every oracle-checked scale (n ≤ 50k ⇒ pct = 40).
+_PCT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def tuning_sample_pct(spark: SparkSession, sf_dir: str) -> int:
+    prune_dead_cache_entries(_PCT_CACHE, spark)
+    cache_key = session_cache_key(spark, sf_dir)
+    if cache_key in _PCT_CACHE:
+        return _PCT_CACHE[cache_key]
+    from maxscale_cdc_spark.tables import table
+
+    n = table(spark, sf_dir, "documents").count()
+    pct = min(
+        banding.SAMPLE_PCT, max(1, (100 * banding.CAP_DOCS + n - 1) // n)
+    )
+    _PCT_CACHE[cache_key] = pct
+    return pct
+
 
 def _banding_curve_frame(
     spark: SparkSession, sf_dir: str, stage: bool = True
@@ -220,7 +244,7 @@ def _banding_curve_frame(
         spark,
         sf_dir,
         stage=stage,
-        doc_filter=hash_sample("doc_id", _AT_SAMPLE_PCT),
+        doc_filter=hash_sample("doc_id", tuning_sample_pct(spark, sf_dir)),
     )
     truth = _class_exact_pairs(classes)
     if stage:
@@ -288,9 +312,11 @@ _chosen_cte = banding.chosen_cte
 
 
 _CURVE_ORACLE = f"""
-WITH docw AS (
+WITH
+{banding.sample_pct_ctes('at')},
+  docw AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}
+    WHERE {sql_hash_sample_expr('doc_id', 'SELECT pct FROM at_pct')}
   ),
 {_TRIGRAM_SQL},
   keyed AS (
@@ -303,7 +329,7 @@ SELECT c.bands, c.rows_per_band, c.k_hashes, nt.n_true, c.n_caught,
             THEN CAST(c.n_caught AS DOUBLE) / nt.n_true END AS recall,
        {_FLOOR_DEN} * c.n_caught >= {_FLOOR_NUM} * nt.n_true AS meets_floor,
        c.n_candidates <= {_COST_CEIL_MULT} * nt.n_true AS within_budget,
-       CAST({_AT_SAMPLE_PCT} AS BIGINT) AS sample_pct
+       (SELECT CAST(pct AS BIGINT) FROM at_pct) AS sample_pct
 FROM curve c CROSS JOIN nt
 """
 
@@ -317,7 +343,8 @@ def llm_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth — the quantity llm_lsh_recall_audit showed degrading with
     scale."""
     return _banding_curve_frame(spark, sf_dir).withColumn(
-        "sample_pct", F.lit(_AT_SAMPLE_PCT).cast("long")
+        "sample_pct",
+        F.lit(tuning_sample_pct(spark, sf_dir)).cast("long"),
     )
 
 
@@ -332,12 +359,15 @@ def _autotuned_oracle() -> str:
         for nb, rpb in _AUTOTUNE_CONFIGS
     )
     return f"""
-WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH
+{banding.sample_pct_ctes('at')},
+  docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 {_TRIGRAM_SQL},
   keyed AS MATERIALIZED (
     SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM tset
   ),
-  skeyed AS (SELECT * FROM keyed WHERE {sql_hash_sample('doc_id', _AT_SAMPLE_PCT)}),
+  skeyed AS (SELECT * FROM keyed
+             WHERE {sql_hash_sample_expr('doc_id', 'SELECT pct FROM at_pct')}),
 {_sampled_curve_ctes('skeyed')},
 {_chosen_cte()},
   fclasses AS (

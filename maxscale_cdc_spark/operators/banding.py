@@ -25,10 +25,23 @@ expression tree over the SAME sampled curve.
 
 from __future__ import annotations
 
-from maxscale_cdc_spark.functions.sample import sql_hash_sample
+from maxscale_cdc_spark.functions.sample import (
+    sql_hash_sample,
+    sql_hash_sample_expr,
+)
 
 K16 = 16                 # signature width: every config splits a prefix of 16
-SAMPLE_PCT = 40          # deterministic hash sample for the tuning stage
+SAMPLE_PCT = 40          # tuning-stage hash sample, max percentage
+# Corpus-size cap on the tuning sample (round-9 sf10 stress finding):
+# at a fixed 40% the sampled exact-truth prefix join grew super-linear
+# on a permutation-dense derived corpus (500k docs, trigram vocabulary
+# saturated → "rare" prefix tokens no longer rare → >200 GB shuffle
+# spill).  An ESTIMATOR's cost must be corpus-size-flat: the effective
+# percentage is least(40, ceil(100·CAP_DOCS / n_docs)) — byte-identical
+# to the old fixed 40% at every oracle-checked scale (n ≤ 50k docs ⇒
+# pct = 40) and a fixed ~20k-doc sample beyond.  Both engines compute
+# the pct from the SAME count, so the sampled doc set stays identical.
+CAP_DOCS = 20_000
 # (bands, rows_per_band).  P(candidate | J=0.5): 2×4 0.12 / 2×8 0.008 /
 # 3×4 0.18 / 4×3 0.44 / 4×4 0.23 / 5×3 0.51 / 8×2 0.90 — the mid-curve
 # points (r8 verdict ask #4) exist to meet the recall floor below 8×2's
@@ -172,6 +185,16 @@ def chosen_cte() -> str:
   )"""
 
 
+def sample_pct_ctes(prefix: str) -> str:
+    """`{prefix}_n` / `{prefix}_pct` CTE pair computing the
+    corpus-size-capped tuning-sample percentage (see CAP_DOCS)."""
+    return f"""  {prefix}_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+  {prefix}_pct AS (
+    SELECT least({SAMPLE_PCT}, greatest(1, (100 * {CAP_DOCS} + n - 1) // n)) AS pct
+    FROM {prefix}_n
+  )"""
+
+
 def chooser_prefix_sql() -> str:
     """Self-contained CTE chain (no leading WITH, no trailing comma)
     from the raw `documents` table through `chosen(bands,
@@ -182,9 +205,10 @@ def chooser_prefix_sql() -> str:
     tri = TRIGRAM_SQL.replace("FROM docw", "FROM at_docw").replace(
         "  tset AS (", "  at_tset AS ("
     )
-    return f"""  at_docw AS (
+    return f"""{sample_pct_ctes('at')},
+  at_docw AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    WHERE {sql_hash_sample('doc_id', SAMPLE_PCT)}
+    WHERE {sql_hash_sample_expr('doc_id', 'SELECT pct FROM at_pct')}
   ),
 {tri},
   at_keyed AS (

@@ -149,3 +149,22 @@ def test_ann_join_routes_all_sampled_queries(spark, sf_dir):
         sims = [(r["cos_sim"], -r["vec_id"]) for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r["vec_id"] != qid for r in rows)
+
+
+def test_tuning_sample_pct_capped(spark, sf_dir):
+    """The tuning-sample percentage is the corpus-size-capped formula —
+    40 at every oracle-checked scale, and the curve exports it."""
+    from maxscale_cdc_spark.operators.autotune import tuning_sample_pct
+    from maxscale_cdc_spark.operators.banding import CAP_DOCS, SAMPLE_PCT
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    want = min(SAMPLE_PCT, max(1, (100 * CAP_DOCS + n - 1) // n))
+    assert tuning_sample_pct(spark, sf_dir) == want
+    pcts = {
+        r["sample_pct"]
+        for r in _q("llm_banding_recall_curve", spark, sf_dir).collect()
+    }
+    assert pcts == {want}
