@@ -442,11 +442,17 @@ def chosen_banding(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     curve = _banding_curve_frame(spark, sf_dir)
     meets = F.col("meets_floor")
     budget = F.col("within_budget")
+    # degradation ladder mirrors banding.chosen_cte (floor+budget →
+    # cheapest; else max recall WITHIN budget; else cheapest) — see
+    # the sf10 finding documented there
     pick = (
         curve.orderBy(
             (meets & budget).desc(),
-            meets.desc(),
-            F.when(meets, F.col("n_candidates")).otherwise(-F.col("n_caught")).asc(),
+            budget.desc(),
+            F.when(meets & budget, F.col("n_candidates"))
+            .when(budget, -F.col("n_caught"))
+            .otherwise(F.col("n_candidates"))
+            .asc(),
             F.col("bands").asc(),
             F.col("rows_per_band").asc(),
         )

@@ -172,14 +172,26 @@ def sampled_curve_ctes(doc_src: str) -> str:
 def chosen_cte() -> str:
     """The `chosen(bands, rows_per_band)` CTE — the bi-criteria total
     order shared verbatim by every oracle embedding the chooser.
-    Assumes CTEs `curve` and `nt` are in scope."""
+    Assumes CTEs `curve` and `nt` are in scope.
+
+    Degradation ladder (round-9 sf10 finding): (1) meets floor AND
+    budget → cheapest candidates; (2) nothing meets both → MAX RECALL
+    among WITHIN-BUDGET configs; (3) nothing within budget → cheapest
+    candidates.  The old ladder preferred the floor over the budget —
+    on a duplicate-dense corpus where no config meets both, it picked
+    8×2 and the full-corpus verify cost exploded (disk exhaustion at
+    sf10).  An unpayable dedup is worse than a lower-recall one:
+    recall degrades gracefully, verify cost stays bounded whenever it
+    can be."""
     floor = f"{FLOOR_DEN} * n_caught >= {FLOOR_NUM} * n_true"
     budget = f"n_candidates <= {COST_CEIL_MULT} * n_true"
     return f"""  chosen AS MATERIALIZED (
     SELECT bands, rows_per_band FROM curve CROSS JOIN nt
     ORDER BY ({floor} AND {budget}) DESC,
-             ({floor}) DESC,
-             CASE WHEN {floor} THEN n_candidates ELSE -n_caught END,
+             ({budget}) DESC,
+             CASE WHEN {floor} AND {budget} THEN n_candidates
+                  WHEN {budget} THEN -n_caught
+                  ELSE n_candidates END,
              bands, rows_per_band
     LIMIT 1
   )"""
