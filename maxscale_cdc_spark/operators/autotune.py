@@ -20,8 +20,8 @@ knob from data, then run the production op at the measured knob):
    floor below 8×2's candidate mass (r8 verdict ask #4).
 2. `llm_dedup_near_autotuned` — CHOOSE bi-criteria: the cheapest
    config meeting the 0.95 recall floor WITHIN the verify-cost budget
-   (n_candidates <= 8·n_true), degrading to cheapest-meeting-floor,
-   then max-recall (integer cross-multiplied rules throughout), then
+   (PRODUCTION-space bigram candidates <= 50/doc on the sample),
+   degrading to max-recall-within-budget, then cheapest (integer cross-multiplied rules throughout), then
    run the class-collapsed near-dedup over the FULL corpus at the
    chosen config.  Round 9 (`chosen_banding`) propagates the same
    measured config to the whole dedup family: llm_dedup_near, the
@@ -78,6 +78,7 @@ _AT_SAMPLE_PCT = banding.SAMPLE_PCT
 _AUTOTUNE_CONFIGS = banding.CONFIGS
 _FLOOR_NUM, _FLOOR_DEN = banding.FLOOR_NUM, banding.FLOOR_DEN
 _COST_CEIL_MULT = banding.COST_CEIL_MULT
+_CAND_BUDGET_PER_DOC = banding.CAND_BUDGET_PER_DOC
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +251,19 @@ def _banding_curve_frame(
     if stage:
         truth = truth.localCheckpoint(eager=False)
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    # PRODUCTION-space (bigram class) lineage on the SAME sampled docs
+    # — each config's candidate cost is counted where the dedup family
+    # actually bands (the round-9 sf10 finding: trigram-space counts
+    # under-priced the bigram verify bill by 1000× at 8×2)
+    from maxscale_cdc_spark.operators.llm import shingle_classes
+
+    bdoc_map, bclasses = shingle_classes(
+        spark,
+        sf_dir,
+        stage=stage,
+        doc_filter=hash_sample("doc_id", tuning_sample_pct(spark, sf_dir)),
+    )
+    n_docs = bdoc_map.agg(F.count("*").cast("long").alias("n_docs"))
     out = None
     for nb, rpb in _AUTOTUNE_CONFIGS:
         cand = class_band_pairs(classes, nb, rpb).select("ckey_a", "ckey_b")
@@ -262,6 +276,10 @@ def _banding_curve_frame(
             truth.join(cand, ["ckey_a", "ckey_b"]).agg(
                 F.count("*").cast("long").alias("n_caught")
             )
+        ).crossJoin(
+            class_band_pairs(bclasses, nb, rpb).agg(
+                F.count("*").cast("long").alias("n_cand_prod")
+            )
         )
         row = counts.select(
             F.lit(nb).cast("long").alias("bands"),
@@ -269,26 +287,34 @@ def _banding_curve_frame(
             F.lit(nb * rpb).cast("long").alias("k_hashes"),
             "n_caught",
             "n_candidates",
+            "n_cand_prod",
         )
         out = row if out is None else out.unionByName(row)
-    curve = out.crossJoin(F.broadcast(n_true)).select(
-        "bands",
-        "rows_per_band",
-        "k_hashes",
-        "n_true",
-        "n_caught",
-        "n_candidates",
-        F.when(
-            F.col("n_true") > 0,
-            F.col("n_caught").cast("double") / F.col("n_true"),
-        ).alias("recall"),
-        (
-            F.lit(_FLOOR_DEN) * F.col("n_caught")
-            >= F.lit(_FLOOR_NUM) * F.col("n_true")
-        ).alias("meets_floor"),
-        (
-            F.col("n_candidates") <= F.lit(_COST_CEIL_MULT) * F.col("n_true")
-        ).alias("within_budget"),
+    curve = (
+        out.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "bands",
+            "rows_per_band",
+            "k_hashes",
+            "n_true",
+            "n_caught",
+            "n_candidates",
+            "n_cand_prod",
+            "n_docs",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_caught").cast("double") / F.col("n_true"),
+            ).alias("recall"),
+            (
+                F.lit(_FLOOR_DEN) * F.col("n_caught")
+                >= F.lit(_FLOOR_NUM) * F.col("n_true")
+            ).alias("meets_floor"),
+            (
+                F.col("n_cand_prod")
+                <= F.lit(_CAND_BUDGET_PER_DOC) * F.col("n_docs")
+            ).alias("within_budget"),
+        )
     )
     if stage:
         curve = curve.localCheckpoint(eager=False)
@@ -322,13 +348,13 @@ WITH
   keyed AS (
     SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM tset
   ),
-{_sampled_curve_ctes('keyed')}
+{_sampled_curve_ctes('keyed', 'docw')}
 SELECT c.bands, c.rows_per_band, c.k_hashes, nt.n_true, c.n_caught,
-       c.n_candidates,
+       c.n_candidates, c.n_cand_prod, c.n_docs,
        CASE WHEN nt.n_true > 0
             THEN CAST(c.n_caught AS DOUBLE) / nt.n_true END AS recall,
        {_FLOOR_DEN} * c.n_caught >= {_FLOOR_NUM} * nt.n_true AS meets_floor,
-       c.n_candidates <= {_COST_CEIL_MULT} * nt.n_true AS within_budget,
+       c.n_cand_prod <= {_CAND_BUDGET_PER_DOC} * c.n_docs AS within_budget,
        (SELECT CAST(pct AS BIGINT) FROM at_pct) AS sample_pct
 FROM curve c CROSS JOIN nt
 """
@@ -368,7 +394,9 @@ WITH
   ),
   skeyed AS (SELECT * FROM keyed
              WHERE {sql_hash_sample_expr('doc_id', 'SELECT pct FROM at_pct')}),
-{_sampled_curve_ctes('skeyed')},
+  sdocw AS (SELECT * FROM docw
+            WHERE {sql_hash_sample_expr('doc_id', 'SELECT pct FROM at_pct')}),
+{_sampled_curve_ctes('skeyed', 'sdocw')},
 {_chosen_cte()},
   fclasses AS (
     SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
@@ -449,9 +477,9 @@ def chosen_banding(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         curve.orderBy(
             (meets & budget).desc(),
             budget.desc(),
-            F.when(meets & budget, F.col("n_candidates"))
+            F.when(meets & budget, F.col("n_cand_prod"))
             .when(budget, -F.col("n_caught"))
-            .otherwise(F.col("n_candidates"))
+            .otherwise(F.col("n_cand_prod"))
             .asc(),
             F.col("bands").asc(),
             F.col("rows_per_band").asc(),

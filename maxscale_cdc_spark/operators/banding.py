@@ -48,9 +48,15 @@ CAP_DOCS = 20_000
 # candidate mass.
 CONFIGS = ((2, 4), (2, 8), (3, 4), (4, 3), (4, 4), (5, 3), (8, 2))
 FLOOR_NUM, FLOOR_DEN = 19, 20   # recall floor 0.95 = 19/20, pure ints
-# Verify-cost ceiling: within budget ⟺ n_candidates <= 8 × n_true (the
-# exact-Jaccard verify pays at most 8 candidate checks per true pair).
-COST_CEIL_MULT = 8
+# Verify-cost ceiling, priced in PRODUCTION (bigram) space (round-9
+# sf10 finding — see sampled_curve_ctes): within budget ⟺ the
+# config's sampled bigram-class candidate-pair count stays at or under
+# CAND_BUDGET_PER_DOC verify checks per sampled document.  Absolute
+# and per-doc (the verify bill a run actually pays is linear in docs),
+# not relative to trigram-space true pairs — the two spaces' pair
+# counts differ by orders of magnitude.
+CAND_BUDGET_PER_DOC = 50
+COST_CEIL_MULT = 8  # retained for curve context (legacy trigram ratio)
 JACCARD_MIN = 0.5
 
 # Trigram shingle sets over a pre-split `docw(doc_id, w)` CTE — the
@@ -115,10 +121,18 @@ def cand_sql(
   )"""
 
 
-def sampled_curve_ctes(doc_src: str) -> str:
+def sampled_curve_ctes(doc_src: str, bg_src: str) -> str:
     """CTE chain from a keyed doc table through the per-config sampled
-    curve: `sclasses/smh/truth/bands_smh_*/cand_smh_*/scand/curve0/
-    cfgs/nt/curve`.  `doc_src` must expose (doc_id, shs, ckey)."""
+    curve: `sclasses/smh/truth/bands_smh_*/cand_smh_*/scand/bgset/
+    bgclasses/bgmh/bands_bgmh_*/cand_bgmh_*/bcand/nd/curve0/cfgs/nt/
+    curve`.  `doc_src` must expose (doc_id, shs, ckey) — the TRIGRAM
+    class space where exact recall is measurable (prefix joins stay
+    selective).  `bg_src` must expose (doc_id, w) for the SAME sampled
+    docs — the BIGRAM production space where each config's candidate
+    COST is counted (round-9 sf10 finding: trigram-space candidate
+    counts under-represented the production bigram banding's verify
+    bill by 1000× at 8×2 — cost must be priced in the space the dedup
+    family actually bands)."""
     cand_ctes = ",\n".join(
         cand_sql("smh", "ckey", "ckey_a", "ckey_b", nb, rpb)
         for nb, rpb in CONFIGS
@@ -126,6 +140,15 @@ def sampled_curve_ctes(doc_src: str) -> str:
     scand_union = "\nUNION ALL\n".join(
         f"SELECT {nb} AS bands, {rpb} AS rows_per_band, ckey_a, ckey_b "
         f"FROM cand_smh_{nb}x{rpb}"
+        for nb, rpb in CONFIGS
+    )
+    bcand_ctes = ",\n".join(
+        cand_sql("bgmh", "ckey", "ckey_a", "ckey_b", nb, rpb)
+        for nb, rpb in CONFIGS
+    )
+    bcand_union = "\nUNION ALL\n".join(
+        f"SELECT {nb} AS bands, {rpb} AS rows_per_band, "
+        f"CAST(count(*) AS BIGINT) AS n_cand_prod FROM cand_bgmh_{nb}x{rpb}"
         for nb, rpb in CONFIGS
     )
     cfg_values = ", ".join(
@@ -149,6 +172,24 @@ def sampled_curve_ctes(doc_src: str) -> str:
   scand AS (
 {scand_union}
   ),
+  bgset AS (
+    SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1]))) AS shs
+    FROM {bg_src} WHERE len(w) >= 2
+  ),
+  bgclasses AS (
+    SELECT md5(array_to_string(shs, chr(31))) AS ckey,
+           min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
+    FROM bgset GROUP BY 1
+  ),
+  bgmh AS MATERIALIZED (
+    SELECT ckey, rep, {MH16_SET_SQL} FROM bgclasses
+  ),
+{bcand_ctes},
+  bcand AS (
+{bcand_union}
+  ),
+  nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bgset),
   curve0 AS (
     SELECT bands, rows_per_band,
            CAST(count(*) AS BIGINT) AS n_candidates,
@@ -163,9 +204,13 @@ def sampled_curve_ctes(doc_src: str) -> str:
            CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
            CAST(c.k_hashes AS BIGINT) AS k_hashes,
            CAST(coalesce(k.n_caught, 0) AS BIGINT) AS n_caught,
-           CAST(coalesce(k.n_candidates, 0) AS BIGINT) AS n_candidates
+           CAST(coalesce(k.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(b.n_cand_prod, 0) AS BIGINT) AS n_cand_prod,
+           (SELECT n_docs FROM nd) AS n_docs
     FROM cfgs c LEFT JOIN curve0 k
       ON k.bands = c.bands AND k.rows_per_band = c.rows_per_band
+    LEFT JOIN bcand b
+      ON b.bands = c.bands AND b.rows_per_band = c.rows_per_band
   )"""
 
 
@@ -184,14 +229,14 @@ def chosen_cte() -> str:
     recall degrades gracefully, verify cost stays bounded whenever it
     can be."""
     floor = f"{FLOOR_DEN} * n_caught >= {FLOOR_NUM} * n_true"
-    budget = f"n_candidates <= {COST_CEIL_MULT} * n_true"
+    budget = f"n_cand_prod <= {CAND_BUDGET_PER_DOC} * n_docs"
     return f"""  chosen AS MATERIALIZED (
     SELECT bands, rows_per_band FROM curve CROSS JOIN nt
     ORDER BY ({floor} AND {budget}) DESC,
              ({budget}) DESC,
-             CASE WHEN {floor} AND {budget} THEN n_candidates
+             CASE WHEN {floor} AND {budget} THEN n_cand_prod
                   WHEN {budget} THEN -n_caught
-                  ELSE n_candidates END,
+                  ELSE n_cand_prod END,
              bands, rows_per_band
     LIMIT 1
   )"""
@@ -226,7 +271,7 @@ def chooser_prefix_sql() -> str:
   at_keyed AS (
     SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM at_tset
   ),
-{sampled_curve_ctes('at_keyed')},
+{sampled_curve_ctes('at_keyed', 'at_docw')},
 {chosen_cte()}"""
 
 

@@ -137,8 +137,10 @@ def test_ivf_incremental_conservation(spark, sf_dir):
 
 
 def test_autotuned_chooser_meets_floor_or_max_recall(spark, sf_dir):
-    """The exported chosen config must be consistent with the curve:
-    cheapest among floor-meeting configs, else the max-recall one."""
+    """The exported chosen config must be consistent with the curve's
+    degradation ladder (round 9): cheapest PRODUCTION-space candidates
+    among floor+budget configs; else max recall within budget; else
+    cheapest production candidates."""
     curve = {
         (r["bands"], r["rows_per_band"]): r
         for r in _q("llm_banding_recall_curve", spark, sf_dir).collect()
@@ -147,11 +149,16 @@ def test_autotuned_chooser_meets_floor_or_max_recall(spark, sf_dir):
     if not out:  # no near-dup pairs at this scale — nothing to check
         return
     chosen = (out[0]["chosen_bands"], out[0]["chosen_rows"])
-    meeting = [k for k, r in curve.items() if r["meets_floor"]]
-    if meeting:
-        best = min(meeting, key=lambda k: (curve[k]["n_candidates"], k))
+    both = [
+        k for k, r in curve.items() if r["meets_floor"] and r["within_budget"]
+    ]
+    budget = [k for k, r in curve.items() if r["within_budget"]]
+    if both:
+        best = min(both, key=lambda k: (curve[k]["n_cand_prod"], k))
+    elif budget:
+        best = min(budget, key=lambda k: (-curve[k]["n_caught"], k))
     else:
-        best = min(curve, key=lambda k: (-curve[k]["n_caught"], k))
+        best = min(curve, key=lambda k: (curve[k]["n_cand_prod"], k))
     assert chosen == best, (chosen, best)
 
 
