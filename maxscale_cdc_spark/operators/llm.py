@@ -3242,3 +3242,129 @@ def llm_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_containment — ASYMMETRIC near-dup detection: a short document
+# mostly CONTAINED in a longer one (C(A,B) = |A∩B| / |A| with |A| <= |B|)
+# at t = 0.9.  Symmetric Jaccard structurally misses these pairs — a
+# 40-trigram doc embedded verbatim in a 400-trigram doc has J ~ 0.1 but
+# containment 1.0 — and they are exactly the quote/boilerplate/expansion
+# duplication a pre-training corpus accumulates (the reference's
+# at-least-once replay, client.go:253-287, compounds the same way).
+# `jacc_missed` marks the pairs the registered Jaccard families cannot
+# see (J < 0.5) — the operator's yield over llm_dedup_jaccard_prefix.
+#
+# Candidate generation adapts AllPairs prefix filtering to containment:
+# C >= t bounds overlap only relative to the SMALL side (overlap >=
+# ceil(t*|A|)), so the small side keeps the rare-first prefix of length
+# |A| - ceil(t*|A|) + 1 while the big side indexes ALL its tokens.
+# Completeness (pigeonhole): the small doc's non-prefix suffix holds
+# ceil(t*|A|) - 1 tokens < the required overlap, so at least one shared
+# token lies in the prefix and the big side's full index must see it.
+# The all-pairs oracle proves this on real data, the
+# llm_dedup_jaccard_prefix precedent.
+#
+# Scale: prefix mass at t = 0.9 is ~|A|/10 + 1 rare-first tokens per
+# doc, so the candidate join is Σ_token pref_count(t)·df(t) — bounded
+# by the trigram df long tail (27k tokens, median df 9 at sf0.1), never
+# all-pairs.  Thresholds are pure-integer cross-multiplies (10·n >=
+# 9·sz; ceil(9s/10) = div(9s+9, 10)) — no float rounding can diverge.
+# The trigram lineage is the SHARED staged builder (one shingling pass
+# per session).  A duplicate-dense corpus would class-collapse identical
+# sets first (the llm_dedup_near discipline); doc-level pairs are kept
+# here because the export itself is pair-grained, matching the exact
+# jaccard join's contract.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = """
+WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  docsets AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+    FROM docw
+    WHERE len(w) >= 3
+  ),
+  roles AS (
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+           CAST(len(a.shs) AS BIGINT) AS sz_small,
+           CAST(len(b.shs) AS BIGINT) AS sz_big,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common
+    FROM docsets a JOIN docsets b
+      ON (len(a.shs) < len(b.shs))
+      OR (len(a.shs) = len(b.shs) AND a.doc_id < b.doc_id)
+  )
+SELECT doc_small, doc_big, n_common, sz_small, sz_big,
+       CAST(n_common AS DOUBLE) / sz_small AS containment,
+       3 * n_common < sz_small + sz_big AS jacc_missed
+FROM roles
+WHERE 10 * n_common >= 9 * sz_small
+"""
+
+
+@register("llm_dedup_containment", _CONTAIN_ORACLE)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (subset) near-dup pairs at C >= 0.9 via small-side
+    prefix filtering against a full big-side token index (see block
+    comment for the completeness lemma and scale story)."""
+    tset = trigram_sets(spark, sf_dir)
+    sh = tset.select(
+        "doc_id", F.size("shs").cast("long").alias("sz"), F.explode("shs").alias("sh")
+    )
+    # global document frequency: the rare-first total order for prefixes
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    toks = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
+            F.count("*").alias("sz"),
+        )
+    )
+    # small-side prefix: |A| - ceil(0.9|A|) + 1 rare-first tokens
+    pref = toks.select(
+        "doc_id",
+        "sz",
+        F.expr("slice(ts, 1, sz - div(9 * sz + 9, 10) + 1)").alias("pref"),
+    )
+    small = pref.select("doc_id", "sz", F.explode("pref").alias("p")).select(
+        "doc_id", "sz", F.col("p.sh").alias("sh")
+    )
+    a = small.alias("a")
+    b = sh.alias("b")  # big side: ALL tokens
+    role_ok = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & role_ok)
+        .select(
+            F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")
+        )
+        .distinct()
+    )
+    sets_s = tset.select(
+        F.col("doc_id").alias("doc_small"), F.col("shs").alias("shs_s")
+    )
+    sets_b = tset.select(F.col("doc_id").alias("doc_big"), F.col("shs").alias("shs_b"))
+    inter = (
+        cand.join(sets_s, "doc_small")
+        .join(sets_b, "doc_big")
+        .select(
+            "doc_small",
+            "doc_big",
+            F.size(F.array_intersect("shs_s", "shs_b")).cast("long").alias("n_common"),
+            F.size("shs_s").cast("long").alias("sz_small"),
+            F.size("shs_b").cast("long").alias("sz_big"),
+        )
+    )
+    return inter.filter(10 * F.col("n_common") >= 9 * F.col("sz_small")).select(
+        "doc_small",
+        "doc_big",
+        "n_common",
+        "sz_small",
+        "sz_big",
+        (F.col("n_common").cast("double") / F.col("sz_small")).alias("containment"),
+        (3 * F.col("n_common") < F.col("sz_small") + F.col("sz_big")).alias(
+            "jacc_missed"
+        ),
+    )
