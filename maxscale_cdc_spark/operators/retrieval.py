@@ -1964,3 +1964,182 @@ def llm_ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _ANNJ_TOPK)
         .select("qid", "vec_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_mmr_rerank — Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+# diversity re-ranking: after ANN candidate generation, select K results
+# that balance relevance against redundancy — argmax over remaining of
+# λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).  The standard last stage of a
+# retrieval pipeline (and of diverse few-shot/RAG example selection);
+# without it, a duplicate-dense corpus returns K copies of one document
+# (exactly what the dedup family measures upstream).
+#
+# Exactness: cosines cross the engine boundary 6-dp rounded (the repo
+# contract), then everything is INTEGER micro-units — rel_u =
+# round(cos·1e6) as BIGINT, λ = 0.7 applied as score_u = 7·rel_u −
+# 3·max_sim_u (both engines build the same BIGINT tree; no float
+# comparison anywhere).  Selection is a total order (score_u DESC,
+# vec_id) per query.  The K−1 dependent stages are localCheckpoint-
+# staged in Spark (iterated-plan rule) and MATERIALIZED CTEs in the
+# oracle (DuckDB default-INLINES CTEs — 3^K scan copies otherwise).
+#
+# Scale: queries = every 125th vector (a query TABLE, the
+# llm_ann_join_topk shape); candidates = top-20 exact-cosine per query
+# (production would route via the IVF index — same contract).  All MMR
+# work after candidate generation is per-query O(C²) with C = 20:
+# the pairwise sim table is C·(C−1) rows per query, each iteration one
+# keyed agg + one keyed window — never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_MMR_C = 20  # candidate pool per query
+_MMR_K = 5  # selections per query
+
+
+def _mmr_oracle() -> str:
+    cos_q = sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")
+    cos_ab = sql_cosine("a.v", "b.v")
+    stages = []
+    prev_union = "sel1"
+    for k in range(2, _MMR_K + 1):
+        stages.append(f"""
+  selu{k - 1} AS MATERIALIZED (
+    {"SELECT * FROM sel1" if k == 2 else f"SELECT * FROM selu{k - 2} UNION ALL SELECT * FROM sel{k - 1}"}
+  ),
+  sel{k} AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u, score_u, CAST({k} AS BIGINT) AS rk FROM (
+      SELECT c.qid, c.vec_id, c.rel_u,
+             7 * c.rel_u - 3 * mp.mp AS score_u,
+             row_number() OVER (PARTITION BY c.qid
+                                ORDER BY 7 * c.rel_u - 3 * mp.mp DESC, c.vec_id) AS r
+      FROM cand c
+      JOIN (SELECT s.qid, s.va, max(s.sim_u) AS mp
+            FROM sims s JOIN selu{k - 1} p ON p.qid = s.qid AND p.vec_id = s.vb
+            GROUP BY s.qid, s.va) mp
+        ON mp.qid = c.qid AND mp.va = c.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM selu{k - 1} p2
+                        WHERE p2.qid = c.qid AND p2.vec_id = c.vec_id)
+    ) WHERE r = 1
+  )""")
+        prev_union = f"selu{k - 1}"
+    unions = " UNION ALL ".join(f"SELECT * FROM sel{k}" for k in range(1, _MMR_K + 1))
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 125 = 0
+),
+  scored AS (
+    SELECT q.qid, e.vec_id,
+           CAST(round({cos_q} * 1000000) AS BIGINT) AS rel_u
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid
+  ),
+  cand AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_u DESC, vec_id) AS r0
+      FROM scored
+    ) WHERE r0 <= {_MMR_C}
+  ),
+  candv AS (
+    SELECT c.qid, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+  ),
+  sims AS MATERIALIZED (
+    SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+           CAST(round({cos_ab} * 1000000) AS BIGINT) AS sim_u
+    FROM candv a JOIN candv b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+  ),
+  sel1 AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u, 7 * rel_u AS score_u, CAST(1 AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_u DESC, vec_id) AS r
+      FROM cand
+    ) WHERE r = 1
+  ),{",".join(stages)}
+SELECT qid, rk, vec_id, rel_u, score_u FROM ({unions})
+"""
+
+
+@register("llm_mmr_rerank", _mmr_oracle())
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (λ = 0.7, K = 5 over top-20 candidates
+    per query) in pure BIGINT micro-unit arithmetic — see block comment
+    for the exactness and scale story."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("qid"), as_double("embedding").alias("qv")
+    )
+    rel_u = (
+        F.round(cosine(as_double("embedding"), F.col("qv")) * 1000000.0)
+        .cast("long")
+        .alias("rel_u")
+    )
+    scored = (
+        e.join(F.broadcast(q), e.vec_id != q.qid)
+        .select("qid", "vec_id", rel_u)
+    )
+    w0 = W.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
+    cand = (
+        scored.withColumn("r0", F.row_number().over(w0))
+        .filter(F.col("r0") <= _MMR_C)
+        .select("qid", "vec_id", "rel_u")
+        .localCheckpoint(eager=False)
+    )
+    candv = cand.join(
+        e.select("vec_id", as_double("embedding").alias("v")), "vec_id"
+    ).select("qid", "vec_id", "v")
+    a, b = candv.alias("a"), candv.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1000000.0)
+            .cast("long")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
+    selected = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "qid",
+            "vec_id",
+            "rel_u",
+            (7 * F.col("rel_u")).alias("score_u"),
+            F.lit(1).cast("long").alias("rk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = selected
+    for k in range(2, _MMR_K + 1):
+        pens = sims.join(
+            selected.select("qid", F.col("vec_id").alias("vb")), ["qid", "vb"]
+        )
+        maxpen = pens.groupBy("qid", "va").agg(F.max("sim_u").alias("mp"))
+        rem = cand.join(selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        score_u = (7 * F.col("rel_u") - 3 * F.col("mp")).alias("score_u")
+        wk = W.partitionBy("qid").orderBy(
+            (7 * F.col("rel_u") - 3 * F.col("mp")).desc(), "vec_id"
+        )
+        pick = (
+            rem.join(maxpen, (rem.qid == maxpen.qid) & (rem.vec_id == maxpen.va))
+            .select(rem.qid, rem.vec_id, rem.rel_u, F.col("mp"))
+            .withColumn("r", F.row_number().over(wk))
+            .filter(F.col("r") == 1)
+            .select(
+                "qid",
+                "vec_id",
+                "rel_u",
+                score_u,
+                F.lit(k).cast("long").alias("rk"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        out = selected
+    return out.select("qid", "rk", "vec_id", "rel_u", "score_u")
