@@ -2817,3 +2817,89 @@ def cdc_gtid_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(mn, 4096)").cast("string"),
         ).alias("resume_gtid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_backfill_chunk_plan — volume-balanced chunking of the INITIAL
+# SNAPSHOT backfill that precedes streaming (the reference starts a
+# stream at GTID 0-0-0, client.go:114-126; real deployments first copy
+# the existing table, then splice the stream at the snapshot position).
+# A parallel backfill needs key-range chunks that (a) never split a
+# primary key (per-key consistency with the stream splice), and
+# (b) balance WRITE VOLUME, not key count — a hot key's events all land
+# in one chunk (cdc_hotkey_profile is the upstream measurement).
+#
+# Rule: order pks ascending, cumulate per-pk event counts, assign pk to
+# chunk div((cum − 1)·N, total) + 1 — the integer cross-multiply that
+# rel_weighted_percentile certifies (Spark div == DuckDB BIGINT //; the
+# window SUM is CAST to BIGINT before the multiply, the HUGEINT rule).
+# Contiguity in pk order makes each chunk one range predicate (exported)
+# that the source can serve with an index scan.
+#
+# Scale: one keyed agg (pk) + one pk-ordered window over the DISTINCT
+# key table (|keys| rows, not |events|) + a 16-row group.  The cumsum
+# is a GLOBAL ordered window — fine while the key table is the small
+# derivative; at extreme key cardinality the plan would run on the
+# deterministic md5-bucket key sample (functions/sample.py, the
+# llm_lsh_tuning_sampled precedent) since chunk boundaries only need
+# estimator-grade volume shares.  Recomputed per backfill, never
+# maintained.
+# ---------------------------------------------------------------------------
+
+_BACKFILL_CHUNKS = 16
+
+_BACKFILL_ORACLE = f"""
+{CDC_SQL}
+, perkey AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n FROM cdc GROUP BY pk
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM perkey
+), cum AS (
+  SELECT pk, n,
+         CAST(SUM(n) OVER (ORDER BY pk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM perkey
+), assigned AS (
+  SELECT pk, n, ((c - 1) * {_BACKFILL_CHUNKS}) // t.total + 1 AS chunk_id
+  FROM cum, tot t
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(min(pk) AS BIGINT) AS lo_pk,
+       CAST(max(pk) AS BIGINT) AS hi_pk,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n) AS DOUBLE) / max(t2.total) AS share,
+       'pk >= ' || CAST(min(pk) AS VARCHAR) || ' AND pk <= ' || CAST(max(pk) AS VARCHAR) AS predicate
+FROM assigned, tot t2
+GROUP BY chunk_id
+"""
+
+
+@register("cdc_backfill_chunk_plan", _BACKFILL_ORACLE)
+def cdc_backfill_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-balanced, key-atomic snapshot backfill chunks with one
+    range predicate per chunk (see block comment)."""
+    cdc = cdc_view(spark, sf_dir)
+    perkey = cdc.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
+    tot = perkey.agg(F.sum("n").cast("long").alias("total"))
+    w = W.orderBy("pk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = perkey.withColumn("c", F.sum("n").over(w).cast("long"))
+    assigned = cum.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "n",
+        "total",
+        (F.expr(f"div((c - 1) * {_BACKFILL_CHUNKS}, total)") + 1).alias("chunk_id"),
+    )
+    return assigned.groupBy(F.col("chunk_id").cast("long").alias("chunk_id")).agg(
+        F.min("pk").cast("long").alias("lo_pk"),
+        F.max("pk").cast("long").alias("hi_pk"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_events"),
+        (F.sum("n").cast("double") / F.max("total")).alias("share"),
+        F.concat(
+            F.lit("pk >= "),
+            F.min("pk").cast("string"),
+            F.lit(" AND pk <= "),
+            F.max("pk").cast("string"),
+        ).alias("predicate"),
+    )
