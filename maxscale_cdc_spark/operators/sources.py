@@ -973,3 +973,82 @@ def src_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_class")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# src_binary_files — Spark's built-in `binaryFile` source: the ingest
+# path for OPAQUE media blobs (the mm_* family's contract assumes blobs
+# already sit in parquet; this is how they get there from an object
+# store of loose files).  The fixture spools one file per sampled
+# document via a DISTRIBUTED partitionBy text write (no driver-side
+# file loop); the registered read is format("binaryFile") with
+# recursiveFileLookup + pathGlobFilter, id recovered from the
+# hive-style path, and a full roundtrip proof IN-PLAN: per-file
+# md5(content) must equal the md5 recomputed from the source table
+# (text + the writer's trailing newline), counted by n_verified and
+# pinned by the order-deterministic digest (llm_shard_checksums
+# discipline).
+#
+# Scale: binaryFile is a FileFormat scan — many small files coalesce
+# into tasks by maxPartitionBytes/openCostInBytes, the audit is one
+# keyed agg.  The 10%-of-docs fixture bounds local file count; at
+# 100 TB the files already exist and ONLY the read path runs (with
+# a manifest listing instead of recursive discovery when the store's
+# listing is the bottleneck).
+# ---------------------------------------------------------------------------
+
+_BINF_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS n_bytes,
+       md5(string_agg(md5(text || chr(10)), '' ORDER BY doc_id)) AS content_digest,
+       CAST(count(*) AS BIGINT) AS n_verified
+FROM sub
+GROUP BY source
+"""
+
+
+@register("src_binary_files", _BINF_ORACLE)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile ingest of a spooled per-document blob store with an
+    in-plan md5 roundtrip proof (see block comment)."""
+    d = table(spark, sf_dir, "documents")
+    sub = d.filter(F.col("doc_id") % 10 == 0)
+    out = _mkdtemp(prefix="src_binf_")
+    # Distributed spool: one hive dir per doc, one single-row text file
+    # inside (the text writer appends '\n' — mirrored in the oracle).
+    sub.select("doc_id", "text").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(out)
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+        .select(
+            F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("h"),
+        )
+    )
+    joined = files.join(
+        sub.select("doc_id", "source", F.md5(F.concat("text", F.lit("\n"))).alias("h_src")),
+        "doc_id",
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("content_digest"),
+        F.sum((F.col("h") == F.col("h_src")).cast("long")).alias("n_verified"),
+    )
