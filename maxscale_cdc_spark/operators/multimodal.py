@@ -752,3 +752,101 @@ def mm_modality_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("byte_quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_caption_align — align caption chunks to sampled video frames by
+# timestamp: each 8-word caption chunk (synthetic clock 700 ms/chunk)
+# is matched AS-OF to the last frame at or before it (frames tick at
+# 1000 ms from mm_frame_sample's fan-out).  The cross-modality join a
+# video-text training pair builder runs; lag_ms is the drift the pair
+# quality filter thresholds on.
+#
+# The Spark side runs the REAL as-of machinery — one union + one
+# video-keyed window carrying the last-seen frame forward (the
+# cdc_scd2_lookup pattern: never a range join against the frame
+# table).  The ORACLE is the closed form (frame = min(cap_ts div 1000,
+# n_frames − 1)), valid because the synthetic clocks are arithmetic —
+# so a green row proves the general as-of construction against an
+# implementation-independent definition, the jaccard_prefix precedent.
+# At equal timestamps the frame sorts first (kind 0 < 1): as-of is <=.
+#
+# Scale: both fan-outs are executor-side explodes inheriting the scan
+# partitioning; the window partitions by video id — no global sort, no
+# state beyond one frame row per partition cursor.
+# ---------------------------------------------------------------------------
+
+_CALIGN_ORACLE = """
+WITH caps AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         CAST(1 + length(text) % 4 AS INT) AS n_frames,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+), fan AS (
+  SELECT doc_id, content_hash, n_frames,
+         CAST(c AS BIGINT) AS caption_idx,
+         CAST(700 * c AS BIGINT) AS cap_ts_ms
+  FROM caps, unnest(generate_series(0, (n_words - 1) // 8)) AS t(c)
+)
+SELECT doc_id, caption_idx, cap_ts_ms,
+       CAST(least(cap_ts_ms // 1000, n_frames - 1) AS INT) AS frame_idx,
+       md5(content_hash || '-' ||
+           CAST(least(cap_ts_ms // 1000, n_frames - 1) AS VARCHAR)) AS frame_key,
+       CAST(cap_ts_ms - 1000 * least(cap_ts_ms // 1000, n_frames - 1) AS BIGINT) AS lag_ms
+FROM fan
+"""
+
+
+@register("mm_caption_align", _CALIGN_ORACLE)
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption→frame as-of alignment via union + last-seen window,
+    certified against the closed-form oracle (see block comment)."""
+    frames = mm_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        (F.col("frame_idx").cast("long") * 1000).alias("ts"),
+        F.lit(0).alias("kind"),
+        "frame_idx",
+        "frame_key",
+        F.lit(None).cast("long").alias("caption_idx"),
+    )
+    d = table(spark, sf_dir, "documents")
+    caps = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr("div(size(split(text, ' ')) - 1, 8)"),
+                )
+            ).alias("caption_idx"),
+        )
+        .select(
+            "doc_id",
+            (F.col("caption_idx") * 700).alias("ts"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("frame_idx"),
+            F.lit(None).cast("string").alias("frame_key"),
+            "caption_idx",
+        )
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("ts", "kind", F.coalesce("frame_idx", "caption_idx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = frames.unionByName(caps).select(
+        "doc_id",
+        "ts",
+        "kind",
+        "caption_idx",
+        F.last("frame_idx", ignorenulls=True).over(w).alias("fidx"),
+        F.last("frame_key", ignorenulls=True).over(w).alias("fkey"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "doc_id",
+        "caption_idx",
+        F.col("ts").alias("cap_ts_ms"),
+        F.col("fidx").alias("frame_idx"),
+        F.col("fkey").alias("frame_key"),
+        (F.col("ts") - 1000 * F.col("fidx")).cast("long").alias("lag_ms"),
+    )
