@@ -181,9 +181,10 @@ _DEFERRED: set[str] = set()
 # Round-9 honest demotions (round 8 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
 # sf0.001/0.01 before listing, sf0.1 before round close).
-# Round-9 sweep math: 314 registered = 287 green + 21 demoted + 6
-# never-tested — 27 unverified, 23 slots of headroom in the 50-query
-# sweep.
+# Round-9 sweep math: 319 registered = 287 green + 21 demoted + 11
+# never-tested (6 early-round + 5 continuation: containment, MMR,
+# backfill plan, binaryFile, caption align) — 32 unverified, 18 slots
+# of headroom in the 50-query sweep.
 _DEMOTED: set[str] = {
     # chooser extended to 7 configs + bi-criteria (recall floor AND
     # verify-cost budget) — r8 verdict ask #4:

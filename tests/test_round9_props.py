@@ -168,3 +168,105 @@ def test_tuning_sample_pct_capped(spark, sf_dir):
         for r in _q("llm_banding_recall_curve", spark, sf_dir).collect()
     }
     assert pcts == {want}
+
+
+# --- round-9 continuation batch (containment / MMR / backfill / ---------
+# --- binaryFile / caption-align) ----------------------------------------
+
+
+def test_containment_threshold_and_roles(spark, sf_dir):
+    """Every exported pair respects the role order (small <= big), the
+    0.9 integer threshold, and pair uniqueness; every exact-dup pair
+    (identical text, >= 3 words) must surface with containment 1.0 —
+    a completeness spot-check independent of the all-pairs oracle."""
+    rows = _q("llm_dedup_containment", spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["sz_small"] <= r["sz_big"]
+        assert 10 * r["n_common"] >= 9 * r["sz_small"]
+        key = (r["doc_small"], r["doc_big"])
+        assert key not in seen and r["doc_small"] != r["doc_big"]
+        seen.add(key)
+    import duckdb
+
+    dup_pairs = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')
+                   WHERE len(string_split(text, ' ')) >= 3)
+        SELECT a.doc_id, b.doc_id FROM d a JOIN d b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+        """
+    ).fetchall()
+    for lo, hi in dup_pairs:
+        assert (lo, hi) in seen or (hi, lo) in seen
+        pair = next(
+            r for r in rows if {r["doc_small"], r["doc_big"]} == {lo, hi}
+        )
+        assert pair["containment"] == 1.0
+
+
+def test_mmr_selection_shape(spark, sf_dir):
+    """Per query: 5 distinct selections ranked 1..5, rank-1 is the
+    relevance argmax among the selected, and its score is 7*rel_u."""
+    rows = _q("llm_mmr_rerank", spark, sf_dir).collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["qid"], []).append(r)
+    assert byq, "no queries selected"
+    for qid, sel in byq.items():
+        assert sorted(r["rk"] for r in sel) == [1, 2, 3, 4, 5]
+        assert len({r["vec_id"] for r in sel}) == 5
+        r1 = next(r for r in sel if r["rk"] == 1)
+        assert r1["score_u"] == 7 * r1["rel_u"]
+        assert r1["rel_u"] == max(r["rel_u"] for r in sel)
+
+
+def test_backfill_chunks_partition_the_key_domain(spark, sf_dir):
+    """Chunks are key-atomic, contiguous, non-overlapping, and conserve
+    both the key count and the event count."""
+    rows = sorted(
+        _q("cdc_backfill_chunk_plan", spark, sf_dir).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    import duckdb
+
+    n_keys, n_events = duckdb.sql(
+        f"SELECT count(DISTINCT user_id), count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert sum(r["n_keys"] for r in rows) == n_keys
+    assert sum(r["n_events"] for r in rows) == n_events
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_pk"] < cur["lo_pk"]
+    for r in rows:
+        assert r["lo_pk"] <= r["hi_pk"]
+        assert r["predicate"] == f"pk >= {r['lo_pk']} AND pk <= {r['hi_pk']}"
+
+
+def test_binary_files_roundtrip_verifies(spark, sf_dir):
+    """Every spooled file's content hash matches the source table
+    recomputation, and the file count equals the sampled-doc count."""
+    rows = _q("src_binary_files", spark, sf_dir).collect()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') WHERE doc_id % 10 = 0"
+    ).fetchone()[0]
+    assert sum(r["n_files"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_verified"] == r["n_files"]
+
+
+def test_caption_align_asof_bounds(spark, sf_dir):
+    """As-of semantics: the aligned frame is at or before the caption
+    (lag >= 0), never beyond the caption's own 1000 ms bucket, and
+    caption indices are dense from 0 per video."""
+    rows = _q("mm_caption_align", spark, sf_dir).collect()
+    byd = {}
+    for r in rows:
+        assert r["lag_ms"] >= 0
+        assert r["frame_idx"] <= r["cap_ts_ms"] // 1000
+        assert r["cap_ts_ms"] == 700 * r["caption_idx"]
+        assert r["lag_ms"] == r["cap_ts_ms"] - 1000 * r["frame_idx"]
+        byd.setdefault(r["doc_id"], []).append(r["caption_idx"])
+    for doc, idxs in byd.items():
+        assert sorted(idxs) == list(range(len(idxs)))
