@@ -2852,25 +2852,24 @@ _BACKFILL_ORACLE = f"""
 {CDC_SQL}
 , perkey AS (
   SELECT pk, CAST(count(*) AS BIGINT) AS n FROM cdc GROUP BY pk
-), tot AS (
-  SELECT CAST(sum(n) AS BIGINT) AS total FROM perkey
 ), cum AS (
   SELECT pk, n,
          CAST(SUM(n) OVER (ORDER BY pk
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
   FROM perkey
 ), assigned AS (
-  SELECT pk, n, ((c - 1) * {_BACKFILL_CHUNKS}) // t.total + 1 AS chunk_id
-  FROM cum, tot t
+  SELECT pk, n, total, ((c - 1) * {_BACKFILL_CHUNKS}) // total + 1 AS chunk_id
+  FROM cum
 )
 SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(min(pk) AS BIGINT) AS lo_pk,
        CAST(max(pk) AS BIGINT) AS hi_pk,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(n) AS BIGINT) AS n_events,
-       CAST(sum(n) AS DOUBLE) / max(t2.total) AS share,
+       CAST(sum(n) AS DOUBLE) / max(total) AS share,
        'pk >= ' || CAST(min(pk) AS VARCHAR) || ' AND pk <= ' || CAST(max(pk) AS VARCHAR) AS predicate
-FROM assigned, tot t2
+FROM assigned
 GROUP BY chunk_id
 """
 
@@ -2881,10 +2880,15 @@ def cdc_backfill_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     range predicate per chunk (see block comment)."""
     cdc = cdc_view(spark, sf_dir)
     perkey = cdc.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
-    tot = perkey.agg(F.sum("n").cast("long").alias("total"))
     w = W.orderBy("pk").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = perkey.withColumn("c", F.sum("n").over(w).cast("long"))
-    assigned = cum.crossJoin(F.broadcast(tot)).select(
+    # total as a global unbounded window on the SAME rows — one scan,
+    # no second aggregate + cross join (it shares the cumsum's
+    # single-partition exchange)
+    cum = perkey.withColumn("c", F.sum("n").over(w).cast("long")).withColumn(
+        "total",
+        F.sum("n").over(W.partitionBy()).cast("long"),
+    )
+    assigned = cum.select(
         "pk",
         "n",
         "total",
