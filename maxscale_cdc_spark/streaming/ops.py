@@ -2025,3 +2025,76 @@ def str_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("wstart"), "verdict", "n_docs", "tok_mass"
     )
+
+
+# ---------------------------------------------------------------------------
+# str_cdc_bootstrap_splice — the production DEPLOYMENT pattern the
+# reference's positional resume exists for (client.go:114-126: a stream
+# can start at an arbitrary GTID, not only 0-0-0): copy the existing
+# table once (the snapshot cdc_backfill_chunk_plan chunks), MERGE that
+# bootstrap state into the sink, then start the change stream AT the
+# cutover position into the SAME sink.  The oracle is the whole-log
+# batch latest-state — a green row proves the bootstrap/stream seam is
+# invisible (no lost keys, no double-applied images, no
+# lambda-architecture drift).
+#
+# Why replace-by-pk makes the splice exact: the tail stream's
+# update-mode aggregate carries each changed pk's full LAST image
+# under the sequence total order; every tail sequence exceeds every
+# snapshot sequence, so for any pk the tail touches, tail-last ==
+# whole-log-last, and the MERGE overwrites the bootstrap image with
+# exactly the right truth.  Untouched pks keep their snapshot image.
+# No count/sum state crosses the seam (the sink state is max_by-only),
+# which is WHY this sink shape can bootstrap — an additive aggregate
+# would need the snapshot folded into the stream state itself.
+#
+# Scale: the bootstrap is one batch MERGE of |snapshot keys| rows; the
+# stream then carries only post-cutover deltas.  At 100 TB bootstrap
+# chunks run in parallel per cdc_backfill_chunk_plan's ranges and the
+# stream state never sees snapshot mass.  The cutover here is one
+# scalar read (the accepted cut-point pattern).
+# ---------------------------------------------------------------------------
+
+
+@register("str_cdc_bootstrap_splice", _UPSERT_STATE_ORACLE)
+def str_cdc_bootstrap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot bootstrap + streaming tail into one MERGE sink; final
+    state must equal the whole-log batch latest-state (see block
+    comment)."""
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cutover = (7 * max_id) // 10
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="splice_tgt_"))
+    # bootstrap: batch latest-state of the snapshot half, merged once
+    sink.merge(_cdc_update_agg(ev.filter(F.col("event_id") <= cutover)), -1)
+    # splice: stream ONLY the post-cutover tail into the same sink
+    staged = stage_as_stream(
+        ev.filter(F.col("event_id") > cutover),
+        n_files=4,
+        cache_key=f"events_tail{cutover}:{sf_dir}",
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=2)
+    agg = _cdc_update_agg(stream)
+    ckpt = _mkdtemp(prefix="ckpt_splice_")
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink.merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+    state = sink.state()
+    if state is None:
+        return spark.createDataFrame([], _EMPTY_UPSERT_SCHEMA)
+    return state.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value", "last_ts_unix"
+    )
