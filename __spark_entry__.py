@@ -181,10 +181,10 @@ _DEFERRED: set[str] = set()
 # Round-9 honest demotions (round 8 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
 # sf0.001/0.01 before listing, sf0.1 before round close).
-# Round-9 sweep math: 320 registered = 287 green + 21 demoted + 12
-# never-tested (6 early-round + 6 continuation: containment, MMR,
-# backfill plan, binaryFile, caption align, bootstrap splice) — 33
-# unverified, 17 slots of headroom in the 50-query sweep.
+# Round-9 sweep math: 321 registered = 287 green + 21 demoted + 13
+# never-tested (6 early-round + 7 continuation: containment, MMR,
+# backfill plan, binaryFile, caption align, bootstrap splice, vocab
+# drift) — 34 unverified, 16 slots of headroom in the 50-query sweep.
 _DEMOTED: set[str] = {
     # chooser extended to 7 configs + bi-criteria (recall floor AND
     # verify-cost budget) — r8 verdict ask #4:

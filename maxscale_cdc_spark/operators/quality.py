@@ -1900,3 +1900,84 @@ def llm_quality_decile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_vocab_drift — vocabulary drift between corpus generations: learn
+# the top-1024 word vocabulary from the OLD slice (doc_id % 5 < 4, the
+# pinned 80% split), then measure per-language OOV token/type mass on
+# the NEW slice.  The monitor that catches a crawl-source change,
+# language mix shift, or encoding regression BEFORE a tokenizer retrain
+# bakes it in — the time-drift twin of llm_vocab_truncation_curve
+# (which sweeps cutoffs over one corpus) and llm_vocab_coverage (which
+# checks a FIXED literal vocab).
+#
+# Scale: one freq agg over old-slice words, one |vocab-types|-row rank
+# window under the (freq DESC, word) total order (the truncation-curve
+# shape), then the 1024-row vocab BROADCAST left-joined to the new
+# slice's token stream — the scoring pass stays shuffle-free per token;
+# the per-lang agg is map-side combinable except the two distinct
+# counts (|types|-bounded).  oov_token_share is one double division of
+# two BIGINTs — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_VDRIFT_N = 1024
+
+_VDRIFT_ORACLE = f"""
+WITH oldw AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 5 < 4
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM oldw GROUP BY w
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY f DESC, w) AS rk FROM freq
+  ) WHERE rk <= {_VDRIFT_N}
+), neww AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 5 = 4
+), marked AS (
+  SELECT n.lang, n.w, (v.w IS NULL) AS oov
+  FROM neww n LEFT JOIN vocab v ON n.w = v.w
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT CASE WHEN oov THEN w END) AS BIGINT) AS n_oov_types,
+       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_token_share
+FROM marked
+GROUP BY lang
+"""
+
+
+@register("llm_vocab_drift", _VDRIFT_ORACLE)
+def llm_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV mass of the new corpus slice under the old
+    slice's learned top-1024 vocabulary (see block comment)."""
+    d = wide_table(spark, sf_dir, "documents")
+    old_w = d.filter(F.col("doc_id") % 5 < 4).select(
+        F.explode(words("text")).alias("w")
+    )
+    freq = old_w.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    rk = F.row_number().over(W.orderBy(F.col("f").desc(), "w"))
+    vocab = (
+        freq.withColumn("rk", rk)
+        .filter(F.col("rk") <= _VDRIFT_N)
+        .select("w", F.lit(1).alias("inv"))
+    )
+    new_w = d.filter(F.col("doc_id") % 5 == 4).select(
+        "lang", F.explode(words("text")).alias("w")
+    )
+    marked = new_w.join(F.broadcast(vocab), "w", "left").select(
+        "lang", "w", F.col("inv").isNull().alias("oov")
+    )
+    oov_l = F.col("oov").cast("long")
+    return marked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(oov_l).cast("long").alias("n_oov_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+        F.countDistinct(F.when(F.col("oov"), F.col("w"))).cast("long").alias(
+            "n_oov_types"
+        ),
+        (F.sum(oov_l).cast("double") / F.count("*")).alias("oov_token_share"),
+    )
