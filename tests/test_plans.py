@@ -845,3 +845,42 @@ def test_dedup_incremental_new_side_drives_band_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- round-9 continuation plan gates ------------------------------------
+
+
+def test_backfill_plan_single_scan_no_cross(spark, sf_dir):
+    """The chunk plan reads events ONCE (total rides the cumsum's
+    window exchange, never a second aggregate + cross join)."""
+    df = _q("cdc_backfill_chunk_plan", spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert not has_cartesian(df)
+
+
+def test_vocab_drift_broadcasts_vocab(spark, sf_dir):
+    """The learned 1024-row vocab must broadcast into the new-slice
+    token scoring pass — the pass itself stays shuffle-free."""
+    df = _q("llm_vocab_drift", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """Candidate generation is equi-keyed on the shared token — the
+    role/threshold predicates ride the equi-join, never a nested
+    loop."""
+    df = _q("llm_dedup_containment", spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_mmr_iterations_stay_candidate_bounded(spark, sf_dir):
+    """Every MMR selection joins candidate-bounded tables: no scan of
+    embeddings appears after the two staged lineages (cand + sims) —
+    checkpoint boundaries hide upstream, so a corpus scan INSIDE the
+    loop would show up as an extra FileScan."""
+    df = _q("llm_mmr_rerank", spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("FileScan parquet") == 0, plan  # all inputs staged
+    assert not has_cartesian(df)
