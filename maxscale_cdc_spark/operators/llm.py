@@ -3271,10 +3271,10 @@ def llm_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs.  Thresholds are pure-integer cross-multiplies (10·n >=
 # 9·sz; ceil(9s/10) = div(9s+9, 10)) — no float rounding can diverge.
 # The trigram lineage is the SHARED staged builder (one shingling pass
-# per session).  A duplicate-dense corpus would class-collapse identical
-# sets first (the llm_dedup_near discipline); doc-level pairs are kept
-# here because the export itself is pair-grained, matching the exact
-# jaccard join's contract.
+# per session), and the join runs CLASS-COLLAPSED on identical sets
+# (the llm_dedup_near discipline) — doc-level pairs re-expand only at
+# export, so duplicate mass never multiplies the candidate join (the
+# sf1.0 stress finding recorded in BASELINE.md round 9).
 # ---------------------------------------------------------------------------
 
 _CONTAIN_ORACLE = """
@@ -3304,18 +3304,38 @@ WHERE 10 * n_common >= 9 * sz_small
 
 @register("llm_dedup_containment", _CONTAIN_ORACLE)
 def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment (subset) near-dup pairs at C >= 0.9 via small-side
-    prefix filtering against a full big-side token index (see block
-    comment for the completeness lemma and scale story)."""
+    """Containment (subset) near-dup pairs at C >= 0.9, CLASS-COLLAPSED
+    on identical trigram sets (see block comment): the prefix-filtered
+    candidate join and the exact verify run over distinct-set CLASSES
+    (k identical docs = one row), and doc-level pairs are re-expanded
+    only at export — intra-class pairs algebraically (n_common = sz,
+    containment exactly 1.0), cross-class pairs via two member joins.
+    The sf1.0 stress forced this shape: un-collapsed, every replica
+    pair re-pays the candidate join and the pre-distinct doc-pair mass
+    OOMs the sort; collapsed, duplicate mass costs one class row
+    (llm_dedup_near's discipline applied to the exact join).  Class
+    key = md5 over the canonical (sorted) shingle set — identical in
+    both engines.  Corpus-scale joins carry merge hints: the staged
+    lineage exposes no size stats, so the broadcast heuristic OOMs at
+    sf1.0 otherwise (value-neutral; a stats-rich plan picks SMJ
+    itself)."""
     tset = trigram_sets(spark, sf_dir)
-    sh = tset.select(
-        "doc_id", F.size("shs").cast("long").alias("sz"), F.explode("shs").alias("sh")
+    keyed = tset.select(
+        "doc_id", "shs", F.md5(F.concat_ws("\x01", "shs")).alias("ck")
+    ).localCheckpoint(eager=False)
+    cmem = keyed.select("ck", "doc_id")
+    cls = (
+        keyed.select("ck", "shs")
+        .dropDuplicates(["ck"])  # shs identical per ck: value-deterministic
+        .withColumn("sz", F.size("shs").cast("long"))
+        .localCheckpoint(eager=False)
     )
-    # global document frequency: the rare-first total order for prefixes
+    sh = cls.select("ck", "sz", F.explode("shs").alias("sh"))
+    # class-level document frequency: the rare-first total order
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     toks = (
         sh.join(dfreq, "sh")
-        .groupBy("doc_id")
+        .groupBy("ck")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
             F.count("*").alias("sz"),
@@ -3323,41 +3343,81 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # small-side prefix: |A| - ceil(0.9|A|) + 1 rare-first tokens
     pref = toks.select(
-        "doc_id",
+        "ck",
         "sz",
         F.expr("slice(ts, 1, sz - div(9 * sz + 9, 10) + 1)").alias("pref"),
     )
-    small = pref.select("doc_id", "sz", F.explode("pref").alias("p")).select(
-        "doc_id", "sz", F.col("p.sh").alias("sh")
+    small = pref.select("ck", "sz", F.explode("pref").alias("p")).select(
+        "ck", "sz", F.col("p.sh").alias("sh")
     )
     a = small.alias("a")
-    b = sh.alias("b")  # big side: ALL tokens
+    b = sh.hint("merge").alias("b")  # big side: ALL tokens
     role_ok = (F.col("a.sz") < F.col("b.sz")) | (
-        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.ck") < F.col("b.ck"))
     )
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & role_ok)
-        .select(
-            F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")
-        )
+        .select(F.col("a.ck").alias("ck_a"), F.col("b.ck").alias("ck_b"))
         .distinct()
     )
-    sets_s = tset.select(
-        F.col("doc_id").alias("doc_small"), F.col("shs").alias("shs_s")
+    sets_a = cls.select(
+        F.col("ck").alias("ck_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")
     )
-    sets_b = tset.select(F.col("doc_id").alias("doc_big"), F.col("shs").alias("shs_b"))
-    inter = (
-        cand.join(sets_s, "doc_small")
-        .join(sets_b, "doc_big")
+    sets_b = cls.select(
+        F.col("ck").alias("ck_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")
+    )
+    cross_cls = (
+        cand.join(sets_a.hint("merge"), "ck_a")
+        .join(sets_b.hint("merge"), "ck_b")
+        .select(
+            "ck_a",
+            "ck_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            "sz_a",
+            "sz_b",
+        )
+        .filter(10 * F.col("n_common") >= 9 * F.col("sz_a"))
+    )
+    # cross-class doc expansion: roles by class size, doc_id tiebreak
+    ma = cmem.select(F.col("ck").alias("ck_a"), F.col("doc_id").alias("da"))
+    mb = cmem.select(F.col("ck").alias("ck_b"), F.col("doc_id").alias("db"))
+    cross = (
+        cross_cls.join(ma, "ck_a")
+        .join(mb, "ck_b")
+        .select(
+            F.when(F.col("sz_a") < F.col("sz_b"), F.col("da"))
+            .otherwise(F.least("da", "db"))
+            .alias("doc_small"),
+            F.when(F.col("sz_a") < F.col("sz_b"), F.col("db"))
+            .otherwise(F.greatest("da", "db"))
+            .alias("doc_big"),
+            "n_common",
+            F.col("sz_a").alias("sz_small"),
+            F.col("sz_b").alias("sz_big"),
+        )
+    )
+    # intra-class pairs: identical sets, containment exactly 1.0
+    ia = cmem.alias("ia")
+    ib = cmem.alias("ib")
+    intra = (
+        ia.join(
+            ib,
+            (F.col("ia.ck") == F.col("ib.ck"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .select(F.col("ia.ck").alias("ck"), F.col("ia.doc_id").alias("doc_small"),
+                F.col("ib.doc_id").alias("doc_big"))
+        .join(cls.select("ck", F.col("sz").alias("n_common")), "ck")
         .select(
             "doc_small",
             "doc_big",
-            F.size(F.array_intersect("shs_s", "shs_b")).cast("long").alias("n_common"),
-            F.size("shs_s").cast("long").alias("sz_small"),
-            F.size("shs_b").cast("long").alias("sz_big"),
+            "n_common",
+            F.col("n_common").alias("sz_small"),
+            F.col("n_common").alias("sz_big"),
         )
     )
-    return inter.filter(10 * F.col("n_common") >= 9 * F.col("sz_small")).select(
+    out = cross.unionByName(intra)
+    return out.select(
         "doc_small",
         "doc_big",
         "n_common",
