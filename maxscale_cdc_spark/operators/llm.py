@@ -3428,3 +3428,152 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jacc_missed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_rep_policy — WHICH doc to keep per near-dup cluster: the
+# curation decision llm_dedup_savings prices only for the default
+# min-id keeper.  Three policies over the SAME cached component
+# closure — 'first' (min doc_id, the closure's own rep), 'longest'
+# (max token count), 'diverse' (max distinct-word count) — each a
+# total-ordered window pick, exported as one 3-row decision table:
+# cluster count, kept/removed token mass, and how many reps move vs
+# the 'first' baseline.  Pure-BIGINT exports.
+#
+# Scale: the component table is the small derivative (clustered docs
+# only); one join to the corpus for per-doc stats, three rank windows
+# sharing the cid partitioning, one keyed agg, and a 3-way explode of
+# per-cluster structs (one pass — no per-policy rescan).  In the
+# oracle the per-cluster table is MATERIALIZED (consumed 3x; DuckDB
+# default-inlines CTEs).
+# ---------------------------------------------------------------------------
+
+_REP_POLICY_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+    """info AS (
+    SELECT r.cluster_rep AS cid, r.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS q
+    FROM reps r JOIN documents d USING (doc_id)
+  ),
+  marked AS (
+    SELECT cid, doc_id, n_tok,
+           row_number() OVER (PARTITION BY cid ORDER BY doc_id) AS rn_first,
+           row_number() OVER (PARTITION BY cid ORDER BY n_tok DESC, doc_id) AS rn_len,
+           row_number() OVER (PARTITION BY cid ORDER BY q DESC, doc_id) AS rn_q
+    FROM info
+  ),
+  percluster AS MATERIALIZED (
+    SELECT cid,
+           CAST(sum(n_tok) AS BIGINT) AS tot,
+           max(CASE WHEN rn_first = 1 THEN doc_id END) AS rep_first,
+           CAST(max(CASE WHEN rn_first = 1 THEN n_tok END) AS BIGINT) AS kept_first,
+           max(CASE WHEN rn_len = 1 THEN doc_id END) AS rep_len,
+           CAST(max(CASE WHEN rn_len = 1 THEN n_tok END) AS BIGINT) AS kept_len,
+           max(CASE WHEN rn_q = 1 THEN doc_id END) AS rep_q,
+           CAST(max(CASE WHEN rn_q = 1 THEN n_tok END) AS BIGINT) AS kept_q
+    FROM marked
+    GROUP BY cid
+  )
+SELECT 'first' AS policy,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(kept_first) AS BIGINT) AS kept_tokens,
+       CAST(sum(tot - kept_first) AS BIGINT) AS removed_tokens,
+       CAST(0 AS BIGINT) AS reps_changed
+FROM percluster
+UNION ALL
+SELECT 'longest',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(kept_len) AS BIGINT),
+       CAST(sum(tot - kept_len) AS BIGINT),
+       CAST(sum(CASE WHEN rep_len <> rep_first THEN 1 ELSE 0 END) AS BIGINT)
+FROM percluster
+UNION ALL
+SELECT 'diverse',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(kept_q) AS BIGINT),
+       CAST(sum(tot - kept_q) AS BIGINT),
+       CAST(sum(CASE WHEN rep_q <> rep_first THEN 1 ELSE 0 END) AS BIGINT)
+FROM percluster""",
+)
+_REP_POLICY_ORACLE = oracle_splice(
+    _REP_POLICY_ORACLE, "  )\ninfo AS (", "  ),\n  info AS ("
+)
+
+
+@register("llm_dedup_rep_policy", _REP_POLICY_ORACLE)
+def llm_dedup_rep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-selection decision table: 'first' vs 'longest' vs
+    'diverse' representative per near-dup cluster, with kept/removed
+    token mass and rep churn vs baseline (see block comment)."""
+    comp = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(words("text"))).cast("long").alias("q"),
+    )
+    info = comp.join(d, "doc_id").select(
+        F.col("cluster_rep").alias("cid"), "doc_id", "n_tok", "q"
+    )
+    marked = info.select(
+        "cid",
+        "doc_id",
+        "n_tok",
+        F.row_number().over(W.partitionBy("cid").orderBy("doc_id")).alias("rn_first"),
+        F.row_number()
+        .over(W.partitionBy("cid").orderBy(F.col("n_tok").desc(), "doc_id"))
+        .alias("rn_len"),
+        F.row_number()
+        .over(W.partitionBy("cid").orderBy(F.col("q").desc(), "doc_id"))
+        .alias("rn_q"),
+    )
+    per = marked.groupBy("cid").agg(
+        F.sum("n_tok").cast("long").alias("tot"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("doc_id"))).alias("rep_first"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("n_tok")))
+        .cast("long")
+        .alias("kept_first"),
+        F.max(F.when(F.col("rn_len") == 1, F.col("doc_id"))).alias("rep_len"),
+        F.max(F.when(F.col("rn_len") == 1, F.col("n_tok")))
+        .cast("long")
+        .alias("kept_len"),
+        F.max(F.when(F.col("rn_q") == 1, F.col("doc_id"))).alias("rep_q"),
+        F.max(F.when(F.col("rn_q") == 1, F.col("n_tok")))
+        .cast("long")
+        .alias("kept_q"),
+    )
+    pol = per.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("policy"),
+                    F.col("kept_first").alias("kept"),
+                    (F.col("tot") - F.col("kept_first")).alias("removed"),
+                    F.lit(0).cast("long").alias("changed"),
+                ),
+                F.struct(
+                    F.lit("longest").alias("policy"),
+                    F.col("kept_len").alias("kept"),
+                    (F.col("tot") - F.col("kept_len")).alias("removed"),
+                    (F.col("rep_len") != F.col("rep_first"))
+                    .cast("long")
+                    .alias("changed"),
+                ),
+                F.struct(
+                    F.lit("diverse").alias("policy"),
+                    F.col("kept_q").alias("kept"),
+                    (F.col("tot") - F.col("kept_q")).alias("removed"),
+                    (F.col("rep_q") != F.col("rep_first"))
+                    .cast("long")
+                    .alias("changed"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pol.groupBy(F.col("p.policy").alias("policy")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("p.kept").cast("long").alias("kept_tokens"),
+        F.sum("p.removed").cast("long").alias("removed_tokens"),
+        F.sum("p.changed").cast("long").alias("reps_changed"),
+    )
