@@ -2351,3 +2351,83 @@ def rel_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_rollup_refresh — CONTINUOUS-AGGREGATE maintenance (the
+# TimescaleDB/materialized-rollup pattern): an hourly (hr, event_type)
+# rollup materialized up to the 70% sequence cutover is refreshed with
+# the post-cutover delta by ADDITIVE merge — sum/count buckets compose,
+# so the stored table is never rescanned and the refresh cost is
+# |delta buckets|, not |history|.  `refreshed` marks the buckets the
+# delta touched (the invalidation set a scheduler would requeue).
+# The oracle recomputes the rollup from the WHOLE log — the green row
+# certifies merged == full bit-exactly (the rel_ivm_join discipline
+# applied to the time-bucketed rollup).
+#
+# Scale: two keyed aggs sharing the (hr, event_type) partitioning and
+# one full-outer merge join on the same key; the cutover is a 1-row
+# in-plan broadcast (no driver read).  Integer exports only: hr =
+# BIGINT epoch-hour (div == //), cents summed as BIGINT.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_REFRESH_ORACLE = """
+WITH cut AS (SELECT max(event_id) * 7 // 10 AS c FROM events),
+  base AS (
+    SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 3600 AS hr,
+           event_type,
+           event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+  )
+SELECT hr, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       max(CASE WHEN b.event_id > cut.c THEN 1 ELSE 0 END) = 1 AS refreshed
+FROM base b, cut
+GROUP BY hr, event_type
+"""
+
+
+@register("rel_rollup_refresh", _ROLLUP_REFRESH_ORACLE)
+def rel_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive refresh of a materialized hourly rollup with the
+    post-cutover delta, certified against the full recompute (see
+    block comment)."""
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("div(max(event_id) * 7, 10)").alias("c"))
+    base = ev.join(F.broadcast(cut)).select(
+        F.expr("div(unix_timestamp(ts), 3600)").alias("hr"),
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.col("c"),
+    )
+
+    def rollup(df):
+        return df.groupBy("hr", "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cts"),
+        )
+
+    stored = rollup(base.filter(F.col("event_id") <= F.col("c")))
+    delta = rollup(base.filter(F.col("event_id") > F.col("c")))
+    s = stored.select(
+        "hr", "event_type", F.col("n").alias("n_s"), F.col("cts").alias("c_s")
+    )
+    d = delta.select(
+        "hr", "event_type", F.col("n").alias("n_d"), F.col("cts").alias("c_d")
+    )
+    merged = s.join(d, ["hr", "event_type"], "full")
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "hr",
+        "event_type",
+        (F.coalesce("n_s", zero) + F.coalesce("n_d", zero))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce("c_s", zero) + F.coalesce("c_d", zero))
+        .cast("long")
+        .alias("cents"),
+        F.col("n_d").isNotNull().alias("refreshed"),
+    )
