@@ -1052,3 +1052,96 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_digest"),
         F.sum((F.col("h") == F.col("h_src")).cast("long")).alias("n_verified"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_partition_evolution — PARTITION-LAYOUT EVOLUTION, the lakehouse
+# maintenance job Hive-style static layouts can't do in place: the
+# hottest day partition (most rows — the one whose files are too big
+# for day-ranged scans) is re-laid-out into hour subpartitions, every
+# COLD partition stays byte-untouched (asserted on file mtimes), and a
+# two-root union reader serves the evolved table.  Iceberg/Delta call
+# this partition evolution; with plain parquet it is exactly this
+# rewrite-hot + union-read shape.
+#
+# The hot-day pick is ONE scalar driver read (the accepted cut-point
+# pattern) under the (count DESC, day) total order.  The cold half of
+# the union reader keeps the day-pruning property (filter on the
+# partition column prunes directories — test_plans'
+# partition-pruning gate family); the hot half prunes by hour.
+# Oracle = direct per-(day, event_type) rollup with the same
+# total-ordered hot-day subquery — losslessness of the evolved layout
+# is the value contract.
+#
+# Scale: the rewrite touches |hot partition| bytes only; everything
+# else is metadata.  At 100 TB this is the job that splits a skewed
+# ingest day without a full-table rewrite.
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type FROM events
+), hot AS (
+  SELECT day FROM d GROUP BY day ORDER BY count(*) DESC, day LIMIT 1
+)
+SELECT day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (day = (SELECT day FROM hot)) AS hourly_layout
+FROM d
+GROUP BY day, event_type
+"""
+
+
+@register("snk_partition_evolution", _EVOLVE_ORACLE)
+def snk_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the hottest day partition into hours, prove cold
+    partitions untouched, read through the evolved two-root layout
+    (see block comment)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    root = _mkdtemp(prefix="snk_evolve_")
+    v1 = os.path.join(root, "v1")
+    ev.write.mode("overwrite").partitionBy("day").parquet(v1)
+    # hot day under the (count DESC, day) total order — one scalar read
+    hot = (
+        ev.groupBy("day")
+        .count()
+        .orderBy(F.col("count").desc(), "day")
+        .first()["day"]
+    )
+
+    def _mtimes(skip_day: str) -> dict[str, float]:
+        out = {}
+        for dirname in os.listdir(v1):
+            if not dirname.startswith("day=") or dirname == f"day={skip_day}":
+                continue
+            sub = os.path.join(v1, dirname)
+            for f in os.listdir(sub):
+                p = os.path.join(sub, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    cold_before = _mtimes(str(hot))
+    v2_hot = os.path.join(root, "v2_hot")
+    (
+        spark.read.parquet(v1)
+        .filter(F.col("day") == F.lit(hot))
+        .withColumn("hour", F.hour("ts"))
+        .write.mode("overwrite")
+        .partitionBy("hour")
+        .parquet(v2_hot)
+    )
+    # loud evolution checks: cold partitions byte-untouched, hot
+    # partition actually split into hour subdirs
+    assert _mtimes(str(hot)) == cold_before, "cold partitions were rewritten"
+    n_hours = sum(1 for n in os.listdir(v2_hot) if n.startswith("hour="))
+    assert n_hours >= 1, "hot partition not split"
+
+    cold = spark.read.parquet(v1).filter(F.col("day") != F.lit(hot))
+    hot_df = spark.read.parquet(v2_hot).drop("hour")
+    evolved = cold.unionByName(hot_df)
+    return evolved.groupBy("day", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.col("day") == F.lit(hot)).alias("hourly_layout"),
+    )
