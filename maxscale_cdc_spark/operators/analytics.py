@@ -673,3 +673,109 @@ def rel_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").cast("long").alias("n_apex_nodes"),
     )
     return ne.crossJoin(nt).select("n_edges", "n_triangles", "n_apex_nodes")
+
+
+# ---------------------------------------------------------------------------
+# rel_graph_khop — K-hop reachability (BFS frontier expansion, K = 3)
+# from deterministic seed nodes over the same event-derived graph the
+# triangle/pagerank family uses: per (seed, hops) the count of nodes
+# FIRST reached at that distance.  The multi-source BFS shape behind
+# social-reach, fraud blast-radius, and lineage-impact queries.
+#
+# Spark runs the real frontier loop: per level ONE equi-join frontier⋈
+# adjacency, one anti-join against the visited set, one distinct — all
+# keyed on the node id, each level localCheckpoint-staged (iterated-
+# plan rule).  The oracle unrolls the same three levels as MATERIALIZED
+# CTEs (DuckDB default-inlines).  Frontier dedup per level keeps the
+# join input |frontier|, not |paths| — the difference between BFS and
+# path enumeration (which is exponential).
+#
+# Seeds are derived from the NODE set (node % 10 == 0), so both
+# engines agree even if a residue never appears in the fixture.
+# ---------------------------------------------------------------------------
+
+_KHOP_ORACLE = """
+WITH raw AS (
+  SELECT event_id % 97 AS u, (event_id * 31) % 97 AS v FROM events
+  WHERE event_id % 97 <> (event_id * 31) % 97
+), edges AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+), adj AS MATERIALIZED (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+), nodes AS (
+  SELECT DISTINCT a AS n FROM adj
+), seeds AS MATERIALIZED (
+  SELECT n AS seed FROM nodes WHERE n % 10 = 0
+), v0 AS (
+  SELECT seed, seed AS node FROM seeds
+), f1 AS MATERIALIZED (
+  SELECT DISTINCT s.seed, adj.b AS node
+  FROM v0 s JOIN adj ON adj.a = s.node
+  WHERE NOT EXISTS (SELECT 1 FROM v0 p WHERE p.seed = s.seed AND p.node = adj.b)
+), v1 AS MATERIALIZED (
+  SELECT * FROM v0 UNION ALL SELECT * FROM f1
+), f2 AS MATERIALIZED (
+  SELECT DISTINCT f.seed, adj.b AS node
+  FROM f1 f JOIN adj ON adj.a = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v1 p WHERE p.seed = f.seed AND p.node = adj.b)
+), v2 AS MATERIALIZED (
+  SELECT * FROM v1 UNION ALL SELECT * FROM f2
+), f3 AS MATERIALIZED (
+  SELECT DISTINCT f.seed, adj.b AS node
+  FROM f2 f JOIN adj ON adj.a = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v2 p WHERE p.seed = f.seed AND p.node = adj.b)
+), lv AS (
+  SELECT seed, 1 AS hops, node FROM f1
+  UNION ALL SELECT seed, 2, node FROM f2
+  UNION ALL SELECT seed, 3, node FROM f3
+)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(hops AS BIGINT) AS hops,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM lv
+GROUP BY seed, hops
+"""
+
+
+@register("rel_graph_khop", _KHOP_ORACLE)
+def rel_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 3-hop BFS reach counts (nodes FIRST reached per
+    distance) via staged frontier expansion (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        (F.col("event_id") % 97).alias("u"),
+        ((F.col("event_id") * 31) % 97).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        adj.select(F.col("a").alias("n"))
+        .distinct()
+        .filter(F.col("n") % 10 == 0)
+        .select(F.col("n").alias("seed"))
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
+        eager=False
+    )
+    frontier = visited
+    levels = []
+    for k in (1, 2, 3):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.a)
+            .select("seed", F.col("b").alias("node"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        levels.append(
+            nxt.select("seed", F.lit(k).cast("long").alias("hops"), "node")
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    lv = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return lv.groupBy(F.col("seed").cast("long").alias("seed"), "hops").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
