@@ -270,3 +270,85 @@ def test_caption_align_asof_bounds(spark, sf_dir):
         byd.setdefault(r["doc_id"], []).append(r["caption_idx"])
     for doc, idxs in byd.items():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+# --- continuation batch 2 (splice / vocab drift / rep policy / -----------
+# --- rollup refresh / partition evolution / k-hop) ------------------------
+
+
+def test_bootstrap_splice_state_shape(spark, sf_dir):
+    """The spliced state is non-empty, one row per pk, and never
+    carries a sequence beyond the log head."""
+    rows = _q("str_cdc_bootstrap_splice", spark, sf_dir).collect()
+    assert rows
+    pks = [r["pk"] for r in rows]
+    assert len(pks) == len(set(pks))
+    import duckdb
+
+    head = duckdb.sql(
+        f"SELECT max(event_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert all(r["last_seq"] <= head for r in rows)
+
+
+def test_vocab_drift_ratios_consistent(spark, sf_dir):
+    rows = _q("llm_vocab_drift", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_oov_types"] <= r["n_types"]
+        assert r["oov_token_share"] == r["n_oov_tokens"] / r["n_tokens"]
+
+
+def test_rep_policy_conservation(spark, sf_dir):
+    """All policies see the same clusters and the same total token
+    mass; 'first' never reports churn; 'longest' keeps at least as
+    many tokens as any other policy (it maximizes kept per cluster)."""
+    rows = {r["policy"]: r for r in _q("llm_dedup_rep_policy", spark, sf_dir).collect()}
+    assert set(rows) == {"first", "longest", "diverse"}
+    totals = {p: r["kept_tokens"] + r["removed_tokens"] for p, r in rows.items()}
+    assert len(set(totals.values())) == 1
+    assert len({r["n_clusters"] for r in rows.values()}) == 1
+    assert rows["first"]["reps_changed"] == 0
+    assert rows["longest"]["kept_tokens"] >= rows["first"]["kept_tokens"]
+    assert rows["longest"]["kept_tokens"] >= rows["diverse"]["kept_tokens"]
+
+
+def test_rollup_refresh_conserves_events(spark, sf_dir):
+    rows = _q("rel_rollup_refresh", spark, sf_dir).collect()
+    import duckdb
+
+    n, cents = duckdb.sql(
+        f"""SELECT count(*), SUM(CAST(round(value * 100, 0) AS BIGINT))
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).fetchone()
+    assert sum(r["n_events"] for r in rows) == n
+    assert sum(r["cents"] for r in rows) == cents
+    assert any(r["refreshed"] for r in rows)
+
+
+def test_partition_evolution_one_hot_day(spark, sf_dir):
+    rows = _q("snk_partition_evolution", spark, sf_dir).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n
+    hot_days = {r["day"] for r in rows if r["hourly_layout"]}
+    assert len(hot_days) == 1
+
+
+def test_khop_levels_bounded_and_seeded(spark, sf_dir):
+    rows = _q("rel_graph_khop", spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_seed = defaultdict(int)
+    for r in rows:
+        assert r["seed"] % 10 == 0
+        assert r["hops"] in (1, 2, 3)
+        assert 1 <= r["n_nodes"] <= 96
+        per_seed[r["seed"]] += r["n_nodes"]
+    # first-reach levels are disjoint and exclude the seed itself
+    assert all(tot <= 96 for tot in per_seed.values())
