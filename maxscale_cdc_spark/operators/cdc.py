@@ -2907,3 +2907,85 @@ def cdc_backfill_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pk").cast("string"),
         ).alias("predicate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay_apply — EXECUTE the replay the request plan only formats
+# (the detect→plan→apply closure for delivery gaps, the
+# llm_ivf_rebalance_apply discipline applied to the protocol family):
+# a contiguous delivery window [30%, 32%] of the sequence domain is
+# dropped, the hole is DETECTED from the delivered stream alone (lag
+# over the global sequence — the reference's sequences are dense per
+# (domain, server), event.go:216-236, so a >1 step IS a loss), the
+# missing ranges are re-fetched from the source (range join against
+# the full log — the at-least-once replay REQUEST-DATA serves,
+# client.go:349-369), and the recovered union is materialized to
+# latest-state.  Oracle = whole-log latest state: a green row proves
+# the recovery is byte-invisible.
+#
+# Scale: gap detection orders the GLOBAL sequence because that is the
+# protocol's own total order; a multi-domain deployment partitions
+# this window by (domain, server_id) — exactly the GTID structure —
+# so no single-partition window survives at 100 TB.  The re-fetch is
+# a broadcast of the O(gaps) range table against the source scan;
+# recovery cost is |replayed| + one pk-keyed window.
+# ---------------------------------------------------------------------------
+
+_REPLAY_APPLY_ORACLE = f"""
+{CDC_SQL}
+, ranked AS (
+  SELECT pk, sequence, value, ts_unix, dml_type,
+         row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+  FROM cdc
+)
+SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
+FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+"""
+
+
+@register("cdc_replay_apply", _REPLAY_APPLY_ORACLE)
+def cdc_replay_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop a delivery window, detect the hole from the delivered
+    stream, re-fetch the ranges, prove the recovered latest-state
+    equals the whole-log truth (see block comment)."""
+    cdc = cdc_view(spark, sf_dir).select(
+        "pk", "sequence", "value", "ts_unix", "dml_type"
+    )
+    bounds = cdc.agg(
+        F.expr("div(max(sequence) * 30, 100)").alias("drop_lo"),
+        F.expr("div(max(sequence) * 32, 100)").alias("drop_hi"),
+    )
+    delivered = (
+        cdc.join(F.broadcast(bounds))
+        .filter(
+            ~((F.col("sequence") > F.col("drop_lo")) & (F.col("sequence") <= F.col("drop_hi")))
+        )
+        .drop("drop_lo", "drop_hi")
+    )
+    # detect: lag over the protocol's dense global sequence
+    seqs = delivered.select("sequence").distinct()
+    w = W.orderBy("sequence")
+    gaps = (
+        seqs.withColumn("prev", F.lag("sequence").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("sequence") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("lo"), (F.col("sequence") - 1).alias("hi")
+        )
+    )
+    # apply: re-fetch exactly the missing ranges from the source log
+    replayed = cdc.join(
+        F.broadcast(gaps),
+        (F.col("sequence") >= F.col("lo")) & (F.col("sequence") <= F.col("hi")),
+    ).drop("lo", "hi")
+    recovered = delivered.unionByName(replayed)
+    wpk = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    return (
+        recovered.withColumn("rn", F.row_number().over(wpk))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        )
+    )
