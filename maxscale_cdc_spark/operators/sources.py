@@ -1145,3 +1145,38 @@ def snk_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.max(F.col("day") == F.lit(hot)).alias("hourly_layout"),
     )
+
+
+@register("src_xml_roundtrip", _FMT_ORACLE)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round trip — Spark 4's built-in XML support
+    (the spark-xml package folded into core), exercised with an
+    explicit schema (rowTag records; never schema inference in a
+    pipeline).  Java's shortest-round-trip double formatting makes the
+    text round trip value-exact, the same property the CSV round trip
+    relies on; losslessness proven by the shared re-aggregation
+    oracle.  Scale: XML scan is row-splittable on the rowTag like any
+    text format; pushdown is projection-only, so a production pipeline
+    lands XML once and converts to parquet — this op is the landing
+    audit."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = _mkdtemp(prefix="src_xml_")
+    ev.write.mode("overwrite").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).format("xml").save(out)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("rowTag", "event")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
