@@ -186,7 +186,8 @@ _DEFERRED: set[str] = set()
 # backfill plan, binaryFile, caption align, bootstrap splice, vocab
 # drift, rep policy, rollup refresh, partition evolution, k-hop BFS,
 # replay apply, xml roundtrip) — 40 unverified, 10 slots of headroom
-# in the 50-query sweep.
+# in the 50-query sweep.  (40 = 21 demoted + 19 never-tested; all 40
+# fit one sweep with 10 slots spare.)
 _DEMOTED: set[str] = {
     # chooser extended to 7 configs + bi-criteria (recall floor AND
     # verify-cost budget) — r8 verdict ask #4:
