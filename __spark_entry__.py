@@ -181,13 +181,12 @@ _DEFERRED: set[str] = set()
 # Round-9 honest demotions (round 8 closed fully certified; every id
 # listed here was rewritten this round and is locally green at
 # sf0.001/0.01 before listing, sf0.1 before round close).
-# Round-9 sweep math: 327 registered = 287 green + 21 demoted + 19
-# never-tested (6 early-round + 13 continuation: containment, MMR,
+# Round-9 sweep math: 328 registered = 287 green + 21 demoted + 20
+# never-tested (6 early-round + 14 continuation: containment, MMR,
 # backfill plan, binaryFile, caption align, bootstrap splice, vocab
 # drift, rep policy, rollup refresh, partition evolution, k-hop BFS,
-# replay apply, xml roundtrip) — 40 unverified, 10 slots of headroom
-# in the 50-query sweep.  (40 = 21 demoted + 19 never-tested; all 40
-# fit one sweep with 10 slots spare.)
+# replay apply, xml roundtrip, budget apply) — 41 unverified, 9 slots
+# of headroom in the 50-query sweep.
 _DEMOTED: set[str] = {
     # chooser extended to 7 configs + bi-criteria (recall floor AND
     # verify-cost budget) — r8 verdict ask #4:

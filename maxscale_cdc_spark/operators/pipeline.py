@@ -2008,3 +2008,92 @@ def llm_decontam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(rm, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_removed"),
         F.sum(F.when(rm, 0).otherwise(F.col("n_tok"))).cast("long").alias("tok_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_token_budget_apply — EXECUTE the apportionment
+# llm_token_budget_plan only computes (the plan→apply closure for the
+# budget family, the rebalance/replay-apply discipline): per source,
+# documents are admitted in doc_id order while the running token sum
+# stays within that source's quota — a greedy PREFIX by construction
+# (the cumsum is monotone, so the first over-quota doc excludes every
+# later one).  Exports the kept ledger (docs/tokens), the unused
+# headroom, and whether the source was exhausted below its quota —
+# the numbers a procurement loop feeds back into the next plan.
+#
+# Exactness: quotas come from the SAME registered plan (composed as a
+# callable in Spark; its oracle CTE chain spliced in DuckDB), the
+# selection rule is one integer comparison per row, and every export
+# is BIGINT/bool.  Scale: one source-keyed cumsum window over the
+# corpus + one broadcast join of the |sources|-row quota table.
+# ---------------------------------------------------------------------------
+
+def _budget_apply_oracle() -> str:
+    from maxscale_cdc_spark.registry import ORACLE, oracle_splice
+
+    plan_sql = ORACLE["llm_token_budget_plan"]
+    return oracle_splice(
+        plan_sql,
+        """SELECT source, n_tokens, floor_share,
+           CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked""",
+        """, quotas AS (
+      SELECT source,
+             CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+      FROM ranked
+    ), cumdocs AS (
+      SELECT d.source, d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             CAST(SUM(len(string_split(d.text, ' ')))
+                  OVER (PARTITION BY d.source ORDER BY d.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM documents d
+    )
+    SELECT c.source,
+           CAST(max(q.quota) AS BIGINT) AS quota,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.cum <= q.quota THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN c.cum <= q.quota THEN c.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(max(q.quota) - sum(CASE WHEN c.cum <= q.quota THEN c.n_tok ELSE 0 END) AS BIGINT) AS headroom,
+           count(*) = sum(CASE WHEN c.cum <= q.quota THEN 1 ELSE 0 END) AS exhausted
+    FROM cumdocs c JOIN quotas q ON q.source = c.source
+    GROUP BY c.source""",
+    )
+
+
+@register("llm_token_budget_apply", _budget_apply_oracle())
+def llm_token_budget_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-prefix admission of each source's documents under the
+    registered plan's quota; kept ledger + headroom + exhaustion (see
+    block comment)."""
+    from pyspark.sql import Window as W
+
+    plan = llm_token_budget_plan(spark, sf_dir).select("source", "quota")
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.withColumn("cum", F.sum("n_tok").over(w).cast("long"))
+    j = cum.join(F.broadcast(plan), "source")
+    kept = F.col("cum") <= F.col("quota")
+    return j.groupBy("source").agg(
+        F.max("quota").cast("long").alias("quota"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept.cast("long")).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        (
+            F.max("quota") - F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        )
+        .cast("long")
+        .alias("headroom"),
+        (F.count("*") == F.sum(kept.cast("long"))).alias("exhausted"),
+    )
