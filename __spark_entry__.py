@@ -51,6 +51,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-9 sweep greens (CORRECTNESS_r09.json, all 50 — 20 new ids,
+    # 21 honest demotions re-certified, 9 re-certifications of ids
+    # already listed below), code unchanged since:
+    "cdc_backfill_chunk_plan", "cdc_replay_apply", "llm_ann_join_topk",
+    "llm_banding_recall_curve", "llm_decontam_apply",
+    "llm_dedup_chain_audit", "llm_dedup_cluster",
+    "llm_dedup_cluster_capped", "llm_dedup_cluster_profile",
+    "llm_dedup_containment", "llm_dedup_horizon_profile",
+    "llm_dedup_incremental", "llm_dedup_near", "llm_dedup_near_autotuned",
+    "llm_dedup_rep_policy", "llm_dedup_savings", "llm_dedup_source_matrix",
+    "llm_dedup_syndication", "llm_dedup_threshold_curve",
+    "llm_embedding_drift_monitor", "llm_ivf_pq_search",
+    "llm_ivf_rebalance_apply", "llm_lsh_recall_audit", "llm_lsh_tuning",
+    "llm_lsh_tuning_sampled", "llm_mmr_rerank", "llm_token_budget_apply",
+    "llm_vocab_drift", "mm_caption_align", "mm_modality_budget_plan",
+    "rel_graph_khop", "rel_rollup_refresh", "snk_partition_evolution",
+    "snk_scd2_compact", "src_binary_files", "src_xml_roundtrip",
+    "str_cdc_bootstrap_splice", "str_dedup_horizon_autosized",
+    "str_dedup_near_prefiltered", "str_dedup_near_windowed",
+    "str_quality_gate",
     # round-8 sweep greens (CORRECTNESS_r08.json, all 50 — 24 new ids,
     # 3 honest demotions re-certified, 23 re-certifications of ids
     # already listed below), code unchanged since:
@@ -178,41 +198,13 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-9 honest demotions (round 8 closed fully certified; every id
-# listed here was rewritten this round and is locally green at
-# sf0.001/0.01 before listing, sf0.1 before round close).
-# Round-9 sweep math: 328 registered = 287 green + 21 demoted + 20
-# never-tested (6 early-round + 14 continuation: containment, MMR,
-# backfill plan, binaryFile, caption align, bootstrap splice, vocab
-# drift, rep policy, rollup refresh, partition evolution, k-hop BFS,
-# replay apply, xml roundtrip, budget apply) — 41 unverified, 9 slots
-# of headroom in the 50-query sweep.
-_DEMOTED: set[str] = {
-    # chooser extended to 7 configs + bi-criteria (recall floor AND
-    # verify-cost budget) — r8 verdict ask #4:
-    "llm_banding_recall_curve", "llm_dedup_near_autotuned",
-    # recall-governed banding propagated to the whole batch dedup
-    # family (r8 verdict ask #1): these now band at the MEASURED
-    # config with the chooser embedded in their oracles…
-    "llm_dedup_near", "llm_dedup_incremental", "llm_dedup_cluster",
-    "llm_dedup_cluster_profile", "llm_dedup_savings",
-    "llm_dedup_syndication", "llm_dedup_source_matrix",
-    "llm_dedup_cluster_capped", "llm_dedup_chain_audit",
-    "llm_lsh_recall_audit",
-    # …and these keep their fixed-2×4 oracles (the config is their
-    # SUBJECT) but their staged shingle_classes lineage widened to the
-    # K=16 signature, so the emitted plan changed:
-    "llm_dedup_threshold_curve", "llm_dedup_horizon_profile",
-    "llm_lsh_tuning", "llm_lsh_tuning_sampled",
-    # r8 ADVICE fixes: no-op-compaction guard (assert relaxation, plan
-    # unchanged) and the HUGEINT/DECIMAL(38,0) cross-multiply widening
-    # (both engines' expression changed):
-    "snk_scd2_compact", "mm_modality_budget_plan",
-    # streaming half of the banding propagation (r8 verdict ask #2):
-    # the nearwin family bands at the measured config + capped clock:
-    "str_dedup_near_windowed", "str_dedup_near_prefiltered",
-    "str_dedup_horizon_autosized",
-}
+# Round-10 open state: the round-9 sweep came back 50/50 green
+# (CORRECTNESS_r09.json — all 20 never-tested ids, all 21 round-9
+# demotions, 9 re-certs), so entering round 10 ALL 328 registered
+# queries are certified on current code and the full 50-slot budget
+# belongs to round-10 work.  Demotions made this round are listed
+# here per the honesty rule.
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
