@@ -256,6 +256,9 @@ _HEAVY = {
     "str_cdc_bootstrap_splice",
     # ride the CC closure:
     "llm_dedup_chain_audit", "llm_dedup_rep_policy",
+    # round-10 composed retrieval path (kmeans lineage + K staged
+    # MMR selections):
+    "llm_ann_mmr_e2e",
 }
 
 

@@ -2143,3 +2143,236 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
         out = selected
     return out.select("qid", "rk", "vec_id", "rel_u", "score_u")
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_mmr_e2e — the COMPOSED production retrieval path: IVF cell
+# routing → batched candidate equi-join → MMR diversity re-rank, as
+# ONE plan.  `llm_ann_join_topk` certifies the index half and
+# `llm_mmr_rerank` the diversity half; this is the shape a RAG /
+# contrastive-mining consumer actually runs at 100 TB (the reference's
+# consumers materialize CDC state to QUERY it — client.go:144-162's
+# channel exists to feed exactly this kind of downstream), and until
+# now the two halves were only certified apart.
+#
+# Candidate generation is the llm_ann_join_topk plan: query table =
+# every 125th vector (the llm_mmr_rerank sample, so the two MMR ops
+# are directly comparable), each query routed to its nprobe=2 nearest
+# cells (broadcast KB-sized routing table), candidates = ONE equi-join
+# on cid against the cell-partitioned index — never |corpus| × |Q|.
+# Top-C (C = 20) per query by exact cosine feeds the same integer MMR
+# machinery as llm_mmr_rerank (λ = 0.7 as 7·rel_u − 3·max_sim_u in
+# BIGINT micro-units, K = 5 staged selections, total-order
+# tie-breaks).  The plan gate (tests/test_plans.py) pins the
+# no-full-embedding-scan property: every nested-loop join in the
+# unstaged plan broadcasts the K-row centroid table (k-means assign /
+# route); candidate scoring joins on cid only.
+#
+# Exactness: identical expression trees both engines — cosine 6 dp at
+# the boundary, then BIGINT micro-units throughout; MMR stage CTEs
+# MATERIALIZED in the oracle (DuckDB default-INLINES CTEs) and
+# localCheckpoint-staged in Spark (iterated-plan rule).  A query whose
+# routed cells hold < K non-self members simply yields fewer rows —
+# both engines agree (row_number over an empty remainder emits none).
+# ---------------------------------------------------------------------------
+
+_ANNMMR_QMOD = 125  # the llm_mmr_rerank query sample
+_ANNMMR_NPROBE = 2
+_ANNMMR_C = 20  # candidate pool per query (ANN-routed, not full-scan)
+
+
+def _ann_mmr_oracle() -> str:
+    k = _KMEANS_ITERS
+    cos_ab = sql_cosine("a.v", "b.v")
+    stages = []
+    for s in range(2, _MMR_K + 1):
+        stages.append(f"""
+  selu{s - 1} AS MATERIALIZED (
+    {"SELECT * FROM sel1" if s == 2 else f"SELECT * FROM selu{s - 2} UNION ALL SELECT * FROM sel{s - 1}"}
+  ),
+  sel{s} AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u, score_u, CAST({s} AS BIGINT) AS rk FROM (
+      SELECT c.qid, c.vec_id, c.rel_u,
+             7 * c.rel_u - 3 * mp.mp AS score_u,
+             row_number() OVER (PARTITION BY c.qid
+                                ORDER BY 7 * c.rel_u - 3 * mp.mp DESC, c.vec_id) AS r
+      FROM cand c
+      JOIN (SELECT s.qid, s.va, max(s.sim_u) AS mp
+            FROM sims s JOIN selu{s - 1} p ON p.qid = s.qid AND p.vec_id = s.vb
+            GROUP BY s.qid, s.va) mp
+        ON mp.qid = c.qid AND mp.va = c.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM selu{s - 1} p2
+                        WHERE p2.qid = c.qid AND p2.vec_id = c.vec_id)
+    ) WHERE r = 1
+  )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM sel{s}" for s in range(1, _MMR_K + 1))
+    return f"""
+WITH {_sql_kmeans_ctes()},
+  qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id % {_ANNMMR_QMOD} = 0),
+  route AS (
+    SELECT qid, qv, cid FROM (
+      SELECT q.qid, q.qv, c.cid,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+      FROM qset q CROSS JOIN cent{k} c
+    ) WHERE rn <= {_ANNMMR_NPROBE}
+  ),
+  scored AS (
+    SELECT r.qid, a.vec_id,
+           CAST(round({sql_cosine("a.v", "r.qv")} * 1000000) AS BIGINT) AS rel_u
+    FROM a{k} a JOIN route r ON a.cid = r.cid
+    WHERE a.vec_id <> r.qid
+  ),
+  cand AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY rel_u DESC, vec_id) AS r0
+      FROM scored
+    ) WHERE r0 <= {_ANNMMR_C}
+  ),
+  candv AS (
+    SELECT c.qid, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+  ),
+  sims AS MATERIALIZED (
+    SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+           CAST(round({cos_ab} * 1000000) AS BIGINT) AS sim_u
+    FROM candv a JOIN candv b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+  ),
+  sel1 AS MATERIALIZED (
+    SELECT qid, vec_id, rel_u, 7 * rel_u AS score_u, CAST(1 AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_u DESC, vec_id) AS r
+      FROM cand
+    ) WHERE r = 1
+  ),{",".join(stages)}
+SELECT qid, rk, vec_id, rel_u, score_u FROM ({unions})
+"""
+
+
+def _ann_mmr_candidates(
+    spark: SparkSession, sf_dir: str, stage: bool = True
+) -> DataFrame:
+    """The ANN candidate stage of llm_ann_mmr_e2e: IVF routing + the
+    cid equi-join + per-query top-C.  Split out so tests/test_plans.py
+    can gate THIS plan with `stage=False` (the full K-stage MMR
+    lineage duplicates subplans thousands of times when unstaged; the
+    no-full-embedding-scan property lives entirely in this stage)."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    def st(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if stage else df
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e)
+    cents = st(cents)
+    assigned = st(assigned.select("vec_id", "v", "cid"))
+    qset = (
+        e.filter(F.col("vec_id") % _ANNMMR_QMOD == 0)
+        .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+    )
+    route = (
+        qset.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _ANNMMR_NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(route), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")) * 1000000.0)
+            .cast("long")
+            .alias("rel_u"),
+        )
+    )
+    w0 = W.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
+    return st(
+        scored.withColumn("r0", F.row_number().over(w0))
+        .filter(F.col("r0") <= _ANNMMR_C)
+        .select("qid", "vec_id", "rel_u")
+    )
+
+
+def _ann_mmr_frame(spark: SparkSession, sf_dir: str, stage: bool = True) -> DataFrame:
+    """Plan builder for llm_ann_mmr_e2e; `stage=False` skips the
+    localCheckpoints so tests can inspect lineage."""
+
+    def st(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if stage else df
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cand = _ann_mmr_candidates(spark, sf_dir, stage=stage)
+    candv = cand.join(
+        e.select("vec_id", as_double("embedding").alias("v")), "vec_id"
+    ).select("qid", "vec_id", "v")
+    a, b = candv.alias("a"), candv.alias("b")
+    sims = st(
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1000000.0)
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    w1 = W.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
+    selected = st(
+        cand.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            "qid",
+            "vec_id",
+            "rel_u",
+            (7 * F.col("rel_u")).alias("score_u"),
+            F.lit(1).cast("long").alias("rk"),
+        )
+    )
+    out = selected
+    for k in range(2, _MMR_K + 1):
+        pens = sims.join(
+            selected.select("qid", F.col("vec_id").alias("vb")), ["qid", "vb"]
+        )
+        maxpen = pens.groupBy("qid", "va").agg(F.max("sim_u").alias("mp"))
+        rem = cand.join(
+            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        wk = W.partitionBy("qid").orderBy(
+            (7 * F.col("rel_u") - 3 * F.col("mp")).desc(), "vec_id"
+        )
+        pick = (
+            rem.join(maxpen, (rem.qid == maxpen.qid) & (rem.vec_id == maxpen.va))
+            .select(rem.qid, rem.vec_id, rem.rel_u, F.col("mp"))
+            .withColumn("r", F.row_number().over(wk))
+            .filter(F.col("r") == 1)
+            .select(
+                "qid",
+                "vec_id",
+                "rel_u",
+                (7 * F.col("rel_u") - 3 * F.col("mp")).alias("score_u"),
+                F.lit(k).cast("long").alias("rk"),
+            )
+        )
+        selected = st(selected.unionByName(pick))
+        out = selected
+    return out.select("qid", "rk", "vec_id", "rel_u", "score_u")
+
+
+@register("llm_ann_mmr_e2e", _ann_mmr_oracle())
+def llm_ann_mmr_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production retrieval end-to-end: IVF-routed ANN candidates →
+    integer-MMR diversity selection, one composed plan (see block
+    comment)."""
+    return _ann_mmr_frame(spark, sf_dir, stage=True)

@@ -884,3 +884,35 @@ def test_mmr_iterations_stay_candidate_bounded(spark, sf_dir):
     plan = simple_plan(df)
     assert plan.count("FileScan parquet") == 0, plan  # all inputs staged
     assert not has_cartesian(df)
+
+
+def test_ann_mmr_candidates_no_full_embedding_scan(spark, sf_dir):
+    """llm_ann_mmr_e2e's candidate stage must be the ANN shape: IVF
+    routing (pure-Cross NLJs against the broadcast K-row centroid
+    table) + ONE cid equi-join — never the brute-force scorer, whose
+    signature is a nested-loop join CONDITIONED on `vec_id <> qid`
+    against the full embeddings scan."""
+    import re
+
+    from maxscale_cdc_spark.operators.retrieval import _ann_mmr_candidates
+
+    df = _ann_mmr_candidates(spark, sf_dir, stage=False)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the candidate join is keyed on cid (routing table broadcast)
+    assert re.search(r"Left keys \[1\]: \[cid#", plan), plan
+    # every nested-loop join is an unconditioned Cross (centroid
+    # broadcast); a conditioned NLJ = full-embedding-scan candidates
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if "BroadcastNestedLoopJoin" in block.splitlines()[0]:
+            assert "Join condition: None" in block, block
+
+
+def test_ann_mmr_iterations_stay_candidate_bounded(spark, sf_dir):
+    """Same staging contract as llm_mmr_rerank: after the staged cand
+    + sims lineages, no MMR iteration rescans the corpus."""
+    df = _q("llm_ann_mmr_e2e", spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert not has_cartesian(df)
