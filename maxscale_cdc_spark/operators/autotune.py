@@ -534,3 +534,198 @@ def llm_dedup_near_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(nb).cast("long").alias("chosen_bands"),
         F.lit(rpb).cast("long").alias("chosen_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_containment_sampled — sample-bounded CONTAINMENT-truth
+# certification of the banding family (r9 verdict ask #3).  The exact
+# containment join (llm_dedup_containment) stops being runnable past
+# ~sf1.0 (the sf3 probe blew a 9.5-minute budget — trigram prefix
+# selectivity saturates, BASELINE.md round 9), which left banding
+# recall UNMEASURED against asymmetric truth at scale: a short doc
+# mostly contained in a long one has J « 0.5, so symmetric-Jaccard
+# audits (llm_lsh_recall_audit) are structurally blind to exactly the
+# pairs containment exists to find.  This op measures, on the
+# corpus-size-capped deterministic hash sample (banding.CAP_DOCS — the
+# r9 rule: an estimator's cost must be corpus-size-flat), the CHOSEN
+# banding config's catch rate against class-level containment truth
+# (C >= 0.9), split by `jacc_missed`:
+#
+#   jacc_missed = false → pairs ALSO visible to Jaccard (J >= 0.5):
+#     catch rate should track llm_lsh_recall_audit's recall.
+#   jacc_missed = true  → containment-ONLY pairs: the measured size of
+#     the banding family's structural blind spot — the number that
+#     decides whether a production pipeline needs a containment
+#     sweeper stage in addition to LSH.
+#
+# Shingle space follows the registered recall audit's convention
+# (trigram — the space where the truth lives); counts are CROSS-CLASS
+# doc pairs reconstructed algebraically (n_a·n_b per class pair —
+# intra-class pairs have containment exactly 1.0 and collide in every
+# band, so including them would only inflate the rate; the
+# _banding_curve_frame honesty rule).  Spark generates truth with the
+# class-level small-side prefix join (complete by the pigeonhole lemma
+# — llm_dedup_containment's argument one level up); the ORACLE uses
+# the brute-force all-pairs class join, so the green row re-proves
+# completeness on every certified corpus.
+#
+# Scale: every stage downstream of the sample predicate is bounded by
+# the ~CAP_DOCS-doc sample BY CONSTRUCTION — the estimator stays flat
+# from sf0.001 to sf10 (measured in BASELINE.md round 10).
+# ---------------------------------------------------------------------------
+
+
+def _containment_sampled_oracle() -> str:
+    scand_chosen = """  scand_chosen AS MATERIALIZED (
+    SELECT s.ckey_a, s.ckey_b FROM scand s
+    JOIN chosen ch ON s.bands = ch.bands AND s.rows_per_band = ch.rows_per_band
+  )"""
+    return f"""
+WITH {banding.chooser_prefix_sql()},
+{scand_chosen},
+  cnt AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n_docs
+          FROM at_keyed GROUP BY ckey),
+  ctruth AS MATERIALIZED (
+    SELECT CASE WHEN a.rep < b.rep THEN a.ckey ELSE b.ckey END AS ckey_a,
+           CASE WHEN a.rep < b.rep THEN b.ckey ELSE a.ckey END AS ckey_b,
+           a.ckey AS ckey_small, b.ckey AS ckey_big,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+           a.sz AS sz_small, a.sz + b.sz AS sz_sum
+    FROM smh a JOIN smh b
+      ON (a.sz < b.sz) OR (a.sz = b.sz AND a.ckey < b.ckey)
+    WHERE 10 * len(list_intersect(a.shs, b.shs)) >= 9 * a.sz
+  ),
+  pairs AS (
+    SELECT (3 * t.n_common < t.sz_sum) AS jacc_missed,
+           ca.n_docs * cb.n_docs AS m,
+           (c.ckey_a IS NOT NULL) AS caught
+    FROM ctruth t
+    JOIN cnt ca ON ca.ckey = t.ckey_small
+    JOIN cnt cb ON cb.ckey = t.ckey_big
+    LEFT JOIN scand_chosen c
+      ON c.ckey_a = t.ckey_a AND c.ckey_b = t.ckey_b
+  ),
+  agg AS (
+    SELECT jacc_missed,
+           CAST(sum(m) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN caught THEN m ELSE 0 END), 0) AS BIGINT)
+             AS n_caught
+    FROM pairs GROUP BY jacc_missed
+  )
+SELECT jacc_missed, n_pairs, n_caught,
+       CAST(n_caught AS DOUBLE) / n_pairs AS catch_rate,
+       (SELECT CAST(bands AS BIGINT) FROM chosen) AS chosen_bands,
+       (SELECT CAST(rows_per_band AS BIGINT) FROM chosen) AS chosen_rows,
+       (SELECT CAST(pct AS BIGINT) FROM at_pct) AS sample_pct
+FROM agg
+"""
+
+
+@register("llm_dedup_containment_sampled", _containment_sampled_oracle())
+def llm_dedup_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen-banding catch rate against class-level containment truth
+    (C >= 0.9) on the capped deterministic hash sample, split by
+    whether symmetric Jaccard could also see the pair (see block
+    comment).  Truth via the class-level small-side prefix join
+    (pigeonhole-complete); oracle truth is brute-force all-pairs."""
+    pct = tuning_sample_pct(spark, sf_dir)
+    nb, rpb = chosen_banding(spark, sf_dir)
+    _, classes = trigram_classes16(
+        spark, sf_dir, doc_filter=hash_sample("doc_id", pct)
+    )
+    # class-level containment truth: small-side rare-first prefix vs
+    # the full big-side token index (llm_dedup_containment one level up)
+    sh = classes.select("ckey", "sz", F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    toks = (
+        sh.join(dfreq, "sh")
+        .groupBy("ckey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
+            F.count("*").alias("sz"),
+        )
+    )
+    pref = toks.select(
+        "ckey",
+        "sz",
+        F.expr("slice(ts, 1, sz - div(9 * sz + 9, 10) + 1)").alias("pref"),
+    )
+    small = pref.select("ckey", "sz", F.explode("pref").alias("p")).select(
+        "ckey", "sz", F.col("p.sh").alias("sh")
+    )
+    a = small.alias("a")
+    b = sh.alias("b")
+    role_ok = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.ckey") < F.col("b.ckey"))
+    )
+    cpairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & role_ok)
+        .select(
+            F.col("a.ckey").alias("ckey_small"), F.col("b.ckey").alias("ckey_big")
+        )
+        .distinct()
+    )
+    meta = classes.select("ckey", "rep", "n_docs", "shs", "sz")
+    ms = meta.select(
+        F.col("ckey").alias("ckey_small"),
+        F.col("rep").alias("rep_s"),
+        F.col("n_docs").alias("nd_s"),
+        F.col("shs").alias("shs_s"),
+        F.col("sz").alias("sz_s"),
+    )
+    mb = meta.select(
+        F.col("ckey").alias("ckey_big"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("nd_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    truth = (
+        cpairs.join(ms, "ckey_small")
+        .join(mb, "ckey_big")
+        .select(
+            "ckey_small",
+            "ckey_big",
+            "rep_s",
+            "rep_b",
+            "nd_s",
+            "nd_b",
+            F.size(F.array_intersect("shs_s", "shs_b")).cast("long").alias("n_common"),
+            F.col("sz_s").alias("sz_small"),
+            (F.col("sz_s") + F.col("sz_b")).cast("long").alias("sz_sum"),
+        )
+        .filter(10 * F.col("n_common") >= 9 * F.col("sz_small"))
+        # canonicalize to the banding candidates' rep order
+        .select(
+            F.when(F.col("rep_s") < F.col("rep_b"), F.col("ckey_small"))
+            .otherwise(F.col("ckey_big"))
+            .alias("ckey_a"),
+            F.when(F.col("rep_s") < F.col("rep_b"), F.col("ckey_big"))
+            .otherwise(F.col("ckey_small"))
+            .alias("ckey_b"),
+            (3 * F.col("n_common") < F.col("sz_sum")).alias("jacc_missed"),
+            (F.col("nd_s") * F.col("nd_b")).cast("long").alias("m"),
+        )
+    )
+    cand = class_band_pairs(classes, nb, rpb).select("ckey_a", "ckey_b")
+    agg = (
+        truth.join(cand.withColumn("hit", F.lit(True)), ["ckey_a", "ckey_b"], "left")
+        .groupBy("jacc_missed")
+        .agg(
+            F.sum("m").cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit"), F.col("m")).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_caught"),
+        )
+    )
+    return agg.select(
+        "jacc_missed",
+        "n_pairs",
+        "n_caught",
+        (F.col("n_caught").cast("double") / F.col("n_pairs")).alias("catch_rate"),
+        F.lit(nb).cast("long").alias("chosen_bands"),
+        F.lit(rpb).cast("long").alias("chosen_rows"),
+        F.lit(pct).cast("long").alias("sample_pct"),
+    )
