@@ -262,6 +262,8 @@ _HEAVY = {
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",
+    # round-10 drift surgery lifecycle (kmeans + reassignment + audit):
+    "llm_drift_reindex_apply",
 }
 
 

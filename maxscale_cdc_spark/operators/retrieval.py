@@ -2376,3 +2376,384 @@ def llm_ann_mmr_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-MMR diversity selection, one composed plan (see block
     comment)."""
     return _ann_mmr_frame(spark, sf_dir, stage=True)
+
+
+# ---------------------------------------------------------------------------
+# llm_drift_reindex_apply — the drift DETECT→PLAN→APPLY closure (r9
+# verdict ask #4): llm_embedding_drift_monitor detects per-dimension
+# distribution drift but nothing consumed it.  This op joins the
+# monitor's per-dim verdicts (same Q1.30 cross-multiplied expression
+# tree, same old/new cutover) with llm_ivf_incremental's per-cell
+# growth/displacement signals and EXECUTES the per-cell decision:
+#
+#   recluster   cell grew past the ingest rule (5·n_new > n_seed) OR
+#               its combined centroid displaced > 0.01 real units —
+#               centroid RECOMPUTED as the Q1.30 mean over seed+new
+#               members (the displacement metric's own target point).
+#   requantize  corpus-level drift (≥ _DRIFT_DIMS_MIN dims moved past
+#               the planner sensitivity) but the cell itself is
+#               stable — centroid unchanged; the exported kind is the
+#               work list a PQ index feeds its code re-encoder
+#               (llm_ivf_pq_search's codebooks are trained on the
+#               corpus distribution, so corpus drift invalidates
+#               CODES before it moves any single cell's centroid).
+#   keep        no signal — centroid unchanged, certified untouched.
+#
+# Planner sensitivity is 0.02 real units with a ≥4-dim floor —
+# deliberately EARLIER than the monitor's 0.05 alarm (a reindex
+# planner schedules maintenance before the pager fires); both engines
+# build the same integer tree, only the constant differs.
+#
+# The audit half is llm_ivf_rebalance_apply's: full reassignment of
+# the corpus to the post-action centroid set, per-cell member counts,
+# and recall@{_RECALL_K} vs brute force on the deterministic
+# {_APPLY_NQ}-query sample BEFORE and AFTER (`not_worse` exports ≥).
+# Scale: broadcast-assignment passes + cell-bounded aggs; the brute
+# side is sample-bounded (|Q|·N).  Keep/requantize cells' centroids
+# are byte-identical inputs to the reassignment, so their members move
+# only if a reclustered neighbor's centroid claims them — exactly the
+# production semantics of partial index surgery.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SENS = 0.02  # planner sensitivity, real units (monitor alarms at 0.05)
+_DRIFT_DIMS_MIN = 4
+
+
+def _drift_reindex_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30
+
+    k = _KMEANS_ITERS
+    return f"""{_ivf_incr_prefix()},
+dflat AS (
+  SELECT i.i AS dim,
+         CAST(floor(CAST(e.embedding AS DOUBLE[])[i.i] * {_Q30}) AS BIGINT) AS q,
+         (e.vec_id <= (SELECT c FROM cut)) AS is_old
+  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+dagg AS (
+  SELECT dim,
+         CAST(coalesce(sum(CASE WHEN is_old THEN q END), 0) AS BIGINT) AS sold,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(coalesce(sum(CASE WHEN NOT is_old THEN q END), 0) AS BIGINT) AS snew,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM dflat GROUP BY dim
+),
+dd AS (
+  SELECT CAST(coalesce(sum(CASE WHEN CAST(abs(snew * n_old - sold * n_new) AS DOUBLE)
+                                     / (n_old * n_new) > {_DRIFT_SENS} * {_Q30}
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS dims_drifted
+  FROM dagg
+),
+decis AS (
+  SELECT c.cid,
+         (5 * c.n_new > c.n_seed) AS grown,
+         coalesce(CAST(d.disp_l1_num AS DOUBLE) / d.disp_den
+                  > 0.01 * {_Q30}, false) AS displaced
+  FROM cells c LEFT JOIN disp d ON d.cid = c.cid
+),
+plan AS (
+  SELECT cid,
+         CASE WHEN grown OR displaced THEN 'recluster'
+              WHEN (SELECT dims_drifted FROM dd) >= {_DRIFT_DIMS_MIN}
+                THEN 'requantize'
+              ELSE 'keep' END AS action
+  FROM decis
+),
+allv AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM a{k}
+  UNION ALL
+  SELECT vec_id, v, cid FROM nassign
+),
+rm AS (
+  SELECT a.vec_id, a.v, a.cid FROM allv a
+  JOIN plan p ON p.cid = a.cid AND p.action = 'recluster'
+),
+rcent AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, i.i AS dim,
+           CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * {_Q30}) AS m
+    FROM rm, (SELECT unnest(generate_series(1, 64)) AS i) i
+    GROUP BY cid, i.i
+  ) GROUP BY cid
+),
+newcent AS MATERIALIZED (
+  SELECT CAST(c.cid AS BIGINT) AS cid, p.action, c.cv
+  FROM cent{k} c JOIN plan p ON p.cid = c.cid AND p.action <> 'recluster'
+  UNION ALL
+  SELECT CAST(r.cid AS BIGINT), 'recluster', r.cv FROM rcent r
+),
+post AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, n.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {sql_cosine('a.v', 'n.cv')} DESC,
+                                       n.cid) AS rn
+    FROM allv a CROSS JOIN newcent n
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM post GROUP BY cid
+),
+qs AS (
+  SELECT vec_id AS qid, v AS qv, cid AS q_pre FROM allv
+  WHERE vec_id > (SELECT c FROM cut)
+    AND vec_id <= (SELECT c FROM cut) + {_APPLY_NQ}
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cosine('e.v', 'q.qv')} DESC,
+                                       e.vec_id) AS rn
+    FROM allv e JOIN qs q ON e.vec_id <> q.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+recall AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ep.cid = q.q_pre THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS recall_pre_num,
+         CAST(coalesce(sum(CASE WHEN pp.cid = qp.cid THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS recall_post_num,
+         CAST(count(*) AS BIGINT) AS recall_den
+  FROM brute b
+  JOIN qs q ON q.qid = b.qid
+  JOIN allv ep ON ep.vec_id = b.vec_id
+  JOIN post pp ON pp.vec_id = b.vec_id
+  JOIN post qp ON qp.vec_id = b.qid
+)
+SELECT n.cid, n.action,
+       CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members,
+       (SELECT dims_drifted FROM dd) AS dims_drifted,
+       r.recall_pre_num, r.recall_post_num, r.recall_den,
+       (r.recall_post_num >= r.recall_pre_num) AS not_worse
+FROM newcent n
+LEFT JOIN members m ON m.cid = n.cid
+CROSS JOIN recall r
+"""
+
+
+@register("llm_drift_reindex_apply", _drift_reindex_oracle())
+def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the drift-driven reindex decision per IVF cell
+    (recluster / requantize / keep — see block comment) and audit the
+    post-action index: one row per cell with its action, post-action
+    member count, the corpus drift verdict, and the before/after
+    recall@5 sample audit."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    # staged once: consumed by both assignments, the decision table,
+    # the non-reclustered half of newcent (CLAUDE.md rule 5)
+    cents = cents.localCheckpoint(eager=False)
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+
+    def bassign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
+        eager=False
+    )
+    nassign = bassign(vecs.filter(F.col("vec_id") > cut)).localCheckpoint(
+        eager=False
+    )
+
+    # per-cell displacement (the llm_ivf_incremental integers)
+    def flat(df: DataFrame) -> DataFrame:
+        return df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+
+    seed_flat = flat(assigned)
+    seed_dim = seed_flat.groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("snum"),
+        F.count("*").cast("long").alias("n_old"),
+    )
+    all_dim = seed_flat.unionByName(flat(nassign)).groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("cnum"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    disp = (
+        seed_dim.join(all_dim, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.abs(F.col("snum") * F.col("n_all") - F.col("cnum") * F.col("n_old"))
+            )
+            .cast("long")
+            .alias("disp_l1_num"),
+            F.max(F.col("n_old") * F.col("n_all")).cast("long").alias("disp_den"),
+        )
+    )
+    # corpus drift verdict (the monitor's tree at planner sensitivity)
+    dflat = (
+        e.select(
+            (F.col("vec_id") <= cut).alias("is_old"),
+            F.posexplode(as_double("embedding")).alias("dim0", "val"),
+        )
+        .select(
+            "is_old",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+    )
+    dagg = dflat.groupBy("dim").agg(
+        F.coalesce(F.sum(F.when(F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("sold"),
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
+        F.coalesce(F.sum(F.when(~F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("snew"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    ddrift = (
+        F.abs(F.col("snew") * F.col("n_old") - F.col("sold") * F.col("n_new"))
+        .cast("double")
+        / (F.col("n_old") * F.col("n_new"))
+    )
+    dd = dagg.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ddrift > F.lit(_DRIFT_SENS) * F.lit(1073741824.0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dims_drifted")
+    )
+    cells = _ivf_cells(assigned, nassign)
+    decis = cells.join(disp, "cid", "left").select(
+        "cid",
+        (5 * F.col("n_new") > F.col("n_seed")).alias("grown"),
+        F.coalesce(
+            F.col("disp_l1_num").cast("double") / F.col("disp_den")
+            > F.lit(0.01) * F.lit(1073741824.0),
+            F.lit(False),
+        ).alias("displaced"),
+    )
+    plan = decis.crossJoin(F.broadcast(dd)).select(
+        "cid",
+        F.when(F.col("grown") | F.col("displaced"), F.lit("recluster"))
+        .when(F.col("dims_drifted") >= _DRIFT_DIMS_MIN, F.lit("requantize"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    allv = assigned.unionByName(nassign)
+    rm = allv.join(
+        F.broadcast(plan.filter(F.col("action") == "recluster").select("cid")),
+        "cid",
+    ).select("vec_id", "v", "cid")
+    rflat = rm.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+    )
+    rmean = rflat.groupBy("cid", "dim").agg(
+        (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias(
+            "m"
+        )
+    )
+    rcent = rmean.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    newcent = (
+        cents.join(F.broadcast(plan.filter(F.col("action") != "recluster")), "cid")
+        .select(F.col("cid").cast("long").alias("cid"), "action", "cv")
+        .unionByName(
+            rcent.select(
+                F.col("cid").cast("long").alias("cid"),
+                F.lit("recluster").alias("action"),
+                "cv",
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    post = (
+        allv.select("vec_id", "v")
+        .crossJoin(F.broadcast(newcent.select("cid", "cv")))
+        .select("vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("sim"))
+    )
+    wp = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    post = (
+        post.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=False)
+    )
+    members = post.groupBy("cid").agg(F.count("*").cast("long").alias("n_members"))
+    qs = allv.filter(
+        (F.col("vec_id") > cut) & (F.col("vec_id") <= cut + _APPLY_NQ)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("q_pre"),
+    )
+    brute = (
+        allv.select("vec_id", "v", F.col("cid").alias("e_pre"))
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "q_pre", "vec_id", "e_pre",
+            cosine(F.col("v"), F.col("qv")).alias("sim"),
+        )
+    )
+    wb = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    brute = (
+        brute.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "q_pre", "vec_id", "e_pre")
+    )
+    ppost = post.select(F.col("vec_id").alias("p_vid"), F.col("cid").alias("e_post"))
+    qpost = post.select(F.col("vec_id").alias("pq_vid"), F.col("cid").alias("q_post"))
+    recall = (
+        brute.join(ppost, F.col("vec_id") == F.col("p_vid"))
+        .join(qpost, F.col("qid") == F.col("pq_vid"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("e_pre") == F.col("q_pre"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("recall_pre_num"),
+            F.coalesce(
+                F.sum(F.when(F.col("e_post") == F.col("q_post"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("recall_post_num"),
+            F.count("*").cast("long").alias("recall_den"),
+        )
+    )
+    return (
+        newcent.select("cid", "action")
+        .join(members, "cid", "left")
+        .crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "cid",
+            "action",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            "dims_drifted",
+            "recall_pre_num",
+            "recall_post_num",
+            "recall_den",
+            (F.col("recall_post_num") >= F.col("recall_pre_num")).alias("not_worse"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Round-10 property tests: cross-operator consistency the oracle
+hash can't state — the drift-reindex closure must agree with the
+registered signals it composes, and its surgery must conserve the
+corpus."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _q(name, spark, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_drift_reindex_composes_registered_signals(spark, sf_dir):
+    """action == 'recluster' exactly where llm_ivf_incremental exports
+    recluster_needed — the closure consumes the registered flag, it
+    does not invent its own cell rule."""
+    plan = {
+        r["cid"]: r["action"]
+        for r in _q("llm_drift_reindex_apply", spark, sf_dir).collect()
+    }
+    incr = {
+        r["cid"]: bool(r["recluster_needed"])
+        for r in _q("llm_ivf_incremental", spark, sf_dir).collect()
+    }
+    for cid, needed in incr.items():
+        assert (plan[cid] == "recluster") == needed, (cid, plan[cid], needed)
+
+
+def test_drift_reindex_conserves_vectors(spark, sf_dir):
+    """Post-action membership is a partition of the corpus and the
+    audit columns are constant across rows."""
+    import duckdb
+
+    rows = _q("llm_drift_reindex_apply", spark, sf_dir).collect()
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    cids = [r["cid"] for r in rows]
+    assert len(cids) == len(set(cids))
+    assert len({(r["recall_pre_num"], r["recall_post_num"], r["recall_den"],
+                 r["dims_drifted"]) for r in rows}) == 1
+
+
+def test_ann_mmr_agrees_with_mmr_on_shared_queries(spark, sf_dir):
+    """Where the ANN-routed candidate pool contains the brute-force
+    MMR's first pick (rank 1 = global max relevance in the pool), the
+    two ops' rank-1 rel_u can differ only if ANN routing pruned the
+    global argmax out of the pool — i.e. ann rel_u <= brute rel_u
+    always, for every query both ops emit."""
+    ann = {
+        (r["qid"], r["rk"]): r["rel_u"]
+        for r in _q("llm_ann_mmr_e2e", spark, sf_dir).collect()
+    }
+    brute = {
+        (r["qid"], r["rk"]): r["rel_u"]
+        for r in _q("llm_mmr_rerank", spark, sf_dir).collect()
+    }
+    shared = {k for k in ann if k[1] == 1} & {k for k in brute if k[1] == 1}
+    assert shared
+    for k in shared:
+        assert ann[k] <= brute[k], (k, ann[k], brute[k])
