@@ -264,6 +264,8 @@ _HEAVY = {
     "llm_dedup_containment_sampled",
     # round-10 drift surgery lifecycle (kmeans + reassignment + audit):
     "llm_drift_reindex_apply",
+    # round-10 store migration (chooser + two-config band joins):
+    "llm_dedup_store_migrate",
 }
 
 

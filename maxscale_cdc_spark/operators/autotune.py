@@ -729,3 +729,291 @@ def llm_dedup_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(rpb).cast("long").alias("chosen_rows"),
         F.lit(pct).cast("long").alias("sample_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_store_migrate — signature-STORE banding migration (r9
+# verdict ask #5).  llm_dedup_incremental's design stores per-class
+# K=16 minhash signatures at ingest; through round 8 every store was
+# banded at the FIXED legacy 2×4 config, and the chooser now measures
+# the config per corpus (sf1.0's 2×4 → 4×3 flip is measured,
+# BASELINE.md).  A corpus that grows past a chooser breakpoint
+# silently compares new-batch bands against stale-config stored bands
+# — this op is the maintenance closure:
+#
+#   detect   stored config (the legacy 2×4 the pre-propagation stores
+#            were written at) vs autotune.chosen_banding's measured
+#            config → `config_drifted`.
+#   migrate  re-band the store: signatures are K=16, so re-banding is
+#            a PROJECTION over stored m0..m15 — no re-shingling, no
+#            text scan; `n_store_classes` is the touched row count.
+#   certify  batch dedup (new-vs-old + new-vs-new) under the migrated
+#            store at the chosen config — the oracle recomputes BOTH
+#            configs' pair sets from raw text, so the green row proves
+#            re-banded-store dedup == from-scratch dedup exactly.
+#   price    `n_gained` / `n_lost` = verified true pairs the chosen
+#            config catches that the stale config misses, and vice
+#            versa — the measured cost of NOT migrating.
+#
+# Counts are doc-level pairs reconstructed algebraically from the
+# class-collapsed machinery (n_a·n_b; intra-new exact classes add
+# their closed form in BOTH configs — identical signatures collide
+# under any banding).  `n_pairs_chosen` equals the registered
+# llm_dedup_incremental's row count by construction (props test).
+# Scale: two band-key projections over the same staged class stores +
+# two new-driven bucket joins — the store is never re-shingled.
+# ---------------------------------------------------------------------------
+
+_STORE_CFG = (2, 4)  # the pre-propagation fixed config (rounds 1-8)
+
+
+def _store_migrate_oracle() -> str:
+    nb_s, rpb_s = _STORE_CFG
+    return f"""
+WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+{banding.chooser_prefix_sql()},
+  docw2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  bsets AS (
+    SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1]))) AS shs
+    FROM docw2 WHERE len(w) >= 2
+  ),
+  mh AS MATERIALIZED (SELECT doc_id, {banding.MH16_SET_SQL} FROM bsets),
+  mhs AS (SELECT * FROM mh),
+{banding.cand_sql('mhs', 'doc_id', 'doc_a', 'doc_b', nb_s, rpb_s, ord_col='doc_id')},
+{banding.chosen_doc_cand_ctes('mh', out_name='cand0')},
+  cands AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM cand_mhs_{nb_s}x{rpb_s}
+    WHERE doc_b > (SELECT c FROM cut)
+  ),
+  candc AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM cand0
+    WHERE doc_b > (SELECT c FROM cut)
+  ),
+  vers AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b FROM cands c
+    JOIN bsets sa ON sa.doc_id = c.doc_a
+    JOIN bsets sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+          >= {banding.JACCARD_MIN}
+  ),
+  verc AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b FROM candc c
+    JOIN bsets sa ON sa.doc_id = c.doc_a
+    JOIN bsets sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+          >= {banding.JACCARD_MIN}
+  ),
+  store_n AS (
+    SELECT CAST(count(DISTINCT md5(array_to_string(shs, chr(31)))) AS BIGINT)
+      AS n_store_classes
+    FROM bsets WHERE doc_id <= (SELECT c FROM cut)
+  ),
+  counts AS (
+    SELECT
+      CAST((SELECT count(*) FROM vers) AS BIGINT) AS n_pairs_stored,
+      CAST((SELECT count(*) FROM verc) AS BIGINT) AS n_pairs_chosen,
+      CAST((SELECT count(*) FROM verc v LEFT JOIN cands s USING (doc_a, doc_b)
+            WHERE s.doc_a IS NULL) AS BIGINT) AS n_gained,
+      CAST((SELECT count(*) FROM vers v LEFT JOIN candc s USING (doc_a, doc_b)
+            WHERE s.doc_a IS NULL) AS BIGINT) AS n_lost
+  )
+SELECT CAST({nb_s} AS BIGINT) AS stored_bands,
+       CAST({rpb_s} AS BIGINT) AS stored_rows,
+       (SELECT CAST(bands AS BIGINT) FROM chosen) AS chosen_bands,
+       (SELECT CAST(rows_per_band AS BIGINT) FROM chosen) AS chosen_rows,
+       ((SELECT bands FROM chosen) <> {nb_s}
+        OR (SELECT rows_per_band FROM chosen) <> {rpb_s}) AS config_drifted,
+       (SELECT n_store_classes FROM store_n) AS n_store_classes,
+       c.n_pairs_stored, c.n_pairs_chosen, c.n_gained, c.n_lost
+FROM counts c
+"""
+
+
+def _store_migrate_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    stored_cfg: tuple[int, int] | None = None,
+) -> DataFrame:
+    """The migration decision/certification row.  `stored_cfg`
+    overrides the legacy store config — the breakpoint-crossing test
+    hook (a store written under ANY config must migrate to the chosen
+    one with identical certified output)."""
+    from maxscale_cdc_spark.operators.llm import shingle_classes
+
+    nb_s, rpb_s = stored_cfg if stored_cfg is not None else _STORE_CFG
+    nb_c, rpb_c = chosen_banding(spark, sf_dir)
+    d = _doc_table(spark, sf_dir)
+    cut = int(
+        d.agg(F.expr("div(max(doc_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    old_map, old_classes = shingle_classes(
+        spark, sf_dir, doc_filter=F.col("doc_id") <= cut
+    )
+    new_map, new_classes = shingle_classes(
+        spark, sf_dir, doc_filter=F.col("doc_id") > cut
+    )
+
+    def banded(classes: DataFrame, side: str, nb: int, rpb: int) -> DataFrame:
+        # re-banding IS this projection: band keys derived from the
+        # stored m0..m15, never from text
+        return classes.select(
+            F.concat(F.lit(side), "ckey").alias("skey"),
+            "rep",
+            "n_docs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[f"m{j}" for j in range(b * rpb, (b + 1) * rpb)]
+                            ).alias("key"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "skey", "rep", "n_docs",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+
+    csets = (
+        old_classes.select(
+            F.concat(F.lit("o"), "ckey").alias("skey"), "shs", "sz"
+        )
+        .unionByName(
+            new_classes.select(
+                F.concat(F.lit("n"), "ckey").alias("skey"), "shs", "sz"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def verified_pairs(nb: int, rpb: int) -> DataFrame:
+        all_bands = banded(old_classes, "o", nb, rpb).unionByName(
+            banded(new_classes, "n", nb, rpb)
+        )
+        new_bands = banded(new_classes, "n", nb, rpb)
+        a, b = all_bands.alias("a"), new_bands.alias("b")
+        cpairs = (
+            a.join(
+                b,
+                (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.rep") < F.col("b.rep")),
+            )
+            .select(
+                F.col("a.skey").alias("skey_a"),
+                F.col("b.skey").alias("skey_b"),
+                F.col("a.n_docs").alias("n_a"),
+                F.col("b.n_docs").alias("n_b"),
+            )
+            .distinct()
+        )
+        sa = csets.select(
+            F.col("skey").alias("skey_a"), F.col("shs").alias("shs_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        sb = csets.select(
+            F.col("skey").alias("skey_b"), F.col("shs").alias("shs_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        ver = (
+            cpairs.join(sa, "skey_a")
+            .join(sb, "skey_b")
+            .select(
+                "skey_a",
+                "skey_b",
+                (F.col("n_a") * F.col("n_b")).cast("long").alias("npairs"),
+                F.size(F.array_intersect("shs_a", "shs_b"))
+                .cast("long")
+                .alias("n_common"),
+                (F.col("sz_a") + F.col("sz_b")).cast("long").alias("sz_sum"),
+            )
+        )
+        jac = F.col("n_common").cast("double") / (
+            F.col("sz_sum") - F.col("n_common")
+        )
+        return ver.filter(jac >= _JACCARD_MIN).select(
+            "skey_a", "skey_b", "npairs"
+        ).localCheckpoint(eager=False)
+
+    def cand_keys(nb: int, rpb: int) -> DataFrame:
+        all_bands = banded(old_classes, "o", nb, rpb).unionByName(
+            banded(new_classes, "n", nb, rpb)
+        )
+        new_bands = banded(new_classes, "n", nb, rpb)
+        a, b = all_bands.alias("a"), new_bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.rep") < F.col("b.rep")),
+            )
+            .select(
+                F.col("a.skey").alias("skey_a"),
+                F.col("b.skey").alias("skey_b"),
+            )
+            .distinct()
+        )
+
+    vs = verified_pairs(nb_s, rpb_s)
+    vc = verified_pairs(nb_c, rpb_c)
+    # intra-new exact classes: pairs under ANY config (identical sigs)
+    intra = new_classes.agg(
+        F.coalesce(F.sum(F.expr("div(n_docs * (n_docs - 1), 2)")), F.lit(0))
+        .cast("long")
+        .alias("n_intra")
+    )
+    n_store = old_classes.agg(
+        F.count("*").cast("long").alias("n_store_classes")
+    )
+    cnt_s = vs.agg(F.coalesce(F.sum("npairs"), F.lit(0)).cast("long").alias("x"))
+    cnt_c = vc.agg(F.coalesce(F.sum("npairs"), F.lit(0)).cast("long").alias("y"))
+    gained = (
+        vc.join(cand_keys(nb_s, rpb_s), ["skey_a", "skey_b"], "left_anti")
+        .agg(F.coalesce(F.sum("npairs"), F.lit(0)).cast("long").alias("g"))
+    )
+    lost = (
+        vs.join(cand_keys(nb_c, rpb_c), ["skey_a", "skey_b"], "left_anti")
+        .agg(F.coalesce(F.sum("npairs"), F.lit(0)).cast("long").alias("l"))
+    )
+    return (
+        cnt_s.crossJoin(F.broadcast(cnt_c))
+        .crossJoin(F.broadcast(gained))
+        .crossJoin(F.broadcast(lost))
+        .crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(n_store))
+        .select(
+            F.lit(nb_s).cast("long").alias("stored_bands"),
+            F.lit(rpb_s).cast("long").alias("stored_rows"),
+            F.lit(nb_c).cast("long").alias("chosen_bands"),
+            F.lit(rpb_c).cast("long").alias("chosen_rows"),
+            F.lit((nb_c, rpb_c) != (nb_s, rpb_s)).alias("config_drifted"),
+            "n_store_classes",
+            (F.col("x") + F.col("n_intra")).cast("long").alias("n_pairs_stored"),
+            (F.col("y") + F.col("n_intra")).cast("long").alias("n_pairs_chosen"),
+            F.col("g").alias("n_gained"),
+            F.col("l").alias("n_lost"),
+        )
+    )
+
+
+def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_spark.tables import table
+
+    return table(spark, sf_dir, "documents")
+
+
+@register("llm_dedup_store_migrate", _store_migrate_oracle())
+def llm_dedup_store_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-store banding migration: detect stored-vs-chosen
+    config drift, re-band the K=16 store by projection, certify the
+    migrated batch dedup against the from-scratch oracle, and price
+    the stale-config damage (see block comment)."""
+    return _store_migrate_frame(spark, sf_dir)

@@ -62,3 +62,35 @@ def test_ann_mmr_agrees_with_mmr_on_shared_queries(spark, sf_dir):
     assert shared
     for k in shared:
         assert ann[k] <= brute[k], (k, ann[k], brute[k])
+
+
+def test_store_migrate_crosses_chooser_breakpoint(spark, sf_dir):
+    """A store written under a DIFFERENT config than the chooser's
+    measured one (8x2 vs the measured pick — the breakpoint-crossing
+    case) must detect drift, and the migrated (chosen-side) result
+    must be identical to migrating the legacy store: the re-band
+    projection fully determines the chosen-config output, independent
+    of what config the store was written at."""
+    from maxscale_cdc_spark.operators.autotune import _store_migrate_frame
+
+    base = _store_migrate_frame(spark, sf_dir).collect()[0]
+    crossed = _store_migrate_frame(spark, sf_dir, stored_cfg=(8, 2)).collect()[0]
+    assert crossed["config_drifted"]
+    assert crossed["stored_bands"] == 8 and crossed["stored_rows"] == 2
+    assert crossed["n_pairs_chosen"] == base["n_pairs_chosen"]
+    assert crossed["n_store_classes"] == base["n_store_classes"]
+    # ledger identity: chosen − stored == gained − lost, in both runs
+    for r in (base, crossed):
+        assert (
+            r["n_pairs_chosen"] - r["n_pairs_stored"]
+            == r["n_gained"] - r["n_lost"]
+        ), r
+
+
+def test_store_migrate_matches_registered_incremental(spark, sf_dir):
+    """n_pairs_chosen == the registered llm_dedup_incremental's pair
+    count: the migrated store reproduces the from-scratch batch dedup
+    exactly (the certification the migration exists for)."""
+    mig = _q("llm_dedup_store_migrate", spark, sf_dir).collect()[0]
+    incr = _q("llm_dedup_incremental", spark, sf_dir).count()
+    assert mig["n_pairs_chosen"] == incr, (mig["n_pairs_chosen"], incr)
