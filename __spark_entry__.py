@@ -266,6 +266,9 @@ _HEAVY = {
     "llm_drift_reindex_apply",
     # round-10 store migration (chooser + two-config band joins):
     "llm_dedup_store_migrate",
+    # round-10 mid-stream index-swap lifecycle (kmeans + surgery +
+    # streaming run):
+    "str_ivf_swap_splice",
 }
 
 

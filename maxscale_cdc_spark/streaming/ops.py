@@ -2098,3 +2098,282 @@ def str_cdc_bootstrap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter(F.col("last_dml") != "delete").select(
         "pk", "last_seq", "last_value", "last_ts_unix"
     )
+
+
+# ---------------------------------------------------------------------------
+# str_ivf_swap_splice — streaming continuity ACROSS INDEX SURGERY (r9
+# verdict ask #7): str_ivf_assign_stream ingests against the static
+# index and llm_ivf_rebalance_apply rewrites that index — this op
+# proves the swap seam invisible on the stream (the
+# str_cdc_bootstrap_splice precedent, applied to the vector store).
+#
+# Timeline: vectors arrive in id order; at a 70% sequence cutover
+# through the ingest batch the rebalance surgery (computed over
+# everything ingested SO FAR — seed corpus + pre-swap arrivals; the
+# same split/merge/keep integer rules and per-cell 2-means as
+# llm_ivf_rebalance_apply) swaps the centroid table mid-stream.
+# Pre-swap rows assign against the OLD index (generation 0, cell ids
+# in cid space), post-swap rows against the POST-SURGERY index
+# (generation 1, cell ids in cid_out = 2·cid[+sub] space).  The
+# published monitor is per-(window, generation, cell) arrival counts.
+#
+# The oracle recomputes BOTH sides of the seam from scratch in batch —
+# old-slice k-means, pre-swap assignment, the surgery over the
+# swap-time state, post-swap assignment under the new centroids — so
+# the green row proves no row was assigned under the wrong generation
+# and no microbatch saw a mixed index.
+#
+# Spark-first shape: the swap is a GENERATION KEY on the broadcast
+# side — the stream joins a KB-sized two-generation centroid table on
+# `gen`, so the mid-stream index replacement is data, not topology
+# (no stream restart, no state migration); the per-vector argmax and
+# the windowed counts are the str_ivf_assign_stream machinery.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_swap_oracle() -> str:
+    from maxscale_cdc_spark.functions.vectors import sql_cosine
+    from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _Q30
+    from maxscale_cdc_spark.operators.retrieval import (
+        _SPLIT_ITERS,
+        _ivf_incr_prefix,
+    )
+
+    k = _KMEANS_ITERS
+
+    def sql_assign(src: str, cent: str) -> str:
+        return (
+            f"SELECT vec_id, v, cid, sub FROM ("
+            f"SELECT m.vec_id, m.v, m.cid, s.sub, "
+            f"row_number() OVER (PARTITION BY m.cid, m.vec_id "
+            f"ORDER BY {sql_cosine('m.v', 's.cv')} DESC, s.sub) AS rn "
+            f"FROM {src} m JOIN {cent} s ON s.cid = m.cid) WHERE rn = 1"
+        )
+
+    def sql_update(src: str) -> str:
+        return (
+            f"SELECT cid, sub, i.i AS dim, "
+            f"CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)"
+            f" / (COUNT(*) * {_Q30}) AS m "
+            f"FROM {src}, (SELECT unnest(generate_series(1, 64)) AS i) i "
+            f"GROUP BY cid, sub, i.i"
+        )
+
+    lloyd = [f"sa0 AS ({sql_assign('sm', 'seeds')})"]
+    for it in range(_SPLIT_ITERS):
+        lloyd.append(f"su{it} AS ({sql_update(f'sa{it}')})")
+        lloyd.append(
+            f"scent{it + 1} AS (SELECT cid, sub, list(m ORDER BY dim) AS cv "
+            f"FROM su{it} GROUP BY cid, sub)"
+        )
+        if it + 1 < _SPLIT_ITERS:
+            lloyd.append(f"sa{it + 1} AS ({sql_assign('sm', f'scent{it + 1}')})")
+    lloyd_sql = ",\n".join(lloyd)
+
+    return f"""{_ivf_incr_prefix()},
+swap AS (
+  SELECT (SELECT c FROM cut)
+         + (((SELECT max(vec_id) FROM embeddings) - (SELECT c FROM cut)) * 7) // 10
+           AS s
+),
+pre AS (
+  SELECT vec_id, CAST(0 AS BIGINT) AS gen, CAST(cid AS BIGINT) AS cell
+  FROM nassign WHERE vec_id <= (SELECT s FROM swap)
+),
+allv_pre AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM a{k}
+  UNION ALL
+  SELECT vec_id, v, cid FROM nassign WHERE vec_id <= (SELECT s FROM swap)
+),
+cseed2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_seed FROM a{k} GROUP BY cid),
+cnew2 AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM nassign
+  WHERE vec_id <= (SELECT s FROM swap) GROUP BY cid
+),
+cells2 AS (
+  SELECT coalesce(s.cid, n.cid) AS cid,
+         CAST(coalesce(s.n_seed, 0) AS BIGINT) AS n_seed,
+         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM cseed2 s FULL JOIN cnew2 n ON s.cid = n.cid
+),
+tot AS (
+  SELECT CAST(sum(n_seed + n_new) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells2
+),
+plan AS (
+  SELECT c.cid,
+         CASE WHEN (c.n_seed + c.n_new) * t.k > 2 * t.n THEN 'split'
+              WHEN 4 * (c.n_seed + c.n_new) * t.k < t.n THEN 'merge'
+              ELSE 'keep' END AS action
+  FROM cells2 c CROSS JOIN tot t
+),
+sm AS (
+  SELECT a.vec_id, a.v, a.cid FROM allv_pre a
+  JOIN plan p ON p.cid = a.cid AND p.action = 'split'
+),
+seeds AS (
+  SELECT cid, 0 AS sub, arg_min(v, vec_id) AS cv FROM sm GROUP BY cid
+  UNION ALL
+  SELECT cid, 1 AS sub, arg_max(v, vec_id) AS cv FROM sm GROUP BY cid
+),
+{lloyd_sql},
+newcent AS MATERIALIZED (
+  SELECT CAST(2 * c.cid AS BIGINT) AS cid_out, c.cv
+  FROM cent{k} c JOIN plan p ON p.cid = c.cid AND p.action = 'keep'
+  UNION ALL
+  SELECT CAST(2 * cid + sub AS BIGINT), cv FROM scent{_SPLIT_ITERS}
+),
+post AS (
+  SELECT vec_id, CAST(1 AS BIGINT) AS gen, cid_out AS cell FROM (
+    SELECT n.vec_id, c.cid_out,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {sql_cosine('n.v', 'c.cv')} DESC,
+                                       c.cid_out) AS rn
+    FROM newv n CROSS JOIN newcent c
+    WHERE n.vec_id > (SELECT s FROM swap)
+  ) WHERE rn = 1
+),
+uni AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+wm AS (
+  SELECT max(1704067200 + 60 * (vec_id % 1048576)) - 120 AS w FROM newv
+),
+win AS (
+  SELECT gen, cell,
+         (1704067200 + 60 * (vec_id % 1048576)) // 300 AS wdiv
+  FROM uni
+)
+SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart, gen, cell,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM win, wm
+WHERE (wdiv + 1) * 300 <= wm.w
+GROUP BY 1, 2, 3
+"""
+
+
+@register("str_ivf_swap_splice", _ivf_swap_oracle())
+def str_ivf_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream IVF index swap at a 70% sequence cutover: pre-swap
+    rows assign against the old centroids (generation 0), post-swap
+    rows against the post-surgery centroids (generation 1); oracle =
+    both sides recomputed from scratch in batch (see block comment)."""
+    from maxscale_cdc_spark.functions.vectors import as_double, cosine
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.retrieval import (
+        _ivf_cells,
+        _split_cells_lloyd,
+    )
+    from maxscale_cdc_spark.tables import wide_table
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    row = e.agg(
+        F.expr("div(max(vec_id) * 4, 5)").alias("c"),
+        F.max("vec_id").alias("m"),
+    ).collect()[0]
+    cut, maxid = int(row["c"]), int(row["m"])
+    swap = cut + ((maxid - cut) * 7) // 10
+    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    cents = cents.localCheckpoint(eager=False)
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+
+    def bassign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        )
+        return (
+            scored.withColumn("rn", w)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
+        eager=False
+    )
+    npre = bassign(
+        vecs.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= swap))
+    ).localCheckpoint(eager=False)
+    # surgery over the swap-time state (seed + pre-swap arrivals)
+    cells = _ivf_cells(assigned, npre)
+    tot = cells.agg(
+        F.sum(F.col("n_seed") + F.col("n_new")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    n_total = F.col("n_seed") + F.col("n_new")
+    plan = cells.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        F.when(n_total * F.col("k") > 2 * F.col("n"), F.lit("split"))
+        .when(4 * n_total * F.col("k") < F.col("n"), F.lit("merge"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    allv_pre = assigned.unionByName(npre)
+    sm = allv_pre.join(
+        F.broadcast(plan.filter(F.col("action") == "split").select("cid")),
+        "cid",
+    ).select("vec_id", "v", "cid")
+    scents = _split_cells_lloyd(sm)
+    newcent = (
+        cents.join(
+            F.broadcast(plan.filter(F.col("action") == "keep").select("cid")),
+            "cid",
+        )
+        .select((F.col("cid") * 2).cast("long").alias("cell"), "cv")
+        .unionByName(
+            scents.select(
+                (F.col("cid") * 2 + F.col("sub")).cast("long").alias("cell"),
+                "cv",
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    # the two-generation broadcast centroid table: the swap is DATA
+    allcent = (
+        cents.select(
+            F.lit(0).cast("long").alias("gen"),
+            F.col("cid").cast("long").alias("cell"),
+            "cv",
+        )
+        .unionByName(newcent.select(F.lit(1).cast("long").alias("gen"), "cell", "cv"))
+    )
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    newv = e.filter(F.col("vec_id") > cut).select(
+        "vec_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, vec_id % 1048576, 0)").alias(
+            "ts"
+        ),
+        (F.col("vec_id") > swap).cast("long").alias("gen"),
+        as_double("embedding").alias("v"),
+    )
+    staged = stage_as_stream(newv, cache_key=f"ivfswap:{sf_dir}")
+    stream = read_stream(
+        spark,
+        staged,
+        schema="vec_id bigint, ts timestamp, gen bigint, v array<double>",
+    ).withWatermark("ts", "2 minutes")
+    scored = stream.join(F.broadcast(allcent), "gen").select(
+        "ts",
+        "vec_id",
+        "gen",
+        "cell",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    agg = scored.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "vec_id", "gen"
+    ).agg(
+        F.max(
+            F.struct(F.col("sim").alias("sim"), (-F.col("cell")).alias("negcell"))
+        ).alias("best")
+    )
+    out = run_to_files(agg)
+    return (
+        out.select(
+            F.col("w.start").alias("wstart"),
+            "gen",
+            (-F.col("best.negcell")).cast("long").alias("cell"),
+        )
+        .groupBy("wstart", "gen", "cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
