@@ -269,6 +269,8 @@ _HEAVY = {
     # round-10 mid-stream index-swap lifecycle (kmeans + surgery +
     # streaming run):
     "str_ivf_swap_splice",
+    # round-10 streaming drift profile (streaming run):
+    "str_embed_drift_stream",
 }
 
 

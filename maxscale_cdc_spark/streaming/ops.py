@@ -2377,3 +2377,131 @@ def str_ivf_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wstart", "gen", "cell")
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# str_embed_drift_stream — the STREAMING member of the drift family
+# (batch monitor: llm_embedding_drift_monitor; actuator:
+# llm_drift_reindex_apply).  A 100 TB embedding pipeline cannot wait
+# for the next batch job to notice an encoder change: arriving
+# vectors are profiled per (5-minute window, dimension) IN-STREAM and
+# compared against the broadcast old-slice baseline — the same Q1.30
+# integer cross-multiply as the batch monitor, per window.  An
+# encoder swap or re-normalization bug shows as a cluster of drifted
+# dims within minutes of the deploy.
+#
+# Shape: per-row posexplode (×64, scan-speed, no state) → ONE
+# watermarked windowed (window, dim) aggregation (64·|windows| state
+# rows); the baseline join and the drift arithmetic run batch-side on
+# the appended per-window sums (KB-sized), so the stream carries no
+# baseline state at all.  Oracle: integer epoch window math gated on
+# the watermark (the str_ivf_assign_stream contract).
+# ---------------------------------------------------------------------------
+
+
+def _embed_drift_stream_oracle() -> str:
+    from maxscale_cdc_spark.operators.llm import _Q30
+
+    return f"""
+WITH cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+base AS (
+  SELECT i.i AS dim,
+         CAST(sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[i.i] * {_Q30}) AS BIGINT)) AS BIGINT) AS sold,
+         CAST(count(*) AS BIGINT) AS n_old
+  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE e.vec_id <= (SELECT c FROM cut)
+  GROUP BY i.i
+),
+newf AS (
+  SELECT (1704067200 + 60 * (e.vec_id % 1048576)) // 300 AS wdiv,
+         i.i AS dim,
+         CAST(floor(CAST(e.embedding AS DOUBLE[])[i.i] * {_Q30}) AS BIGINT) AS q
+  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE e.vec_id > (SELECT c FROM cut)
+),
+wm AS (
+  SELECT max(1704067200 + 60 * (vec_id % 1048576)) - 120 AS w
+  FROM embeddings WHERE vec_id > (SELECT c FROM cut)
+),
+agg AS (
+  SELECT wdiv, dim,
+         CAST(sum(q) AS BIGINT) AS snew,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM newf GROUP BY wdiv, dim
+)
+SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart,
+       CAST(a.dim AS BIGINT) AS dim, a.snew, a.n_new, b.sold, b.n_old,
+       CAST(abs(a.snew * b.n_old - b.sold * a.n_new) AS BIGINT) AS drift_num,
+       CAST(b.n_old * a.n_new AS BIGINT) AS drift_den,
+       CAST(abs(a.snew * b.n_old - b.sold * a.n_new) AS DOUBLE)
+         / (b.n_old * a.n_new) AS drift_q30,
+       (CAST(abs(a.snew * b.n_old - b.sold * a.n_new) AS DOUBLE)
+          / (b.n_old * a.n_new) > 0.05 * {_Q30}) AS drifted
+FROM agg a JOIN base b ON b.dim = a.dim, wm
+WHERE (wdiv + 1) * 300 <= wm.w
+"""
+
+
+@register("str_embed_drift_stream", _embed_drift_stream_oracle())
+def str_embed_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(window, dimension) embedding drift of the arriving stream
+    vs the broadcast old-slice baseline (see block comment)."""
+    from maxscale_cdc_spark.functions.vectors import as_double
+    from maxscale_cdc_spark.tables import wide_table
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    base = (
+        e.filter(F.col("vec_id") <= cut)
+        .select(F.posexplode(as_double("embedding")).alias("dim0", "val"))
+        .select(
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum("q").cast("long").alias("sold"),
+            F.count("*").cast("long").alias("n_old"),
+        )
+    )
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    newv = e.filter(F.col("vec_id") > cut).select(
+        "vec_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, vec_id % 1048576, 0)").alias(
+            "ts"
+        ),
+        as_double("embedding").alias("v"),
+    )
+    staged = stage_as_stream(newv, cache_key=f"edrift:{sf_dir}")
+    stream = read_stream(
+        spark, staged, schema="vec_id bigint, ts timestamp, v array<double>"
+    ).withWatermark("ts", "2 minutes")
+    flat = stream.select(
+        "ts", F.posexplode("v").alias("dim0", "val")
+    ).select(
+        "ts",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+    )
+    agg = flat.groupBy(F.window("ts", "5 minutes").alias("w"), "dim").agg(
+        F.sum("q").cast("long").alias("snew"),
+        F.count("*").cast("long").alias("n_new"),
+    )
+    out = run_to_files(agg)
+    num = F.abs(F.col("snew") * F.col("n_old") - F.col("sold") * F.col("n_new"))
+    den = F.col("n_old") * F.col("n_new")
+    drift = num.cast("double") / den
+    return out.join(F.broadcast(base), "dim").select(
+        F.col("w.start").alias("wstart"),
+        F.col("dim").cast("long").alias("dim"),
+        "snew",
+        "n_new",
+        "sold",
+        "n_old",
+        num.cast("long").alias("drift_num"),
+        den.cast("long").alias("drift_den"),
+        drift.alias("drift_q30"),
+        (drift > F.lit(0.05) * F.lit(1073741824.0)).alias("drifted"),
+    )
