@@ -2431,3 +2431,113 @@ def rel_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("n_d").isNotNull().alias("refreshed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_ivm_topk — INCREMENTAL top-k maintenance, the IVM family's
+# ORDER-STATISTIC member (joins: rel_ivm_join; distincts:
+# rel_ivm_distinct; rollups: rel_rollup_refresh).  For insert-only
+# streams a per-group top-k over ROW scores maintains with k-bounded
+# state: merged_topk = topk(stored_topk ∪ batch_topk) — a displaced
+# row can never re-enter, so the stored view IS sufficient state and
+# the refresh never rescans history.  (Aggregated scores break this
+# identity — that case is rel_rollup_refresh's additive-merge
+# territory.)  The oracle recomputes the full top-k from the whole
+# log and exports it beside the merged rows; `matches_full` certifies
+# the k-bounded identity per rank.
+#
+# Exactness: `value` doubles are ordered and exported, never
+# arithmetically combined; the (value DESC, event_id) tie-break is a
+# total order in both engines.  Scale: two k-bounded rank windows
+# sharing the event_type partitioning + one k·|groups|-row merge —
+# the stored side reads the materialized view, never the base table.
+# ---------------------------------------------------------------------------
+
+_IVM_TOPK = 3
+
+
+@register(
+    "rel_ivm_topk",
+    f"""
+    WITH cut AS (SELECT (max(event_id) * 4) // 5 AS c FROM events),
+    stored AS (
+      SELECT event_type, event_id, value, 'stored' AS src FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS r
+        FROM events WHERE event_id <= (SELECT c FROM cut)
+      ) WHERE r <= {_IVM_TOPK}
+    ),
+    batch AS (
+      SELECT event_type, event_id, value, 'batch' AS src FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS r
+        FROM events WHERE event_id > (SELECT c FROM cut)
+      ) WHERE r <= {_IVM_TOPK}
+    ),
+    merged AS (
+      SELECT event_type, event_id, value, src, CAST(r AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS r
+        FROM (SELECT * FROM stored UNION ALL SELECT * FROM batch)
+      ) WHERE r <= {_IVM_TOPK}
+    ),
+    full_k AS (
+      SELECT event_type, event_id AS full_event_id, CAST(r AS BIGINT) AS rk FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS r
+        FROM events
+      ) WHERE r <= {_IVM_TOPK}
+    )
+    SELECT m.event_type, m.rk, m.event_id, m.value, m.src,
+           f.full_event_id, (m.event_id = f.full_event_id) AS matches_full
+    FROM merged m JOIN full_k f ON f.event_type = m.event_type AND f.rk = m.rk
+    """,
+)
+def rel_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-group top-k via the k-bounded merge identity
+    (see block comment); full recompute exported beside it."""
+    ev = table(spark, sf_dir, "events")
+    cut = int(
+        ev.agg(F.expr("div(max(event_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+
+    def topk(df: DataFrame, src: str) -> DataFrame:
+        return (
+            df.select("event_type", "event_id", "value")
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _IVM_TOPK)
+            .select("event_type", "event_id", "value", F.lit(src).alias("src"))
+        )
+
+    stored = topk(ev.filter(F.col("event_id") <= cut), "stored")
+    batch = topk(ev.filter(F.col("event_id") > cut), "batch")
+    merged = (
+        stored.unionByName(batch)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _IVM_TOPK)
+        .select("event_type", F.col("r").cast("long").alias("rk"),
+                "event_id", "value", "src")
+    )
+    full_k = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _IVM_TOPK)
+        .select(
+            "event_type",
+            F.col("r").cast("long").alias("rk"),
+            F.col("event_id").alias("full_event_id"),
+        )
+    )
+    return merged.join(full_k, ["event_type", "rk"]).select(
+        "event_type",
+        "rk",
+        "event_id",
+        "value",
+        "src",
+        "full_event_id",
+        (F.col("event_id") == F.col("full_event_id")).alias("matches_full"),
+    )
