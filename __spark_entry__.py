@@ -271,6 +271,8 @@ _HEAVY = {
     "str_ivf_swap_splice",
     # round-10 streaming drift profile (streaming run):
     "str_embed_drift_stream",
+    # round-10 sink lifecycles (multi-merge + manifest reads):
+    "snk_time_travel",
 }
 
 

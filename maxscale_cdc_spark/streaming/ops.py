@@ -2505,3 +2505,137 @@ def str_embed_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift.alias("drift_q30"),
         (drift > F.lit(0.05) * F.lit(1073741824.0)).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_time_travel — VERSIONED-STATE read-back off the manifest commit
+# log (the Delta/Iceberg time-travel feature, expressed over the
+# repo's own ManifestedUpsertSink).  Every merge publishes
+# manifest_{seq}.json and generation dirs are IMMUTABLE (merges write
+# fresh dirs, compaction returns a GC list instead of deleting), so a
+# RETAINED historical manifest is a full, consistent snapshot: reading
+# AS OF seq v = loading manifest_v's bucket→generation map and
+# union-reading exactly those dirs.  This is the reference's
+# positional-resume semantics (client.go:114-126: a consumer can ask
+# for the stream from any GTID) surfaced on the SINK side: "state as
+# of commit v" instead of "events since position v".
+#
+# Lifecycle: three sequential MERGEs at 1/3 and 2/3 sequence cutovers
+# (each batch carries full aggregate state per touched pk — the
+# sink's update-mode contract, so merge k leaves exactly
+# latest-state(seq ≤ cut_k)); then the state is read back AS OF
+# manifest 1 (post-second-merge) AND current — the oracle recomputes
+# both prefixes from the raw log, certifying each snapshot bit-exact.
+#
+# Scale: the as-of read is manifest-bounded (O(n_buckets) driver
+# state, scans only the referenced generation dirs); retention
+# (retain_manifests) is the time-travel horizon knob, and the GC
+# contract — never delete a dir a retained manifest references — is
+# exactly why compact() returns the list instead of deleting.
+# ---------------------------------------------------------------------------
+
+
+def read_state_asof(spark: SparkSession, root: str, seq: int) -> DataFrame:
+    """Union-read the sink state pinned by `<root>/_manifest/
+    manifest_{seq:08d}.json` — the time-travel read path."""
+    import json
+    import os
+    from collections import defaultdict
+    from functools import reduce
+
+    with open(os.path.join(root, "_manifest", f"manifest_{seq:08d}.json")) as fh:
+        gen_of = {int(b): g for b, g in json.load(fh).items()}
+    by_gen: dict[str, list[int]] = defaultdict(list)
+    for b, g in gen_of.items():
+        by_gen[g].append(b)
+    return reduce(
+        lambda a, x: a.unionByName(x),
+        [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ],
+    )
+
+
+def _time_travel_oracle() -> str:
+    def latest(pred: str, tag: str) -> str:
+        return f"""
+    SELECT CAST({tag} AS BIGINT) AS as_of, pk,
+           sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix
+    FROM (
+      SELECT pk, sequence, dml_type, value, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc WHERE {pred}
+    ) WHERE rn = 1 AND dml_type <> 'delete'"""
+
+    return f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk, value,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ),
+    mx AS (SELECT max(sequence) AS m FROM cdc)
+    {latest("sequence <= 2 * (SELECT m FROM mx) // 3", 1)}
+    UNION ALL
+    {latest("true", 2)}
+    """
+
+
+@register("snk_time_travel", _time_travel_oracle())
+def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-merge sink lifecycle, then time-travel reads AS OF
+    manifest 1 and current — each snapshot certified against the
+    prefix latest-state recomputed from the raw log (see block
+    comment)."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 3), (m // 3, (2 * m) // 3), ((2 * m) // 3, m)]
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_tt_"))
+    for k, (lo, hi) in enumerate(cuts):
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        state = (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+        sink.merge(state, epoch_id=k)
+
+    def snapshot(seq: int, tag: int) -> DataFrame:
+        return (
+            read_state_asof(spark, sink.root, seq)
+            .filter(F.col("last_dml") != "delete")
+            .select(
+                F.lit(tag).cast("long").alias("as_of"),
+                "pk",
+                "last_seq",
+                "last_value",
+                "last_ts_unix",
+            )
+        )
+
+    return snapshot(1, 1).unionByName(snapshot(2, 2))
