@@ -273,6 +273,8 @@ _HEAVY = {
     "str_embed_drift_stream",
     # round-10 sink lifecycles (multi-merge + manifest reads):
     "snk_time_travel",
+    # round-10 dynamic-gap session lifecycle (streaming run):
+    "str_session_dynamic",
 }
 
 

@@ -2989,3 +2989,106 @@ def cdc_replay_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_unix").alias("last_ts_unix"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_cascade_delete_apply — REFERENTIAL CASCADE as a detect→act
+# closure: rel_referential_integrity AUDITS orphaned children; this op
+# EXECUTES the ON DELETE CASCADE a consumer materializing both parent
+# and child state must apply when the parent's change stream delivers
+# a delete (the reference delivers deletes as first-class DML events —
+# event.go:167-183; a consumer that drops the user row but keeps the
+# user's orders is silently corrupt).
+#
+# Detect: per-pk latest state over the CDC-shaped event log
+# (cdc_latest_state's total order); deleted parents = pks whose final
+# image is a delete.  Act: purge their orders from the materialized
+# child state.  Certify: per-orderstatus ledger — n_before, n_removed,
+# n_after (BIGINT) and the removed money mass (DECIMAL(18,4)-exact) —
+# the oracle recomputes everything from the raw log + snapshot.
+#
+# Scale: one keyed latest-state window (the cdc_latest_state shuffle),
+# then ONE broadcast semi/anti pass over the child table (the deleted
+# set is |deleted parents| — KB-to-MB at any realistic delete rate);
+# ledger aggs are map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_cascade_delete_apply",
+    f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence, {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk
+      FROM events
+    ), latest AS (
+      SELECT pk, dml_type FROM (
+        SELECT pk, dml_type,
+               row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+        FROM cdc
+      ) WHERE rn = 1
+    ), deleted AS (
+      SELECT pk FROM latest WHERE dml_type = 'delete'
+    ), tagged AS (
+      SELECT o.o_orderstatus,
+             (d.pk IS NOT NULL) AS removed,
+             o.o_totalprice
+      FROM orders o LEFT JOIN deleted d ON d.pk = o.o_custkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN removed THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN removed THEN CAST(o_totalprice AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS removed_value
+    FROM tagged
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_cascade_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute ON DELETE CASCADE from the CDC stream into the
+    materialized child state, with the per-status removal ledger (see
+    block comment)."""
+    from maxscale_cdc_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+    )
+    w = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    deleted = (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") == "delete"))
+        .select("pk")
+    )
+    o = table(spark, sf_dir, "orders")
+    tagged = o.join(
+        F.broadcast(deleted), o.o_custkey == deleted.pk, "left"
+    ).select(
+        "o_orderstatus",
+        F.col("pk").isNotNull().alias("removed"),
+        "o_totalprice",
+    )
+    return tagged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("removed"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_after"),
+        F.sum(
+            F.when(F.col("removed"), dec("o_totalprice")).otherwise(
+                dec(F.lit(0))
+            )
+        )
+        .cast("double")
+        .alias("removed_value"),
+    )

@@ -2639,3 +2639,89 @@ def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snapshot(1, 1).unionByName(snapshot(2, 2))
+
+
+# ---------------------------------------------------------------------------
+# str_session_dynamic — session windows with a PER-EVENT gap (Spark's
+# dynamic-gap session_window): a purchase keeps the session alive 60
+# minutes, views/clicks 30, everything else 15 — the
+# engagement-weighted sessionization real funnels use (str_session
+# proves the fixed-gap operator; this runs the engine's
+# union-of-intervals merge path, where each event contributes
+# [ts, ts+gap) and overlapping ranges coalesce in state).
+#
+# Oracle: the union-of-intervals rule as gaps-and-islands — a new
+# session starts iff ts >= the running MAX of all previous events'
+# interval ends (the global running max is safe: an older session's
+# end can never exceed a later session's event times, else the
+# boundary would not have formed); session end = max(ts + gap).
+# Append mode: sessions emit once the watermark (max ts − 1 h) passes
+# their end.  Total order (ts, event_id) under every window
+# (CLAUDE.md rule 4's island discipline).
+# ---------------------------------------------------------------------------
+
+
+def _dyn_gap_sql(col: str = "event_type") -> str:
+    return (
+        f"CASE WHEN {col} = 'purchase' THEN INTERVAL 60 MINUTE "
+        f"WHEN {col} IN ('view', 'click') THEN INTERVAL 30 MINUTE "
+        f"ELSE INTERVAL 15 MINUTE END"
+    )
+
+
+@register(
+    "str_session_dynamic",
+    f"""
+    WITH ends AS (
+      SELECT user_id, event_id, ts, ts + {_dyn_gap_sql()} AS e
+      FROM events
+    ), seq AS (
+      SELECT user_id, ts, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e,
+             event_id
+      FROM ends
+    ), marked AS (
+      SELECT *, CASE WHEN prev_max_e IS NULL OR ts >= prev_max_e
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start, max(e) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a, wm WHERE a.session_end <= wm.w
+    """,
+)
+def str_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap streaming session windows (append mode, 1 h
+    watermark): per-event gap by engagement type; finalized sessions
+    only (see block comment)."""
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged)
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("30 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_files(agg)
