@@ -916,3 +916,24 @@ def test_ann_mmr_iterations_stay_candidate_bounded(spark, sf_dir):
     plan = simple_plan(df)
     assert plan.count("FileScan parquet") == 0, plan
     assert not has_cartesian(df)
+
+
+def test_cascade_delete_broadcast_and_pushdown(spark, sf_dir):
+    """The deleted-parent set must BROADCAST into the child purge (one
+    pass over orders, no shuffle of the fact side), and nothing goes
+    cartesian."""
+    df = _q("cdc_cascade_delete_apply", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_topk_prefix_filters_reach_scan(spark, sf_dir):
+    """The stored/batch slice predicates must push into the parquet
+    scan (at 100 TB the stored side reads the materialized view — here
+    the predicate proves the slice never scans the other side's
+    rows)."""
+    df = _q("rel_ivm_topk", spark, sf_dir)
+    assert not has_cartesian(df)
+    assert "event_id" in pushed_filters(df)
