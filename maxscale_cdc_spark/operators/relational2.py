@@ -2541,3 +2541,131 @@ def rel_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full_event_id",
         (F.col("event_id") == F.col("full_event_id")).alias("matches_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_dist_drift — DISTRIBUTION-shape drift of a numeric column between
+# corpus generations (the PSI-class production monitor; cdc_value_drift
+# tracks only the MEAN).  The old slice (event_id ≤ the 80% cutover)
+# defines 10 equi-depth buckets via ntile over the (value, event_id)
+# total order; its 9 internal edges (per-decile max) bucket the new
+# slice; per bucket the share shift is the pure-BIGINT cross-multiply
+# d = n_new·N_old − n_old·N_new, flagged when the relative deviation
+# exceeds 5% (20·|d| > n_old·N_new — no division anywhere).  PSI's
+# logarithm is deliberately NOT exported (CLAUDE.md rule 3: no log);
+# the per-bucket integer ledger carries strictly more information.
+#
+# Scale: one rank window over the old slice (the sort is the price of
+# exact equi-depth; production uses the approx-quantile sketch and
+# accepts approximate edges), a 9-row broadcast to bucket the new
+# slice at scan speed, two keyed aggs.  ntile over a total order is
+# engine-identical (both assign floor/ceil group sizes by rank).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_dist_drift",
+    """
+    WITH cut AS (SELECT (max(event_id) * 4) // 5 AS c FROM events),
+    old_b AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events WHERE event_id <= (SELECT c FROM cut)
+    ),
+    old_cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_old,
+             max(value) AS edge
+      FROM old_b GROUP BY bucket
+    ),
+    edges AS (SELECT bucket, edge FROM old_cnt WHERE bucket < 10),
+    new_b AS (
+      SELECT e.event_id,
+             CAST(1 + coalesce(sum(CASE WHEN e.value > g.edge THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS bucket
+      FROM events e CROSS JOIN edges g
+      WHERE e.event_id > (SELECT c FROM cut)
+      GROUP BY e.event_id
+    ),
+    new_cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM new_b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_old) AS BIGINT) AS big_n_old FROM old_cnt
+    ),
+    tot2 AS (
+      SELECT CAST(coalesce(sum(n_new), 0) AS BIGINT) AS big_n_new FROM new_cnt
+    )
+    SELECT CAST(o.bucket AS BIGINT) AS bucket,
+           o.n_old,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n.n_new, 0) * t.big_n_old - o.n_old * t2.big_n_new
+                AS BIGINT) AS drift_num,
+           CAST(o.n_old * t2.big_n_new AS BIGINT) AS drift_den,
+           (20 * abs(coalesce(n.n_new, 0) * t.big_n_old - o.n_old * t2.big_n_new)
+            > o.n_old * t2.big_n_new) AS shifted
+    FROM old_cnt o
+    LEFT JOIN new_cnt n ON n.bucket = o.bucket
+    CROSS JOIN tot t CROSS JOIN tot2 t2
+    """,
+)
+def rel_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth distribution drift old-vs-new (see block comment):
+    per-decile integer share-shift ledger, no floats, no logs."""
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("div(max(event_id) * 4, 5)").alias("c"))
+    old = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("event_id") <= F.col("c"))
+        .select("event_id", "value")
+    )
+    w = W.orderBy("value", "event_id")
+    old_b = old.select("value", F.ntile(10).over(w).alias("bucket"))
+    old_cnt = old_b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_old"),
+        F.max("value").alias("edge"),
+    )
+    edges = old_cnt.filter(F.col("bucket") < 10).select("bucket", "edge")
+    new = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("event_id") > F.col("c"))
+        .select("event_id", "value")
+    )
+    new_b = (
+        new.crossJoin(F.broadcast(edges.select(F.col("edge"))))
+        .groupBy("event_id")
+        .agg(
+            (
+                1
+                + F.coalesce(
+                    F.sum(F.when(F.col("value") > F.col("edge"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    new_cnt = new_b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    tot = old_cnt.agg(F.sum("n_old").cast("long").alias("big_n_old"))
+    tot2 = new_cnt.agg(
+        F.coalesce(F.sum("n_new"), F.lit(0)).cast("long").alias("big_n_new")
+    )
+    d = F.coalesce(F.col("n_new"), F.lit(0)) * F.col("big_n_old") - F.col(
+        "n_old"
+    ) * F.col("big_n_new")
+    return (
+        old_cnt.join(new_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_old",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            d.cast("long").alias("drift_num"),
+            (F.col("n_old") * F.col("big_n_new")).cast("long").alias("drift_den"),
+            (
+                20 * F.abs(d) > F.col("n_old") * F.col("big_n_new")
+            ).alias("shifted"),
+        )
+    )
