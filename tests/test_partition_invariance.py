@@ -32,6 +32,12 @@ _REPRESENTATIVE = [
     "llm_bpe_learn_vocab",
     "rel_weighted_percentile",
     "cdc_lww_conflicts",
+    # round-10 families: MMR's staged per-query argmax chain (cosine
+    # micro-units + window picks), the equi-depth ntile bucketing, the
+    # k-bounded top-k merge
+    "llm_ann_mmr_e2e",
+    "rel_dist_drift",
+    "rel_ivm_topk",
 ]
 
 
