@@ -850,3 +850,138 @@ def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fkey").alias("frame_key"),
         (F.col("ts") - 1000 * F.col("fidx")).cast("long").alias("lag_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_modality_budget_apply — EXECUTE mm_modality_budget_plan's byte
+# apportionment (the llm_token_budget_apply closure applied to the
+# media corpus): greedy-prefix admission per modality in doc_id order
+# under the plan's exact quota — one modality-keyed byte cumsum, one
+# broadcast quota join; the per-modality ledger (admitted items/bytes,
+# headroom, exhaustion) is what the shard packer downstream consumes.
+# The oracle SPLICES the registered plan's CTE chain (oracle_splice —
+# anchor drift fails at import), so both engines derive the quota from
+# the SAME apportionment; admission thresholds are pure BIGINT
+# comparisons.  Scale: the cumsum is the mm_shard_manifest keyed
+# window; the plan side is |modalities| rows, broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _budget_apply_oracle() -> str:
+    from maxscale_cdc_spark.registry import ORACLE, oracle_splice
+
+    base = ORACLE["mm_modality_budget_plan"].rstrip()
+    # per-doc rows feed the admission cumsum; the plan chain is kept
+    # byte-identical above it
+    base = oracle_splice(
+        base,
+        "WITH tagged AS (",
+        """WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), tagged AS (""",
+    )
+    return oracle_splice(
+        base,
+        """SELECT modality, n_items, n_bytes, floor_share,
+           CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                AS BIGINT) AS byte_quota
+    FROM ranked""",
+        """, plan AS (
+      SELECT modality, n_items,
+             CAST(floor_share + CASE WHEN rr <= b - sum_floor THEN 1 ELSE 0 END
+                  AS BIGINT) AS byte_quota
+      FROM ranked
+    ), cum AS (
+      SELECT modality, doc_id, n_bytes,
+             sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumb
+      FROM docs
+    ), adm AS (
+      SELECT c.modality, (c.cumb <= p.byte_quota) AS admitted, c.n_bytes
+      FROM cum c JOIN plan p USING (modality)
+    )
+    SELECT p.modality, p.n_items, p.byte_quota,
+           CAST(coalesce(sum(CASE WHEN a.admitted THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_admitted,
+           CAST(coalesce(sum(CASE WHEN a.admitted THEN a.n_bytes ELSE 0 END), 0)
+                AS BIGINT) AS admitted_bytes,
+           CAST(p.byte_quota
+                - coalesce(sum(CASE WHEN a.admitted THEN a.n_bytes ELSE 0 END), 0)
+                AS BIGINT) AS headroom,
+           (coalesce(sum(CASE WHEN a.admitted THEN 1 ELSE 0 END), 0) < p.n_items)
+             AS exhausted
+    FROM plan p LEFT JOIN adm a ON a.modality = p.modality
+    GROUP BY p.modality, p.n_items, p.byte_quota""",
+    )
+
+
+@register("mm_modality_budget_apply", _budget_apply_oracle())
+def mm_modality_budget_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-prefix admission per modality under the registered
+    plan's byte quota, with the per-modality ledger (see block
+    comment)."""
+    plan = mm_modality_budget_plan(spark, sf_dir).select(
+        "modality", "n_items", "byte_quota"
+    )
+    m = media_frame(spark, sf_dir)
+    docs = m.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    w = (
+        W.partitionBy("modality")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = docs.select(
+        "modality", "n_bytes", F.sum("n_bytes").over(w).alias("cumb")
+    )
+    adm = cum.join(F.broadcast(plan), "modality").select(
+        "modality",
+        "n_items",
+        "byte_quota",
+        (F.col("cumb") <= F.col("byte_quota")).alias("admitted"),
+        "n_bytes",
+    )
+    return adm.groupBy("modality", "n_items", "byte_quota").agg(
+        F.coalesce(F.sum(F.when(F.col("admitted"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_admitted"),
+        F.coalesce(
+            F.sum(F.when(F.col("admitted"), F.col("n_bytes")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("admitted_bytes"),
+        (
+            F.first("byte_quota")
+            - F.coalesce(
+                F.sum(F.when(F.col("admitted"), F.col("n_bytes")).otherwise(0)),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("headroom"),
+        (
+            F.coalesce(F.sum(F.when(F.col("admitted"), 1).otherwise(0)), F.lit(0))
+            < F.first("n_items")
+        ).alias("exhausted"),
+    ).select(
+        "modality",
+        "n_items",
+        "byte_quota",
+        "n_admitted",
+        "admitted_bytes",
+        "headroom",
+        "exhausted",
+    )
