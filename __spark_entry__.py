@@ -275,6 +275,8 @@ _HEAVY = {
     "snk_time_travel",
     # round-10 dynamic-gap session lifecycle (streaming run):
     "str_session_dynamic",
+    # round-10 mid-stream ALTER lifecycle (streaming run):
+    "str_schema_evolution_stream",
 }
 
 

@@ -3092,3 +3092,113 @@ def cdc_cascade_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("removed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay_idempotence — the at-least-once → exactly-once PROOF: the
+# reference's transport redelivers on reconnect (client.go:253-287
+# rescans from the requested position), so every consumer's
+# materialization must be a function of the event SET, not the event
+# MULTISET.  A contiguous 20% window of the log is re-delivered
+# verbatim; the per-pk latest state (the flagship materialization) is
+# recomputed over the duplicated log and compared row-for-row against
+# the base state — `idempotent` exports the proof, the count ledger
+# shows HOW MUCH was redelivered.  (Exact duplicates tie in the
+# argmax; both engines return the tied rows' shared values, so the
+# comparison is deterministic.)
+#
+# Scale: two keyed latest-state windows + one pk equi-join; the
+# redelivered slice is a filter, never a second scan at the source
+# (union of two reads of the same lineage — Spark scans once per
+# branch here, a real replay re-reads the wire).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_replay_idempotence",
+    f"""
+    {CDC_SQL}
+    , bounds AS (
+      SELECT (max(sequence) * 2) // 5 AS lo, (max(sequence) * 3) // 5 AS hi
+      FROM cdc
+    ), dup AS (
+      SELECT sequence, dml_type, pk, value, ts_unix FROM cdc
+      UNION ALL
+      SELECT c.sequence, c.dml_type, c.pk, c.value, c.ts_unix
+      FROM cdc c, bounds b WHERE c.sequence > b.lo AND c.sequence <= b.hi
+    ), base_state AS (
+      SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+            FROM cdc) WHERE rn = 1 AND dml_type <> 'delete'
+    ), dup_state AS (
+      SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+            FROM dup) WHERE rn = 1 AND dml_type <> 'delete'
+    ), matched AS (
+      SELECT count(*) AS n FROM base_state b JOIN dup_state d
+        ON d.pk = b.pk AND d.last_seq = b.last_seq
+       AND d.last_value = b.last_value AND d.last_ts = b.last_ts
+    )
+    SELECT CAST((SELECT count(*) FROM cdc) AS BIGINT) AS n_base_events,
+           CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_delivered_events,
+           CAST((SELECT count(*) FROM base_state) AS BIGINT) AS n_state_rows,
+           CAST((SELECT count(*) FROM dup_state) AS BIGINT) AS n_state_rows_replayed,
+           CAST((SELECT n FROM matched) AS BIGINT) AS n_identical_rows,
+           ((SELECT count(*) FROM base_state) = (SELECT n FROM matched)
+            AND (SELECT count(*) FROM dup_state) = (SELECT n FROM matched))
+             AS idempotent
+    """,
+)
+def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-deliver a contiguous 20% window of the log and prove the
+    latest-state materialization byte-identical (see block comment)."""
+    cdc = cdc_view(spark, sf_dir).select(
+        "sequence", "dml_type", "pk", "value", "ts_unix"
+    )
+    bounds = cdc.agg(
+        F.expr("div(max(sequence) * 2, 5)").alias("lo"),
+        F.expr("div(max(sequence) * 3, 5)").alias("hi"),
+    )
+    redeliver = cdc.join(F.broadcast(bounds)).filter(
+        (F.col("sequence") > F.col("lo")) & (F.col("sequence") <= F.col("hi"))
+    ).select("sequence", "dml_type", "pk", "value", "ts_unix")
+    dup = cdc.unionByName(redeliver)
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+            .select(
+                "pk",
+                F.col("sequence").alias("last_seq"),
+                F.col("value").alias("last_value"),
+                F.col("ts_unix").alias("last_ts"),
+            )
+        )
+
+    base_state = latest(cdc).localCheckpoint(eager=False)
+    dup_state = latest(dup).localCheckpoint(eager=False)
+    matched = base_state.join(
+        dup_state, ["pk", "last_seq", "last_value", "last_ts"]
+    ).agg(F.count("*").cast("long").alias("n"))
+    n_base = cdc.agg(F.count("*").cast("long").alias("a"))
+    n_dup = dup.agg(F.count("*").cast("long").alias("b"))
+    n_bs = base_state.agg(F.count("*").cast("long").alias("c"))
+    n_ds = dup_state.agg(F.count("*").cast("long").alias("d"))
+    return (
+        n_base.crossJoin(F.broadcast(n_dup))
+        .crossJoin(F.broadcast(n_bs))
+        .crossJoin(F.broadcast(n_ds))
+        .crossJoin(F.broadcast(matched))
+        .select(
+            F.col("a").alias("n_base_events"),
+            F.col("b").alias("n_delivered_events"),
+            F.col("c").alias("n_state_rows"),
+            F.col("d").alias("n_state_rows_replayed"),
+            F.col("n").alias("n_identical_rows"),
+            ((F.col("c") == F.col("n")) & (F.col("d") == F.col("n"))).alias(
+                "idempotent"
+            ),
+        )
+    )

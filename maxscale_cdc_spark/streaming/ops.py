@@ -2725,3 +2725,143 @@ def str_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_files(agg)
+
+
+# ---------------------------------------------------------------------------
+# str_schema_evolution_stream — the reference's DYNAMIC-SCHEMA core
+# behavior under Structured Streaming: schema is discovered/versioned
+# at runtime (client.go:254-271 readSchema; version bump on ALTER,
+# event.go:35-36), so a long-lived streaming consumer must decode BOTH
+# schema generations WITHOUT a restart when the ALTER lands mid-stream.
+# cdc_schema_evolution certifies the batch mergeSchema read; this runs
+# it on the stream: v1 payloads {pk, value} through 60% of positions,
+# v2 adds `extra`; each branch decodes with ITS version's registry
+# StructType (the real polymorphic builder, event.go:58-137), branches
+# union with null-fill INSIDE the stream, and one watermarked window
+# tracks per-(window, version) decode health — the alarm surface that
+# catches a consumer pinned to a stale StructType within minutes of
+# the ALTER.
+#
+# Shape: render + from_json + unionByName are narrow per-row ops at
+# scan speed in-stream; the ONLY state is the windowed agg.  Integer
+# cents keep the JSON round trip exact; oracle reproduces windows by
+# integer epoch math gated on the watermark.
+# ---------------------------------------------------------------------------
+
+
+def _schema_evo_stream_oracle() -> str:
+    from maxscale_cdc_spark.operators.cdc import CDC_SQL
+
+    return f"""
+{CDC_SQL}
+, cut AS (
+  SELECT CAST(max(sequence) * 3 / 5 AS BIGINT) AS cutoff FROM cdc
+), payload AS (
+  SELECT c.sequence,
+         CASE WHEN c.sequence <= t.cutoff THEN 1 ELSE 2 END AS version,
+         CAST(round(c.value * 100, 0) AS BIGINT) AS value_cents,
+         CASE WHEN c.sequence <= t.cutoff THEN NULL
+              ELSE CAST(c.pk % 7 AS INT) END AS extra
+  FROM cdc c, cut t
+), wm AS (
+  SELECT max(1704067200 + 60 * (sequence % 1048576)) - 120 AS w FROM cdc
+), win AS (
+  SELECT CAST(version AS BIGINT) AS version,
+         (1704067200 + 60 * (sequence % 1048576)) // 300 AS wdiv,
+         value_cents, extra
+  FROM payload
+)
+SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart, version,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_extra,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+       CAST(sum(coalesce(extra, 0)) AS BIGINT) AS sum_extra
+FROM win, wm
+WHERE (wdiv + 1) * 300 <= wm.w
+GROUP BY 1, 2
+"""
+
+
+@register("str_schema_evolution_stream", _schema_evo_stream_oracle())
+def str_schema_evolution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream ALTER: both schema generations decoded in ONE
+    streaming query via per-version from_json branches + null-fill
+    union, with windowed per-version decode health (see block
+    comment)."""
+    from maxscale_cdc_spark.operators.cdc import _EVO_DDL_FIXTURES, cdc_view
+    from maxscale_cdc_spark.sources.schema_registry import decode_ddl
+
+    v1 = decode_ddl(_EVO_DDL_FIXTURES[0]).payload_struct()
+    v2 = decode_ddl(_EVO_DDL_FIXTURES[1]).payload_struct()
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    staged_df = cdc.join(F.broadcast(cut)).select(
+        "sequence",
+        F.expr(
+            f"{base_ts} + make_dt_interval(0, 0, sequence % 1048576, 0)"
+        ).alias("ts"),
+        F.when(F.col("sequence") <= F.col("cutoff"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("version"),
+        F.when(
+            F.col("sequence") <= F.col("cutoff"),
+            F.to_json(
+                F.struct(
+                    F.col("pk"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("value"),
+                )
+            ),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("pk"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("value"),
+                    (F.col("pk") % 7).cast("int").alias("extra"),
+                )
+            )
+        )
+        .alias("raw"),
+    )
+    staged = stage_as_stream(staged_df, cache_key=f"schemaevo:{sf_dir}")
+    stream = read_stream(
+        spark,
+        staged,
+        schema="sequence bigint, ts timestamp, version int, raw string",
+    ).withWatermark("ts", "2 minutes")
+    dec1 = (
+        stream.filter(F.col("version") == 1)
+        .select("ts", "version", F.from_json("raw", v1).alias("p"))
+        .select("ts", "version", F.col("p.value").alias("value_cents"))
+    )
+    dec2 = (
+        stream.filter(F.col("version") == 2)
+        .select("ts", "version", F.from_json("raw", v2).alias("p"))
+        .select(
+            "ts", "version",
+            F.col("p.value").alias("value_cents"),
+            F.col("p.extra").alias("extra"),
+        )
+    )
+    both = dec1.unionByName(dec2, allowMissingColumns=True)
+    agg = both.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "version"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_extra"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum(F.coalesce(F.col("extra"), F.lit(0))).cast("long").alias("sum_extra"),
+    )
+    out = run_to_files(agg)
+    return out.select(
+        F.col("w.start").alias("wstart"),
+        F.col("version").cast("long").alias("version"),
+        "n_events",
+        "n_null_extra",
+        "sum_value_cents",
+        "sum_extra",
+    )

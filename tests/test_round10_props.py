@@ -94,3 +94,11 @@ def test_store_migrate_matches_registered_incremental(spark, sf_dir):
     mig = _q("llm_dedup_store_migrate", spark, sf_dir).collect()[0]
     incr = _q("llm_dedup_incremental", spark, sf_dir).count()
     assert mig["n_pairs_chosen"] == incr, (mig["n_pairs_chosen"], incr)
+
+
+def test_replay_idempotence_holds(spark, sf_dir):
+    """The materialization must be a function of the event SET: the
+    audit's own idempotent flag is the property, assert it directly."""
+    row = _q("cdc_replay_idempotence", spark, sf_dir).collect()[0]
+    assert row["idempotent"]
+    assert row["n_delivered_events"] > row["n_base_events"]
