@@ -102,3 +102,49 @@ def test_replay_idempotence_holds(spark, sf_dir):
     row = _q("cdc_replay_idempotence", spark, sf_dir).collect()[0]
     assert row["idempotent"]
     assert row["n_delivered_events"] > row["n_base_events"]
+
+
+def test_containment_sampled_sees_asymmetric_pairs(spark, tmp_path):
+    """The driver corpora contain almost no containment-ONLY pairs
+    (BASELINE.md round-10 honesty note), so exercise the
+    jacc_missed=true bucket on a constructed corpus: a short document
+    embedded VERBATIM in a much longer one has containment 1.0 but
+    Jaccard « 0.5 — the sampled audit must (a) count it in the
+    asymmetric bucket and (b) report the banding family's catch rate
+    on it honestly (identical prefixes do NOT imply banding
+    collision)."""
+    import duckdb
+
+    words = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    # 30 filler docs with disjoint vocabularies (no cross pairs);
+    # every doc_id here passes the 40% md5 hash-sample predicate
+    # (functions/sample.py) so the whole corpus IS the sample
+    fillers = [2, 3, 4, 7, 10, 15, 16, 17, 22, 29, 31, 32, 33, 34, 36,
+               39, 43, 44, 45, 46, 48, 50, 52, 53, 54, 56, 57, 59, 60, 62]
+    for d in fillers:
+        toks = [f"f{d}_{i}" for i in range(40)]
+        docs.append((d, " ".join(toks)))
+    # the asymmetric pair (ids 202/205 are in-sample): doc 202 (12
+    # words) verbatim inside doc 205 (400 words) → trigram containment
+    # 1.0, Jaccard ≈ 10/398 « 0.5
+    short = " ".join(words[:12])
+    long = " ".join(words)
+    docs.append((202, short))
+    docs.append((205, long))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, ?)" for i, _ in docs) + ") t(doc_id, text)",
+                [t for _, t in docs])
+    con.execute(
+        "COPY (SELECT doc_id, text, 'en' AS lang, 'test' AS source, "
+        "length(text) AS n_chars FROM documents) TO "
+        f"'{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rows = _q("llm_dedup_containment_sampled", spark, str(tmp_path)).collect()
+    by_bucket = {bool(r["jacc_missed"]): r for r in rows}
+    assert True in by_bucket, rows  # the asymmetric bucket exists
+    asym = by_bucket[True]
+    assert asym["n_pairs"] >= 1
+    # catch rate is a well-formed ratio over the bucket
+    assert 0.0 <= asym["catch_rate"] <= 1.0
