@@ -1180,3 +1180,84 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_csv_badrecords — PERMISSIVE-parse dead letters for BATCH ingest
+# (src_dead_letters is the streaming half): real-world CSV landings
+# carry malformed lines, and the production contract is "parse what
+# parses, LEDGER what doesn't" — never fail the job (FAILFAST) and
+# never silently drop (DROPMALFORMED).  Every 17th event is rendered
+# as a corrupt single-field line; the permissive read routes it to
+# columnNameOfCorruptRecord, good rows aggregate normally, and the
+# per-verdict ledger (good rows per event_type + one __corrupt__ row)
+# is the dead-letter queue's accounting.  The corruption predicate is
+# deterministic, so the oracle computes the expected split in closed
+# form from the source table — certifying Spark's permissive parser
+# against an implementation-independent definition.
+#
+# Scale: text render + permissive parse are scan-speed narrow ops; the
+# ledger is one map-side-combinable agg.  Integer cents make the text
+# round trip exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_csv_badrecords",
+    """
+    WITH split AS (
+      SELECT CASE WHEN event_id % 17 = 0 THEN '__corrupt__'
+                  ELSE event_type END AS verdict,
+             CASE WHEN event_id % 17 = 0 THEN 0
+                  ELSE CAST(round(value * 100, 0) AS BIGINT) END AS cents
+      FROM events
+    )
+    SELECT verdict,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_value_cents
+    FROM split GROUP BY verdict
+    """,
+)
+def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive CSV parse with a dead-letter ledger (see block
+    comment): corrupt lines counted, good rows aggregated, nothing
+    dropped and nothing fatal."""
+    ev = table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 17 == 0,
+        F.concat(F.lit("bad-line-"), F.col("event_id")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+    )
+    out = _mkdtemp(prefix="src_csvbad_")
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value_cents bigint, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    # a corrupt single-field line always fails the leading bigint, so
+    # `event_id IS NULL` is the parse-failure signal (Spark's permissive
+    # parser nulls the failed field; _corrupt carries the raw line only
+    # for some failure classes — the null key is the robust one)
+    bad = F.col("event_id").isNull() | F.col("_corrupt").isNotNull()
+    verdict = F.when(bad, F.lit("__corrupt__")).otherwise(F.col("event_type"))
+    cents = F.when(bad, F.lit(0)).otherwise(F.col("value_cents"))
+    return (
+        back.select(verdict.alias("verdict"), cents.alias("cents"))
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_value_cents"),
+        )
+    )
