@@ -277,6 +277,8 @@ _HEAVY = {
     "str_session_dynamic",
     # round-10 mid-stream ALTER lifecycle (streaming run):
     "str_schema_evolution_stream",
+    # round-10 merge/compact/GC lifecycle:
+    "snk_manifest_gc",
 }
 
 

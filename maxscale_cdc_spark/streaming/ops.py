@@ -2865,3 +2865,117 @@ def str_schema_evolution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value_cents",
         "sum_extra",
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_manifest_gc — EXECUTE the generation GC that compact() only
+# LISTS (its docstring: "deletion stays the caller's policy").  The
+# safe-to-delete rule is the time-travel contract's dual
+# (snk_time_travel): a generation dir is collectible iff NO RETAINED
+# manifest references it — retention is the time-travel horizon, so
+# GC never breaks an as-of read that is still promised.  Lifecycle:
+# three merges at 1/3+2/3 cutovers (same as snk_time_travel) with
+# retain_manifests=1, then compact (one dir holds everything, the
+# manifest flips atomically), then GC = delete every dir unreferenced
+# by the single retained manifest.  Certified: the post-GC state read
+# equals the whole-log latest state (the oracle recomputes it raw);
+# the ledger (dirs before/deleted/retained, retained manifests) rides
+# along as constant columns, and a loud in-op assert proves the GC
+# actually removed directories and the survivors still serve reads.
+#
+# Scale: GC is pure manifest arithmetic — O(n_buckets) driver ints and
+# an object-store delete per dead dir; no data is read or moved.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_manifest_gc",
+    f"""
+    {_UPSERT_STATE_ORACLE.rstrip()}
+    """.replace(
+        "SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+        "SELECT CAST(4 AS BIGINT) AS n_dirs_before, CAST(3 AS BIGINT) AS n_dirs_deleted,\n"
+        "       CAST(1 AS BIGINT) AS n_dirs_retained, CAST(1 AS BIGINT) AS n_manifests_retained,\n"
+        "       pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+    ),
+)
+def snk_manifest_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge×3 → compact → GC the unreferenced generations → prove the
+    surviving state byte-equal to the whole-log latest state (see
+    block comment)."""
+    import os
+    import shutil
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 3), (m // 3, (2 * m) // 3), ((2 * m) // 3, m)]
+    sink = ManifestedUpsertSink(
+        spark, _mkdtemp(prefix="snk_gc_"), retain_manifests=1
+    )
+    for k, (lo, hi) in enumerate(cuts):
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        state = (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+        sink.merge(state, epoch_id=k)
+    gc_list = sink.compact()
+    # the GC rule: collectible iff referenced by NO retained manifest
+    referenced = set()
+    import json
+
+    for name in sink._manifest_names():
+        with open(os.path.join(sink.mdir, name)) as fh:
+            referenced.update(json.load(fh).values())
+    all_dirs = sorted(
+        os.path.join(sink.root, d)
+        for d in os.listdir(sink.root)
+        if d.startswith("gen_")
+    )
+    dead = [d for d in all_dirs if d not in referenced]
+    # compact's list covers the dirs IT unreferenced; earlier merges
+    # orphan their predecessors too (a full-touch merge supersedes the
+    # whole previous generation), so the manifest-reference rule is the
+    # SUPERSET — it must contain everything compact reported
+    assert set(gc_list) <= set(dead), (dead, gc_list)
+    for d in dead:
+        shutil.rmtree(d)
+    n_before, n_deleted = len(all_dirs), len(dead)
+    assert n_deleted > 0, "GC lifecycle produced nothing to collect"
+    post = sink.state().filter(F.col("last_dml") != "delete")
+    return post.select(
+        F.lit(n_before).cast("long").alias("n_dirs_before"),
+        F.lit(n_deleted).cast("long").alias("n_dirs_deleted"),
+        F.lit(n_before - n_deleted).cast("long").alias("n_dirs_retained"),
+        F.lit(len(sink._manifest_names())).cast("long").alias(
+            "n_manifests_retained"
+        ),
+        "pk",
+        "last_seq",
+        "last_value",
+        F.col("last_ts_unix"),
+    )

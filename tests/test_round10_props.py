@@ -148,3 +148,14 @@ def test_containment_sampled_sees_asymmetric_pairs(spark, tmp_path):
     assert asym["n_pairs"] >= 1
     # catch rate is a well-formed ratio over the bucket
     assert 0.0 <= asym["catch_rate"] <= 1.0
+
+
+def test_manifest_gc_survivors_serve_reads(spark, sf_dir):
+    """After GC the retained generation serves the full state and the
+    ledger shows real collection happened."""
+    rows = _q("snk_manifest_gc", spark, sf_dir).collect()
+    assert rows
+    r = rows[0]
+    assert r["n_dirs_deleted"] >= 1
+    assert r["n_dirs_retained"] >= 1
+    assert r["n_manifests_retained"] == 1
