@@ -279,6 +279,8 @@ _HEAVY = {
     "str_schema_evolution_stream",
     # round-10 merge/compact/GC lifecycle:
     "snk_manifest_gc",
+    # round-10 multi-merge manifest lifecycle:
+    "snk_time_travel",
 }
 
 
