@@ -281,6 +281,8 @@ _HEAVY = {
     "snk_manifest_gc",
     # round-10 multi-merge manifest lifecycle:
     "snk_time_travel",
+    # round-10 raised-K index (K=32 Lloyd chain):
+    "llm_ann_join_topk_scaled",
 }
 
 

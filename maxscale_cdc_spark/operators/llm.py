@@ -957,7 +957,9 @@ LIMIT 5
 """
 
 
-def _kmeans_cells(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _kmeans_cells(
+    e: DataFrame, n_cells: int = _N_CELLS
+) -> tuple[DataFrame, DataFrame]:
     """Run `_KMEANS_ITERS` Lloyd rounds; return (final centroids,
     final assignment with the vector payload).  Every round is one
     broadcast-join assignment (centroids are KB-sized) plus one keyed
@@ -965,9 +967,12 @@ def _kmeans_cells(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     data, only over the fixed iteration count.  Centroid means are
     Q1.30 fixed-point (power-of-two scaling, no rounding; see
     llm_embed_centroid) so both engines iterate from bitwise-identical
-    centroids."""
+    centroids.  `n_cells` defaults to the family constant (the default
+    call emits a byte-identical plan — CLAUDE.md rule 1); raising it is
+    THE production scale knob (cells stay 10⁴–10⁵ rows as the corpus
+    grows — llm_ann_join_topk_scaled certifies the raised-K index)."""
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
-    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
     )
 

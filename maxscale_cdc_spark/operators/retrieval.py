@@ -2757,3 +2757,94 @@ def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("recall_post_num") >= F.col("recall_pre_num")).alias("not_worse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_join_topk_scaled — the batched ANN join at RAISED K (32
+# coarse cells vs the family's 8): the production scale knob the
+# docstrings promise ("raise K so cells stay 10⁴–10⁵ rows"),
+# certified.  Same query table, routing rule, and top-k contract as
+# llm_ann_join_topk; only the index granularity changes, so the two
+# registered results are directly comparable and the r10 sf10
+# measurement quantifies the knob (candidate scan per query drops
+# ~4× with cells 4× smaller at equal nprobe — BASELINE.md).  K is a
+# constant in both expression trees; seeds remain the first-K rule,
+# so the oracle's CTE chain is the same builder at n_cells=32.
+# ---------------------------------------------------------------------------
+
+_ANNJ_K_SCALED = 32
+
+
+def _ann_join_scaled_oracle() -> str:
+    k = _KMEANS_ITERS
+    return f"""
+WITH {_sql_kmeans_ctes(n_cells=_ANNJ_K_SCALED)},
+qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id % {_ANNJ_QMOD} = 0),
+route AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM qset q CROSS JOIN cent{k} c
+  ) WHERE rn <= {_ANNJ_NPROBE}
+),
+cand AS (
+  SELECT r.qid, a.vec_id, {sql_cosine("a.v", "r.qv")} AS cos_sim
+  FROM a{k} a JOIN route r ON a.cid = r.cid
+  WHERE a.vec_id <> r.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk,
+       CAST({_ANNJ_K_SCALED} AS BIGINT) AS k_cells
+FROM (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand
+) WHERE rk <= {_ANNJ_TOPK}
+"""
+
+
+@register("llm_ann_join_topk_scaled", _ann_join_scaled_oracle())
+def llm_ann_join_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched ANN join on the K=32 index (see block comment)."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e, n_cells=_ANNJ_K_SCALED)
+    cents = cents.localCheckpoint(eager=False)
+    assigned = assigned.select("vec_id", "v", "cid").localCheckpoint(eager=False)
+    qset = (
+        e.filter(F.col("vec_id") % _ANNJ_QMOD == 0)
+        .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+    )
+    route = (
+        qset.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _ANNJ_NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(route), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim")
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= _ANNJ_TOPK)
+        .select(
+            "qid",
+            "vec_id",
+            "cos_sim",
+            "rk",
+            F.lit(_ANNJ_K_SCALED).cast("long").alias("k_cells"),
+        )
+    )
