@@ -283,6 +283,8 @@ _HEAVY = {
     "snk_time_travel",
     # round-10 raised-K index (K=32 Lloyd chain):
     "llm_ann_join_topk_scaled",
+    # round-10 capstone composition (drift surgery + streaming swap):
+    "str_drift_swap_splice",
 }
 
 

@@ -2979,3 +2979,358 @@ def snk_manifest_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         F.col("last_ts_unix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_drift_swap_splice — the round's two closures COMPOSED: the drift
+# detect→plan→apply actuator (llm_drift_reindex_apply) produces the
+# post-action centroid set, and the stream swaps onto it mid-flight
+# (str_ivf_swap_splice's generation-key mechanism).  Timeline: at the
+# 70% sequence cutover the maintenance job runs against everything
+# ingested so far — per-dim drift of the pre-swap arrivals vs the old
+# slice (planner sensitivity 0.02 / ≥4 dims), per-cell grown/displaced
+# (the registered llm_ivf_incremental rules over the swap-time state)
+# — and emits recluster (combined Q1.30 mean over seed+pre members) /
+# requantize / keep per cell; the stream's generation-1 index IS that
+# output (cell ids preserved — drift surgery never renumbers), and
+# post-swap rows assign against it.  Oracle recomputes the whole
+# chain — monitor, decisions, surgery, both assignments, watermarked
+# windows — from scratch.
+#
+# This is the production shape end-to-end: monitor fires → reindex
+# job runs on current state → index swaps under the live stream as
+# DATA (a broadcast generation key), with every step's arithmetic
+# certified.  State and shuffle structure are str_ivf_swap_splice's.
+# ---------------------------------------------------------------------------
+
+
+def _drift_swap_oracle() -> str:
+    from maxscale_cdc_spark.functions.vectors import sql_cosine
+    from maxscale_cdc_spark.operators.llm import _KMEANS_ITERS, _Q30
+    from maxscale_cdc_spark.operators.retrieval import (
+        _DRIFT_DIMS_MIN,
+        _DRIFT_SENS,
+        _ivf_incr_prefix,
+    )
+
+    k = _KMEANS_ITERS
+    return f"""{_ivf_incr_prefix()},
+swap AS (
+  SELECT (SELECT c FROM cut)
+         + (((SELECT max(vec_id) FROM embeddings) - (SELECT c FROM cut)) * 7) // 10
+           AS s
+),
+pre AS (
+  SELECT vec_id, CAST(0 AS BIGINT) AS gen, CAST(cid AS BIGINT) AS cell
+  FROM nassign WHERE vec_id <= (SELECT s FROM swap)
+),
+npre AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM nassign WHERE vec_id <= (SELECT s FROM swap)
+),
+allv_pre AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM a{k}
+  UNION ALL
+  SELECT vec_id, v, cid FROM npre
+),
+dflat AS (
+  SELECT i.i AS dim,
+         CAST(floor(CAST(e.embedding AS DOUBLE[])[i.i] * {_Q30}) AS BIGINT) AS q,
+         (e.vec_id <= (SELECT c FROM cut)) AS is_old
+  FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE e.vec_id <= (SELECT s FROM swap)
+),
+dagg AS (
+  SELECT dim,
+         CAST(coalesce(sum(CASE WHEN is_old THEN q END), 0) AS BIGINT) AS sold,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(coalesce(sum(CASE WHEN NOT is_old THEN q END), 0) AS BIGINT) AS snew,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM dflat GROUP BY dim
+),
+dd AS (
+  SELECT CAST(coalesce(sum(CASE WHEN CAST(abs(snew * n_old - sold * n_new) AS DOUBLE)
+                                     / (n_old * n_new) > {_DRIFT_SENS} * {_Q30}
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS dims_drifted
+  FROM dagg
+),
+pseed_dim AS (
+  SELECT cid, dim, CAST(sum(q) AS BIGINT) AS snum, CAST(count(*) AS BIGINT) AS n_old
+  FROM seed_flat GROUP BY cid, dim
+),
+pall_dim AS (
+  SELECT cid, i.i AS dim,
+         CAST(sum(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS BIGINT) AS cnum,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM allv_pre, (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY cid, i.i
+),
+pdisp AS (
+  SELECT s.cid,
+         CAST(sum(abs(s.snum * a.n_all - a.cnum * s.n_old)) AS BIGINT) AS num,
+         CAST(max(s.n_old * a.n_all) AS BIGINT) AS den
+  FROM pseed_dim s JOIN pall_dim a USING (cid, dim)
+  GROUP BY s.cid
+),
+pseed_cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_seed FROM a{k} GROUP BY cid),
+pnew_cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM npre GROUP BY cid),
+pcells AS (
+  SELECT coalesce(s.cid, n.cid) AS cid,
+         CAST(coalesce(s.n_seed, 0) AS BIGINT) AS n_seed,
+         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM pseed_cnt s FULL JOIN pnew_cnt n ON s.cid = n.cid
+),
+plan AS (
+  SELECT c.cid,
+         CASE WHEN (5 * c.n_new > c.n_seed)
+                OR coalesce(CAST(d.num AS DOUBLE) / d.den > 0.01 * {_Q30}, false)
+              THEN 'recluster'
+              WHEN (SELECT dims_drifted FROM dd) >= {_DRIFT_DIMS_MIN}
+                THEN 'requantize'
+              ELSE 'keep' END AS action
+  FROM pcells c LEFT JOIN pdisp d ON d.cid = c.cid
+),
+rm AS (
+  SELECT a.vec_id, a.v, a.cid FROM allv_pre a
+  JOIN plan p ON p.cid = a.cid AND p.action = 'recluster'
+),
+rcent AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, i.i AS dim,
+           CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * {_Q30}) AS m
+    FROM rm, (SELECT unnest(generate_series(1, 64)) AS i) i
+    GROUP BY cid, i.i
+  ) GROUP BY cid
+),
+newcent AS MATERIALIZED (
+  SELECT CAST(c.cid AS BIGINT) AS cid, c.cv
+  FROM cent{k} c JOIN plan p ON p.cid = c.cid AND p.action <> 'recluster'
+  UNION ALL
+  SELECT CAST(r.cid AS BIGINT), r.cv FROM rcent r
+),
+post AS (
+  SELECT vec_id, CAST(1 AS BIGINT) AS gen, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {sql_cosine('n.v', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM newv n CROSS JOIN newcent c
+    WHERE n.vec_id > (SELECT s FROM swap)
+  ) WHERE rn = 1
+),
+uni AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+wm AS (
+  SELECT max(1704067200 + 60 * (vec_id % 1048576)) - 120 AS w FROM newv
+),
+win AS (
+  SELECT gen, cell,
+         (1704067200 + 60 * (vec_id % 1048576)) // 300 AS wdiv
+  FROM uni
+)
+SELECT make_timestamp(wdiv * 300 * 1000000) AS wstart, gen, cell,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM win, wm
+WHERE (wdiv + 1) * 300 <= wm.w
+GROUP BY 1, 2, 3
+"""
+
+
+@register("str_drift_swap_splice", _drift_swap_oracle())
+def str_drift_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detect→plan→apply at the 70% cutover, post-action index
+    swapped onto the live stream as a generation key; both seam sides
+    batch-certified (see block comment)."""
+    from maxscale_cdc_spark.functions.vectors import as_double, cosine
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.retrieval import (
+        _DRIFT_DIMS_MIN,
+        _DRIFT_SENS,
+        _ivf_cells,
+    )
+    from maxscale_cdc_spark.tables import wide_table
+
+    e = wide_table(spark, sf_dir, "embeddings")
+    row = e.agg(
+        F.expr("div(max(vec_id) * 4, 5)").alias("c"),
+        F.max("vec_id").alias("m"),
+    ).collect()[0]
+    cut, maxid = int(row["c"]), int(row["m"])
+    swap = cut + ((maxid - cut) * 7) // 10
+    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    cents = cents.localCheckpoint(eager=False)
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+
+    def bassign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        w = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+        )
+        return (
+            scored.withColumn("rn", w)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
+        eager=False
+    )
+    npre = bassign(
+        vecs.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= swap))
+    ).localCheckpoint(eager=False)
+
+    def flat(df: DataFrame) -> DataFrame:
+        return df.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+
+    seed_flat = flat(assigned)
+    seed_dim = seed_flat.groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("snum"),
+        F.count("*").cast("long").alias("n_old"),
+    )
+    all_dim = seed_flat.unionByName(flat(npre)).groupBy("cid", "dim").agg(
+        F.sum("q").cast("long").alias("cnum"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    disp = (
+        seed_dim.join(all_dim, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.abs(F.col("snum") * F.col("n_all") - F.col("cnum") * F.col("n_old"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.max(F.col("n_old") * F.col("n_all")).cast("long").alias("den"),
+        )
+    )
+    dflat = (
+        e.filter(F.col("vec_id") <= swap)
+        .select(
+            (F.col("vec_id") <= cut).alias("is_old"),
+            F.posexplode(as_double("embedding")).alias("dim0", "val"),
+        )
+        .select(
+            "is_old",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val") * 1073741824.0).cast("long").alias("q"),
+        )
+    )
+    dagg = dflat.groupBy("dim").agg(
+        F.coalesce(F.sum(F.when(F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("sold"),
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
+        F.coalesce(F.sum(F.when(~F.col("is_old"), F.col("q"))), F.lit(0))
+        .cast("long")
+        .alias("snew"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    ddrift = (
+        F.abs(F.col("snew") * F.col("n_old") - F.col("sold") * F.col("n_new"))
+        .cast("double")
+        / (F.col("n_old") * F.col("n_new"))
+    )
+    dd = dagg.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ddrift > F.lit(_DRIFT_SENS) * F.lit(1073741824.0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dims_drifted")
+    )
+    cells = _ivf_cells(assigned, npre)
+    decis = cells.join(disp, "cid", "left").select(
+        "cid",
+        (5 * F.col("n_new") > F.col("n_seed")).alias("grown"),
+        F.coalesce(
+            F.col("num").cast("double") / F.col("den")
+            > F.lit(0.01) * F.lit(1073741824.0),
+            F.lit(False),
+        ).alias("displaced"),
+    )
+    plan = decis.crossJoin(F.broadcast(dd)).select(
+        "cid",
+        F.when(F.col("grown") | F.col("displaced"), F.lit("recluster"))
+        .when(F.col("dims_drifted") >= _DRIFT_DIMS_MIN, F.lit("requantize"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    allv_pre = assigned.unionByName(npre)
+    rm = allv_pre.join(
+        F.broadcast(plan.filter(F.col("action") == "recluster").select("cid")),
+        "cid",
+    ).select("vec_id", "v", "cid")
+    rflat = rm.select("cid", F.posexplode("v").alias("dim0", "val")).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val") * 1073741824.0).cast("long").alias("q30"),
+    )
+    rmean = rflat.groupBy("cid", "dim").agg(
+        (F.sum("q30").cast("double") / (F.count("*") * F.lit(1073741824.0))).alias(
+            "m"
+        )
+    )
+    rcent = rmean.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    newcent = (
+        cents.join(F.broadcast(plan.filter(F.col("action") != "recluster")), "cid")
+        .select(F.col("cid").cast("long").alias("cell"), "cv")
+        .unionByName(rcent.select(F.col("cid").cast("long").alias("cell"), "cv"))
+        .localCheckpoint(eager=False)
+    )
+    allcent = (
+        cents.select(
+            F.lit(0).cast("long").alias("gen"),
+            F.col("cid").cast("long").alias("cell"),
+            "cv",
+        )
+        .unionByName(newcent.select(F.lit(1).cast("long").alias("gen"), "cell", "cv"))
+    )
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    newv = e.filter(F.col("vec_id") > cut).select(
+        "vec_id",
+        F.expr(f"{base_ts} + make_dt_interval(0, 0, vec_id % 1048576, 0)").alias(
+            "ts"
+        ),
+        (F.col("vec_id") > swap).cast("long").alias("gen"),
+        as_double("embedding").alias("v"),
+    )
+    staged = stage_as_stream(newv, cache_key=f"driftswap:{sf_dir}")
+    stream = read_stream(
+        spark,
+        staged,
+        schema="vec_id bigint, ts timestamp, gen bigint, v array<double>",
+    ).withWatermark("ts", "2 minutes")
+    scored = stream.join(F.broadcast(allcent), "gen").select(
+        "ts", "vec_id", "gen", "cell",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    agg = scored.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "vec_id", "gen"
+    ).agg(
+        F.max(
+            F.struct(F.col("sim").alias("sim"), (-F.col("cell")).alias("negcell"))
+        ).alias("best")
+    )
+    out = run_to_files(agg)
+    return (
+        out.select(
+            F.col("w.start").alias("wstart"),
+            "gen",
+            (-F.col("best.negcell")).cast("long").alias("cell"),
+        )
+        .groupBy("wstart", "gen", "cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
