@@ -285,6 +285,8 @@ _HEAVY = {
     "llm_ann_join_topk_scaled",
     # round-10 capstone composition (drift surgery + streaming swap):
     "str_drift_swap_splice",
+    # rides the CC closure:
+    "llm_dedup_rep_apply",
 }
 
 

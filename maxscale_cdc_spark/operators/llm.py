@@ -3582,3 +3582,104 @@ def llm_dedup_rep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.removed").cast("long").alias("removed_tokens"),
         F.sum("p.changed").cast("long").alias("reps_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_rep_apply — EXECUTE the keeper policy (the plan→apply for
+# llm_dedup_rep_policy, which only prices the three policies): the
+# 'longest' policy is applied to the cached component closure and the
+# DEDUPED CORPUS is materialized — kept = every unclustered doc plus
+# each cluster's max-token keeper (doc_id tiebreak).  The per-source
+# ledger (kept/removed docs and token mass, BIGINT) is what the
+# downstream mix/budget planners consume; the oracle recomputes the
+# closure + the pick + the verdicts from scratch, so the green row
+# certifies the materialization, not just the pricing.
+#
+# Scale: rides the session-cached CC closure (no second fixed point);
+# one keeper window over |clustered docs|, two broadcast-sized left
+# joins against the corpus scan, one map-side-combinable agg.
+# ---------------------------------------------------------------------------
+
+_REP_APPLY_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+    """info AS (
+    SELECT r.cluster_rep AS cid, r.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+    FROM reps r JOIN documents d USING (doc_id)
+  ),
+  pick AS (
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY cid
+                                        ORDER BY n_tok DESC, doc_id) AS rn
+      FROM info
+    ) WHERE rn = 1
+  ),
+  verdicts AS (
+    SELECT d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           (r.doc_id IS NULL OR p.doc_id IS NOT NULL) AS kept
+    FROM documents d
+    LEFT JOIN reps r ON r.doc_id = d.doc_id
+    LEFT JOIN pick p ON p.doc_id = d.doc_id
+  )
+SELECT source,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE n_tok END) AS BIGINT) AS removed_tokens
+FROM verdicts
+GROUP BY source""",
+)
+_REP_APPLY_ORACLE = oracle_splice(
+    _REP_APPLY_ORACLE, "  )\ninfo AS (", "  ),\n  info AS ("
+)
+
+
+@register("llm_dedup_rep_apply", _REP_APPLY_ORACLE)
+def llm_dedup_rep_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the deduped corpus under the 'longest' keeper
+    policy, with the per-source kept/removed ledger (see block
+    comment)."""
+    comp = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    info = comp.join(d.select("doc_id", "n_tok"), "doc_id").select(
+        F.col("cluster_rep").alias("cid"), "doc_id", "n_tok"
+    )
+    pick = (
+        info.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cid").orderBy(F.col("n_tok").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    verd = (
+        d.join(
+            comp.select("doc_id", F.lit(True).alias("clustered")), "doc_id", "left"
+        )
+        .join(pick.select("doc_id", F.lit(True).alias("keeper")), "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            (F.col("clustered").isNull() | F.col("keeper").isNotNull()).alias(
+                "kept"
+            ),
+        )
+    )
+    return verd.groupBy("source").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tok")))
+        .cast("long")
+        .alias("removed_tokens"),
+    )

@@ -159,3 +159,18 @@ def test_manifest_gc_survivors_serve_reads(spark, sf_dir):
     assert r["n_dirs_deleted"] >= 1
     assert r["n_dirs_retained"] >= 1
     assert r["n_manifests_retained"] == 1
+
+
+def test_rep_apply_matches_rep_policy_pricing(spark, sf_dir):
+    """The materialized 'longest' dedup must carry exactly the token
+    mass llm_dedup_rep_policy priced for that policy: kept_tokens of
+    clustered docs = the policy row's kept_tokens, removed = removed."""
+    pol = {
+        r["policy"]: r for r in _q("llm_dedup_rep_policy", spark, sf_dir).collect()
+    }["longest"]
+    app = _q("llm_dedup_rep_apply", spark, sf_dir).collect()
+    removed_tokens = sum(r["removed_tokens"] for r in app)
+    assert removed_tokens == pol["removed_tokens"], (
+        removed_tokens, pol["removed_tokens"],
+    )
+    assert sum(r["n_removed"] for r in app) > 0
