@@ -937,3 +937,20 @@ def test_ivm_topk_prefix_filters_reach_scan(spark, sf_dir):
     df = _q("rel_ivm_topk", spark, sf_dir)
     assert not has_cartesian(df)
     assert "event_id" in pushed_filters(df)
+
+
+def test_store_migrate_no_cartesian_no_python(spark, sf_dir):
+    """Both configs' band joins are equi-keyed on (band, key); the
+    scalar-aggregate crossJoins broadcast 1-row frames (allowed), but
+    nothing may go CartesianProduct or drop to Python."""
+    df = _q("llm_dedup_store_migrate", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_sampled_no_cartesian_no_python(spark, sf_dir):
+    df = _q("llm_dedup_containment_sampled", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
