@@ -51,6 +51,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-10 sweep greens (CORRECTNESS_r10.json, all 50 — 19 new ids,
+    # 31 re-certifications of ids already listed below), code unchanged
+    # since.  str_schema_evolution_stream is deliberately NOT absorbed:
+    # its oracle's cut CTE was rewritten in round 11 (double-division
+    # rounding bug, ADVICE r10) — honesty rule, see _DEMOTED.
+    "cdc_cascade_delete_apply", "cdc_replay_idempotence",
+    "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e",
+    "llm_dedup_containment_sampled", "llm_dedup_rep_apply",
+    "llm_dedup_store_migrate", "llm_drift_reindex_apply",
+    "mm_modality_budget_apply", "rel_dist_drift", "rel_ivm_topk",
+    "snk_manifest_gc", "snk_time_travel", "src_csv_badrecords",
+    "str_drift_swap_splice", "str_embed_drift_stream",
+    "str_ivf_swap_splice", "str_session_dynamic",
     # round-9 sweep greens (CORRECTNESS_r09.json, all 50 — 20 new ids,
     # 21 honest demotions re-certified, 9 re-certifications of ids
     # already listed below), code unchanged since:
@@ -198,13 +211,16 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-10 open state: the round-9 sweep came back 50/50 green
-# (CORRECTNESS_r09.json — all 20 never-tested ids, all 21 round-9
-# demotions, 9 re-certs), so entering round 10 ALL 328 registered
-# queries are certified on current code and the full 50-slot budget
-# belongs to round-10 work.  Demotions made this round are listed
-# here per the honesty rule.
-_DEMOTED: set[str] = set()
+# Round-11 open state: the round-10 sweep came back 50/50 green
+# (CORRECTNESS_r10.json), so entering round 11 ALL 347 registered
+# queries had certified rows.  Demotions made this round per the
+# honesty rule:
+#  - str_schema_evolution_stream: round-11 fixed its ORACLE's cut CTE
+#    (CAST(max*3/5 AS BIGINT) rounded via double division while Spark
+#    div() floors — divergent whenever max(sequence) % 5 IN (1, 3);
+#    ADVICE r10 high).  The r10 green row certified the buggy oracle
+#    on a benign residue, so it re-certifies this round.
+_DEMOTED: set[str] = {"str_schema_evolution_stream"}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
@@ -279,8 +295,6 @@ _HEAVY = {
     "str_schema_evolution_stream",
     # round-10 merge/compact/GC lifecycle:
     "snk_manifest_gc",
-    # round-10 multi-merge manifest lifecycle:
-    "snk_time_travel",
     # round-10 raised-K index (K=32 Lloyd chain):
     "llm_ann_join_topk_scaled",
     # round-10 capstone composition (drift surgery + streaming swap):

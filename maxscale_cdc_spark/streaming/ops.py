@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_spark.functions.numeric import dec
 from maxscale_cdc_spark.operators.cdc import _DML_CASE_SQL
-from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.registry import oracle_splice, register
 from maxscale_cdc_spark.streaming.runners import (
     read_stream,
     run_to_files,
@@ -2755,7 +2755,10 @@ def _schema_evo_stream_oracle() -> str:
     return f"""
 {CDC_SQL}
 , cut AS (
-  SELECT CAST(max(sequence) * 3 / 5 AS BIGINT) AS cutoff FROM cdc
+  -- BIGINT // BIGINT floors (matches Spark div()); the previous
+  -- CAST(max*3/5 AS BIGINT) went through DOUBLE division and ROUNDED,
+  -- shifting the cutoff by 1 whenever max(sequence) % 5 IN (1, 3).
+  SELECT (max(sequence) * 3) // 5 AS cutoff FROM cdc
 ), payload AS (
   SELECT c.sequence,
          CASE WHEN c.sequence <= t.cutoff THEN 1 ELSE 2 END AS version,
@@ -2890,9 +2893,10 @@ def str_schema_evolution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snk_manifest_gc",
-    f"""
+    oracle_splice(
+        f"""
     {_UPSERT_STATE_ORACLE.rstrip()}
-    """.replace(
+    """,
         "SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
         "SELECT CAST(4 AS BIGINT) AS n_dirs_before, CAST(3 AS BIGINT) AS n_dirs_deleted,\n"
         "       CAST(1 AS BIGINT) AS n_dirs_retained, CAST(1 AS BIGINT) AS n_manifests_retained,\n"
