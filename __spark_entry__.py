@@ -275,6 +275,8 @@ _HEAVY = {
     # round-10 composed retrieval path (kmeans lineage + K staged
     # MMR selections):
     "llm_ann_mmr_e2e",
+    # round-11 production variant (K=32 Lloyd chain + staged MMR):
+    "llm_ann_mmr_e2e_scaled",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -2181,7 +2181,13 @@ _ANNMMR_NPROBE = 2
 _ANNMMR_C = 20  # candidate pool per query (ANN-routed, not full-scan)
 
 
-def _ann_mmr_oracle() -> str:
+def _ann_mmr_oracle(n_cells: int | None = None) -> str:
+    """n_cells=None emits the byte-identical llm_ann_mmr_e2e oracle
+    (default index, no k_cells column) — the CLAUDE.md rule-1 contract
+    that keeps the base op's driver certification valid.  A concrete
+    n_cells rebuilds the same CTE chain on the raised-K index and
+    exports the knob as a constant k_cells column (the
+    llm_ann_join_topk_scaled convention)."""
     k = _KMEANS_ITERS
     cos_ab = sql_cosine("a.v", "b.v")
     stages = []
@@ -2206,8 +2212,10 @@ def _ann_mmr_oracle() -> str:
     ) WHERE r = 1
   )""")
     unions = " UNION ALL ".join(f"SELECT * FROM sel{s}" for s in range(1, _MMR_K + 1))
+    ctes = _sql_kmeans_ctes() if n_cells is None else _sql_kmeans_ctes(n_cells=n_cells)
+    kcol = "" if n_cells is None else f", CAST({n_cells} AS BIGINT) AS k_cells"
     return f"""
-WITH {_sql_kmeans_ctes()},
+WITH {ctes},
   qset AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id % {_ANNMMR_QMOD} = 0),
   route AS (
     SELECT qid, qv, cid FROM (
@@ -2245,12 +2253,12 @@ WITH {_sql_kmeans_ctes()},
       FROM cand
     ) WHERE r = 1
   ),{",".join(stages)}
-SELECT qid, rk, vec_id, rel_u, score_u FROM ({unions})
+SELECT qid, rk, vec_id, rel_u, score_u{kcol} FROM ({unions})
 """
 
 
 def _ann_mmr_candidates(
-    spark: SparkSession, sf_dir: str, stage: bool = True
+    spark: SparkSession, sf_dir: str, stage: bool = True, n_cells: int | None = None
 ) -> DataFrame:
     """The ANN candidate stage of llm_ann_mmr_e2e: IVF routing + the
     cid equi-join + per-query top-C.  Split out so tests/test_plans.py
@@ -2263,7 +2271,9 @@ def _ann_mmr_candidates(
         return df.localCheckpoint(eager=False) if stage else df
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cents, assigned = _kmeans_cells(e)
+    cents, assigned = (
+        _kmeans_cells(e) if n_cells is None else _kmeans_cells(e, n_cells=n_cells)
+    )
     cents = st(cents)
     assigned = st(assigned.select("vec_id", "v", "cid"))
     qset = (
@@ -2301,15 +2311,18 @@ def _ann_mmr_candidates(
     )
 
 
-def _ann_mmr_frame(spark: SparkSession, sf_dir: str, stage: bool = True) -> DataFrame:
-    """Plan builder for llm_ann_mmr_e2e; `stage=False` skips the
-    localCheckpoints so tests can inspect lineage."""
+def _ann_mmr_frame(
+    spark: SparkSession, sf_dir: str, stage: bool = True, n_cells: int | None = None
+) -> DataFrame:
+    """Plan builder for llm_ann_mmr_e2e (n_cells=None, byte-identical
+    plan) and llm_ann_mmr_e2e_scaled (raised-K index); `stage=False`
+    skips the localCheckpoints so tests can inspect lineage."""
 
     def st(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if stage else df
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cand = _ann_mmr_candidates(spark, sf_dir, stage=stage)
+    cand = _ann_mmr_candidates(spark, sf_dir, stage=stage, n_cells=n_cells)
     candv = cand.join(
         e.select("vec_id", as_double("embedding").alias("v")), "vec_id"
     ).select("qid", "vec_id", "v")
@@ -2367,6 +2380,11 @@ def _ann_mmr_frame(spark: SparkSession, sf_dir: str, stage: bool = True) -> Data
         )
         selected = st(selected.unionByName(pick))
         out = selected
+    if n_cells is not None:
+        return out.select(
+            "qid", "rk", "vec_id", "rel_u", "score_u",
+            F.lit(n_cells).cast("long").alias("k_cells"),
+        )
     return out.select("qid", "rk", "vec_id", "rel_u", "score_u")
 
 
@@ -2848,3 +2866,34 @@ def llm_ann_join_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_ANNJ_K_SCALED).cast("long").alias("k_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_mmr_e2e_scaled — the composed retrieval path on the RAISED-K
+# index (r10 verdict ask #1): llm_ann_mmr_e2e rides the family default
+# K=8 coarse cells, and its own sf10 measurement (BASELINE.md r10,
+# 167.6 s dominated by the candidate equi-join) is 2.6x the cost of the
+# IDENTICAL join at K=32 (llm_ann_join_topk_scaled, 172.5 -> 64.1 s) —
+# the production RAG path should ride the production knob.  Same query
+# sample, routing rule (nprobe=2 of the broadcast centroid table),
+# top-C candidate pool, and integer-MMR selection as the base op; only
+# the index granularity changes, exported as the constant k_cells
+# column so the two registered results are directly comparable.
+# Registered as a VARIANT (not a rewrite) so the freshly-green base op
+# keeps its certification — the llm_ann_join_topk_scaled precedent.
+#
+# Scale: candidate scan per query is proportional to nprobe * N/K —
+# 4x less work per query at K=32 with cells 4x smaller; at 100 TB the
+# knob follows the docstring rule "raise K so cells stay 10^4-10^5
+# rows".  The MMR stage cost is unchanged (C^2-bounded per query after
+# candidates), so the whole e2e saving is the candidate-join saving.
+# ---------------------------------------------------------------------------
+
+_ANNMMR_K_SCALED = _ANNJ_K_SCALED  # ride the SAME raised-K production index
+
+
+@register("llm_ann_mmr_e2e_scaled", _ann_mmr_oracle(n_cells=_ANNMMR_K_SCALED))
+def llm_ann_mmr_e2e_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ann_mmr_e2e on the K=32 raised-K index (see block
+    comment)."""
+    return _ann_mmr_frame(spark, sf_dir, stage=True, n_cells=_ANNMMR_K_SCALED)

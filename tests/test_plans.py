@@ -918,6 +918,36 @@ def test_ann_mmr_iterations_stay_candidate_bounded(spark, sf_dir):
     assert not has_cartesian(df)
 
 
+def test_ann_mmr_scaled_candidates_no_full_embedding_scan(spark, sf_dir):
+    """The raised-K (K=32) production variant keeps the ANN candidate
+    shape: routing NLJs broadcast the centroid table unconditioned,
+    the candidate join is keyed on cid — same gate as the base op."""
+    import re
+
+    from maxscale_cdc_spark.operators.retrieval import (
+        _ANNMMR_K_SCALED,
+        _ann_mmr_candidates,
+    )
+
+    df = _ann_mmr_candidates(spark, sf_dir, stage=False, n_cells=_ANNMMR_K_SCALED)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"Left keys \[1\]: \[cid#", plan), plan
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if "BroadcastNestedLoopJoin" in block.splitlines()[0]:
+            assert "Join condition: None" in block, block
+
+
+def test_ann_mmr_scaled_iterations_stay_candidate_bounded(spark, sf_dir):
+    """Raised-K variant: no corpus rescans after the staged cand +
+    sims lineages, nothing cartesian."""
+    df = _q("llm_ann_mmr_e2e_scaled", spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert not has_cartesian(df)
+
+
 def test_cascade_delete_broadcast_and_pushdown(spark, sf_dir):
     """The deleted-parent set must BROADCAST into the child purge (one
     pass over orders, no shuffle of the fact side), and nothing goes
