@@ -449,6 +449,13 @@ def str_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class StaleWriterError(RuntimeError):
+    """A fenced-out writer attempted to publish: a newer writer epoch
+    exists (or a concurrent publish already claimed this manifest
+    seq).  The failed writer's generation dir is an orphan — never
+    referenced, same safety as the crash-before-manifest window."""
+
+
 class ManifestedUpsertSink:
     """Bucket-partitioned parquet MERGE target with a DURABLE manifest —
     the transactional-table-format role (Delta/Iceberg commit log) in
@@ -493,6 +500,7 @@ class ManifestedUpsertSink:
         root: str,
         n_buckets: int = 8,
         retain_manifests: int = 10,
+        fenced: bool = False,
     ):
         import json
         import os
@@ -500,6 +508,19 @@ class ManifestedUpsertSink:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # Two-writer safety (r10 verdict ask #5), the Delta-style
+        # writer-epoch pattern, OPT-IN so single-writer deployments
+        # keep the exact legacy layout: a fenced writer atomically
+        # claims epoch token max+1 at construction; the newest token
+        # fences every older writer.  Publish then (a) refuses if a
+        # newer epoch token exists and (b) claims its manifest seq
+        # EXCLUSIVELY (os.link, first-writer-wins) instead of
+        # os.replace — so a stale writer can neither clobber a newer
+        # manifest nor silently double-claim a seq after its
+        # read-modify-write state went stale.  Epoch tokens are tiny
+        # files beside the manifests (`epoch_{E:08d}.token`); readers
+        # and recovery ignore them (manifest_ prefix filter).
+        self.epoch: int | None = None
         # Commit-log retention (the r7 verdict's ops gap): keep the
         # newest N manifest files, delete-behind AFTER each successful
         # publish.  Recovery only ever reads the highest-seq manifest,
@@ -511,12 +532,43 @@ class ManifestedUpsertSink:
         self.retain_manifests = max(1, int(retain_manifests))
         self.mdir = os.path.join(root, "_manifest")
         os.makedirs(self.mdir, exist_ok=True)
+        if fenced:
+            self.epoch = self._acquire_epoch()
         names = self._manifest_names()
         if names:
             with open(os.path.join(self.mdir, names[-1])) as fh:
                 self.gen_of = {int(b): g for b, g in json.load(fh).items()}
         else:
             self.gen_of = {}
+
+    def _epoch_tokens(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(n[6:14])
+            for n in os.listdir(self.mdir)
+            if n.startswith("epoch_") and n.endswith(".token")
+        )
+
+    def _acquire_epoch(self) -> int:
+        """Atomically claim the next writer epoch: O_EXCL create of
+        `epoch_{max+1:08d}.token`; a same-instant racer loses the
+        create and retries at the next number — epochs are unique and
+        total-ordered, and acquiring one fences every older writer."""
+        import os
+
+        while True:
+            toks = self._epoch_tokens()
+            e = (toks[-1] if toks else 0) + 1
+            try:
+                fd = os.open(
+                    os.path.join(self.mdir, f"epoch_{e:08d}.token"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue
+            os.close(fd)
+            return e
 
     def _manifest_names(self) -> list[str]:
         import os
@@ -530,13 +582,39 @@ class ManifestedUpsertSink:
     def _persist(self) -> None:
         import json
         import os
+        import uuid
 
+        if self.epoch is not None:
+            toks = self._epoch_tokens()
+            if toks and toks[-1] > self.epoch:
+                raise StaleWriterError(
+                    f"writer epoch {self.epoch} fenced by epoch {toks[-1]}; "
+                    "publish refused"
+                )
         names = self._manifest_names()
         seq = int(names[-1][9:17]) + 1 if names else 0
-        tmp = os.path.join(self.mdir, f".tmp_{seq:08d}.json")
-        with open(tmp, "w") as fh:
-            json.dump({str(b): g for b, g in self.gen_of.items()}, fh)
-        os.replace(tmp, os.path.join(self.mdir, f"manifest_{seq:08d}.json"))
+        final = os.path.join(self.mdir, f"manifest_{seq:08d}.json")
+        if self.epoch is not None:
+            # exclusive claim: tmp name is per-attempt, os.link fails
+            # (never overwrites) if a concurrent publish took this seq
+            # — in which case our bucket map was built on stale state.
+            tmp = os.path.join(self.mdir, f".tmp_{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump({str(b): g for b, g in self.gen_of.items()}, fh)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.remove(tmp)
+                raise StaleWriterError(
+                    f"manifest seq {seq} already published by a concurrent "
+                    "writer; publish refused"
+                ) from None
+            os.remove(tmp)
+        else:
+            tmp = os.path.join(self.mdir, f".tmp_{seq:08d}.json")
+            with open(tmp, "w") as fh:
+                json.dump({str(b): g for b, g in self.gen_of.items()}, fh)
+            os.replace(tmp, final)
         # delete-behind: truncation runs AFTER the atomic publish, so a
         # crash mid-truncation leaves extra old files, never a missing
         # newest one.
