@@ -277,6 +277,9 @@ _HEAVY = {
     "llm_ann_mmr_e2e",
     # round-11 production variant (K=32 Lloyd chain + staged MMR):
     "llm_ann_mmr_e2e_scaled",
+    # round-11 mid-stream banding-config swap (chooser curve +
+    # streaming band self-join lifecycle):
+    "str_banding_swap_splice",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -3416,3 +3416,209 @@ def str_drift_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wstart", "gen", "cell")
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# str_banding_swap_splice — the STREAMING member of the recall-governed
+# chooser family (r10 verdict ask #6): the batch chooser
+# (autotune.chosen_banding / banding.chosen_cte) measures the banding
+# config per corpus, and str_dedup_near_* band at that config — but
+# FIXED for the stream's lifetime, baked into the plan as an explode.
+# A long-lived dedup stream crosses chooser breakpoints (the corpus
+# grows, the measured recall curve moves, the chooser's pick changes),
+# and restarting the stream to re-band forfeits exactly the continuity
+# the reference's Stop()/resume contract exists for.
+#
+# This op makes the banding config DATA (the str_ivf_swap_splice
+# generation-key mechanism): signatures enter the stream UN-banded
+# (doc_id, ts, gen, ms[16]); a KB-sized broadcast config table
+# cfg(gen, band, start, rpb) — one row per band per generation — joins
+# on `gen`, so the mid-stream re-banding is a broadcast-data swap, not
+# a topology change (no stream restart, no state migration).  Timeline:
+# docs arrive in id order; through the (max*3)//5 cutover the STORED
+# legacy config (the documented old hard-coded 2×4) governs; past it
+# the chooser's measured config (generation 1) takes over.  Candidate
+# pairs form within a generation (the band join keys on gen) and
+# within the 60-min horizon; exact-Jaccard verify at ≥ 0.5 runs
+# batch-side over candidates only, exactly the nearwin contract.
+#
+# Cross-seam pairs (one doc each side of the cutover) are deliberately
+# out of scope for the STREAM — their band keys live in different
+# generations; production closes that seam with the batch
+# llm_dedup_incremental pass (old×new only), the same division of
+# labor SCALING.md records for class-collapse.
+#
+# The oracle recomputes both generations from scratch: legacy 2×4
+# candidates over the pre-cutover slice, the FULL chooser CTE chain +
+# chosen-config candidates over the post-cutover slice — so the green
+# row certifies the CHOICE, the SWAP SEAM, and both generations'
+# pair sets together.  State bound: join state is docs-per-horizon ×
+# that generation's band rows; the swap retires generation-0 state by
+# watermark within one horizon of the cutover.
+# ---------------------------------------------------------------------------
+
+_BANDSWAP_LEGACY = (2, 4)  # the stored pre-chooser production config
+
+
+def _banding_swap_oracle() -> str:
+    from maxscale_cdc_spark.operators import banding
+
+    nb0, rpb0 = _BANDSWAP_LEGACY
+    extra = f" AND b.doc_id - a.doc_id <= {_NEARWIN_HORIZON_MIN}"
+    return f"""
+WITH {banding.chooser_prefix_sql()},
+  bsw_sw AS (SELECT (max(doc_id) * 3) // 5 AS s FROM documents),
+  bsw_docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  bsw_sets AS (
+    SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS shs
+    FROM bsw_docw
+  ),
+  bswmh AS MATERIALIZED (
+    SELECT doc_id, shs, {banding.MH16_SET_SQL} FROM bsw_sets
+  ),
+  mh0 AS (SELECT * FROM bswmh WHERE doc_id <= (SELECT s FROM bsw_sw)),
+  mh1 AS (SELECT * FROM bswmh WHERE doc_id > (SELECT s FROM bsw_sw)),
+{banding.cand_sql("mh0", "doc_id", "doc_a", "doc_b", nb0, rpb0,
+                  ord_col="doc_id", extra_pred=extra)},
+{banding.chosen_doc_cand_ctes("mh1", extra_pred=extra, out_name="cand1")},
+  gpairs AS (
+    SELECT CAST(0 AS BIGINT) AS gen, doc_a, doc_b FROM cand_mh0_{nb0}x{rpb0}
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS gen, doc_a, doc_b FROM cand1
+  ),
+  cfgmeta AS (
+    SELECT CAST(0 AS BIGINT) AS gen, CAST({nb0} AS BIGINT) AS bands,
+           CAST({rpb0} AS BIGINT) AS rows_per_band
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(bands AS BIGINT), CAST(rows_per_band AS BIGINT)
+    FROM chosen
+  ),
+  vp AS (
+    SELECT g.gen, g.doc_a, g.doc_b,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_common,
+           CAST(len(sa.shs) + len(sb.shs) AS BIGINT) AS sz_sum
+    FROM gpairs g
+    JOIN bswmh sa ON sa.doc_id = g.doc_a
+    JOIN bswmh sb ON sb.doc_id = g.doc_b
+  )
+SELECT v.gen, m.bands, m.rows_per_band, v.doc_a, v.doc_b, v.n_common,
+       CAST(v.n_common AS DOUBLE) / (v.sz_sum - v.n_common) AS jaccard
+FROM vp v JOIN cfgmeta m ON m.gen = v.gen
+WHERE CAST(v.n_common AS DOUBLE) / (v.sz_sum - v.n_common) >= 0.5
+"""
+
+
+@register("str_banding_swap_splice", _banding_swap_oracle())
+def str_banding_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream banding-config swap at the chooser breakpoint: the
+    config is a broadcast generation table the signature stream joins
+    on `gen` — legacy 2×4 pre-cutover, the measured chooser config
+    after (see block comment)."""
+    from maxscale_cdc_spark.functions.text import word_bigrams, words
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+    from maxscale_cdc_spark.operators.banding import K16
+    from maxscale_cdc_spark.tables import wide_table
+
+    nb0, rpb0 = _BANDSWAP_LEGACY
+    nb1, rpb1 = chosen_banding(spark, sf_dir)  # one cached scalar read
+    d = wide_table(spark, sf_dir, "documents")
+    s = int(
+        d.agg(F.expr("div(max(doc_id) * 3, 5)").alias("s")).collect()[0]["s"]
+    )
+    base_ts = "timestamp'2024-01-01 00:00:00'"
+    shs = F.array_distinct(word_bigrams(words("text")))
+
+    def _mh(j):
+        # single-param lambda via enclosing closure (the CLAUDE.md
+        # two-param-HOF-lambda gotcha)
+        return F.array_min(
+            F.transform(
+                F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{j}:"), x))
+            )
+        ).alias(f"m{j}")
+
+    sig = (
+        d.select(
+            "doc_id",
+            # % 2^20: the nanosecond clock cap (see _nearwin_result)
+            F.expr(
+                f"{base_ts} + make_dt_interval(0, 0, doc_id % 1048576, 0)"
+            ).alias("ts"),
+            shs.alias("shs"),
+        )
+        .select("doc_id", "ts", *[_mh(j) for j in range(K16)])
+        .select(
+            "doc_id",
+            "ts",
+            (F.col("doc_id") > s).cast("long").alias("gen"),
+            F.array(*[f"m{j}" for j in range(K16)]).alias("ms"),
+        )
+    )
+    staged = stage_as_stream(sig, cache_key=f"bandswap:{sf_dir}")
+    schema = "doc_id bigint, ts timestamp, gen bigint, ms array<string>"
+    # the config as DATA: one broadcast row per (generation, band)
+    cfg = spark.createDataFrame(
+        [(0, b, b * rpb0 + 1, rpb0) for b in range(nb0)]
+        + [(1, b, b * rpb1 + 1, rpb1) for b in range(nb1)],
+        "gen bigint, band int, start int, rpb int",
+    )
+
+    def side() -> DataFrame:
+        st = read_stream(spark, staged, schema=schema).withWatermark(
+            "ts", f"{_NEARWIN_HORIZON_MIN + 1} minutes"
+        )
+        return st.join(F.broadcast(cfg), "gen").select(
+            "doc_id",
+            "ts",
+            "gen",
+            "band",
+            F.expr("concat_ws('', slice(ms, start, rpb))").alias("key"),
+        )
+
+    n, o = side().alias("n"), side().alias("o")
+    # ordering purely in event time (ts strictly increasing in doc_id
+    # at oracle scales) — the state-constraint-extractor rule
+    pairs = n.join(
+        o,
+        (F.col("n.gen") == F.col("o.gen"))
+        & (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.key") == F.col("o.key"))
+        & (F.col("n.ts") > F.col("o.ts"))
+        & (
+            F.col("n.ts")
+            <= F.col("o.ts") + F.expr(f"INTERVAL {_NEARWIN_HORIZON_MIN} MINUTES")
+        ),
+    ).select(
+        F.col("o.gen").alias("gen"),
+        F.col("o.doc_id").alias("doc_a"),
+        F.col("n.doc_id").alias("doc_b"),
+    )
+    cand = run_to_files(pairs).distinct()
+    cfgmeta = spark.createDataFrame(
+        [(0, nb0, rpb0), (1, nb1, rpb1)],
+        "gen bigint, bands bigint, rows_per_band bigint",
+    )
+    docsets = d.select("doc_id", shs.alias("shs"))
+    sets_a = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "gen",
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            (F.size("shs_a") + F.size("shs_b")).cast("long").alias("sz_sum"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return (
+        inter.filter(jac >= 0.5)
+        .join(F.broadcast(cfgmeta), "gen")
+        .select(
+            "gen", "bands", "rows_per_band", "doc_a", "doc_b",
+            "n_common", jac.alias("jaccard"),
+        )
+    )
