@@ -136,10 +136,22 @@ def main() -> None:
 
     from maxscale_cdc_spark.streaming.runners import _release_stream_state
 
+    # BENCH_COLD=1 clears the per-(session, sf_dir) compute caches
+    # (shingle/trigram lineage, CC components, BPE merges, chooser
+    # curve) BEFORE EVERY ATTEMPT, so min-of-N prices each query's own
+    # lineage instead of a suite-amortized floor (the r10 instrument
+    # finding: llm_banding_recall_curve recorded 0.02 s warm vs 12.2 s
+    # in the driver's cold sequential run).  JVM/JIT/parquet-footer
+    # warmth is deliberately kept — that is legitimate steady-state.
+    cold = os.environ.get("BENCH_COLD", "0") == "1"
+    from maxscale_cdc_spark.session import reset_family_caches
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(repeat):
+            if cold:
+                reset_family_caches()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -164,6 +176,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "repeat": repeat,
+        "cold": cold,
         "n_queries": len(timings),
     }
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:

@@ -66,6 +66,7 @@ from maxscale_cdc_spark.operators.llm import (
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.session import (
     prune_dead_cache_entries,
+    register_family_cache,
     session_cache_key,
 )
 
@@ -87,7 +88,9 @@ _CAND_BUDGET_PER_DOC = banding.CAND_BUDGET_PER_DOC
 # over the SHARED staged trigram sets.
 # ---------------------------------------------------------------------------
 
-_TCLASS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_TCLASS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = (
+    register_family_cache({})
+)
 
 
 def trigram_classes16(
@@ -203,13 +206,13 @@ def _class_exact_pairs(classes: DataFrame) -> DataFrame:
     return ver.filter(jac >= _JACCARD_MIN).select("ckey_a", "ckey_b")
 
 
-_CURVE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CURVE_CACHE: dict[tuple[str, str], DataFrame] = register_family_cache({})
 
 # Corpus-size-capped tuning-sample percentage (banding.CAP_DOCS): the
 # ONE extra scalar read the estimator needs to stay corpus-size-flat
 # (the cut-point-collect precedent).  Identical to the old fixed 40%
 # at every oracle-checked scale (n ≤ 50k ⇒ pct = 40).
-_PCT_CACHE: dict[tuple[str, str], int] = {}
+_PCT_CACHE: dict[tuple[str, str], int] = register_family_cache({})
 
 
 def tuning_sample_pct(spark: SparkSession, sf_dir: str) -> int:
@@ -459,7 +462,7 @@ FROM allp
 # bands at.  ONE driver read (the str_dedup_horizon_autosized
 # pattern); the chooser is the same total integer order as the SQL
 # `chosen` CTE (_chosen_cte), so both engines pick identically.
-_CHOSEN_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+_CHOSEN_CACHE: dict[tuple[str, str], tuple[int, int]] = register_family_cache({})
 
 
 def chosen_banding(spark: SparkSession, sf_dir: str) -> tuple[int, int]:

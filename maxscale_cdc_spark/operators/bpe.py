@@ -36,6 +36,7 @@ from maxscale_cdc_spark.functions.text import words
 from maxscale_cdc_spark.registry import register
 from maxscale_cdc_spark.session import (
     prune_dead_cache_entries,
+    register_family_cache,
     session_cache_key,
 )
 from maxscale_cdc_spark.tables import wide_table
@@ -358,7 +359,9 @@ def _merge_fold(seg, ma, mb):
 # caching the checkpointed DataFrames halves the cost when both run in
 # one session (the driver's sweep and bench both do).  Only the
 # staged, default-K variant is cached.
-_LEARN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_LEARN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = (
+    register_family_cache({})
+)
 
 
 def _learn_merges(

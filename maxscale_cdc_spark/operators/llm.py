@@ -43,6 +43,7 @@ from maxscale_cdc_spark.operators import banding
 from maxscale_cdc_spark.registry import oracle_splice, register
 from maxscale_cdc_spark.session import (
     prune_dead_cache_entries,
+    register_family_cache,
     session_cache_key,
 )
 from maxscale_cdc_spark.tables import table, wide_table
@@ -183,7 +184,9 @@ def _mh_over_set(shs: F.Column, j: int) -> F.Column:
 # (llm_dedup_near / llm_dedup_horizon_profile / llm_lsh_tuning /
 # llm_dedup_threshold_curve) — cache it per (session, sf_dir), the
 # _LEARN_CACHE pattern, so the shingling + class aggregation runs once.
-_SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = (
+    register_family_cache({})
+)
 
 
 def shingle_classes(
@@ -498,7 +501,7 @@ FROM reps
 # component table per (session, sf_dir), the _LEARN_CACHE pattern
 # (bpe.py): the paired query reads the staged result instead of
 # re-running the loop.
-_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = register_family_cache({})
 
 
 @register("llm_dedup_cluster", _CLUSTER_ORACLE)
@@ -1564,7 +1567,7 @@ WHERE CAST(n_common AS DOUBLE) / (sz_sum - n_common) >= {_JACCARD_MIN}
 # the LSH recall audit, and the autotune family (operators/autotune.py)
 # — the r7 verdict's shared-lineage ask: one shingling pass per
 # (session, sf_dir), one place for the trigram definition to live.
-_TRIGRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRIGRAM_CACHE: dict[tuple[str, str], DataFrame] = register_family_cache({})
 
 
 def trigram_sets(

@@ -45,6 +45,29 @@ def get_spark(app_name: str = "maxscale-cdc-spark") -> SparkSession:
     return spark
 
 
+# Central registry of the per-(session, sf_dir) COMPUTE caches
+# (staged shingle/trigram lineage, CC components, BPE merge tables,
+# the chooser curve/choice …).  The r10 verdict's instrument finding:
+# min-of-3-in-one-session amortizes these, turning the per-query floor
+# for cached-family queries into a suite floor (0.02 s recorded for a
+# 12 s query).  bench.py's BENCH_COLD=1 clears them before every
+# attempt via reset_family_caches(), so the recorded floor prices each
+# query's own lineage.  Registration is a no-op wrapper at declaration
+# (the dict object is unchanged) — emitted plans/SQL are identical.
+FAMILY_CACHES: list[dict] = []
+
+
+def register_family_cache(cache: dict) -> dict:
+    FAMILY_CACHES.append(cache)
+    return cache
+
+
+def reset_family_caches() -> None:
+    """Clear every registered compute cache (BENCH_COLD instrument)."""
+    for c in FAMILY_CACHES:
+        c.clear()
+
+
 def session_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Key for the per-(session, sf_dir) staged-DataFrame caches
     (_SHINGLE_CACHE / _CLUSTER_CACHE / _LEARN_CACHE).  Keyed by the
