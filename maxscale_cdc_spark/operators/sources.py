@@ -1261,3 +1261,144 @@ def src_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# src_avro_events — the avrorouter's NATIVE event format (the r7→r10
+# "What's missing" #2).  The reference selects JSON on REGISTER
+# (client.go:211-216) but MaxScale's avrorouter stores and serves
+# change events as Avro object container files — a 100 TB deployment
+# lands Avro.  The environment ships Avro core jars but not the
+# spark-avro DataSource module (re-checked every round), so the codec
+# is sources/avro_ocf.py — a minimal pure-Python OCF reader/writer for
+# the CDC envelope's type space (longs, strings, nullable unions;
+# null + deflate codecs), spec-driven from the file's own embedded
+# schema.
+#
+# Spark-first shape, both directions DISTRIBUTED and Arrow-batched:
+# ENCODE = mapInPandas over the repartitioned envelope, one OCF file
+# per partition (even partitions null-codec, odd deflate — both paths
+# exercised every run); DECODE = binaryFile scan → mapInPandas, one
+# batch per file, schema read from the file metadata.  Swapping in the
+# real spark-avro module later replaces ONE select (the decode UDF →
+# spark.read.format("avro")) and nothing else.  Integer cents keep the
+# round trip exact; `note` exercises the nullable-union branch.
+#
+# Scale: encode/decode are per-file embarrassingly parallel; file
+# count = partition count is the knob.  The per-dml ledger proves
+# losslessness (counts, cents sums, null-union counts, max sequence).
+# ---------------------------------------------------------------------------
+
+_AVRO_CACHE: dict[str, str] = {}
+
+
+def _spool_avro_files(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _AVRO_CACHE:
+        return _AVRO_CACHE[sf_dir]
+    env = cdc_view(spark, sf_dir).select(
+        "sequence",
+        "dml_type",
+        "pk",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "ts_unix",
+        F.when(F.col("pk") % 3 == 0, (F.col("pk") % 7).cast("string")).alias(
+            "note"
+        ),
+    ).repartition(8, "sequence")
+    out = _mkdtemp(prefix="src_avro_")
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from maxscale_cdc_spark.sources.avro_ocf import (
+            CDC_AVRO_SCHEMA,
+            write_ocf,
+        )
+
+        rows: list[dict] = []
+        for pdf in batches:
+            for seq, dml, pk, vc, ts, note in zip(
+                pdf["sequence"], pdf["dml_type"], pdf["pk"],
+                pdf["value_cents"], pdf["ts_unix"], pdf["note"],
+            ):
+                rows.append(
+                    {
+                        "sequence": int(seq),
+                        "dml_type": str(dml),
+                        "pk": int(pk),
+                        "value_cents": int(vc),
+                        "ts_unix": int(ts),
+                        "note": None if note is None or pd.isna(note) else str(note),
+                    }
+                )
+        if rows:
+            pid = TaskContext.get().partitionId()
+            codec = "deflate" if pid % 2 else "null"
+            sync = hashlib.md5(f"avro:{pid}".encode()).digest()
+            blob = write_ocf(CDC_AVRO_SCHEMA, rows, codec=codec, sync=sync)
+            tmp = os.path.join(out, f".part-{pid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, os.path.join(out, f"part-{pid:05d}.avro"))
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    env.mapInPandas(encode, "n long").collect()  # force the writes
+    _AVRO_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "src_avro_events",
+    f"""
+{CDC_SQL}
+SELECT dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(CASE WHEN pk % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_null_note,
+       CAST(max(sequence) AS BIGINT) AS max_seq
+FROM cdc
+GROUP BY dml_type
+""",
+)
+def src_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF round trip of the CDC envelope — distributed encode
+    to per-partition container files (null + deflate codecs), decode
+    via binaryFile + Arrow-batched mapInPandas with the schema read
+    from each file's own metadata; losslessness proven by the per-dml
+    ledger against the raw envelope (see block comment)."""
+    spool = _spool_avro_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "sequence long, dml_type string, pk long, value_cents long, "
+            "ts_unix long, note string",
+        )
+    )
+    return back.groupBy("dml_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_note"),
+        F.max("sequence").alias("max_seq"),
+    )
