@@ -280,6 +280,9 @@ _HEAVY = {
     # round-11 mid-stream banding-config swap (chooser curve +
     # streaming band self-join lifecycle):
     "str_banding_swap_splice",
+    # round-11 two-writer failover lifecycle (4 merges + fenced
+    # publish + recovery read):
+    "snk_fenced_failover",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

