@@ -283,6 +283,9 @@ _HEAVY = {
     # round-11 two-writer failover lifecycle (4 merges + fenced
     # publish + recovery read):
     "snk_fenced_failover",
+    # round-11 streaming Avro tail (file-source stream + in-stream
+    # OCF decode):
+    "str_avro_tail",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

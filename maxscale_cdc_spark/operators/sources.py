@@ -1402,3 +1402,84 @@ def src_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_note"),
         F.max("sequence").alias("max_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_avro_tail — the STREAMING half of the Avro story: the avrorouter
+# WRITES container files continuously and a consumer TAILS the
+# directory (the reference's pump loop, client.go:219-251, with Avro
+# files in place of the JSON wire).  Structured Streaming's file
+# source does the tailing (binaryFile is a file-format source, so new
+# container files become new micro-batch rows); the same schema-driven
+# OCF decode as src_avro_events runs IN-STREAM as a stateless
+# Arrow-batched mapInPandas, and the published monitor is the standard
+# 6-hour tumbling per-dml window over the DECODED event time —
+# proving the decode preserves event-time semantics end to end, not
+# just row payloads.
+#
+# Shape: file listing → per-file decode (scan-speed, stateless) → ONE
+# windowed aggregation (complete mode; at 100 TB this runs append mode
+# with a watermark and an upsert sink).  Adding files to the spool is
+# the only ingestion contract — no custom receiver, no offsets beyond
+# the file-source log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_avro_tail",
+    f"""
+{CDC_SQL}
+SELECT make_timestamp((ts_unix // 21600) * 21600 * 1000000) AS wstart,
+       dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM cdc
+GROUP BY 1, 2
+""",
+)
+def str_avro_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail the Avro container-file spool as a file-source stream,
+    decode OCF blocks in-stream (Arrow-batched), publish 6-hour
+    tumbling per-dml windows over the decoded event time (see block
+    comment)."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory as _rtm
+
+    spool = _spool_avro_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "sequence long, dml_type string, pk long, value_cents long, "
+            "ts_unix long, note string",
+        )
+        .withColumn("ts", F.timestamp_seconds("ts_unix"))
+    )
+    agg = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "dml_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+    )
+    out = _rtm(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("wstart"), "dml_type", "n", "sum_value_cents"
+    )
