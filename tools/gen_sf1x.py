@@ -18,10 +18,14 @@ Construction (copy k = 0..9, all deterministic):
   columns unchanged: 10x density in the same value/time domain.
 - documents: copy 0 verbatim; copy 1 drops one word (a ~0.99-Jaccard
   NEAR-DUP of the original — stresses the near-dup family with real
-  duplicate classes); copies 2..9 stride-shuffle the words (same word
-  multiset — token stats scale cleanly — but bigram shingles are
-  destroyed, so they are NOT near-dups and the candidate set stays
-  sane).
+  duplicate classes); copy 2 is a VERBATIM SNIPPET (first 12 words of
+  the original, for docs >= 24 words — containment ~1.0 against copy
+  0 but J ~= 11/(len-1), the asymmetric jacc_missed=true shape the
+  r10 honesty note found structurally absent from the derived
+  corpora; shorter docs fall back to the stride shuffle); copies 3..9
+  stride-shuffle the words (same word multiset — token stats scale
+  cleanly — but bigram shingles are destroyed, so they are NOT
+  near-dups and the candidate set stays sane).
 - embeddings: copy 0 verbatim; copies k>0 rotate the vector by k
   (distinct directions, same norm distribution).
 """
@@ -97,7 +101,19 @@ def main() -> None:
                     w[i] for r in range(s) for i in range(r, len(w), s)
                 )
 
-            d["text"] = [stride(t) for t in docs["text"]]
+            if k == 2:
+                # containment copy: verbatim 12-word prefix snippet
+                # (jacc_missed=true vs copy 0 once the original has
+                # >2x the snippet's shingles, i.e. >= 24 words)
+                def snippet(row_text):
+                    w = row_text.split(" ")
+                    if len(w) >= 24:
+                        return " ".join(w[:12])
+                    return stride(row_text)
+
+                d["text"] = [snippet(t) for t in docs["text"]]
+            else:
+                d["text"] = [stride(t) for t in docs["text"]]
         d["n_chars"] = d["text"].str.len().astype("int64")
         out.append(d)
     pd.concat(out, ignore_index=True).to_parquet(
