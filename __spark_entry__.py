@@ -286,6 +286,9 @@ _HEAVY = {
     # round-11 streaming Avro tail (file-source stream + in-stream
     # OCF decode):
     "str_avro_tail",
+    # round-11 complete dedup surface (rides the near + containment
+    # lineages: chooser curve + class band join + prefix join):
+    "llm_dedup_two_stage",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

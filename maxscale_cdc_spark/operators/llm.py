@@ -3686,3 +3686,87 @@ def llm_dedup_rep_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_two_stage — the COMPLETE dedup surface, operationalizing
+# the round-11 measurement (BASELINE r11): minhash banding catches
+# <= 12.5% of containment-only pairs at ANY config the recall-governed
+# chooser can pick (a C~1.0 / J~0.1 snippet pair collides in almost no
+# band), while the containment family sees exactly those pairs by
+# construction.  A production corpus needs BOTH passes; this op is
+# their union as one verdict table:
+#
+#   stage 'jaccard'      llm_dedup_near's pairs — symmetric near-dups
+#                        at J >= 0.5, class-collapsed bigram banding
+#                        at the measured chooser config;
+#   stage 'containment'  llm_dedup_containment's pairs RESTRICTED to
+#                        jacc_missed = true — the asymmetric remainder
+#                        (C >= 0.9, trigram J < 0.5) the banding pass
+#                        structurally cannot see.
+#
+# A pair caught by both passes (possible: spaces differ — bigram J vs
+# trigram containment) exports ONCE under 'jaccard' (min-rank dedup;
+# the cheaper-to-action symmetric verdict wins).  Both inputs are the
+# REGISTERED ops' own lineages — the composition adds one union + one
+# pair-keyed min, nothing re-shingled (shared caches).
+#
+# Scale: cost = near + containment, both class-collapsed and
+# prefix/band-bounded (their own docstrings); the merge is one
+# map-side-combinable agg on the pair key.  The oracle unions the two
+# registered oracles' definitions under the same min-rank rule —
+# all-pairs containment truth, so certification-tool at sf0.001-0.1
+# (the oracle-reach rule), like every chooser-embedding oracle.
+# ---------------------------------------------------------------------------
+
+
+def _two_stage_oracle() -> str:
+    # _NEAR_ORACLE and _CONTAIN_ORACLE are SELECT statements; embed
+    # each as a subquery, tag with the stage rank, dedup by pair.
+    return f"""
+WITH near_pairs AS (
+{_NEAR_ORACLE}
+), contain_pairs AS (
+{_CONTAIN_ORACLE}
+), tagged AS (
+  SELECT doc_a, doc_b, 1 AS rk FROM near_pairs
+  UNION ALL
+  SELECT least(doc_small, doc_big) AS doc_a,
+         greatest(doc_small, doc_big) AS doc_b, 2 AS rk
+  FROM contain_pairs WHERE jacc_missed
+)
+SELECT doc_a, doc_b,
+       CASE WHEN min(rk) = 1 THEN 'jaccard' ELSE 'containment' END AS stage
+FROM tagged GROUP BY doc_a, doc_b
+"""
+
+
+@register("llm_dedup_two_stage", _two_stage_oracle())
+def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the symmetric (banded Jaccard) and asymmetric
+    (containment-only) dedup verdicts, one pair-keyed table (see
+    block comment)."""
+    near = llm_dedup_near(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("rk")
+    )
+    asym = (
+        llm_dedup_containment(spark, sf_dir)
+        .filter(F.col("jacc_missed"))
+        .select(
+            F.least("doc_small", "doc_big").alias("doc_a"),
+            F.greatest("doc_small", "doc_big").alias("doc_b"),
+            F.lit(2).alias("rk"),
+        )
+    )
+    return (
+        near.unionByName(asym)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("rk").alias("mrk"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("mrk") == 1, F.lit("jaccard"))
+            .otherwise(F.lit("containment"))
+            .alias("stage"),
+        )
+    )
