@@ -984,3 +984,46 @@ def test_containment_sampled_no_cartesian_no_python(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_two_stage_dedup_no_cartesian_no_python(spark, sf_dir):
+    """The composed dedup surface inherits both inputs' discipline:
+    nothing cartesian, no Python anywhere (both lineages are
+    JVM-side; the merge is one pair-keyed agg)."""
+    df = _q("llm_dedup_two_stage", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_banding_swap_verify_shape(spark, sf_dir):
+    """str_banding_swap_splice's batch verify half: candidate pairs
+    join the doc shingle sets on equi keys, config metadata rides a
+    broadcast, nothing cartesian, no Python."""
+    df = _q("str_banding_swap_splice", spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_broadcast_join(df)  # the KB cfgmeta generation table
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_avro_decode_arrow_batched_only(spark, sf_dir):
+    """The OCF decode is the sanctioned Python touchpoint — it must be
+    the Arrow-batched MapInPandas operator, never row-at-a-time
+    BatchEvalPython, and the aggregate above it stays JVM-side."""
+    df = _q("src_avro_events", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert not has_cartesian(df)
+
+
+def test_fenced_failover_state_read_shape(spark, sf_dir):
+    """The failover op's exported read: bucket-pruned generation scans
+    union-read through the recovered manifest — no cartesian, no
+    Python, constants ride as literals."""
+    df = _q("snk_fenced_failover", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
