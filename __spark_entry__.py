@@ -289,6 +289,9 @@ _HEAVY = {
     # round-11 complete dedup surface (rides the near + containment
     # lineages: chooser curve + class band join + prefix join):
     "llm_dedup_two_stage",
+    # round-11 mixed-generation Avro landing zone (two encode passes
+    # + per-file schema resolution):
+    "src_avro_schema_evolution",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -1483,3 +1483,163 @@ def str_avro_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("wstart"), "dml_type", "n", "sum_value_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# src_avro_schema_evolution — the Avro lane's ALTER behavior: the
+# avrorouter bumps the schema VERSION on DDL (event.go:35-36) and
+# never rewrites history, so a landing zone holds container files of
+# MIXED schema generations and a reader must resolve each file against
+# ITS OWN embedded schema (exactly what parquet mergeSchema does for
+# the parquet lane — cdc_schema_evolution — done here for Avro).
+# Files through the (max*3)//5 cutover carry schema v1; later files
+# carry v2 (adds nullable `extra`); the decode reads each file's
+# schema from its metadata, tags rows with the schema generation, and
+# null-fills the missing column — one scan, no restart, no rewrite.
+# The per-(version, dml) ledger certifies both generations' payloads
+# AND the fill.
+# ---------------------------------------------------------------------------
+
+_AVRO_EVO_CACHE: dict[str, str] = {}
+
+
+def _spool_avro_evo_files(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _AVRO_EVO_CACHE:
+        return _AVRO_EVO_CACHE[sf_dir]
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
+    env = cdc.join(F.broadcast(cut)).select(
+        "sequence",
+        "dml_type",
+        "pk",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "ts_unix",
+        F.when(F.col("pk") % 3 == 0, (F.col("pk") % 7).cast("string")).alias(
+            "note"
+        ),
+        (F.col("sequence") > F.col("cutoff")).alias("v2"),
+        (F.col("pk") % 7).cast("int").alias("extra"),
+    )
+    out = _mkdtemp(prefix="src_avro_evo_")
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from maxscale_cdc_spark.sources.avro_ocf import (
+            CDC_AVRO_SCHEMA,
+            CDC_AVRO_SCHEMA_V2,
+            write_ocf,
+        )
+
+        rows: list[dict] = []
+        is_v2 = False
+        for pdf in batches:
+            for seq, dml, pk, vc, ts, note, v2, extra in zip(
+                pdf["sequence"], pdf["dml_type"], pdf["pk"],
+                pdf["value_cents"], pdf["ts_unix"], pdf["note"],
+                pdf["v2"], pdf["extra"],
+            ):
+                is_v2 = bool(v2)
+                rec = {
+                    "sequence": int(seq),
+                    "dml_type": str(dml),
+                    "pk": int(pk),
+                    "value_cents": int(vc),
+                    "ts_unix": int(ts),
+                    "note": None if note is None or pd.isna(note) else str(note),
+                }
+                if is_v2:
+                    rec["extra"] = int(extra)
+                rows.append(rec)
+        if rows:
+            pid = TaskContext.get().partitionId()
+            schema = CDC_AVRO_SCHEMA_V2 if is_v2 else CDC_AVRO_SCHEMA
+            sync = hashlib.md5(f"avro_evo:{pid}".encode()).digest()
+            blob = write_ocf(
+                schema, rows, codec="deflate" if pid % 2 else "null", sync=sync
+            )
+            tag = "v2" if is_v2 else "v1"
+            tmp = os.path.join(out, f".part-{tag}-{pid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, os.path.join(out, f"part-{tag}-{pid:05d}.avro"))
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    # one schema generation per file: partition WITHIN each generation
+    for flag in (False, True):
+        env.filter(F.col("v2") == flag).repartition(4, "sequence").mapInPandas(
+            encode, "n long"
+        ).collect()
+    _AVRO_EVO_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "src_avro_schema_evolution",
+    f"""
+{CDC_SQL}
+, cut AS (SELECT (max(sequence) * 3) // 5 AS c FROM cdc)
+SELECT CASE WHEN sequence <= (SELECT c FROM cut) THEN 1 ELSE 2 END
+         AS schema_version,
+       dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(CASE WHEN sequence <= (SELECT c FROM cut) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_extra,
+       CAST(SUM(CASE WHEN sequence <= (SELECT c FROM cut) THEN 0
+                     ELSE pk % 7 END) AS BIGINT) AS sum_extra
+FROM cdc
+GROUP BY 1, 2
+""",
+)
+def src_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-generation Avro landing zone read in ONE scan: each
+    container file decodes against its own embedded schema, rows are
+    tagged with the schema generation, the added column null-fills
+    for generation-1 files (see block comment)."""
+    spool = _spool_avro_evo_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                schema, recs = read_ocf(bytes(content))
+                if not recs:
+                    continue
+                fields = {f["name"] for f in schema["fields"]}
+                df = pd.DataFrame(recs)
+                df["schema_version"] = 2 if "extra" in fields else 1
+                if "extra" not in fields:
+                    df["extra"] = None  # the mergeSchema null-fill
+                yield df[
+                    ["schema_version", "sequence", "dml_type", "pk",
+                     "value_cents", "ts_unix", "note", "extra"]
+                ]
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "schema_version long, sequence long, dml_type string, pk long, "
+            "value_cents long, ts_unix long, note string, extra int",
+        )
+    )
+    return back.groupBy("schema_version", "dml_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_extra"),
+        F.sum(F.coalesce(F.col("extra"), F.lit(0)))
+        .cast("long")
+        .alias("sum_extra"),
+    )

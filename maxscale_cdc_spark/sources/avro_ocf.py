@@ -242,3 +242,15 @@ CDC_AVRO_SCHEMA = {
         {"name": "note", "type": ["null", "string"]},
     ],
 }
+
+# Generation 2 of the envelope schema — the avrorouter bumps the
+# schema version on ALTER (event.go:35-36) and HISTORICAL container
+# files keep their original schema, so a reader over a landing zone
+# must resolve PER FILE.  `extra` is the added nullable column.
+CDC_AVRO_SCHEMA_V2 = {
+    "type": "record",
+    "name": "CdcEvent",
+    "namespace": "MaxScaleChangeDataSchema.avro",
+    "fields": CDC_AVRO_SCHEMA["fields"]
+    + [{"name": "extra", "type": ["null", "int"]}],
+}

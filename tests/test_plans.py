@@ -1027,3 +1027,13 @@ def test_fenced_failover_state_read_shape(spark, sf_dir):
     assert not has_cartesian(df)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_avro_evolution_decode_arrow_batched_only(spark, sf_dir):
+    """Mixed-generation decode stays the Arrow-batched MapInPandas
+    path; the per-(version, dml) ledger aggregates JVM-side."""
+    df = _q("src_avro_schema_evolution", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert not has_cartesian(df)
