@@ -195,3 +195,35 @@ def test_gc_collects_expired_exclusive_dirs(spark):
         1: (30, 3.0)
     }
     shutil.rmtree(root)
+
+
+def _q(name, spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_two_stage_composes_registered_verdicts(spark, sf_dir):
+    """llm_dedup_two_stage must be EXACTLY the min-rank union of its
+    two registered inputs: every near pair exports as 'jaccard';
+    every containment-stage pair is a jacc_missed containment pair
+    that near does NOT report; nothing else appears."""
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("llm_dedup_near", spark, sf_dir).collect()
+    }
+    asym = {
+        (min(r["doc_small"], r["doc_big"]), max(r["doc_small"], r["doc_big"]))
+        for r in _q("llm_dedup_containment", spark, sf_dir).collect()
+        if r["jacc_missed"]
+    }
+    two = {
+        (r["doc_a"], r["doc_b"]): r["stage"]
+        for r in _q("llm_dedup_two_stage", spark, sf_dir).collect()
+    }
+    assert set(two) == near | asym
+    for p, stage in two.items():
+        if stage == "jaccard":
+            assert p in near, p
+        else:
+            assert p in asym and p not in near, p
