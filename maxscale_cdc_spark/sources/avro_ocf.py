@@ -33,7 +33,6 @@ router; event.go:58-137 documents the field-type space).
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
