@@ -79,3 +79,25 @@ def test_sync_mismatch_raises():
     blob[-1] ^= 0xFF  # corrupt the trailing sync marker
     with pytest.raises(ValueError, match="sync marker"):
         read_ocf(bytes(blob))
+
+
+def test_spool_exercises_both_codecs(spark):
+    """The src_avro_events spool must actually contain BOTH codec
+    paths (even partitions null, odd deflate) — otherwise the deflate
+    branch of the decode ships untested against real files."""
+    import os
+
+    from maxscale_cdc_spark.operators.sources import _spool_avro_files
+
+    spool = _spool_avro_files(spark, "/root/testdata/sf0.001")
+    tot = 0
+    codecs = set()
+    for n in sorted(os.listdir(spool)):
+        if n.endswith(".avro"):
+            with open(os.path.join(spool, n), "rb") as fh:
+                data = fh.read()
+            _, recs = read_ocf(data)  # full decode: corruption would raise
+            tot += len(recs)
+            codecs.add(b"deflate" in data[:400])  # codec rides the metadata
+    assert tot == 1000  # every sf0.001 event, losslessly
+    assert codecs == {True, False}, "both codecs must appear in the spool"
