@@ -292,6 +292,9 @@ _HEAVY = {
     # round-11 mixed-generation Avro landing zone (two encode passes
     # + per-file schema resolution):
     "src_avro_schema_evolution",
+    # round-11 Avro tail Stop()/resume (two streaming runs, shared
+    # checkpoint):
+    "str_avro_tail_restart",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

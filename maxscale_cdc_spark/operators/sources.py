@@ -1643,3 +1643,176 @@ def src_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_extra"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_avro_tail_restart — Stop()/resume for the Avro tail: the
+# file-source OFFSET LOG must carry a custom-decoded binary source
+# across a process restart (str_restart_continuation proved checkpoint
+# recovery for aggregate STATE over a parquet source; this proves the
+# file-source's seen-files log + windowed state over binaryFile +
+# mapInPandas).  Run 1 tails the spool's first half (files covering
+# ts <= mid-time), the "process stops", the router lands the second
+# half's container files, and a SECOND query — same checkpoint —
+# resumes: it must decode ONLY the new files (asserted loudly from
+# the run's progress: source rows == new files) and fold them into
+# the recovered window state.  Append mode + 1 h watermark: the union
+# of both runs' emissions must equal the batch windows closed under
+# the FINAL watermark — the oracle is split-independent, so a resume
+# that reprocessed (double counts) or lost state (undercounts) breaks
+# the hash.
+#
+# Late-data safety by construction: the split is BY TIME (second-half
+# rows all later than every first-half row), and each availableNow
+# run ingests its files in one micro-batch (no maxFilesPerTrigger),
+# so the watermark only advances after all of a run's rows are in.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_avro_tail_restart",
+    f"""
+{CDC_SQL}
+, wm AS (SELECT max(ts_unix) - 3600 AS w FROM cdc)
+SELECT make_timestamp((ts_unix // 21600) * 21600 * 1000000) AS wstart,
+       dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM cdc, wm
+WHERE ((ts_unix // 21600) + 1) * 21600 <= wm.w
+GROUP BY 1, 2
+""",
+)
+def str_avro_tail_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two availableNow runs over a growing Avro spool, one shared
+    checkpoint: run 2 decodes only the newly landed container files
+    and resumes the recovered window state (see block comment)."""
+    import hashlib
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+
+    env = cdc_view(spark, sf_dir).select(
+        "sequence",
+        "dml_type",
+        "pk",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "ts_unix",
+        F.when(F.col("pk") % 3 == 0, (F.col("pk") % 7).cast("string")).alias(
+            "note"
+        ),
+    ).localCheckpoint(eager=False)
+    row = env.agg(
+        F.min("ts_unix").alias("lo"), F.max("ts_unix").alias("hi")
+    ).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2
+    spool = _mkdtemp(prefix="avro_restart_spool_")
+    out = _mkdtemp(prefix="avro_restart_out_")
+    ckpt = _mkdtemp(prefix="avro_restart_ckpt_")
+
+    def land(half_df, tag: str) -> None:
+        def encode(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            from maxscale_cdc_spark.sources.avro_ocf import (
+                CDC_AVRO_SCHEMA,
+                write_ocf,
+            )
+
+            rows: list[dict] = []
+            for pdf in batches:
+                for seq, dml, pk, vc, ts, note in zip(
+                    pdf["sequence"], pdf["dml_type"], pdf["pk"],
+                    pdf["value_cents"], pdf["ts_unix"], pdf["note"],
+                ):
+                    rows.append(
+                        {
+                            "sequence": int(seq),
+                            "dml_type": str(dml),
+                            "pk": int(pk),
+                            "value_cents": int(vc),
+                            "ts_unix": int(ts),
+                            "note": None
+                            if note is None or pd.isna(note)
+                            else str(note),
+                        }
+                    )
+            if rows:
+                pid = TaskContext.get().partitionId()
+                sync = hashlib.md5(f"avro_rs:{tag}:{pid}".encode()).digest()
+                blob = write_ocf(
+                    CDC_AVRO_SCHEMA, rows,
+                    codec="deflate" if pid % 2 else "null", sync=sync,
+                )
+                tmp = os.path.join(spool, f".part-{tag}-{pid:05d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                os.replace(tmp, os.path.join(spool, f"part-{tag}-{pid:05d}.avro"))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        half_df.repartition(4, "sequence").mapInPandas(encode, "n long").collect()
+
+    def run_once():
+        def decode(batches):
+            import pandas as pd
+
+            from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+            for pdf in batches:
+                for content in pdf["content"]:
+                    _, recs = read_ocf(bytes(content))
+                    if recs:
+                        yield pd.DataFrame(recs)
+
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, "
+                "content binary"
+            )
+            .load(spool)
+            .select("content")
+            .mapInPandas(
+                decode,
+                "sequence long, dml_type string, pk long, value_cents long, "
+                "ts_unix long, note string",
+            )
+            .withColumn("ts", F.timestamp_seconds("ts_unix"))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "6 hours").alias("w"), "dml_type"
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        )
+        with _few_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            prog = list(q.recentProgress)
+        _release_stream_state(spark)
+        return prog
+
+    land(env.filter(F.col("ts_unix") <= mid), "h1")
+    run_once()
+    land(env.filter(F.col("ts_unix") > mid), "h2")
+    prog2 = run_once()
+    # the resume contract, asserted loudly: run 2's SOURCE rows are
+    # exactly the 4 newly landed files — the offset log skipped the
+    # already-decoded half
+    n_in = sum(int(p["numInputRows"]) for p in prog2)
+    assert n_in == 4, f"restart reprocessed the spool: {n_in} source rows"
+    return spark.read.parquet(out).select(
+        F.col("w.start").alias("wstart"), "dml_type", "n", "sum_value_cents"
+    )
