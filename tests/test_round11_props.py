@@ -227,3 +227,56 @@ def test_two_stage_composes_registered_verdicts(spark, sf_dir):
             assert p in near, p
         else:
             assert p in asym and p not in near, p
+
+
+def test_fenced_streaming_writer_dies_loudly(spark, sf_dir):
+    """The streaming completion of the failover story: a foreachBatch
+    writer whose sink is fenced MID-QUERY must terminate the query
+    with StaleWriterError (surfaced via StreamingQueryException) —
+    never publish over the new writer.  The new writer's state
+    survives untouched."""
+    import pyspark.sql.functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        read_stream,
+        stage_as_stream,
+    )
+    from maxscale_cdc_spark.streaming.ops import _cdc_update_agg
+    from maxscale_cdc_spark.tables import table
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    root = _mkdtemp(prefix="msink_stream_fence_")
+    ev = table(spark, sf_dir, "events")
+    staged = stage_as_stream(ev, cache_key=f"events:{sf_dir}")
+    zombie = ManifestedUpsertSink(spark, root, fenced=True)
+
+    fenced_mid_run = {}
+
+    def merge_then_fence(batch_df, epoch_id):
+        # the promotion lands between micro-batches: after the zombie's
+        # first successful merge, writer B claims the next epoch
+        zombie.merge(batch_df, epoch_id)
+        if not fenced_mid_run:
+            fenced_mid_run["b"] = ManifestedUpsertSink(spark, root, fenced=True)
+
+    agg = _cdc_update_agg(read_stream(spark, staged, max_files_per_trigger=1))
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge_then_fence)
+            .option("checkpointLocation", _mkdtemp(prefix="fence_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination()
+    _release_stream_state(spark)
+    assert "StaleWriterError" in str(exc.value) or "fenced" in str(exc.value)
+    # the zombie's one pre-fence publish is all it got; recovery reads
+    # a consistent manifest (B's construction published nothing yet)
+    recovered = ManifestedUpsertSink(spark, root)
+    assert recovered.state() is not None
+    assert fenced_mid_run["b"].epoch == zombie.epoch + 1
