@@ -295,6 +295,9 @@ _HEAVY = {
     # round-11 Avro tail Stop()/resume (two streaming runs, shared
     # checkpoint):
     "str_avro_tail_restart",
+    # round-11 store deletion maintenance (rides the shingle-class +
+    # chooser lineages):
+    "llm_dedup_store_forget",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

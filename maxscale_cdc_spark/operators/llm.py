@@ -3770,3 +3770,91 @@ def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_store_forget — DELETIONS in the signature store (the
+# maintenance direction llm_dedup_incremental doesn't cover: that op
+# grows the store append-only, but a production corpus also shrinks —
+# right-to-be-forgotten, DMCA, license revocation).  A forget batch
+# (here the deterministic doc_id % 13 = 5 slice) is applied to the
+# class store as a PURE PROJECTION — no document is re-read, no set
+# re-shingled:
+#
+#   membership   the (doc_id, ckey) map drops the forgotten rows;
+#   classes      a class whose last member left VANISHES from the
+#                band join; survivors keep their key, set, and stored
+#                minhashes byte-identical (set content defines them);
+#   pairs        banding + verify run over surviving classes at the
+#                STORE's config (the chooser measured the full corpus
+#                — an RTBF batch does not re-tune banding), member
+#                expansion joins the surviving map only.
+#
+# The oracle recomputes near-dup from scratch over the surviving
+# corpus (same chooser prefix over the FULL corpus = the store's
+# config), so the green row proves projection == recompute — i.e. the
+# store can honor deletions without touching a single surviving
+# document.  Scale: the forget apply is one anti-join on the member
+# map + one semi-join on the class table; cost is the dedup pass it
+# would have run anyway, minus the forgotten mass.
+# ---------------------------------------------------------------------------
+
+
+def _store_forget_oracle() -> str:
+    from maxscale_cdc_spark.registry import oracle_splice
+
+    # survivors only in BOTH shingle lineages; the chooser's at_docw
+    # sample stays full-corpus (the store's measured config)
+    o = oracle_splice(
+        _NEAR_ORACLE,
+        "  docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),",
+        "  docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents\n"
+        "           WHERE doc_id % 13 <> 5),",
+    )
+    return oracle_splice(
+        o,
+        "    FROM documents\n  ),\n  mh AS",
+        "    FROM documents WHERE doc_id % 13 <> 5\n  ),\n  mh AS",
+    )
+
+
+@register("llm_dedup_store_forget", _store_forget_oracle())
+def llm_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a forget batch to the signature store by projection
+    (membership anti-join + vanished-class pruning, stored sets and
+    minhashes untouched) and re-emit the near-dup pairs over the
+    surviving corpus; oracle = from-scratch recompute on survivors
+    (see block comment)."""
+    from maxscale_cdc_spark.operators.autotune import chosen_banding
+
+    nb, rpb = chosen_banding(spark, sf_dir)
+    doc_map, classes = shingle_classes(spark, sf_dir)  # the STORE
+    keep_map = doc_map.filter(F.col("doc_id") % 13 != 5)
+    surv = keep_map.groupBy("ckey").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # surviving classes: key/set/signatures are store bytes, only the
+    # member count is re-projected; vanished classes drop via the join
+    classes2 = classes.drop("n_docs").join(surv, "ckey").localCheckpoint(
+        eager=False
+    )
+    cpairs = class_band_pairs(classes2, nb, rpb)
+    ver = class_pair_jaccard(cpairs, classes2)
+    jac_c = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    dup = ver.filter(jac_c >= _JACCARD_MIN)
+    ma = keep_map.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    mb = keep_map.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        dup.join(ma, "ckey_a")
+        .join(mb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "sz_sum",
+        )
+    )
+    intra = _intra_class_pairs(keep_map, classes2)
+    all_pairs = cross.unionByName(intra)
+    jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
+    return all_pairs.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
