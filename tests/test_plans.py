@@ -1037,3 +1037,14 @@ def test_avro_evolution_decode_arrow_batched_only(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan
     assert not has_cartesian(df)
+
+
+def test_store_forget_stays_class_banded(spark, sf_dir):
+    """The forget apply inherits the minhash family's discipline:
+    candidates come from the class band join (never cartesian), and
+    the whole projection stays JVM-side."""
+    df = _q("llm_dedup_store_forget", spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
