@@ -3202,3 +3202,189 @@ def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_bitemporal — BITEMPORAL as-of reads over the CDC stream: every
+# image carries TWO times — transaction time (the reference's total
+# event order, event.go:189-200: domain-server-sequence) and VALID
+# time (when the fact takes business effect; here a deterministic
+# backdate derived from the payload, the "correction recorded now,
+# effective last Tuesday" shape).  A bitemporal probe (T, V) answers
+# "what value was effective at business time V, as the system knew it
+# at transaction time T" — the audit query every regulated CDC
+# consumer (finance, insurance) runs and plain SCD2 cannot answer
+# (cdc_scd2 orders by transaction time only).
+#
+# Shape: images ⋈ broadcast 3×3 probe grid (blowup = #probes, a
+# constant), ONE keyed aggregation per (probe, pk) with a packed-
+# BIGINT lexicographic argmax on (valid_from, sequence) — no window,
+# no self-join.  At 100 TB the probe grid stays a broadcast and the
+# agg is a single shuffle on (probe, pk); for dense probe grids you
+# would pre-aggregate per (pk, valid-day) first.  Packing bounds:
+# vf * 2^24 + sequence % 2^24 — unique while events < 2^24 rows per
+# equal-vf group (generated corpora: ≤1e7 rows total), vf ≈ 1.7e9 so
+# the product ≈ 2.9e16 ≪ 2^63.  Both engines pick the argmax by the
+# SAME packed key, so the choice is identical even at the cap.
+# ---------------------------------------------------------------------------
+
+_BITEMPORAL_ORACLE = f"""
+{CDC_SQL}
+, images AS (
+  SELECT pk, sequence, value,
+         ts_unix - ((sequence * 2654435761) % 7) * 86400 AS vf
+  FROM cdc WHERE dml_type IN ('insert', 'update_after')
+), bounds AS (
+  SELECT max(sequence) AS smax, min(vf) AS vmin, max(vf) AS vmax FROM images
+), probes AS (
+  SELECT CAST(t.k AS BIGINT) AS t_probe, CAST(v.j AS BIGINT) AS v_probe,
+         (b.smax * t.k) // 3 AS t_cut,
+         b.vmin + ((b.vmax - b.vmin) * v.j) // 3 AS v_cut
+  FROM bounds b,
+       (SELECT unnest([1, 2, 3]) AS k) t,
+       (SELECT unnest([1, 2, 3]) AS j) v
+)
+SELECT p.t_probe, p.v_probe, i.pk,
+       max_by(i.value, i.vf * 16777216 + i.sequence % 16777216) AS as_of_value,
+       CAST(max_by(i.vf, i.vf * 16777216 + i.sequence % 16777216) AS BIGINT)
+         AS valid_from,
+       CAST(max_by(i.sequence, i.vf * 16777216 + i.sequence % 16777216)
+            AS BIGINT) AS txn_seq
+FROM images i JOIN probes p
+  ON i.sequence <= p.t_cut AND i.vf <= p.v_cut
+GROUP BY 1, 2, 3
+"""
+
+
+@register("cdc_bitemporal", _BITEMPORAL_ORACLE)
+def cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of probes: per (transaction-time cut, valid-time
+    cut, pk) the image maximizing (valid_from, sequence) — "effective
+    at V as known at T" (see block comment for packing bounds)."""
+    cdc = cdc_view(spark, sf_dir)
+    images = cdc.filter(F.col("dml_type").isin("insert", "update_after")).select(
+        "pk",
+        "sequence",
+        "value",
+        (
+            F.col("ts_unix")
+            - F.expr("(sequence * 2654435761) % 7") * 86400
+        ).alias("vf"),
+    )
+    grid = spark.createDataFrame(
+        [(k, j) for k in (1, 2, 3) for j in (1, 2, 3)],
+        "t_probe long, v_probe long",
+    )
+    bounds = images.agg(
+        F.max("sequence").alias("smax"),
+        F.min("vf").alias("vmin"),
+        F.max("vf").alias("vmax"),
+    )
+    probes = grid.crossJoin(F.broadcast(bounds)).select(
+        "t_probe",
+        "v_probe",
+        F.expr("div(smax * t_probe, 3)").alias("t_cut"),
+        (F.col("vmin") + F.expr("div((vmax - vmin) * v_probe, 3)")).alias(
+            "v_cut"
+        ),
+    )
+    joined = images.join(
+        F.broadcast(probes),
+        (F.col("sequence") <= F.col("t_cut")) & (F.col("vf") <= F.col("v_cut")),
+    )
+    ordk = F.col("vf") * F.lit(16777216) + F.col("sequence") % F.lit(16777216)
+    return joined.groupBy("t_probe", "v_probe", "pk").agg(
+        F.max_by("value", ordk).alias("as_of_value"),
+        F.max_by("vf", ordk).alias("valid_from"),
+        F.max_by("sequence", ordk).alias("txn_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_consistent_join_at — cross-table SNAPSHOT-CONSISTENT reads: two
+# logical tables fed by the same CDC stream (the reference registers
+# one client per table, client_test.go:83-121; a consumer of BOTH
+# must pick a common cut in the shared GTID order, event.go:189-200,
+# or its join is torn).  The stream splits by sequence parity into
+# "accounts" (even) and "profiles" (odd); the CONSISTENT read
+# reconstructs both at one global cut S = (smax*3)//5 and joins on pk;
+# the TORN read joins accounts@S against profiles@S2 (S2 = (smax*4)//5)
+# — the mistake of reading each table "at latest" — and the export
+# flags every pk whose torn profile state differs from the consistent
+# one.  One keyed agg per table side (max_by over the unique sequence,
+# the cdc_latest_state shape), broadcast scalar cuts, one pk join: at
+# 100 TB this is two shuffles on pk and nothing else.
+# ---------------------------------------------------------------------------
+
+_CONSISTENT_JOIN_ORACLE = f"""
+{CDC_SQL}
+, images AS (
+  SELECT pk, sequence, value FROM cdc
+  WHERE dml_type IN ('insert', 'update_after')
+), cuts AS (
+  SELECT (max(sequence) * 3) // 5 AS s1, (max(sequence) * 4) // 5 AS s2
+  FROM images
+), acct AS (
+  SELECT pk, max_by(value, sequence) AS a_value,
+         CAST(max(sequence) AS BIGINT) AS a_seq
+  FROM images, cuts WHERE sequence % 2 = 0 AND sequence <= s1 GROUP BY pk
+), prof1 AS (
+  SELECT pk, max_by(value, sequence) AS b_value,
+         CAST(max(sequence) AS BIGINT) AS b_seq
+  FROM images, cuts WHERE sequence % 2 = 1 AND sequence <= s1 GROUP BY pk
+), prof2 AS (
+  SELECT pk, CAST(max(sequence) AS BIGINT) AS b_seq_torn
+  FROM images, cuts WHERE sequence % 2 = 1 AND sequence <= s2 GROUP BY pk
+)
+SELECT a.pk, a.a_value, a.a_seq, p1.b_value, p1.b_seq, p2.b_seq_torn,
+       (p2.b_seq_torn <> p1.b_seq) AS torn_read
+FROM acct a JOIN prof1 p1 ON a.pk = p1.pk JOIN prof2 p2 ON a.pk = p2.pk
+"""
+
+
+@register("cdc_consistent_join_at", _CONSISTENT_JOIN_ORACLE)
+def cdc_consistent_join_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-consistent two-table join at a common GTID cut, plus
+    the torn-read comparison (each table "at latest") flagging every
+    key the tear would corrupt (see block comment)."""
+    cdc = cdc_view(spark, sf_dir)
+    images = cdc.filter(
+        F.col("dml_type").isin("insert", "update_after")
+    ).select("pk", "sequence", "value")
+    cuts = images.agg(
+        F.expr("div(max(sequence) * 3, 5)").alias("s1"),
+        F.expr("div(max(sequence) * 4, 5)").alias("s2"),
+    )
+    base = images.crossJoin(F.broadcast(cuts))
+
+    def state(parity: int, cut_col: str, prefix: str) -> DataFrame:
+        return (
+            base.filter(
+                (F.col("sequence") % 2 == parity)
+                & (F.col("sequence") <= F.col(cut_col))
+            )
+            .groupBy("pk")
+            .agg(
+                F.max_by("value", "sequence").alias(f"{prefix}_value"),
+                F.max("sequence").alias(f"{prefix}_seq"),
+            )
+        )
+
+    acct = state(0, "s1", "a")
+    prof1 = state(1, "s1", "b")
+    prof2 = state(1, "s2", "b2").select(
+        "pk", F.col("b2_seq").alias("b_seq_torn")
+    )
+    return (
+        acct.join(prof1, "pk")
+        .join(prof2, "pk")
+        .select(
+            "pk",
+            "a_value",
+            "a_seq",
+            "b_value",
+            "b_seq",
+            "b_seq_torn",
+            (F.col("b_seq_torn") != F.col("b_seq")).alias("torn_read"),
+        )
+    )
