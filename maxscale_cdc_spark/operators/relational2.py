@@ -2669,3 +2669,147 @@ def rel_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_hll_rollup_union — MERGEABLE-SKETCH rollups (Spark 3.5+ Apache
+# DataSketches HLL: hll_sketch_agg / hll_union_agg / estimate): the
+# 100 TB distinct-count cube pattern — store ONE small sketch per
+# fine-grained cell (here (returnflag, linestatus)), answer any
+# coarser rollup by unioning sketches, never rescanning the fact
+# table.  rel_agg_approx certifies approx_count_distinct's tolerance;
+# this certifies the two properties that make sketches a STORAGE
+# format: (1) the union-of-partials estimate lands within tolerance of
+# the exact distinct count (lgConfigK=14 ⇒ ~0.8 % relative standard
+# error; ε=0.05 leaves >6σ margin, a deterministic fact of the data at
+# every certified scale), and (2) re-merging the SAME partials is
+# IDEMPOTENT (register-wise max): unioning every per-cell sketch twice
+# yields the identical estimate — the property that lets an
+# at-least-once pipeline re-deliver a shard's sketch without inflating
+# the count.  (Union-estimate == direct-sketch-estimate is NOT claimed:
+# DataSketches' direct path uses the HIP estimator, the union path the
+# composite estimator — measured unequal at sf0.01.)  Register state is
+# order-invariant, so the export is shuffle-partition-stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_hll_rollup_union",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS remerge_idempotent,
+           TRUE AS hll_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell HLL sketches unioned to a coarser rollup: re-merging
+    the same partials is idempotent (at-least-once safety) and the
+    merged estimate lands within tolerance of the exact distinct
+    count (see block comment for the error budget)."""
+    li = table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk")
+    ).localCheckpoint(eager=False)
+    merged = parts.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    twice = (
+        parts.unionByName(parts)
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("twice_est"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return (
+        merged.join(F.broadcast(twice), "l_returnflag")
+        .join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (F.col("merged_est") == F.col("twice_est")).alias(
+                "remerge_idempotent"
+            ),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("hll_within_tol"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_collation — collation-aware comparison (Spark 4.0 collated string
+# type): case-insensitive JOIN and GROUP BY run INSIDE the engine
+# (collation keys feed the hash join / hash agg — no lower() rewrite
+# of the data, no UDF), the idiomatic fix for the mixed-case reference
+# data every real ingest has.  The probe data is made mixed-case
+# in-plan (even keys initcap'd), the dim table arrives mixed-case, and
+# the UTF8_LCASE join + UNICODE_CI groupBy still land every row.  The
+# exported group key is lower()-collapsed because a CI group's
+# REPRESENTATIVE (which casing survives) is engine-chosen; lower() of
+# any member of the class is the same string, so the export is
+# deterministic (ASCII data; the oracle works in lowered space).
+# Scale: collation keys are computed streamwise at scan speed; the
+# join/agg shuffle exactly as binary-collation plans do.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_collation",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES ('Building', 10), ('Automobile', 20),
+                            ('Machinery', 30), ('Household', 40),
+                            ('Furniture', 50)) d(seg, weight)
+    )
+    SELECT lower(c_mktsegment) AS seg_lower,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(weight) AS BIGINT) AS sum_weight
+    FROM customer JOIN dim ON lower(seg) = lower(c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive join + group-by via Spark 4 collations
+    (UTF8_LCASE join key, UNICODE_CI group key) over in-plan
+    mixed-cased data; lower()-collapsed export (see block comment)."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.initcap(F.lower(F.col("c_mktsegment"))),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mixed")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("Building", 10),
+            ("Automobile", 20),
+            ("Machinery", 30),
+            ("Household", 40),
+            ("Furniture", 50),
+        ],
+        "seg string, weight long",
+    )
+    joined = cust.join(
+        F.broadcast(dim),
+        F.collate(F.col("mixed"), "UTF8_LCASE")
+        == F.collate(F.col("seg"), "UTF8_LCASE"),
+    )
+    return (
+        joined.groupBy(F.collate(F.col("mixed"), "UNICODE_CI").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("weight").cast("long").alias("sum_weight"),
+        )
+        .select(
+            F.lower(F.col("k")).alias("seg_lower"),
+            "n_customers",
+            "sum_weight",
+        )
+    )
