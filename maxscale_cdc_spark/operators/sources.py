@@ -1816,3 +1816,172 @@ def str_avro_tail_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         F.col("w.start").alias("wstart"), "dml_type", "n", "sum_value_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# src_protobuf_events — the CDC envelope over the PROTOBUF wire format
+# (the other binary encoding CDC buses carry besides Avro: Kafka /
+# Debezium ecosystems).  The reference's wire is length-prefixed JSON
+# (client.go:211-216); the environment ships no protobuf runtime or
+# spark-protobuf module (re-checked this round), so the codec is
+# sources/proto_wire.py — a from-spec pure-Python implementation of
+# the public wire encoding covering the envelope's type space:
+# non-negative varints, ZIGZAG sint64 (the `drift` field goes
+# negative), length-delimited UTF-8, proto3 optional presence
+# (`note`), PACKED repeated varints (`tags`), and UNKNOWN-FIELD
+# SKIPPING — odd partitions append a field number the reader's spec
+# does not list (a newer producer), and the decode must be unaffected
+# (forward compatibility, the property that lets producers upgrade
+# before consumers).
+#
+# Spark-first shape, both directions DISTRIBUTED and Arrow-batched
+# (the src_avro_events pattern): ENCODE = mapInPandas over the
+# repartitioned envelope, one delimited-stream .pb file per partition;
+# DECODE = binaryFile scan → mapInPandas, one batch per file.  The
+# repeated `tags` field comes back as a real array column and is
+# summed JVM-side (F.aggregate).  The per-dml ledger proves the round
+# trip lossless.  Scale: per-file embarrassingly parallel both ways;
+# file count = partition count is the knob.
+# ---------------------------------------------------------------------------
+
+_PROTO_CACHE: dict[str, str] = {}
+
+
+def _spool_proto_files(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _PROTO_CACHE:
+        return _PROTO_CACHE[sf_dir]
+    env = cdc_view(spark, sf_dir).select(
+        "sequence",
+        "dml_type",
+        "pk",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        ((F.col("pk") % 7) - 3).alias("drift"),
+        "ts_unix",
+        F.when(F.col("pk") % 3 == 0, (F.col("pk") % 7).cast("string")).alias(
+            "note"
+        ),
+    ).repartition(8, "sequence")
+    out = _mkdtemp(prefix="src_proto_")
+
+    def encode(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from maxscale_cdc_spark.sources.proto_wire import (
+            append_unknown_varint,
+            encode_message,
+            write_delimited,
+        )
+
+        msgs: list[bytes] = []
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            for seq, dml, pk, vc, dr, ts, note in zip(
+                pdf["sequence"], pdf["dml_type"], pdf["pk"],
+                pdf["value_cents"], pdf["drift"], pdf["ts_unix"], pdf["note"],
+            ):
+                m = encode_message(
+                    {
+                        "sequence": int(seq),
+                        "dml_type": str(dml),
+                        "pk": int(pk),
+                        "value_cents": int(vc),
+                        "drift": int(dr),
+                        "ts_unix": int(ts),
+                        "note": None
+                        if note is None or pd.isna(note)
+                        else str(note),
+                        "tags": [int(pk) % 3, int(pk) % 5],
+                    }
+                )
+                if pid % 2:  # newer producer: a field this spec lacks
+                    m = append_unknown_varint(m, 15, int(seq) % 1000)
+                msgs.append(m)
+        if msgs:
+            tmp = os.path.join(out, f".part-{pid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(write_delimited(msgs))
+            os.replace(tmp, os.path.join(out, f"part-{pid:05d}.pb"))
+        yield pd.DataFrame({"n": [len(msgs)]})
+
+    env.mapInPandas(encode, "n long").collect()  # force the writes
+    _PROTO_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "src_protobuf_events",
+    f"""
+{CDC_SQL}
+SELECT dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(pk % 7 - 3) AS BIGINT) AS sum_drift,
+       CAST(SUM(CASE WHEN pk % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_null_note,
+       CAST(SUM(pk % 3 + pk % 5) AS BIGINT) AS sum_tags,
+       CAST(max(sequence) AS BIGINT) AS max_seq
+FROM cdc
+GROUP BY dml_type
+""",
+)
+def src_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format round trip of the CDC envelope —
+    distributed encode to per-partition delimited-stream files
+    (zigzag, packed repeated, optional presence, unknown-field skip),
+    binaryFile + Arrow-batched decode; losslessness proven by the
+    per-dml ledger (see block comment)."""
+    spool = _spool_proto_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.proto_wire import (
+            decode_message,
+            read_delimited,
+        )
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = [
+                    decode_message(m) for m in read_delimited(bytes(content))
+                ]
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "sequence": [r["sequence"] for r in recs],
+                            "dml_type": [r["dml_type"] for r in recs],
+                            "pk": [r["pk"] for r in recs],
+                            "value_cents": [r["value_cents"] for r in recs],
+                            "drift": [r["drift"] for r in recs],
+                            "ts_unix": [r["ts_unix"] for r in recs],
+                            "note": [r.get("note") for r in recs],
+                            "tags": [r["tags"] for r in recs],
+                        }
+                    )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "sequence long, dml_type string, pk long, value_cents long, "
+            "drift long, ts_unix long, note string, tags array<long>",
+        )
+    )
+    return back.groupBy("dml_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum("drift").cast("long").alias("sum_drift"),
+        F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_note"),
+        F.sum(
+            F.aggregate("tags", F.lit(0).cast("long"), lambda acc, x: acc + x)
+        )
+        .cast("long")
+        .alias("sum_tags"),
+        F.max("sequence").alias("max_seq"),
+    )
