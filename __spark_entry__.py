@@ -298,6 +298,9 @@ _HEAVY = {
     # round-11 store deletion maintenance (rides the shingle-class +
     # chooser lineages):
     "llm_dedup_store_forget",
+    # round-12 stream-stream outer join (streaming run, two-sided
+    # state) and the chained two-tier windowed agg (streaming run):
+    "str_join_outer_watermarked", "str_chained_stateful",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

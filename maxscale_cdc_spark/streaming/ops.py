@@ -3744,3 +3744,169 @@ def snk_fenced_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts_unix",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# str_join_outer_watermarked — stream-stream LEFT OUTER join:
+# str_stream_stream_join certifies the inner join; the OUTER variant
+# adds the semantics real funnels need ("purchases with NO error
+# within the hour") and the mechanism that makes it streamable: an
+# unmatched left row is held in state until the watermark proves no
+# matching right row can still arrive, THEN emitted null-padded.
+# Matched rows emit as they join; null rows emit on state eviction.
+#
+# Emission model (calibrated empirically, batch+no-data-batch replay):
+# each side's watermark node tracks the max event time of ITS OWN
+# filtered stream, the join runs at the MIN of the two, and an
+# unmatched purchase emits iff p_ts + 1h (its last matchable instant)
+# is strictly below that final watermark.  The oracle reproduces
+# exactly that: w = least(max purchase ts, max error ts) − 30 min;
+# unmatched rows gated on p_ts + INTERVAL 1 HOUR < w.  (Timestamps
+# are microsecond-granular, so the strict-vs-≤ boundary can only
+# matter on an exact microsecond coincidence between the two maxima —
+# absent at every generated scale; re-checked per scale.)
+#
+# Scale: state is bounded by the watermark horizon on both sides —
+# eviction is what makes a 100 TB two-stream outer join feasible; the
+# join shuffles both sides on user_id once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_join_outer_watermarked",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT event_id AS error_id, user_id AS e_user, ts AS e_ts
+      FROM events WHERE event_type = 'error'
+    ), wm AS (
+      SELECT least((SELECT max(p_ts) FROM p), (SELECT max(e_ts) FROM e))
+             - INTERVAL 30 MINUTE AS w
+    ), j AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, e.error_id
+      FROM p LEFT JOIN e
+        ON p.user_id = e.e_user
+       AND e.e_ts >= p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, error_id,
+           (error_id IS NOT NULL) AS matched
+    FROM j, wm
+    WHERE error_id IS NOT NULL OR p_ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def str_join_outer_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-gated null
+    emission: purchases with no error within the following hour
+    surface once the watermark proves the absence (see block
+    comment for the calibrated emission model)."""
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}"
+    )
+    purchases = (
+        read_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    errors = (
+        read_stream(spark, staged)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_to_files(
+        joined.select("purchase_id", "user_id", "error_id")
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "error_id",
+        F.col("error_id").isNotNull().alias("matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# str_chained_stateful — MULTIPLE stateful operators in ONE streaming
+# query (Spark 3.4+): a 6-hour per-user windowed count re-aggregated
+# into 24-hour rollups INSIDE the same stream, via window_time() —
+# the two-tier dashboard pipeline (fine-grained tier feeding a coarse
+# tier) that previously needed two queries and an intermediate topic.
+# Both tiers run in append mode: tier 1 releases a (window, user)
+# cell only once the watermark passes its end; tier 2 aggregates the
+# RELEASED cells and releases its day windows under the same
+# watermark — so the oracle gates BOTH tiers on w = max(ts) − 30 min
+# (verified cell-exact against the replay at sf0.001).
+#
+# Scale: tier-2 state holds one row per (day, user-window cell) —
+# already aggregated data, orders of magnitude below the raw stream;
+# the chain saves a full re-read of the fine-grained sink at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_chained_stateful",
+    """
+    WITH l1 AS (
+      SELECT make_timestamp((CAST(floor(extract(epoch FROM ts) / 21600)
+                                  AS BIGINT)) * 21600 * 1000000) AS w1s,
+             user_id, CAST(count(*) AS BIGINT) AS n1
+      FROM events GROUP BY 1, 2
+    ), wm AS (
+      SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+    ), fin1 AS (
+      SELECT l1.* FROM l1, wm WHERE w1s + INTERVAL 6 HOUR <= wm.w
+    ), l2 AS (
+      SELECT make_timestamp((CAST(floor(extract(epoch FROM w1s) / 86400)
+                                  AS BIGINT)) * 86400 * 1000000) AS wstart,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n1) AS BIGINT) AS n_events,
+             CAST(max(n1) AS BIGINT) AS max_cell
+      FROM fin1 GROUP BY 1
+    )
+    SELECT l2.* FROM l2, wm WHERE wstart + INTERVAL 24 HOUR <= wm.w
+    """,
+)
+def str_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful aggregations in one streaming query
+    (6 h per-user cells → 24 h rollup via window_time), both
+    watermark-finalized (see block comment)."""
+    staged = stage_as_stream(
+        table(spark, sf_dir, "events"), cache_key=f"events:{sf_dir}"
+    )
+    stream = read_stream(spark, staged)
+    lvl1 = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w1"), "user_id")
+        .agg(F.count("*").alias("n1"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("w1"), "24 hours").alias("w2"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n1").cast("long").alias("n_events"),
+            F.max("n1").cast("long").alias("max_cell"),
+        )
+    )
+    out = run_to_files(
+        lvl2.select(
+            F.col("w2.start").alias("wstart"), "n_cells", "n_events", "max_cell"
+        )
+    )
+    return out
