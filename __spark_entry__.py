@@ -301,6 +301,8 @@ _HEAVY = {
     # round-12 stream-stream outer join (streaming run, two-sided
     # state) and the chained two-tier windowed agg (streaming run):
     "str_join_outer_watermarked", "str_chained_stateful",
+    # round-12 governance riders on the CC closure:
+    "llm_license_propagation", "llm_optout_purge",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

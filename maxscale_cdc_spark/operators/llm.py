@@ -3858,3 +3858,177 @@ def llm_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_pairs = cross.unionByName(intra)
     jac = F.col("n_common").cast("double") / (F.col("sz_sum") - F.col("n_common"))
     return all_pairs.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# llm_license_propagation — GOVERNANCE over the dedup graph: a near-dup
+# cluster is one piece of content, so its usable license is the
+# STRICTEST license of any copy (a CC0-labeled mirror of proprietary
+# text is still proprietary).  Synthetic license tiers derive
+# deterministically from the source id (rank = source number % 4:
+# cc0 < cc-by < cc-by-nc < proprietary); the op propagates the max
+# rank through each llm_dedup_cluster component (same registered
+# callable, cached closure) and flags every doc whose effective
+# license is stricter than its label — the rows a compliance review
+# must re-clear.  Shape: one left join of the corpus against the
+# component table + one keyed agg + one join back; at 100 TB all
+# shuffles are on doc-scale keys, nothing quadratic.
+# ---------------------------------------------------------------------------
+
+_LICENSE_CASE = (
+    "CASE r % 4 WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by' "
+    "WHEN 2 THEN 'cc-by-nc' ELSE 'proprietary' END"
+)
+
+_LICENSE_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+    """lab AS (
+    SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS rep,
+           CAST(substr(d.source, 4) AS INT) % 4 AS own_rank
+    FROM documents d LEFT JOIN reps r USING (doc_id)
+  ),
+  eff AS (
+    SELECT rep, max(own_rank) AS eff_rank FROM lab GROUP BY rep
+  )
+SELECT l.doc_id, l.rep,
+       (SELECT """
+    + _LICENSE_CASE.replace("r % 4", "l.own_rank")
+    + """) AS own_license,
+       (SELECT """
+    + _LICENSE_CASE.replace("r % 4", "e.eff_rank")
+    + """) AS effective_license,
+       (l.own_rank < e.eff_rank) AS escalated
+FROM lab l JOIN eff e USING (rep)""",
+)
+_LICENSE_ORACLE = oracle_splice(
+    _LICENSE_ORACLE, "  )\nlab AS (", "  ),\n  lab AS ("
+)
+
+
+@register("llm_license_propagation", _LICENSE_ORACLE)
+def llm_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictest-license propagation through near-dup clusters: each
+    doc's effective license is the max license rank in its component;
+    escalated rows need compliance re-clearing (see block comment)."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    own_rank = (F.substring("source", 4, 10).cast("int") % 4).alias("own_rank")
+    lab = (
+        d.join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", "doc_id").alias("rep"),
+            own_rank,
+        )
+        .localCheckpoint(eager=False)
+    )
+    eff = lab.groupBy("rep").agg(F.max("own_rank").alias("eff_rank"))
+
+    def license_name(rank_col: str):
+        r = F.col(rank_col)
+        return (
+            F.when(r == 0, "cc0")
+            .when(r == 1, "cc-by")
+            .when(r == 2, "cc-by-nc")
+            .otherwise("proprietary")
+        )
+
+    return lab.join(eff, "rep").select(
+        "doc_id",
+        "rep",
+        license_name("own_rank").alias("own_license"),
+        license_name("eff_rank").alias("effective_license"),
+        (F.col("own_rank") < F.col("eff_rank")).alias("escalated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_optout_purge — rights-holder OPT-OUT with syndication cascade:
+# when a source opts out (here: source number % 5 = 2, a deterministic
+# ~20 % of sources), removing only ITS documents leaves the same
+# content in the corpus wherever it was syndicated — so the purge must
+# cascade to every near-dup cluster CONTAINING an opted-out doc.  The
+# per-source audit ledger (direct removals, cascade removals from
+# still-licensed sources, retained docs) is the evidence a takedown
+# process files.  Rides the same cached llm_dedup_cluster closure;
+# shapes as in llm_license_propagation.
+# ---------------------------------------------------------------------------
+
+_OPTOUT_ORACLE = oracle_splice(
+    _CLUSTER_ORACLE.rstrip(),
+    "SELECT doc_id, cluster_rep, (doc_id = cluster_rep) AS is_keeper\nFROM reps",
+    """lab AS (
+    SELECT d.doc_id, d.source,
+           coalesce(r.cluster_rep, d.doc_id) AS rep,
+           (CAST(substr(d.source, 4) AS INT) % 5 = 2) AS direct_optout
+    FROM documents d LEFT JOIN reps r USING (doc_id)
+  ),
+  dirty AS (
+    SELECT rep, bool_or(direct_optout) AS contaminated
+    FROM lab GROUP BY rep
+  ),
+  verdict AS (
+    SELECT l.doc_id, l.source, l.direct_optout,
+           (d.contaminated AND NOT l.direct_optout) AS cascade_purge,
+           NOT d.contaminated AS retained
+    FROM lab l JOIN dirty d USING (rep)
+  )
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN direct_optout THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_direct,
+       CAST(sum(CASE WHEN cascade_purge THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cascade,
+       CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained
+FROM verdict
+GROUP BY source""",
+)
+_OPTOUT_ORACLE = oracle_splice(
+    _OPTOUT_ORACLE, "  )\nlab AS (", "  ),\n  lab AS ("
+)
+
+
+@register("llm_optout_purge", _OPTOUT_ORACLE)
+def llm_optout_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out purge with near-dup cascade: opted-out sources' docs go,
+    plus every cluster-mate of opted-out content in other sources;
+    per-source audit ledger (see block comment)."""
+    reps = llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        d.join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_rep", "doc_id").alias("rep"),
+            (F.substring("source", 4, 10).cast("int") % 5 == 2).alias(
+                "direct_optout"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dirty = lab.groupBy("rep").agg(
+        F.max(F.col("direct_optout").cast("int")).cast("boolean").alias(
+            "contaminated"
+        )
+    )
+    verdict = lab.join(dirty, "rep").select(
+        "source",
+        "direct_optout",
+        (F.col("contaminated") & ~F.col("direct_optout")).alias(
+            "cascade_purge"
+        ),
+        (~F.col("contaminated")).alias("retained"),
+    )
+    return verdict.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("direct_optout").cast("long")).cast("long").alias(
+            "n_direct"
+        ),
+        F.sum(F.col("cascade_purge").cast("long")).cast("long").alias(
+            "n_cascade"
+        ),
+        F.sum(F.col("retained").cast("long")).cast("long").alias("n_retained"),
+    )
