@@ -303,6 +303,10 @@ _HEAVY = {
     "str_join_outer_watermarked", "str_chained_stateful",
     # round-12 governance riders on the CC closure:
     "llm_license_propagation", "llm_optout_purge",
+    # round-12 sink vacuum lifecycle (3 merges + orphan writers) and
+    # the index publish/restore lifecycle (kmeans chain + partitioned
+    # write + fresh-scan search):
+    "snk_vacuum_orphans", "llm_index_snapshot_restore",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

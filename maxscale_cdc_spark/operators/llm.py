@@ -4032,3 +4032,59 @@ def llm_optout_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("retained").cast("long")).cast("long").alias("n_retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_index_snapshot_restore — index PERSISTENCE: the computed IVF
+# index (final Lloyd assignment, vectors included) is published to
+# parquet PARTITIONED BY CELL with an atomically-renamed JSON manifest
+# (the snk-family publish pattern), then RESTORED by a fresh scan with
+# no lineage to the computation, and the llm_sim_ivf search runs
+# against the restored files — certifying the operational claim that a
+# saved index serves byte-identical results after a process restart
+# (the oracle IS the base op's oracle).  Restoring reads ONE cell
+# directory (partition pruning on cid), which is exactly the
+# billion-vector serving layout: search cost = |cell|, not |index|.
+# Doubles round-trip parquet bit-exactly, so cosine at 6 dp is
+# unchanged.  Scale: the publish is one partitioned write; the
+# manifest is O(1) driver JSON.
+# ---------------------------------------------------------------------------
+
+
+@register("llm_index_snapshot_restore", _IVF_ORACLE)
+def llm_index_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish the IVF index to cell-partitioned parquet (atomic
+    manifest), restore via a fresh scan, search the restored index —
+    results byte-equal to the live index (see block comment)."""
+    import json
+    import os
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    e = table(spark, sf_dir, "embeddings")
+    _, assigned = _kmeans_cells(e)
+    root = _mkdtemp(prefix="ivf_snap_")
+    data_dir = os.path.join(root, "cells")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(data_dir)
+    n_rows = int(assigned.count())
+    tmp = os.path.join(root, ".manifest.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"generation": 1, "n_rows": n_rows, "path": data_dir}, fh)
+    os.replace(tmp, os.path.join(root, "manifest.json"))
+
+    with open(os.path.join(root, "manifest.json")) as fh:
+        man = json.load(fh)
+    restored = spark.read.parquet(man["path"])
+    n_back = int(restored.count())
+    assert n_back == man["n_rows"], (n_back, man)  # loud restore audit
+    qcell = restored.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    cand = (
+        restored.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    return cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)

@@ -3910,3 +3910,141 @@ def str_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# snk_vacuum_orphans — VACUUM for the manifested sink's documented
+# crash window: a writer that dies AFTER its generation write but
+# BEFORE its manifest publish (ManifestedUpsertSink's crash-window
+# analysis, case 1) leaves a fully-written generation dir that no
+# manifest will ever reference.  snk_manifest_gc collects dirs a
+# RETAINED MANIFEST stopped referencing; vacuum collects dirs NO
+# manifest ever referenced — and, crucially, only those older than a
+# SAFETY HORIZON, because an unreferenced young dir may belong to an
+# in-flight writer that simply has not published yet (the Delta VACUUM
+# retention rule).  Lifecycle: three merges (all manifests retained →
+# every legit generation referenced), then two simulated crashed
+# writers (real parquet generation dirs, never published): one
+# backdated beyond the horizon (collected), one fresh (skipped, with a
+# loud ledger row).  Post-vacuum, the state read must equal the
+# whole-log latest state — vacuum touched nothing a manifest promises.
+#
+# Scale: vacuum is a storage LIST + mtime filter against the manifest
+# reference set — O(dirs) metadata ops, no data read; the horizon knob
+# trades orphan-space reclaim latency against the longest tolerated
+# write-to-publish gap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_vacuum_orphans",
+    oracle_splice(
+        f"""
+    {_UPSERT_STATE_ORACLE.rstrip()}
+    """,
+        "SELECT pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+        "SELECT CAST(5 AS BIGINT) AS n_dirs_before, CAST(3 AS BIGINT) AS n_referenced,\n"
+        "       CAST(2 AS BIGINT) AS n_orphans, CAST(1 AS BIGINT) AS n_deleted,\n"
+        "       CAST(1 AS BIGINT) AS n_skipped_fresh,\n"
+        "       pk, sequence AS last_seq, value AS last_value, ts_unix AS last_ts_unix",
+    ),
+)
+def snk_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge×3 → two crashed-writer orphan generations → vacuum with a
+    safety horizon (old orphan collected, fresh orphan skipped) →
+    prove the surviving state equals the whole-log latest state (see
+    block comment)."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 3), (m // 3, (2 * m) // 3), ((2 * m) // 3, m)]
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_vac_"))
+    for k, (lo, hi) in enumerate(cuts):
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        state = (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+        sink.merge(state, epoch_id=k)
+
+    # two crashed writers: generation fully written, manifest never
+    # published (the sink's crash-window case 1)
+    def crashed_writer(tag: str) -> str:
+        gen = os.path.join(sink.root, f"gen_crash_{tag}")
+        (
+            sink.state()
+            .limit(2)
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(gen)
+        )
+        return gen
+
+    old_orphan = crashed_writer("old")
+    fresh_orphan = crashed_writer("fresh")
+    horizon_s = 3600
+    stale_t = time.time() - 2 * horizon_s
+    os.utime(old_orphan, (stale_t, stale_t))
+
+    # vacuum: list → subtract every manifest-referenced dir → age gate
+    referenced: set[str] = set()
+    for name in sink._manifest_names():
+        with open(os.path.join(sink.mdir, name)) as fh:
+            referenced.update(json.load(fh).values())
+    all_dirs = sorted(
+        os.path.join(sink.root, d)
+        for d in os.listdir(sink.root)
+        if d.startswith("gen_")
+    )
+    orphans = [d for d in all_dirs if d not in referenced]
+    cutoff = time.time() - horizon_s
+    deleted = [d for d in orphans if os.path.getmtime(d) < cutoff]
+    skipped = [d for d in orphans if d not in deleted]
+    for d in deleted:
+        shutil.rmtree(d)
+    assert deleted == [old_orphan], (deleted, old_orphan)
+    assert skipped == [fresh_orphan], (skipped, fresh_orphan)
+    assert len(all_dirs) == 5 and len(referenced) == 3, (
+        all_dirs,
+        referenced,
+    )  # 3 merges + 2 orphans; constants pinned in the oracle
+    post = sink.state().filter(F.col("last_dml") != "delete")
+    return post.select(
+        F.lit(5).cast("long").alias("n_dirs_before"),
+        F.lit(3).cast("long").alias("n_referenced"),
+        F.lit(2).cast("long").alias("n_orphans"),
+        F.lit(1).cast("long").alias("n_deleted"),
+        F.lit(1).cast("long").alias("n_skipped_fresh"),
+        "pk",
+        "last_seq",
+        "last_value",
+        "last_ts_unix",
+    )
