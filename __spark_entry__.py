@@ -307,6 +307,9 @@ _HEAVY = {
     # the index publish/restore lifecycle (kmeans chain + partitioned
     # write + fresh-scan search):
     "snk_vacuum_orphans", "llm_index_snapshot_restore",
+    # round-12 IVF radius search (kmeans chain) and the per-trigger
+    # intake ledger (4-batch streaming run):
+    "llm_ann_range_search", "str_trigger_file_batches",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

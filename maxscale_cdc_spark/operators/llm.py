@@ -4088,3 +4088,64 @@ def llm_index_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
     )
     return cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_range_search — RANGE search over the IVF index: all vectors
+# within a similarity RADIUS of the query (cosine ≥ 0.2), not a top-k
+# — the other half of the Faiss-style search API, the shape dedup and
+# recall-audit jobs use ("everything at least this similar"), where a
+# fixed k either truncates dense neighborhoods or pads sparse ones.
+# Probes the nprobe=2 best cells (llm_sim_ivf_probe's routing) and
+# radius-filters inside them; result-set size is data-determined.
+# Both engines round cosine to 6 dp before the radius gate, so the
+# boundary set is identical by construction.  Scale: cost = nprobe
+# partitions scanned + a scan-speed filter — the radius does not
+# change the pruning structure, only the emitted rows.
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.2
+
+_ANN_RANGE_ORACLE = f"""
+WITH {_sql_kmeans_ctes()},
+q AS {_QV_SQL},
+qcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM cent{_KMEANS_ITERS} c CROSS JOIN q
+  ) WHERE rn <= {_N_PROBE}
+)
+SELECT a.vec_id, {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim
+FROM a{_KMEANS_ITERS} a
+JOIN qcells ON a.cid = qcells.cid
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.vec_id <> 0
+  AND {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} >= {_RANGE_TAU}
+"""
+
+
+@register("llm_ann_range_search", _ANN_RANGE_ORACLE)
+def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF radius search: every vector with cosine ≥ 0.2 to the query
+    inside the nprobe=2 best cells (see block comment)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e)
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    ranked = cents.crossJoin(F.broadcast(q)).select(
+        "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
+    )
+    w = W.orderBy(F.col("qsim").desc(), "cid")
+    qcells = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(F.col("cid").alias("qcid"))
+    )
+    return (
+        assigned.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+    )

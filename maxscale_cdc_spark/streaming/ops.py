@@ -4048,3 +4048,92 @@ def snk_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         "last_ts_unix",
     )
+
+
+# ---------------------------------------------------------------------------
+# str_trigger_file_batches — TRIGGER/BACKPRESSURE accounting: with
+# maxFilesPerTrigger=1 over a sequence-split spool (stage_as_stream_
+# sequenced — range-split files with ascending mtimes, the reference
+# socket's in-order delivery contract, client.go:219-251), the stream
+# replays as one micro-batch per file and a foreachBatch ledger
+# records each batch's row count and sequence range.  The export
+# proves the batches are DISJOINT and ASCENDING — in-order delivery
+# survives the trigger split — and sizes the per-trigger intake (the
+# number a capacity plan reads off before raising
+# maxFilesPerTrigger).  Oracle: the staging split is ntile(4) over the
+# sequence order, so DuckDB reproduces each batch's (count, min, max)
+# exactly.  Scale: the ledger is one aggregate row per batch via the
+# normal agg path; nothing driver-side but the O(batches) ledger.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_trigger_file_batches",
+    """
+    WITH r AS (
+      SELECT event_id, ntile(4) OVER (ORDER BY event_id) AS b FROM events
+    )
+    SELECT CAST(b - 1 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_seq,
+           CAST(max(event_id) AS BIGINT) AS max_seq
+    FROM r GROUP BY 1
+    """,
+)
+def str_trigger_file_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch intake ledger under maxFilesPerTrigger=1 over
+    the sequence-split spool: one row per trigger with its row count
+    and disjoint ascending sequence range (see block comment)."""
+    import os
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream_sequenced(
+        table(spark, sf_dir, "events"),
+        "event_id",
+        n_batches=4,
+        cache_key=f"events:{sf_dir}",
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=1)
+    out_dir = _mkdtemp(prefix="snk_ledger_")
+    ckpt = _mkdtemp(prefix="ckpt_")
+
+    def ledger(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min("event_id").alias("min_seq"),
+                F.max("event_id").alias("max_seq"),
+            )
+            .select(
+                F.lit(epoch_id).cast("long").alias("batch_id"),
+                "n_rows",
+                "min_seq",
+                "max_seq",
+            )
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+        )
+
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ledger)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+    parts = sorted(os.listdir(out_dir))
+    back = spark.read.parquet(*[os.path.join(out_dir, p) for p in parts])
+    rows = back.orderBy("batch_id").collect()  # O(batches) ledger rows
+    assert len(rows) == 4, rows
+    for prev, cur in zip(rows, rows[1:]):  # loud in-order proof
+        assert cur["min_seq"] > prev["max_seq"], (prev, cur)
+    return back
