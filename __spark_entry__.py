@@ -310,6 +310,9 @@ _HEAVY = {
     # round-12 IVF radius search (kmeans chain) and the per-trigger
     # intake ledger (4-batch streaming run):
     "llm_ann_range_search", "str_trigger_file_batches",
+    # round-12 two-generation shadow read (K=8 + K=32 Lloyd chains +
+    # brute-force rank audit):
+    "llm_ann_shadow_audit",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -908,39 +908,44 @@ _KMEANS_ITERS = 2
 _Q30 = "1073741824.0"  # 2^30: power-of-two multiply never rounds in IEEE
 
 
-def _sql_kmeans_ctes(n_cells: int = _N_CELLS, src: str = "embeddings") -> str:
+def _sql_kmeans_ctes(
+    n_cells: int = _N_CELLS, src: str = "embeddings", prefix: str = ""
+) -> str:
     """CTE chain for k-means cells: cent0 = first K vectors, then
     `_KMEANS_ITERS` Lloyd rounds of (assign to nearest by cosine, update
     centroid as the Q1.30-quantized elementwise mean — see
     llm_embed_centroid for why Q1.30 makes the mean cross-engine exact).
-    With the default `n_cells`/`src` the emitted SQL is byte-identical
-    to the pre-parameterized version (the IVF oracles are unchanged);
-    `src` lets the incremental-index oracle cluster the OLD corpus
-    slice only (retrieval.llm_ivf_incremental)."""
+    With the default `n_cells`/`src`/`prefix` the emitted SQL is
+    byte-identical to the pre-parameterized version (the IVF oracles
+    are unchanged); `src` lets the incremental-index oracle cluster the
+    OLD corpus slice only (retrieval.llm_ivf_incremental); `prefix`
+    renames every CTE so TWO chains can coexist in one oracle
+    (llm_ann_shadow_audit's K=8 vs K=32 shadow read)."""
+    p = prefix
     parts = [
-        f"vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
-        f"cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        f"{p}vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
+        f"{p}cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
         f"FROM {src} WHERE vec_id < {n_cells})",
     ]
     for it in range(_KMEANS_ITERS + 1):
         parts.append(
-            f"a{it} AS (SELECT vec_id, v, cid FROM ("
+            f"{p}a{it} AS (SELECT vec_id, v, cid FROM ("
             f"SELECT v.vec_id, v.v, c.cid, row_number() OVER ("
             f"PARTITION BY v.vec_id ORDER BY {sql_cosine('v.v', 'c.cv')} DESC, c.cid"
-            f") AS rn FROM vecs v CROSS JOIN cent{it} c) WHERE rn = 1)"
+            f") AS rn FROM {p}vecs v CROSS JOIN {p}cent{it} c) WHERE rn = 1)"
         )
         if it == _KMEANS_ITERS:
             break
         parts.append(
-            f"u{it} AS (SELECT cid, i.i AS dim, "
+            f"{p}u{it} AS (SELECT cid, i.i AS dim, "
             f"CAST(SUM(CAST(floor(v[i.i] * {_Q30}) AS BIGINT)) AS DOUBLE)"
             f" / (COUNT(*) * {_Q30}) AS m "
-            f"FROM a{it}, (SELECT unnest(generate_series(1, 64)) AS i) i "
+            f"FROM {p}a{it}, (SELECT unnest(generate_series(1, 64)) AS i) i "
             f"GROUP BY cid, i.i)"
         )
         parts.append(
-            f"cent{it + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv "
-            f"FROM u{it} GROUP BY cid)"
+            f"{p}cent{it + 1} AS (SELECT cid, list(m ORDER BY dim) AS cv "
+            f"FROM {p}u{it} GROUP BY cid)"
         )
     return ",\n".join(parts)
 
@@ -4148,4 +4153,121 @@ def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= _RANGE_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_shadow_audit — SHADOW-READ two index generations before a
+# cutover: the K=8 production index and the K=32 candidate (the
+# llm_ann_join_topk_scaled knob) both serve the same query, and the
+# audit row for every vector either returned shows WHERE it came from
+# (in_k8 / in_k32) plus its TRUE brute-force rank — the evidence table
+# an index migration reads before flipping traffic (did the candidate
+# index surface better-ranked neighbors, did it lose any the old one
+# had?).  Both Lloyd chains and the brute-force ranking are exact
+# (Q1.30 means, 6 dp cosine), so the oracle reproduces the whole
+# comparison.  Scale: the shadow serve is 2× one query's cell scan;
+# the brute-force rank column is the AUDIT instrument — at 100 TB you
+# run it on a sampled query panel, never on live traffic (the
+# sample-bounded recall-audit rule, SCALING.md round 9).
+# ---------------------------------------------------------------------------
+
+_SHADOW_K = 32
+
+_SHADOW_ORACLE = f"""
+WITH {_sql_kmeans_ctes()},
+{_sql_kmeans_ctes(_SHADOW_K, prefix="k32_")},
+q AS {_QV_SQL},
+top8 AS (
+  SELECT a.vec_id FROM (
+    SELECT a.vec_id,
+           row_number() OVER (ORDER BY
+             {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC,
+             a.vec_id) AS rn
+    FROM a{_KMEANS_ITERS} a
+    JOIN (SELECT cid FROM a{_KMEANS_ITERS} WHERE vec_id = 0) qc
+      ON a.cid = qc.cid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN q WHERE a.vec_id <> 0
+  ) a WHERE rn <= 5
+), top32 AS (
+  SELECT a.vec_id FROM (
+    SELECT a.vec_id,
+           row_number() OVER (ORDER BY
+             {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC,
+             a.vec_id) AS rn
+    FROM k32_a{_KMEANS_ITERS} a
+    JOIN (SELECT cid FROM k32_a{_KMEANS_ITERS} WHERE vec_id = 0) qc
+      ON a.cid = qc.cid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN q WHERE a.vec_id <> 0
+  ) a WHERE rn <= 5
+), brute AS (
+  SELECT e.vec_id,
+         {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos_sim,
+         row_number() OVER (ORDER BY
+           {sql_cosine("CAST(e.embedding AS DOUBLE[])", "q.qv")} DESC,
+           e.vec_id) AS true_rank
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT b.vec_id, b.cos_sim,
+       (t8.vec_id IS NOT NULL) AS in_k8,
+       (t32.vec_id IS NOT NULL) AS in_k32,
+       CAST(b.true_rank AS BIGINT) AS true_rank
+FROM brute b
+LEFT JOIN top8 t8 ON b.vec_id = t8.vec_id
+LEFT JOIN top32 t32 ON b.vec_id = t32.vec_id
+WHERE t8.vec_id IS NOT NULL OR t32.vec_id IS NOT NULL
+"""
+
+
+@register("llm_ann_shadow_audit", _SHADOW_ORACLE)
+def llm_ann_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shadow-read audit of the K=8 vs K=32 index generations: the
+    union of both top-5 answers with per-index membership flags and
+    each vector's exact brute-force rank (see block comment)."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def top5(n_cells: int) -> DataFrame:
+        _, assigned = _kmeans_cells(e, n_cells)
+        qcell = assigned.filter(F.col("vec_id") == 0).select(
+            F.col("cid").alias("qcid")
+        )
+        q = e.filter(F.col("vec_id") == 0).select(
+            as_double("embedding").alias("qv")
+        )
+        return (
+            assigned.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cs"))
+            .orderBy(F.col("cs").desc(), "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+
+    t8 = top5(_N_CELLS).withColumn("in_k8", F.lit(True))
+    t32 = top5(_SHADOW_K).withColumn("in_k32", F.lit(True))
+    q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    w = W.orderBy(F.col("cos_sim").desc(), "vec_id")
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(as_double("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+        .withColumn("true_rank", F.row_number().over(w).cast("long"))
+    )
+    return (
+        brute.join(F.broadcast(t8), "vec_id", "left")
+        .join(F.broadcast(t32), "vec_id", "left")
+        .filter(F.col("in_k8").isNotNull() | F.col("in_k32").isNotNull())
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.coalesce("in_k8", F.lit(False)).alias("in_k8"),
+            F.coalesce("in_k32", F.lit(False)).alias("in_k32"),
+            "true_rank",
+        )
     )

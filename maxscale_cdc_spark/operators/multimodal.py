@@ -985,3 +985,112 @@ def mm_modality_budget_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "headroom",
         "exhausted",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_dedup_audio_fp — audio-style SEQUENCE fingerprint dedup
+# (Chromaprint/Shazam shape): unlike mm_dedup_phash's single
+# whole-blob hash, an audio match is an ALIGNMENT — each blob yields a
+# SEQUENCE of per-frame sub-fingerprints, two recordings match when
+# many frames agree at one CONSTANT OFFSET (a clip embedded in a
+# longer recording matches at a non-zero offset, which no whole-hash
+# scheme can see).  Frame extraction is the deterministic stub
+# (4-word grams at stride 2 over the decoded payload — a real build
+# swaps in spectral frames from ffmpeg and keeps every join); the
+# matcher is real: exact-dup classes collapse FIRST (the phash
+# lesson — identical blobs never reach the pair stage), then frames
+# of class representatives equi-join on the sub-fingerprint, and a
+# (rep_a, rep_b, offset-delta) count ≥ 4 is a match.  The
+# gen_sf1x snippet copies (a short clip cut from a longer doc) are
+# exactly the embedded-clip case this catches.
+#
+# Scale: the frame join is an equi-join on sub-fingerprint values;
+# group sizes are bounded by gram frequency — production fingerprint
+# systems BAN the top-df hashes (the equivalent of stopword grams)
+# before joining, which caps the skew; everything exported is an
+# integer and the pair stage is linear in matching frame pairs.
+# ---------------------------------------------------------------------------
+
+_AFP_MIN_ALIGNED = 4
+
+_AFP_ORACLE = """
+WITH cls AS (
+  SELECT text, CAST(min(doc_id) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY text
+), w AS (
+  SELECT rep, n_docs, string_split(text, ' ') AS w FROM cls
+), fr0 AS (
+  SELECT rep, n_docs,
+         unnest(list_transform(generate_series(0, (len(w) - 4) // 2),
+                k -> {'idx': k,
+                      'gram': array_to_string(
+                        list_slice(w, k * 2 + 1, k * 2 + 4), ' ')})) AS f
+  FROM w WHERE len(w) >= 4
+), fr AS (
+  SELECT rep, n_docs, CAST(f.idx AS BIGINT) AS idx, f.gram AS gram FROM fr0
+)
+SELECT a.rep AS rep_a, b.rep AS rep_b,
+       CAST(a.idx - b.idx AS BIGINT) AS delta,
+       CAST(count(*) AS BIGINT) AS n_aligned
+FROM fr a JOIN fr b ON a.gram = b.gram AND a.rep < b.rep
+GROUP BY 1, 2, 3 HAVING count(*) >= 4
+UNION ALL
+SELECT rep, rep, CAST(0 AS BIGINT),
+       CAST((len(w) - 4) // 2 + 1 AS BIGINT)
+FROM w WHERE n_docs >= 2 AND len(w) >= 4
+"""
+
+
+@register("mm_dedup_audio_fp", _AFP_ORACLE)
+def mm_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-fingerprint audio dedup: per-frame sub-fingerprints
+    equi-joined across exact-dup class reps, matches = (pair, offset
+    delta) cells with ≥ 4 aligned frames; self-rows for multi-blob
+    exact classes (see block comment)."""
+    m = media_frame(spark, sf_dir)
+    cls = (
+        m.select("doc_id", F.decode("content", "utf-8").alias("text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").cast("long").alias("rep"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    w = cls.select(
+        "rep", "n_docs", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 4)
+    frames = w.select(
+        "rep",
+        "n_docs",
+        F.size("w").alias("nw"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST((size(w) - 4) / 2 AS INT)), "
+                "k -> struct(CAST(k AS BIGINT) AS idx, "
+                "array_join(slice(w, k * 2 + 1, 4), ' ') AS gram))"
+            )
+        ).alias("f"),
+    ).select("rep", "n_docs", F.col("f.idx").alias("idx"), F.col("f.gram").alias("gram"))
+    a, b = frames.alias("a"), frames.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .groupBy(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            (F.col("a.idx") - F.col("b.idx")).alias("delta"),
+        )
+        .agg(F.count("*").cast("long").alias("n_aligned"))
+        .filter(F.col("n_aligned") >= _AFP_MIN_ALIGNED)
+    )
+    self_rows = w.filter(F.col("n_docs") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("long").alias("delta"),
+        (F.expr("div(size(w) - 4, 2)") + 1).cast("long").alias("n_aligned"),
+    )
+    return pairs.unionByName(self_rows)
