@@ -2097,3 +2097,91 @@ def llm_token_budget_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("headroom"),
         (F.count("*") == F.sum(kept.cast("long"))).alias("exhausted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_corpus_snapshot_diff — CONTENT-level diff between two corpus
+# snapshots (the "what changed since the last crawl" report):
+# snapshot A = doc_id below the 60 % cut, snapshot B = doc_id above
+# the 20 % cut (a sliding refresh window: the oldest fifth aged out,
+# the newest two-fifths arrived).  The diff keys on CONTENT (md5 of
+# text), not doc ids — a re-crawled identical page is "retained" even
+# under a new id, which is exactly why id-level diffs overstate churn.
+# Per (source, status ∈ added/removed/retained): distinct content
+# classes and doc mass.  Scale: two hash aggs + one join on the
+# content key; the diff never touches text beyond the initial hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_corpus_snapshot_diff",
+    """
+    WITH b AS (
+      SELECT CAST(max(doc_id) * 3 AS BIGINT) // 5 AS cut_a,
+             CAST(max(doc_id) AS BIGINT) // 5 AS cut_b
+      FROM documents
+    ), a_side AS (
+      SELECT md5(text) AS ck, min(source) AS src,
+             CAST(count(*) AS BIGINT) AS n_a
+      FROM documents, b WHERE doc_id <= b.cut_a GROUP BY 1
+    ), b_side AS (
+      SELECT md5(text) AS ck, min(source) AS src,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM documents, b WHERE doc_id > b.cut_b GROUP BY 1
+    ), cls AS (
+      SELECT coalesce(a.ck, bb.ck) AS ck,
+             coalesce(a.src, bb.src) AS source,
+             coalesce(a.n_a, 0) AS n_a, coalesce(bb.n_b, 0) AS n_b,
+             CASE WHEN a.ck IS NULL THEN 'added'
+                  WHEN bb.ck IS NULL THEN 'removed'
+                  ELSE 'retained' END AS status
+      FROM a_side a FULL JOIN b_side bb ON a.ck = bb.ck
+    )
+    SELECT source, status,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_a) AS BIGINT) AS docs_a,
+           CAST(sum(n_b) AS BIGINT) AS docs_b
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed diff of two overlapping corpus snapshots:
+    added/removed/retained content classes per source, with doc mass
+    on each side (see block comment)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    b = d.agg(
+        F.expr("div(max(doc_id) * 3, 5)").alias("cut_a"),
+        F.expr("div(max(doc_id), 5)").alias("cut_b"),
+    )
+    base = d.crossJoin(F.broadcast(b)).select(
+        "doc_id", "source", F.md5("text").alias("ck"), "cut_a", "cut_b"
+    )
+
+    def side(pred, n_name: str) -> DataFrame:
+        return (
+            base.filter(pred)
+            .groupBy("ck")
+            .agg(
+                F.min("source").alias("src"),
+                F.count("*").cast("long").alias(n_name),
+            )
+        )
+
+    a_side = side(F.col("doc_id") <= F.col("cut_a"), "n_a")
+    b_side = side(F.col("doc_id") > F.col("cut_b"), "n_b").select(
+        F.col("ck").alias("ckb"), F.col("src").alias("srcb"), "n_b"
+    )
+    cls = a_side.join(b_side, F.col("ck") == F.col("ckb"), "full").select(
+        F.coalesce("src", "srcb").alias("source"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.when(F.col("ck").isNull(), "added")
+        .when(F.col("ckb").isNull(), "removed")
+        .otherwise("retained")
+        .alias("status"),
+    )
+    return cls.groupBy("source", "status").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("n_a").cast("long").alias("docs_a"),
+        F.sum("n_b").cast("long").alias("docs_b"),
+    )

@@ -2813,3 +2813,48 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_weight",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_pipe_syntax — SQL PIPE syntax (Spark 4.0's `|>` operator chain):
+# the same logical plan as nested SELECTs, written as a linear
+# dataflow — FROM → WHERE → JOIN → AGGREGATE → WHERE(post-agg) →
+# ORDER/LIMIT.  Registered because it is a real, user-facing query
+# surface of the engine (a user "switching to this repo" may bring
+# piped SQL); Catalyst parses it to the identical tree, so every
+# optimization (pushdown, broadcast choice) applies unchanged — this
+# op certifies the parse+plan equivalence against the ANSI oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_pipe_syntax",
+    """
+    SELECT o_orderpriority, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority, c_mktsegment
+    HAVING COUNT(*) > 2
+    """,
+)
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI oracle's query written as a Spark 4 pipe chain —
+    filter, join, aggregate, post-aggregate filter (see block
+    comment)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total
+           GROUP BY o_orderpriority, c_mktsegment
+        |> WHERE n_orders > 2
+        |> SELECT o_orderpriority, c_mktsegment, n_orders, total
+        """
+    )
