@@ -2754,8 +2754,13 @@ def rel_hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REPRESENTATIVE (which casing survives) is engine-chosen; lower() of
 # any member of the class is the same string, so the export is
 # deterministic (ASCII data; the oracle works in lowered space).
-# Scale: collation keys are computed streamwise at scan speed; the
-# join/agg shuffle exactly as binary-collation plans do.
+# Scale note (measured, Spark 4.1): non-binary collations DISABLE the
+# hash join/agg fallbacks — the collated join plans as a
+# collation-aware SortMergeJoin (the broadcast hint is dropped) and
+# the UNICODE_CI group-by as a SortAggregate.  At 100 TB that means a
+# tiny collated dim STILL shuffles the fact side; if that matters,
+# normalize the join key (lower()) and keep collation for semantics
+# only.  test_plans pins this engine behavior.
 # ---------------------------------------------------------------------------
 
 

@@ -1048,3 +1048,160 @@ def test_store_forget_stays_class_banded(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-12 plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_bitemporal_probe_shape(spark, sf_dir):
+    """The 3×3 probe grid joins as a BROADCAST (theta join → BNLJ over
+    a 9-row side is the intended plan; an unrestricted CartesianProduct
+    is not), and the argmax is ONE hash aggregation — no window, no
+    self-join."""
+    df = _q("cdc_bitemporal", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 9-row probe side, by design
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_consistent_join_shape(spark, sf_dir):
+    """Scalar cuts broadcast; the three per-table states hash-join on
+    pk; everything JVM-side."""
+    df = _q("cdc_consistent_join_at", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)  # scalar cut broadcast onto images
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_rollup_jvm_side_and_single_scan_per_agg(spark, sf_dir):
+    """Sketch aggregation runs as JVM (object) hash aggregation —
+    never Python — and the tiny per-flag tables broadcast."""
+    df = _q("rel_hll_rollup_union", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Aggregate" in plan
+    assert has_broadcast_join(df)
+
+
+def test_collation_join_shape(spark, sf_dir):
+    """Collated equality joins/aggregates stay JVM-side but take the
+    SORT-based paths in Spark 4.1: non-binary collations disable the
+    hash fallbacks, so the join is a collation-aware SortMergeJoin
+    (the broadcast hint is dropped) and the UNICODE_CI group-by is a
+    SortAggregate.  This gate pins that engine behavior — if an
+    upgrade re-enables hash paths, the op docstring's 100 TB note
+    should be revisited."""
+    df = _q("fn_collation", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "SortAggregate" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_protobuf_decode_arrow_batched_only(spark, sf_dir):
+    """The wire decode is the sanctioned Python touchpoint — Arrow
+    MapInPandas, never row-at-a-time; the tags sum stays a JVM
+    higher-order function above it."""
+    df = _q("src_protobuf_events", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_fp_equi_join_no_python(spark, sf_dir):
+    """Frame matching is an equi-join on the sub-fingerprint (never
+    cartesian, never BNLJ) and frame extraction stays a JVM HOF."""
+    df = _q("mm_dedup_audio_fp", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_range_search_cell_routed(spark, sf_dir):
+    """Radius search inherits the IVF routing: candidate cells arrive
+    broadcast, the radius filter rides the same projection — no
+    unrestricted cartesian, no Python."""
+    df = _q("llm_ann_range_search", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_restore_reads_files_not_lineage(spark, sf_dir):
+    """The restored search plans over the SNAPSHOT files (a fresh
+    parquet scan of the cell store), not the k-means lineage: the scan
+    set must include the snapshot path and the cell join must
+    broadcast the query cell."""
+    df = _q("llm_index_snapshot_restore", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ivf_snap_" in plan, plan[:2000]
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_shadow_audit_shape(spark, sf_dir):
+    """Both generation top-5s arrive broadcast onto the brute-force
+    rank table; no unrestricted cartesian, everything JVM-side."""
+    df = _q("llm_ann_shadow_audit", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipe_syntax_same_semantics_as_ansi(spark, sf_dir):
+    """The pipe chain parses to the SAME logical plan as the nested
+    ANSI form — Catalyst sees one tree, so every optimization applies
+    to both."""
+    import maxscale_cdc_spark.tables as tables
+
+    tables.table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tables.table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    piped = _q("fn_pipe_syntax", spark, sf_dir)
+    ansi = spark.sql(
+        """
+        SELECT o_orderpriority, c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority, c_mktsegment
+        HAVING COUNT(*) > 2
+        """
+    ).select("o_orderpriority", "c_mktsegment", "n_orders", "total")
+    # sameSemantics is too strict across the HAVING-alias rewrite, so
+    # assert the structural facts: same physical shape (broadcast hash
+    # join + hash agg, nothing cartesian) and identical results.
+    p_plan, a_plan = formatted_plan(piped), formatted_plan(ansi)
+    assert has_broadcast_join(piped) == has_broadcast_join(ansi)
+    assert "CartesianProduct" not in p_plan
+    assert "HashAggregate" in p_plan and "HashAggregate" in a_plan
+    got = sorted(map(tuple, piped.collect()))
+    exp = sorted(map(tuple, ansi.collect()))
+    assert got == exp
+
+
+def test_corpus_diff_no_cartesian_no_python(spark, sf_dir):
+    """Content diff: two hash aggs + one full outer hash join on the
+    content key; the scalar cut rides broadcast."""
+    df = _q("llm_corpus_snapshot_diff", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
