@@ -1,0 +1,176 @@
+"""Round-12 property tests: cross-operator and constructed-corpus
+claims the oracle hash can't state — embedded-clip detection at a
+non-zero offset, bitemporal monotonicity, outer-join emission
+disjointness, snapshot/restore parity with the live index."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _q(name, spark, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_audio_fp_detects_embedded_clip(spark, tmp_path):
+    """A clip cut VERBATIM from the middle of a longer recording must
+    match at the alignment offset — the case a whole-blob hash
+    (mm_dedup_phash) is structurally blind to.  Doc 2 = words 11..30
+    of doc 1 (60 words): every clip frame j matches host frame j+5,
+    so the op must emit (rep_a=1, rep_b=2, delta=5) with all 9 clip
+    frames aligned."""
+    import duckdb
+
+    words = [f"w{i:03d}" for i in range(60)]
+    docs = [(1, " ".join(words)), (2, " ".join(words[10:30]))]
+    # disjoint-vocab fillers so no accidental cross-gram matches
+    for d in range(3, 10):
+        docs.append((d, " ".join(f"f{d}_{i}" for i in range(20))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i, _ in docs)
+        + ") t(doc_id, text)",
+        [t for _, t in docs],
+    )
+    con.execute(
+        "COPY (SELECT doc_id, text, 'en' AS lang, 'test' AS source, "
+        "length(text) AS n_chars FROM documents) TO "
+        f"'{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rows = _q("mm_dedup_audio_fp", spark, str(tmp_path)).collect()
+    hits = {(r["rep_a"], r["rep_b"], r["delta"]): r["n_aligned"] for r in rows}
+    assert (1, 2, 5) in hits, rows
+    assert hits[(1, 2, 5)] == 9
+    # and nothing else matched (fillers are vocab-disjoint)
+    assert len(hits) == 1, rows
+
+
+def test_bitemporal_probes_are_monotone(spark, sf_dir):
+    """More transaction-time knowledge can only move a probe's chosen
+    version FORWARD in (valid_from, txn_seq): for a fixed (v_probe,
+    pk), the packed choice key is non-decreasing in t_probe; likewise
+    in v_probe for fixed (t_probe, pk)."""
+    rows = _q("cdc_bitemporal", spark, sf_dir).collect()
+    key = {}
+    for r in rows:
+        key[(r["t_probe"], r["v_probe"], r["pk"])] = (
+            r["valid_from"],
+            r["txn_seq"],
+        )
+    for (t, v, pk), kv in key.items():
+        if (t + 1, v, pk) in key:
+            assert key[(t + 1, v, pk)] >= kv, (t, v, pk)
+        if (t, v + 1, pk) in key:
+            assert key[(t, v + 1, pk)] >= kv, (t, v, pk)
+
+
+def test_consistent_join_cut_ordering(spark, sf_dir):
+    """The torn read is taken at a LATER cut: its per-key last_seq can
+    never be behind the consistent read's, and the corpus must
+    actually contain at least one torn key (or the op demonstrates
+    nothing)."""
+    rows = _q("cdc_consistent_join_at", spark, sf_dir).collect()
+    assert rows
+    assert all(r["b_seq_torn"] >= r["b_seq"] for r in rows)
+    assert any(r["torn_read"] for r in rows)
+
+
+def test_outer_join_emissions_are_disjoint(spark, sf_dir):
+    """A purchase either joins (one row per matching error) or is
+    null-emitted exactly once on eviction — never both, never two
+    null rows."""
+    rows = _q("str_join_outer_watermarked", spark, sf_dir).collect()
+    matched, nulls = set(), []
+    for r in rows:
+        if r["error_id"] is None:
+            nulls.append(r["purchase_id"])
+        else:
+            matched.add(r["purchase_id"])
+    assert len(nulls) == len(set(nulls)), "duplicate null emission"
+    assert not (set(nulls) & matched), "purchase both matched and null"
+
+
+def test_chained_stateful_conserves_mass(spark, sf_dir):
+    """Tier-2 rollups can only contain watermark-finalized tier-1
+    cells: total event mass ≤ the corpus, windows are day-aligned."""
+    rows = _q("str_chained_stateful", spark, sf_dir).collect()
+    from maxscale_cdc_spark.tables import table
+
+    total = table(spark, sf_dir, "events").count()
+    assert 0 < sum(r["n_events"] for r in rows) <= total
+    for r in rows:
+        ts = r["wstart"]
+        assert ts.hour == 0 and ts.minute == 0 and ts.second == 0
+
+
+def test_trigger_batches_cover_the_stream(spark, sf_dir):
+    """The four trigger ledger rows partition the whole stream."""
+    rows = _q("str_trigger_file_batches", spark, sf_dir).collect()
+    from maxscale_cdc_spark.tables import table
+
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert len(rows) == 4
+
+
+def test_snapshot_restore_equals_live_index(spark, sf_dir):
+    """The restored index serves the EXACT rows the live index serves
+    — same ids, same 6-dp cosines (parquet round-trips IEEE doubles
+    bit-exactly)."""
+    live = sorted(map(tuple, _q("llm_sim_ivf", spark, sf_dir).collect()))
+    restored = sorted(
+        map(tuple, _q("llm_index_snapshot_restore", spark, sf_dir).collect())
+    )
+    assert live == restored
+
+
+def test_shadow_audit_flags_are_sound(spark, sf_dir):
+    """Every audit row came from at least one generation, flags ≤ 5
+    per side (top-5 serves), true ranks positive and unique."""
+    rows = _q("llm_ann_shadow_audit", spark, sf_dir).collect()
+    assert rows
+    assert all(r["in_k8"] or r["in_k32"] for r in rows)
+    assert sum(r["in_k8"] for r in rows) <= 5
+    assert sum(r["in_k32"] for r in rows) <= 5
+    ranks = [r["true_rank"] for r in rows]
+    assert len(set(ranks)) == len(ranks) and min(ranks) >= 1
+
+
+def test_proto_roundtrip_property():
+    """Randomized wire round trip: every int64, every sint64, unicode
+    strings, arbitrary packed lists, with unknown fields appended —
+    decode(encode(x)) == x and unknowns vanish."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maxscale_cdc_spark.sources.proto_wire import (
+        append_unknown_varint,
+        decode_message,
+        encode_message,
+    )
+
+    u63 = st.integers(min_value=0, max_value=2**63 - 1)
+    s64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    rec_st = st.fixed_dictionaries(
+        {
+            "sequence": u63,
+            "dml_type": st.text(max_size=20),
+            "pk": u63,
+            "value_cents": u63,
+            "drift": s64,
+            "ts_unix": u63,
+            "note": st.one_of(st.none(), st.text(max_size=10)),
+            "tags": st.lists(u63, max_size=8),
+        }
+    )
+
+    @given(rec_st, st.integers(min_value=0, max_value=2**40))
+    @settings(max_examples=200, deadline=None)
+    def check(rec, unknown):
+        m = append_unknown_varint(encode_message(rec), 15, unknown)
+        out = decode_message(m)
+        exp = {k: v for k, v in rec.items() if v is not None}
+        assert out == exp
+
+    check()
