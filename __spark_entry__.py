@@ -313,6 +313,8 @@ _HEAVY = {
     # round-12 two-generation shadow read (K=8 + K=32 Lloyd chains +
     # brute-force rank audit):
     "llm_ann_shadow_audit",
+    # round-12 protobuf spool tail (streaming run + in-stream decode):
+    "str_protobuf_tail",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -1985,3 +1985,98 @@ def src_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_tags"),
         F.max("sequence").alias("max_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_protobuf_tail — the streaming half of the protobuf lane
+# (completing the format symmetry: src/str for Avro, src/str for
+# protobuf): a producer appends delimited-stream .pb files to a
+# landing directory and the consumer tails it with the binaryFile
+# file source; the wire decode (sources/proto_wire.py — zigzag,
+# packed repeated, optional presence, unknown-field skip) runs
+# IN-STREAM as stateless Arrow-batched mapInPandas, and the published
+# monitor is the 6-hour tumbling per-dml window over the DECODED
+# event time — the same end-to-end event-time proof as str_avro_tail,
+# on the other binary encoding.  Shape identical: listing → per-file
+# decode at scan speed → ONE windowed agg (complete mode here; append
+# + watermark + upsert sink at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_protobuf_tail",
+    f"""
+{CDC_SQL}
+SELECT make_timestamp((ts_unix // 21600) * 21600 * 1000000) AS wstart,
+       dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(pk % 7 - 3) AS BIGINT) AS sum_drift
+FROM cdc
+GROUP BY 1, 2
+""",
+)
+def str_protobuf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail the protobuf delimited-stream spool as a file-source
+    stream, decode the wire format in-stream (Arrow-batched), publish
+    6-hour tumbling per-dml windows over the decoded event time (see
+    block comment)."""
+    from maxscale_cdc_spark.streaming.runners import run_to_memory as _rtm
+
+    spool = _spool_proto_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.proto_wire import (
+            decode_message,
+            read_delimited,
+        )
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = [
+                    decode_message(m) for m in read_delimited(bytes(content))
+                ]
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "sequence": [r["sequence"] for r in recs],
+                            "dml_type": [r["dml_type"] for r in recs],
+                            "value_cents": [r["value_cents"] for r in recs],
+                            "drift": [r["drift"] for r in recs],
+                            "ts_unix": [r["ts_unix"] for r in recs],
+                        }
+                    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "sequence long, dml_type string, value_cents long, "
+            "drift long, ts_unix long",
+        )
+        .withColumn("ts", F.timestamp_seconds("ts_unix"))
+    )
+    agg = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "dml_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum("drift").cast("long").alias("sum_drift"),
+    )
+    out = _rtm(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("wstart"),
+        "dml_type",
+        "n",
+        "sum_value_cents",
+        "sum_drift",
+    )
