@@ -3388,3 +3388,88 @@ def cdc_consistent_join_at(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_seq_torn") != F.col("b_seq")).alias("torn_read"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_read_committed_at — ATOMIC transaction visibility at a cut: the
+# reference groups a transaction's row events under one GTID
+# (event.go:189-200; the synthetic envelope's txn = div(sequence, 4),
+# the cdc_txn_boundaries convention), and a consumer that stops at an
+# arbitrary position S mid-transaction must NOT apply the prefix of
+# an open transaction — read-committed visibility is "a txn's events
+# are visible iff its LAST event is ≤ S" (all-or-nothing).  The op
+# materializes both states at S = (smax*7)//10: the COMMITTED state
+# (complete txns only) and the naive DIRTY state (every event ≤ S),
+# flagging each pk the difference would corrupt — the audit that
+# justifies txn-aligned checkpoints.  Shape: one txn-extent agg, two
+# per-pk latest-state aggs, one pk join — all keyed shuffles.
+# ---------------------------------------------------------------------------
+
+_READ_COMMITTED_ORACLE = f"""
+{CDC_SQL}
+, cut AS (SELECT (max(sequence) * 7) // 10 AS s FROM cdc),
+txn AS (
+  SELECT pk, sequence, dml_type, value,
+         CAST(sequence AS BIGINT) // 4 AS txn_id
+  FROM cdc
+), extent AS (
+  SELECT txn_id, max(sequence) AS txn_max FROM txn GROUP BY txn_id
+), committed AS (
+  SELECT t.* FROM txn t JOIN extent e USING (txn_id), cut
+  WHERE e.txn_max <= cut.s
+), dirty AS (
+  SELECT t.* FROM txn t, cut WHERE t.sequence <= cut.s
+), cstate AS (
+  SELECT pk, CAST(max(sequence) AS BIGINT) AS committed_seq,
+         max_by(dml_type, sequence) AS c_dml,
+         max_by(value, sequence) AS c_value
+  FROM committed GROUP BY pk
+), dstate AS (
+  SELECT pk, CAST(max(sequence) AS BIGINT) AS dirty_seq FROM dirty
+  GROUP BY pk
+)
+SELECT d.pk, c.committed_seq,
+       CASE WHEN c.c_dml <> 'delete' THEN c.c_value END AS committed_value,
+       d.dirty_seq,
+       (c.pk IS NULL OR d.dirty_seq <> c.committed_seq) AS torn_visible
+FROM dstate d LEFT JOIN cstate c ON d.pk = c.pk
+"""
+
+
+@register("cdc_read_committed_at", _READ_COMMITTED_ORACLE)
+def cdc_read_committed_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-committed vs dirty state at a mid-transaction cut: per pk
+    the committed (complete-txn-only) latest image beside the naive
+    prefix state, with torn-visibility flags (see block comment)."""
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 7, 10)").alias("s"))
+    txn = cdc.select(
+        "pk", "sequence", "dml_type", "value",
+        F.expr("div(sequence, 4)").alias("txn_id"),
+    ).crossJoin(F.broadcast(cut))
+    extent = txn.groupBy("txn_id").agg(F.max("sequence").alias("txn_max"))
+    committed = txn.join(extent, "txn_id").filter(
+        F.col("txn_max") <= F.col("s")
+    )
+    cstate = committed.groupBy("pk").agg(
+        F.max("sequence").alias("committed_seq"),
+        F.max_by("dml_type", "sequence").alias("c_dml"),
+        F.max_by("value", "sequence").alias("c_value"),
+    )
+    dstate = (
+        txn.filter(F.col("sequence") <= F.col("s"))
+        .groupBy("pk")
+        .agg(F.max("sequence").alias("dirty_seq"))
+    )
+    return dstate.join(cstate, "pk", "left").select(
+        "pk",
+        "committed_seq",
+        F.when(F.col("c_dml") != "delete", F.col("c_value")).alias(
+            "committed_value"
+        ),
+        "dirty_seq",
+        (
+            F.col("committed_seq").isNull()
+            | (F.col("dirty_seq") != F.col("committed_seq"))
+        ).alias("torn_visible"),
+    )

@@ -1094,3 +1094,160 @@ def mm_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("div(size(w) - 4, 2)") + 1).cast("long").alias("n_aligned"),
     )
     return pairs.unionByName(self_rows)
+
+
+# ---------------------------------------------------------------------------
+# mm_pack_interleaved — INTERLEAVED multimodal sequence packing (the
+# VLM training-data layout): each document contributes its text
+# tokens followed by its image blocks (64 patch tokens per image,
+# image count derived from the metadata), the per-source token stream
+# is chunked into 2048-token training sequences
+# (llm_pack_sequences' concat-and-chunk convention), and the export
+# accounts each chunk's modality mix PLUS the rows a real packer must
+# fix up: image blocks that STRADDLE a chunk boundary (patch blocks
+# are atomic — a straddling image must be shifted or padded, and its
+# count is the padding-cost estimate).  Image tokens are attributed
+# to the block's START chunk (the atomic-intent accounting).
+#
+# Shape: one per-source cumsum window (packing is per-shard, the
+# llm_pack_sequences scale rule), then two bounded explodes — text
+# spans explode into the ≤⌈tt/2048⌉+1 chunks they overlap, images
+# into one row each — and one (source, chunk) agg.  All integer math
+# (`div`/`//`), both engines identical.
+# ---------------------------------------------------------------------------
+
+_MM_CHUNK = 2048
+_MM_PATCH = 64
+
+_MM_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tt,
+         CAST(doc_id % 3 AS BIGINT) AS n_img
+  FROM documents
+), runs AS (
+  SELECT *, CAST(sum(tt + {_MM_PATCH} * n_img) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - (tt + {_MM_PATCH} * n_img) AS ds
+  FROM d
+), tx0 AS (
+  SELECT source,
+         unnest(list_transform(
+           generate_series(ds // {_MM_CHUNK}, (ds + tt - 1) // {_MM_CHUNK}),
+           c -> {{'c': c,
+                 'tok': least(ds + tt, (c + 1) * {_MM_CHUNK})
+                        - greatest(ds, c * {_MM_CHUNK})}})) AS t
+  FROM runs
+), tx AS (
+  SELECT source, CAST(t.c AS BIGINT) AS chunk_id,
+         CAST(t.tok AS BIGINT) AS text_tokens
+  FROM tx0
+), im0 AS (
+  SELECT source,
+         unnest(list_transform(generate_series(0, CAST(n_img AS INT) - 1),
+           i -> ds + tt + i * {_MM_PATCH})) AS s
+  FROM runs WHERE n_img > 0
+), im AS (
+  SELECT source, CAST(s // {_MM_CHUNK} AS BIGINT) AS chunk_id,
+         CAST({_MM_PATCH} AS BIGINT) AS image_tokens,
+         CAST(CASE WHEN s // {_MM_CHUNK} <>
+                        (s + {_MM_PATCH} - 1) // {_MM_CHUNK}
+              THEN 1 ELSE 0 END AS BIGINT) AS straddle
+  FROM im0
+), tagg AS (
+  SELECT source, chunk_id, CAST(sum(text_tokens) AS BIGINT) AS text_tokens
+  FROM tx GROUP BY 1, 2
+), iagg AS (
+  SELECT source, chunk_id,
+         CAST(sum(image_tokens) AS BIGINT) AS image_tokens,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(sum(straddle) AS BIGINT) AS n_straddling
+  FROM im GROUP BY 1, 2
+)
+SELECT coalesce(t.source, i.source) AS source,
+       coalesce(t.chunk_id, i.chunk_id) AS chunk_id,
+       coalesce(t.text_tokens, 0) AS text_tokens,
+       coalesce(i.image_tokens, 0) AS image_tokens,
+       coalesce(i.n_images, 0) AS n_images,
+       coalesce(i.n_straddling, 0) AS n_straddling
+FROM tagg t FULL JOIN iagg i
+  ON t.source = i.source AND t.chunk_id = i.chunk_id
+"""
+
+
+@register("mm_pack_interleaved", _MM_PACK_ORACLE)
+def mm_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+image sequence packing: per-source 2048-token
+    chunks with per-chunk modality accounting and the atomic-image
+    straddle audit (see block comment)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("tt"),
+        (F.col("doc_id") % 3).cast("long").alias("n_img"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = F.col("tt") + _MM_PATCH * F.col("n_img")
+    runs = d.withColumn("ds", F.sum(total).over(w) - total).localCheckpoint(
+        eager=False
+    )
+    tx = runs.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(div(ds, {_MM_CHUNK}),"
+                f" div(ds + tt - 1, {_MM_CHUNK})),"
+                f" c -> struct(c AS c,"
+                f" least(ds + tt, (c + 1) * {_MM_CHUNK})"
+                f" - greatest(ds, c * {_MM_CHUNK}) AS tok))"
+            )
+        ).alias("t"),
+    ).select(
+        "source",
+        F.col("t.c").cast("long").alias("chunk_id"),
+        F.col("t.tok").cast("long").alias("text_tokens"),
+    )
+    im = (
+        runs.filter(F.col("n_img") > 0)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(n_img AS INT) - 1),"
+                    f" i -> ds + tt + i * {_MM_PATCH})"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "source",
+            F.expr(f"div(s, {_MM_CHUNK})").alias("chunk_id"),
+            F.lit(_MM_PATCH).cast("long").alias("image_tokens"),
+            (
+                F.expr(f"div(s, {_MM_CHUNK})")
+                != F.expr(f"div(s + {_MM_PATCH} - 1, {_MM_CHUNK})")
+            )
+            .cast("long")
+            .alias("straddle"),
+        )
+    )
+    tagg = tx.groupBy("source", "chunk_id").agg(
+        F.sum("text_tokens").cast("long").alias("text_tokens")
+    )
+    iagg = im.groupBy("source", "chunk_id").agg(
+        F.sum("image_tokens").cast("long").alias("image_tokens"),
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("straddle").cast("long").alias("n_straddling"),
+    )
+    return tagg.join(iagg, ["source", "chunk_id"], "full").select(
+        "source",
+        "chunk_id",
+        F.coalesce("text_tokens", F.lit(0)).cast("long").alias("text_tokens"),
+        F.coalesce("image_tokens", F.lit(0)).cast("long").alias("image_tokens"),
+        F.coalesce("n_images", F.lit(0)).cast("long").alias("n_images"),
+        F.coalesce("n_straddling", F.lit(0)).cast("long").alias("n_straddling"),
+    )

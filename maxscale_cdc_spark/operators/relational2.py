@@ -2863,3 +2863,86 @@ def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, c_mktsegment, n_orders, total
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_join_bloom_runtime — RUNTIME bloom-filter join pruning (Spark
+# 3.3+ InjectRuntimeFilter): when neither join side broadcasts (the
+# 100 TB fact⋈fact case), Catalyst builds a bloom filter over the
+# SELECTIVE side's join keys at runtime and pushes a might_contain
+# probe into the big side's scan — rows that cannot join die at scan
+# speed instead of riding the shuffle.  rel_join_broadcast certifies
+# the broadcast path; this certifies the runtime-filter path, conf-
+# scoped inside the op (broadcast disabled to force the shuffle join,
+# thresholds opened so the tiny test tables qualify; every conf is
+# restored in a finally).  The bloom injection is asserted IN-OP on
+# the optimized plan — the result itself is oracle-exact either way.
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_result(spark: SparkSession, sf_dir: str):
+    """(materialized result, optimized-plan string) for the bloom-
+    filtered shuffle join — shared by the op and its plan gate."""
+    saved = {}
+    for k in _BLOOM_CONFS:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]  # loud: filter built
+        assert "might_contain" in plan, plan[:2000]  # loud: probe pushed
+        assert "BroadcastHashJoin" not in plan  # the shuffle-join case
+        # materialize UNDER the scoped confs so execution uses this plan
+        out = j.localCheckpoint(eager=True)
+        return out, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@register(
+    "rel_join_bloom_runtime",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def rel_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a runtime-injected bloom filter pruning the
+    fact scan (asserted in-op on the plan); result identical to the
+    plain join (see block comment)."""
+    out, _ = bloom_join_result(spark, sf_dir)
+    return out

@@ -1205,3 +1205,61 @@ def test_corpus_diff_no_cartesian_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """The runtime bloom filter must be BUILT on the selective side
+    and PROBED on the fact scan, with the join staying a shuffle
+    join (the case broadcast can't cover at 100 TB)."""
+    from maxscale_cdc_spark.operators.relational2 import bloom_join_result
+
+    _, plan = bloom_join_result(spark, sf_dir)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bloom_confs_are_restored(spark, sf_dir):
+    """The op's conf scope must not leak — a session-wide
+    autoBroadcastJoinThreshold=-1 would wreck every later plan."""
+    from maxscale_cdc_spark.operators.relational2 import (
+        _BLOOM_CONFS,
+        bloom_join_result,
+    )
+
+    before = {}
+    for k in _BLOOM_CONFS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    bloom_join_result(spark, sf_dir)
+    for k, v in before.items():
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == v, (k, v, after)
+
+
+def test_read_committed_shape(spark, sf_dir):
+    """Txn-extent agg + two keyed states + one pk join — scalar cut
+    broadcast, nothing cartesian, everything JVM-side."""
+    df = _q("cdc_read_committed_at", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_interleaved_bounded_explode(spark, sf_dir):
+    """Both explodes are bounded (text: overlapped chunks; images: one
+    row per image) and the packing window is per-source — no global
+    unpartitioned window, no Python."""
+    df = _q("mm_pack_interleaved", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in m.group(1), m.group(0)
