@@ -3231,8 +3231,12 @@ def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITEMPORAL_ORACLE = f"""
 {CDC_SQL}
 , images AS (
+  -- backdate hash caps the id FIRST (sequence % 2^20): the derived
+  -- sf10 corpus shifts ids to ~10^10 and the uncapped product with
+  -- 2654435761 overflows int64 in BOTH engines (found at sf10,
+  -- round 12 — the str_ivf_assign_stream cap rule, reapplied)
   SELECT pk, sequence, value,
-         ts_unix - ((sequence * 2654435761) % 7) * 86400 AS vf
+         ts_unix - (((sequence % 1048576) * 2654435761) % 7) * 86400 AS vf
   FROM cdc WHERE dml_type IN ('insert', 'update_after')
 ), bounds AS (
   SELECT max(sequence) AS smax, min(vf) AS vmin, max(vf) AS vmax FROM images
@@ -3268,7 +3272,7 @@ def cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (
             F.col("ts_unix")
-            - F.expr("(sequence * 2654435761) % 7") * 86400
+            - F.expr("((sequence % 1048576) * 2654435761) % 7") * 86400
         ).alias("vf"),
     )
     grid = spark.createDataFrame(
