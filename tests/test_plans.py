@@ -1263,3 +1263,27 @@ def test_pack_interleaved_bounded_explode(spark, sf_dir):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "source" in m.group(1), m.group(0)
+
+
+def test_cbo_stats_drive_broadcast(spark, sf_dir):
+    """With column stats, CBO prices the filtered side below the
+    broadcast threshold — broadcast join chosen, confs restored."""
+    from maxscale_cdc_spark.operators.relational2 import (
+        _CBO_CONFS,
+        cbo_join_result,
+    )
+
+    before = {}
+    for k in _CBO_CONFS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    _, plan = cbo_join_result(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    for k, v in before.items():
+        try:
+            after = spark.conf.get(k)
+        except Exception:
+            after = None
+        assert after == v, (k, v, after)
