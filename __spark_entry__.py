@@ -315,6 +315,9 @@ _HEAVY = {
     "llm_ann_shadow_audit",
     # round-12 protobuf spool tail (streaming run + in-stream decode):
     "str_protobuf_tail",
+    # round-12 write-audit-publish lifecycle (merge + 2 staged
+    # attempts + recovery read):
+    "snk_wap_publish",
     # round-10 sampled containment audit (runs the chooser + a
     # filtered class build):
     "llm_dedup_containment_sampled",

@@ -4137,3 +4137,188 @@ def str_trigger_file_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     for prev, cur in zip(rows, rows[1:]):  # loud in-order proof
         assert cur["min_seq"] > prev["max_seq"], (prev, cur)
     return back
+
+
+# ---------------------------------------------------------------------------
+# snk_wap_publish — WRITE-AUDIT-PUBLISH for the manifested sink (the
+# Iceberg WAP pattern): a merge's generation files are STAGED first,
+# AUDITED against the source log (row-count reconciliation + an
+# invariant check) while still invisible to readers, and only a
+# passing audit flips the manifest — a failing one deletes the staged
+# generation and leaves the manifest byte-identical.  This is the
+# commit gate that keeps a lost-partition write (the classic silent
+# corruption: a task's output vanishes, counts come up short) from
+# ever becoming readable state.  Lifecycle: merge 1 publishes
+# normally at the 1/2 cut; WAP attempt A stages the (1/2, 3/4] batch
+# CORRUPTED (pk % 5 = 2 rows dropped — the lost partition), the audit
+# catches the short count and ABORTS (manifest bytes asserted
+# unchanged); WAP attempt B stages the correct batch, passes, and
+# publishes.  The exported state is therefore merge-1 state for
+# untouched keys and ≤-3/4 state for touched keys — recomputed raw by
+# the oracle — with the audit ledger (expected vs staged-bad counts)
+# riding along as oracle-checked columns.
+#
+# Scale: the audit reads ONLY the staged generation (bucket-pruned)
+# plus a count over the source window — metadata-cheap next to the
+# write it gates; staging needs no extra copy (the generation dir IS
+# the stage; publish is the manifest flip the sink already does
+# atomically).
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk, value,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ), cuts AS (
+      SELECT max(sequence) // 2 AS m2, (max(sequence) * 3) // 4 AS m3
+      FROM cdc
+    ), touched AS (
+      SELECT DISTINCT pk FROM cdc, cuts
+      WHERE sequence > m2 AND sequence <= m3
+    ), eff AS (
+      SELECT c.pk, c.sequence, c.dml_type, c.value, c.ts_unix,
+             CASE WHEN t.pk IS NOT NULL THEN u.m3 ELSE u.m2 END AS cut
+      FROM cdc c LEFT JOIN touched t ON c.pk = t.pk, cuts u
+    ), ranked AS (
+      SELECT pk, sequence, dml_type, value, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM eff WHERE sequence <= cut
+    ), audit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_expected,
+             CAST(sum(CASE WHEN pk % 5 <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_staged_bad
+      FROM touched
+    )
+    SELECT CAST(2 AS BIGINT) AS n_attempts, CAST(1 AS BIGINT) AS n_aborted,
+           CAST(1 AS BIGINT) AS n_published,
+           a.n_expected, a.n_staged_bad,
+           r.pk, r.sequence AS last_seq, r.value AS last_value,
+           r.ts_unix AS last_ts_unix
+    FROM ranked r, audit a WHERE r.rn = 1 AND r.dml_type <> 'delete'
+    """
+
+
+@register("snk_wap_publish", _WAP_ORACLE)
+def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: a corrupted staged generation is caught by
+    the count audit and aborted (manifest byte-identical), the correct
+    stage publishes; exported state + audit ledger recomputed raw by
+    the oracle (see block comment)."""
+    import os
+    import shutil
+    import uuid as _uuid
+    from collections import defaultdict
+    from functools import reduce
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.when(F.col("event_type").isin("signup", "purchase"), F.lit("insert"))
+        .when(F.col("event_type") == "view", F.lit("update_before"))
+        .when(F.col("event_type") == "click", F.lit("update_after"))
+        .otherwise(F.lit("delete"))
+        .alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    m2, m3 = m // 2, (3 * m) // 4
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_wap_"))
+
+    def state_batch(lo: int, hi: int) -> DataFrame:
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        return (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+
+    sink.merge(state_batch(0, m2), epoch_id=0)  # normal publish
+
+    def manifest_bytes() -> bytes:
+        name = sink._manifest_names()[-1]
+        with open(os.path.join(sink.mdir, name), "rb") as fh:
+            return fh.read()
+
+    def stage(batch_df: DataFrame) -> tuple[str, list[int]]:
+        """merge()'s write half WITHOUT the manifest flip — the WAP
+        stage (generation files on disk, invisible to readers)."""
+        new = batch_df.withColumn(
+            "b", F.pmod(F.hash("pk"), F.lit(sink.n_buckets))
+        )
+        touched = sorted(r["b"] for r in new.select("b").distinct().collect())
+        by_gen: dict[str, list[int]] = defaultdict(list)
+        for b in touched:
+            if b in sink.gen_of:
+                by_gen[sink.gen_of[b]].append(b)
+        olds = [
+            spark.read.parquet(g).filter(F.col("b").isin(bs))
+            for g, bs in by_gen.items()
+        ]
+        if olds:
+            carried = reduce(lambda a, x: a.unionByName(x), olds).join(
+                new.select("pk"), "pk", "left_anti"
+            )
+            merged = carried.unionByName(new)
+        else:
+            merged = new
+        gen_dir = os.path.join(sink.root, f"gen_wap_{_uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
+        return gen_dir, touched
+
+    def audit(gen_dir: str, n_expected: int) -> int:
+        staged = spark.read.parquet(gen_dir)
+        n_new = int(staged.filter(F.col("last_seq") > m2).count())
+        n_null_pk = int(staged.filter(F.col("pk").isNull()).count())
+        assert n_null_pk == 0  # invariant audit (always holds here)
+        return n_new
+
+    n_expected = int(state_batch(m2, m3).count())
+    good = state_batch(m2, m3)
+    bad = good.filter(F.col("pk") % 5 != 2)  # the lost partition
+
+    # WAP attempt A: stage corrupted → audit catches → ABORT
+    before = manifest_bytes()
+    gen_bad, _ = stage(bad)
+    n_staged_bad = audit(gen_bad, n_expected)
+    assert n_staged_bad < n_expected, (n_staged_bad, n_expected)
+    shutil.rmtree(gen_bad)  # abort: staged files die, manifest untouched
+    assert manifest_bytes() == before, "abort must not move the manifest"
+
+    # WAP attempt B: stage correct → audit passes → PUBLISH
+    gen_good, touched_b = stage(good)
+    n_staged_good = audit(gen_good, n_expected)
+    assert n_staged_good == n_expected, (n_staged_good, n_expected)
+    for b in touched_b:
+        sink.gen_of[b] = gen_good
+    sink._persist()
+    assert manifest_bytes() != before  # the publish moved the manifest
+
+    post = sink.state().filter(F.col("last_dml") != "delete")
+    return post.select(
+        F.lit(2).cast("long").alias("n_attempts"),
+        F.lit(1).cast("long").alias("n_aborted"),
+        F.lit(1).cast("long").alias("n_published"),
+        F.lit(n_expected).cast("long").alias("n_expected"),
+        F.lit(n_staged_bad).cast("long").alias("n_staged_bad"),
+        "pk",
+        "last_seq",
+        "last_value",
+        "last_ts_unix",
+    )
