@@ -51,11 +51,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-11 sweep greens (CORRECTNESS_r11.json, all 50 — exactly the
+    # 33 ids below were newly certified: every round-11 operator plus
+    # the str_schema_evolution_stream re-certification after its oracle
+    # fix; the other 17 rows re-certified ids already listed), code
+    # unchanged since:
+    "cdc_bitemporal", "cdc_consistent_join_at", "cdc_read_committed_at",
+    "fn_collation", "fn_pipe_syntax", "llm_ann_mmr_e2e_scaled",
+    "llm_ann_range_search", "llm_ann_shadow_audit",
+    "llm_corpus_snapshot_diff", "llm_dedup_store_forget",
+    "llm_dedup_two_stage", "llm_index_snapshot_restore",
+    "llm_license_propagation", "llm_optout_purge", "mm_dedup_audio_fp",
+    "mm_pack_interleaved", "rel_hll_rollup_union", "rel_join_bloom_runtime",
+    "rel_join_cbo_stats", "snk_fenced_failover", "snk_vacuum_orphans",
+    "snk_wap_publish", "src_avro_events", "src_avro_schema_evolution",
+    "src_protobuf_events", "str_avro_tail", "str_avro_tail_restart",
+    "str_banding_swap_splice", "str_chained_stateful",
+    "str_join_outer_watermarked", "str_protobuf_tail",
+    "str_schema_evolution_stream", "str_trigger_file_batches",
     # round-10 sweep greens (CORRECTNESS_r10.json, all 50 — 19 new ids,
     # 31 re-certifications of ids already listed below), code unchanged
-    # since.  str_schema_evolution_stream is deliberately NOT absorbed:
-    # its oracle's cut CTE was rewritten in round 11 (double-division
-    # rounding bug, ADVICE r10) — honesty rule, see _DEMOTED.
+    # since:
     "cdc_cascade_delete_apply", "cdc_replay_idempotence",
     "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e",
     "llm_dedup_containment_sampled", "llm_dedup_rep_apply",
@@ -211,16 +227,13 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-11 open state: the round-10 sweep came back 50/50 green
-# (CORRECTNESS_r10.json), so entering round 11 ALL 347 registered
-# queries had certified rows.  Demotions made this round per the
-# honesty rule:
-#  - str_schema_evolution_stream: round-11 fixed its ORACLE's cut CTE
-#    (CAST(max*3/5 AS BIGINT) rounded via double division while Spark
-#    div() floors — divergent whenever max(sequence) % 5 IN (1, 3);
-#    ADVICE r10 high).  The r10 green row certified the buggy oracle
-#    on a benign residue, so it re-certifies this round.
-_DEMOTED: set[str] = {"str_schema_evolution_stream"}
+# Round-12 open state: the round-11 sweep came back 50/50 green
+# (CORRECTNESS_r11.json) covering exactly the 33 then-unverified ids
+# (including the str_schema_evolution_stream re-certification), so
+# entering round 12 ALL 379 registered queries have certified rows on
+# current code — zero demotions outstanding, all 50 sweep slots free
+# for round-12 operators.
+_DEMOTED: set[str] = set()
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap
