@@ -3222,10 +3222,15 @@ def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no self-join.  At 100 TB the probe grid stays a broadcast and the
 # agg is a single shuffle on (probe, pk); for dense probe grids you
 # would pre-aggregate per (pk, valid-day) first.  Packing bounds:
-# vf * 2^24 + sequence % 2^24 — unique while events < 2^24 rows per
-# equal-vf group (generated corpora: ≤1e7 rows total), vf ≈ 1.7e9 so
-# the product ≈ 2.9e16 ≪ 2^63.  Both engines pick the argmax by the
-# SAME packed key, so the choice is identical even at the cap.
+# vf * 2^24 + sequence % 2^24, vf ≈ 1.7e9 so the product ≈ 2.9e16 ≪
+# 2^63.  TIE-BREAK SEMANTICS (ADVICE r11): among equal-vf rows the
+# argmax is by sequence MOD 2^24, not raw sequence — identical to a
+# raw-sequence order while equal-vf sequences span < 2^24 (true at
+# every certified corpus: ≤1e7 rows total), but at derived big-id
+# scales (sf10 ids ~1e10) a wrapped lower-true-sequence row can win
+# the tie.  Both engines pack the SAME key, so the export stays
+# engine-identical at every scale; what changes past the span bound
+# is only which member of the vf-tie is surfaced as txn_seq.
 # ---------------------------------------------------------------------------
 
 _BITEMPORAL_ORACLE = f"""
@@ -3263,8 +3268,11 @@ GROUP BY 1, 2, 3
 @register("cdc_bitemporal", _BITEMPORAL_ORACLE)
 def cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal as-of probes: per (transaction-time cut, valid-time
-    cut, pk) the image maximizing (valid_from, sequence) — "effective
-    at V as known at T" (see block comment for packing bounds)."""
+    cut, pk) the image maximizing (valid_from, sequence mod 2^24) —
+    "effective at V as known at T".  The vf tie-break is on the PACKED
+    (wrapped) sequence, identical to raw sequence at every certified
+    corpus; see block comment for the packing bounds and the big-id
+    caveat."""
     cdc = cdc_view(spark, sf_dir)
     images = cdc.filter(F.col("dml_type").isin("insert", "update_after")).select(
         "pk",

@@ -1177,10 +1177,17 @@ FROM tagg t FULL JOIN iagg i
 
 
 @register("mm_pack_interleaved", _MM_PACK_ORACLE)
-def mm_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_pack_interleaved(
+    spark: SparkSession, sf_dir: str, stage: bool = True
+) -> DataFrame:
     """Interleaved text+image sequence packing: per-source 2048-token
     chunks with per-chunk modality accounting and the atomic-image
-    straddle audit (see block comment)."""
+    straddle audit (see block comment).
+
+    ``stage=False`` skips the run-offset checkpoint so plan gates can
+    see the packing window (CLAUDE.md rule 5); the default emits the
+    exact same staged plan as before the flag existed.
+    """
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -1193,9 +1200,9 @@ def mm_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     total = F.col("tt") + _MM_PATCH * F.col("n_img")
-    runs = d.withColumn("ds", F.sum(total).over(w) - total).localCheckpoint(
-        eager=False
-    )
+    runs = d.withColumn("ds", F.sum(total).over(w) - total)
+    if stage:
+        runs = runs.localCheckpoint(eager=False)
     tx = runs.select(
         "source",
         F.explode(

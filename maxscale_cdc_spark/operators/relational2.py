@@ -2704,15 +2704,24 @@ def rel_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def rel_hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_hll_rollup_union(
+    spark: SparkSession, sf_dir: str, stage: bool = True
+) -> DataFrame:
     """Per-cell HLL sketches unioned to a coarser rollup: re-merging
     the same partials is idempotent (at-least-once safety) and the
     merged estimate lands within tolerance of the exact distinct
-    count (see block comment for the error budget)."""
+    count (see block comment for the error budget).
+
+    ``stage=False`` skips the per-cell-sketch checkpoint so plan gates
+    can see the sketch aggregation (CLAUDE.md rule 5); the default
+    emits the exact same staged plan as before the flag existed.
+    """
     li = table(spark, sf_dir, "lineitem")
     parts = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk")
-    ).localCheckpoint(eager=False)
+    )
+    if stage:
+        parts = parts.localCheckpoint(eager=False)
     merged = parts.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
     )
@@ -2971,7 +2980,11 @@ def rel_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf_dir).
 # ---------------------------------------------------------------------------
 
-_CBO_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+# (session id, sf_dir) → (orders table name, lineitem table name,
+# pre-stats plan had a broadcast join) — the bool records the
+# calibration observation (see block comment: at tiny scales the
+# pruned raw size already broadcasts) for the plan gate's use.
+_CBO_CACHE: dict[tuple[str, str], tuple[str, str, bool]] = {}
 _CBO_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "2MB",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "2MB",
@@ -3030,11 +3043,16 @@ def cbo_join_result(spark: SparkSession, sf_dir: str):
             spark.sql(f"ANALYZE TABLE {ot} COMPUTE STATISTICS FOR ALL COLUMNS")
             spark.sql(f"ANALYZE TABLE {lt} COMPUTE STATISTICS")
             _CBO_CACHE[key] = (ot, lt, "BroadcastHashJoin" in pre)
-        ot, lt, pre_broadcast = _CBO_CACHE[key]
+        ot, lt, _pre_broadcast = _CBO_CACHE[key]
         j = build_join()
         plan = j._jdf.queryExecution().executedPlan().toString()
-        # the production claim: WITH stats, the selective side broadcasts
-        assert "BroadcastHashJoin" in plan, plan[:2000]
+        # the production claim: WITH stats, the selective side
+        # broadcasts.  A real exception, not `assert` — this is the
+        # op's contract and must survive `python -O` (VERDICT r11 #3).
+        if "BroadcastHashJoin" not in plan:
+            raise RuntimeError(
+                "CBO stats did not drive a broadcast join: " + plan[:2000]
+            )
         out = j.localCheckpoint(eager=True)
         return out, plan
     finally:

@@ -77,6 +77,12 @@ def zigzag_decode(z: int) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
+def _sign_extend64(v: int) -> int:
+    """Interpret a decoded varint as two's-complement int64 (the spec's
+    int64 semantics: negatives arrive as 10-byte varints ≥ 2^63)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _tag(field_no: int, wire_type: int) -> bytes:
     return uvarint((field_no << 3) | wire_type)
 
@@ -93,14 +99,19 @@ def encode_message(
         if v is None:
             continue
         if kind == "int64":
-            out += _tag(fno, 0) + uvarint(int(v))
+            # Spec semantics: negative int64 goes out as the 10-byte
+            # two's-complement varint (value & 2^64-1), sign-extended
+            # back on decode — NOT a ValueError (a negative
+            # value_cents at an unchecked scale must round-trip, not
+            # crash the spool).
+            out += _tag(fno, 0) + uvarint(int(v) & _MASK64)
         elif kind == "sint64":
             out += _tag(fno, 0) + uvarint(zigzag_encode(int(v)))
         elif kind == "string":
             raw = str(v).encode("utf-8")
             out += _tag(fno, 2) + uvarint(len(raw)) + raw
         elif kind == "packed_int64":
-            body = b"".join(uvarint(int(x)) for x in v)
+            body = b"".join(uvarint(int(x) & _MASK64) for x in v)
             out += _tag(fno, 2) + uvarint(len(body)) + body
         else:  # pragma: no cover — spec bug
             raise ValueError(f"unknown kind {kind}")
@@ -130,7 +141,9 @@ def decode_message(
             if spec is None:
                 continue  # unknown varint: skipped
             name, kind = spec
-            rec[name] = zigzag_decode(val) if kind == "sint64" else val
+            rec[name] = (
+                zigzag_decode(val) if kind == "sint64" else _sign_extend64(val)
+            )
         elif wt == 2:
             ln, pos = read_uvarint(buf, pos)
             body = buf[pos : pos + ln]
@@ -145,7 +158,7 @@ def decode_message(
                 p = 0
                 while p < len(body):
                     v, p = read_uvarint(body, p)
-                    vals.append(v)
+                    vals.append(_sign_extend64(v))
                 rec[name] = vals
             else:
                 raise ValueError(f"field {fno}: wire type 2 for {kind}")

@@ -3852,7 +3852,13 @@ def str_join_outer_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell only once the watermark passes its end; tier 2 aggregates the
 # RELEASED cells and releases its day windows under the same
 # watermark — so the oracle gates BOTH tiers on w = max(ts) − 30 min
-# (verified cell-exact against the replay at sf0.001).
+# (verified cell-exact against the replay at sf0.001).  Boundary
+# re-check (ADVICE r11): the oracle's gate is INCLUSIVE (<=) where
+# str_join_outer_watermarked calibrated strict (<) — immaterial
+# unless max(ts)−30min lands exactly on a 6h/24h window end;
+# test_round12_props::test_chained_stateful_watermark_never_on_window_
+# boundary asserts that coincidence is absent at every certified
+# scale (same per-scale re-check the outer join records).
 #
 # Scale: tier-2 state holds one row per (day, user-window cell) —
 # already aggregated data, orders of magnitude below the raw stream;
@@ -4282,7 +4288,7 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").partitionBy("b").parquet(gen_dir)
         return gen_dir, touched
 
-    def audit(gen_dir: str, n_expected: int) -> int:
+    def audit(gen_dir: str) -> int:
         staged = spark.read.parquet(gen_dir)
         n_new = int(staged.filter(F.col("last_seq") > m2).count())
         n_null_pk = int(staged.filter(F.col("pk").isNull()).count())
@@ -4296,14 +4302,14 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WAP attempt A: stage corrupted → audit catches → ABORT
     before = manifest_bytes()
     gen_bad, _ = stage(bad)
-    n_staged_bad = audit(gen_bad, n_expected)
+    n_staged_bad = audit(gen_bad)
     assert n_staged_bad < n_expected, (n_staged_bad, n_expected)
     shutil.rmtree(gen_bad)  # abort: staged files die, manifest untouched
     assert manifest_bytes() == before, "abort must not move the manifest"
 
     # WAP attempt B: stage correct → audit passes → PUBLISH
     gen_good, touched_b = stage(good)
-    n_staged_good = audit(gen_good, n_expected)
+    n_staged_good = audit(gen_good)
     assert n_staged_good == n_expected, (n_staged_good, n_expected)
     for b in touched_b:
         sink.gen_of[b] = gen_good

@@ -1081,12 +1081,18 @@ def test_consistent_join_shape(spark, sf_dir):
 
 def test_hll_rollup_jvm_side_and_single_scan_per_agg(spark, sf_dir):
     """Sketch aggregation runs as JVM (object) hash aggregation —
-    never Python — and the tiny per-flag tables broadcast."""
-    df = _q("rel_hll_rollup_union", spark, sf_dir)
+    never Python — and the tiny per-flag tables broadcast.  The
+    production plan checkpoints the per-cell sketches (hiding the
+    sketch agg behind Scan ExistingRDD) — gate the stage=False plan
+    so the hll_sketch_agg node is actually visible (CLAUDE.md rule 5)."""
+    from maxscale_cdc_spark.operators.relational2 import rel_hll_rollup_union
+
+    df = rel_hll_rollup_union(spark, sf_dir, stage=False)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Aggregate" in plan
+    assert "hll_sketch_agg" in plan, "sketch agg must be visible unstaged"
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
     assert has_broadcast_join(df)
 
 
@@ -1254,14 +1260,21 @@ def test_read_committed_shape(spark, sf_dir):
 def test_pack_interleaved_bounded_explode(spark, sf_dir):
     """Both explodes are bounded (text: overlapped chunks; images: one
     row per image) and the packing window is per-source — no global
-    unpartitioned window, no Python."""
-    df = _q("mm_pack_interleaved", spark, sf_dir)
+    unpartitioned window, no Python.  The production plan checkpoints
+    the run offsets, which hides the window node (CLAUDE.md rule 5) —
+    gate the stage=False plan and require the window to be FOUND, so
+    the partitioning assertion can never go vacuous again."""
+    from maxscale_cdc_spark.operators.multimodal import mm_pack_interleaved
+
+    df = mm_pack_interleaved(spark, sf_dir, stage=False)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     import re
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+    windows = list(re.finditer(r"windowspecdefinition\(([^)]*)\)", plan))
+    assert windows, "expected the packing window in the unstaged plan"
+    for m in windows:
         assert "source" in m.group(1), m.group(0)
 
 

@@ -73,3 +73,16 @@ def test_packed_empty_and_long():
 def test_delimited_framing():
     msgs = [encode_message(_REC), b"", encode_message(dict(_REC, pk=1))]
     assert read_delimited(write_delimited(msgs)) == msgs
+
+
+def test_negative_int64_roundtrips_as_ten_byte_varint():
+    """Spec semantics (ADVICE r11): a negative int64 is the 10-byte
+    two's-complement varint, sign-extended on decode — a negative
+    value_cents must round-trip, not crash the spool."""
+    rec = dict(_REC, value_cents=-12345, tags=[-1, 0, 2**63 - 1, -(2**63)])
+    wire = encode_message(rec)
+    # the negative scalar occupies the full 10-byte varint
+    assert len(wire) > len(encode_message(dict(rec, value_cents=1, tags=[])))
+    out = decode_message(wire)
+    assert out["value_cents"] == -12345
+    assert out["tags"] == [-1, 0, 2**63 - 1, -(2**63)]

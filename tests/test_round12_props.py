@@ -157,7 +157,7 @@ def test_proto_roundtrip_property():
             "sequence": u63,
             "dml_type": st.text(max_size=20),
             "pk": u63,
-            "value_cents": u63,
+            "value_cents": s64,  # negatives: 10-byte two's-complement varint
             "drift": s64,
             "ts_unix": u63,
             "note": st.one_of(st.none(), st.text(max_size=10)),
@@ -174,3 +174,28 @@ def test_proto_roundtrip_property():
         assert out == exp
 
     check()
+
+
+def test_chained_stateful_watermark_never_on_window_boundary():
+    """ADVICE r11: str_chained_stateful's oracle finalizes tiers with
+    INCLUSIVE `window_end <= watermark` while the outer-join op
+    calibrated strict `<`.  The distinction only matters when
+    max(ts) - 30min lands EXACTLY on a 6h (tier 1) or 24h (tier 2)
+    window boundary — assert that coincidence does not occur at any
+    certified scale, so the inclusive/strict choice is immaterial
+    there (the same per-scale boundary re-check the outer join
+    records)."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        (wm_epoch,) = duckdb.sql(
+            "SELECT CAST(extract(epoch FROM max(ts)) AS BIGINT) - 1800 "
+            f"FROM '{path}'"
+        ).fetchone()
+        assert wm_epoch % 21600 != 0, (sf, wm_epoch, "6h boundary hit")
+        assert wm_epoch % 86400 != 0, (sf, wm_epoch, "24h boundary hit")
