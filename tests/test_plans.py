@@ -1300,3 +1300,15 @@ def test_cbo_stats_drive_broadcast(spark, sf_dir):
         except Exception:
             after = None
         assert after == v, (k, v, after)
+
+
+def test_land_convert_downstream_is_python_free(spark, sf_dir):
+    """The decode-once landing discipline: the returned consumer plan
+    reads the parquet landing zone only — no MapInPandas codec stage,
+    no Python evaluation of any kind, parquet columnar scan present."""
+    df = _q("snk_land_convert", spark, sf_dir)
+    plan = formatted_plan(df)
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "Scan parquet" in plan
+    assert "CartesianProduct" not in plan
