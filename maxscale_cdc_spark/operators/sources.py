@@ -2233,3 +2233,97 @@ def snk_land_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(full_coverage)).alias("full_coverage"),
         F.lit(bool(python_free)).alias("downstream_python_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_tcp_avro — TYPE=AVRO through the LIVE TCP transport: the
+# avrorouter's NATIVE rendering (the reference *selects* JSON at
+# client.go:211-216 precisely because Avro is the router's default).
+# REGISTER … TYPE=AVRO (the protocol's other arm) → the server
+# streams concatenated Avro OCF bytes (file rotation appears as
+# in-band OCF headers) → the client pump re-blocks the stream into
+# standalone burst-*.avro container files (transport._pump_avro:
+# incremental header/block parse, per-block atomic spool writes,
+# sync-marker verification, mixed null/deflate codecs) → binaryFile
+# scan + the same Arrow-batched OCF decode as src_avro_events.
+#
+# What this certifies beyond src_avro_events: the BYTES crossed a real
+# socket under the full handshake (auth, REGISTER TYPE=AVRO,
+# REQUEST-DATA), blocks landed incrementally (16+ bursts from 8
+# rotated files, not one blob), and the spool contract (every burst
+# independently decodable) held across rotation and codec changes.
+# Scale note: one TCP stream per table (the protocol's shape);
+# Spark-side decode parallelism comes from the burst files — identical
+# to the JSON lane's spool model (src_tcp_transport docstring).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_tcp_avro",
+    f"""
+{CDC_SQL}
+SELECT dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(CASE WHEN pk % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_null_note,
+       CAST(max(sequence) AS BIGINT) AS max_seq
+FROM cdc
+GROUP BY dml_type
+""",
+)
+def src_tcp_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTER TYPE=AVRO against the fake MaxScale listener: OCF
+    bytes over a live socket, re-blocked to an Avro burst spool by the
+    transport, decoded distributed; lossless iff the per-dml ledger
+    matches the direct aggregation oracle (see block comment)."""
+    from maxscale_cdc_spark.sources.transport import (
+        CDCTransport,
+        FakeMaxScaleServer,
+    )
+
+    ocf_dir = _spool_avro_files(spark, sf_dir)
+    server = FakeMaxScaleServer(
+        "cdcuser", "cdcpw", avro_tables={"app.events": ocf_dir}
+    )
+    spool = _mkdtemp(prefix="tcp_avro_spool_")
+    transport = CDCTransport(server.address, "cdcuser", "cdcpw", "engine-uuid")
+    try:
+        transport.request_data(
+            "app", "events", spool_dir=spool, data_format="AVRO"
+        )
+        transport.drain(timeout_s=120)
+        transport.stop()
+    finally:
+        server.close()
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "sequence long, dml_type string, pk long, value_cents long, "
+            "ts_unix long, note string",
+        )
+    )
+    return back.groupBy("dml_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_note"),
+        F.max("sequence").alias("max_seq"),
+    )

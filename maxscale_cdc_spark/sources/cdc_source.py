@@ -50,10 +50,14 @@ def format_authentication_command(user: str, password: str) -> bytes:
     return (user.encode("utf-8") + b":" + digest).hex().encode("ascii")
 
 
-def format_register_command(uuid: str) -> bytes:
-    """``REGISTER UUID=<uuid>, TYPE=JSON`` — selects JSON rendering
-    (client.go:211-216)."""
-    return f"REGISTER UUID={uuid}, TYPE=JSON".encode("ascii")
+def format_register_command(uuid: str, data_format: str = "JSON") -> bytes:
+    """``REGISTER UUID=<uuid>, TYPE=<JSON|AVRO>``.  The reference
+    always selects JSON (client.go:211-216) because the avrorouter's
+    NATIVE rendering is Avro — TYPE=AVRO asks for the router's default
+    stream (the public CDC protocol's other arm)."""
+    if data_format not in ("JSON", "AVRO"):
+        raise ValueError(f"unsupported TYPE {data_format!r}")
+    return f"REGISTER UUID={uuid}, TYPE={data_format}".encode("ascii")
 
 
 def format_request_data_command(

@@ -137,8 +137,8 @@ class CDCTransport:
         self._write(format_authentication_command(self.user, self.password))
         self._read_response()
 
-    def register(self) -> None:
-        self._write(format_register_command(self.uuid))
+    def register(self, data_format: str = "JSON") -> None:
+        self._write(format_register_command(self.uuid, data_format))
         self._read_response()
 
     # -- entry point (client.go:144-162) -------------------------------------
@@ -151,20 +151,27 @@ class CDCTransport:
         version: str | None = None,
         gtid: str | None = None,
         burst_lines: int = 10_000,
+        data_format: str = "JSON",
     ) -> None:
         """connect → authenticate → register → REQUEST-DATA, then spawn
-        the pump thread appending bursts to ``spool_dir``."""
+        the pump thread appending bursts to ``spool_dir``.
+
+        ``data_format="AVRO"`` registers for the avrorouter's NATIVE
+        rendering: the server streams Avro OCF bytes and the pump
+        re-blocks them into standalone ``burst-*.avro`` container
+        files (see ``_pump_avro``)."""
         cmd = format_request_data_command(database, table, version, gtid)
         self.connect()
         self.authenticate()
-        self.register()
+        self.register(data_format)
         self._write(cmd)
         # streaming read blocks forever — deadline cleared (client.go:232-234)
         assert self._sock is not None
         self._sock.settimeout(None)
         os.makedirs(spool_dir, exist_ok=True)
+        target = self._pump_avro if data_format == "AVRO" else self._pump
         self._thread = threading.Thread(
-            target=self._pump, args=(spool_dir, burst_lines), daemon=True
+            target=target, args=(spool_dir, burst_lines), daemon=True
         )
         self._thread.start()
 
@@ -237,6 +244,149 @@ class CDCTransport:
         finally:
             flush()
 
+    # -- Avro pump: incremental OCF stream → standalone block files ----------
+
+    def _pump_avro(self, spool_dir: str, burst_lines: int) -> None:
+        """Consume a TYPE=AVRO stream: a concatenation of Avro Object
+        Container Files (the avrorouter rotates files, so a new OCF
+        header — magic "Obj\\x01" — may appear mid-stream; on rotation
+        the header, schema and sync marker are re-read, which is also
+        how in-band schema evolution arrives).  Each data BLOCK is
+        re-emitted to the spool as a standalone OCF file (current
+        header + block), atomically renamed — so bursts land as blocks
+        arrive and every spool file is independently decodable by
+        read_ocf / a future spark-avro swap, the exact contract of the
+        file-based Avro lane.  ``burst_lines`` is unused (the block is
+        the burst unit); kept for thread-target symmetry.
+
+        Disambiguation after a block's trailing sync: the next 4 bytes
+        are either the OCF magic (rotation), a varint block count
+        (same file continues), or EOF.  A 4-byte lookahead decides;
+        negative (size-prefixed) block counts are not produced by any
+        OCF writer this engine speaks and are rejected loudly.
+        """
+        del burst_lines
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(spool_dir)
+            if (m := re.fullmatch(r"burst-(\d{9})\.avro", f))
+        ]
+        burst_no = max(existing, default=-1) + 1
+        rfile = self._rfile
+        assert rfile is not None
+        pending = b""  # lookahead pushback
+
+        def read_exact(n: int) -> bytes:
+            nonlocal pending
+            out = pending[:n]
+            pending = pending[len(out) :]
+            while len(out) < n:
+                chunk = rfile.read(n - len(out))
+                if not chunk:
+                    if out:
+                        raise ValueError(
+                            f"truncated OCF stream ({len(out)}/{n} bytes)"
+                        )
+                    raise EOFError
+                out += chunk
+            return out
+
+        def read_zigzag() -> int:
+            shift = val = 0
+            while True:
+                b = read_exact(1)[0]
+                val |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return (val >> 1) ^ -(val & 1)
+                shift += 7
+                if shift > 70:
+                    raise ValueError("varint too long in OCF stream")
+
+        def read_header(magic: bytes) -> bytes:
+            # magic already consumed by the caller's lookahead
+            hdr = bytearray(magic)
+            while True:
+                count = read_zigzag()
+                hdr += _zz(count)
+                if count == 0:
+                    break
+                if count < 0:
+                    size = read_zigzag()
+                    hdr += _zz(size)
+                    count = -count
+                for _ in range(count):
+                    for _field in range(2):  # key string, value bytes
+                        ln = read_zigzag()
+                        hdr += _zz(ln) + read_exact(ln)
+            hdr += read_exact(16)  # sync marker
+            return bytes(hdr)
+
+        def _zz(n: int) -> bytes:
+            z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+            out = bytearray()
+            while True:
+                b = z & 0x7F
+                z >>= 7
+                if z:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        try:
+            header: bytes | None = None
+            while True:
+                try:
+                    look = read_exact(4)
+                except EOFError:
+                    break  # clean end of stream
+                if look == b"Obj\x01" or header is None:
+                    if look != b"Obj\x01":
+                        if look.startswith(b"ERR") and header is None:
+                            # pre-schema ERR tolerance, same rule as the
+                            # JSON pump (client.go:253-267): the table
+                            # may not exist yet; consume the line
+                            rest = rfile.readline(MAX_EVENT_BYTES)
+                            self.err_lines += 1
+                            self.log.warning(
+                                "pre-schema ERR tolerated on AVRO arm "
+                                "(%d so far): %s",
+                                self.err_lines,
+                                (look + rest).decode("utf-8", "replace").strip(),
+                            )
+                            continue
+                        raise ValueError(
+                            f"expected OCF magic, got {look!r}"
+                        )
+                    header = read_header(look)
+                    continue
+                pending = look + pending  # not a rotation: varint bytes
+                n_recs = read_zigzag()
+                if n_recs < 0:
+                    raise ValueError(
+                        "size-prefixed (negative) block counts are not "
+                        "supported on the TYPE=AVRO stream"
+                    )
+                size = read_zigzag()
+                block = read_exact(size)
+                sync = read_exact(16)
+                if sync != header[-16:]:
+                    raise ValueError("sync marker mismatch mid-stream")
+                tmp = os.path.join(spool_dir, f".burst-{burst_no:09d}.tmp")
+                dst = os.path.join(spool_dir, f"burst-{burst_no:09d}.avro")
+                with open(tmp, "wb") as f:
+                    f.write(header + _zz(n_recs) + _zz(size) + block + sync)
+                os.replace(tmp, dst)
+                burst_no += 1
+                self.events_pumped += n_recs
+        except (OSError, ValueError) as exc:
+            if not self._closing:
+                self._pump_error = exc
+                self.log.error("avro pump failed mid-stream: %s", exc)
+        except BaseException as exc:
+            self._pump_error = exc
+            self.log.error("avro pump terminated: %s", exc)
+
     # -- graceful stop (client.go:166-181) ------------------------------------
 
     def stop(self) -> None:
@@ -299,17 +449,23 @@ class FakeMaxScaleServer:
         pre_schema_errs: int = 0,
         file_tables: dict[str, str] | None = None,
         reset_after: int | None = None,
+        avro_tables: dict[str, str] | None = None,
     ) -> None:
         """`tables` maps "db.table" → in-memory lines (small fixtures);
         `file_tables` maps "db.table" → a directory of line files which
         are STREAMED to the client file-by-file (bounded memory — the
         fixture analogue of the avrorouter reading the binlog).
         `reset_after=N` aborts the connection with a TCP RST (SO_LINGER
-        0) after N lines — the mid-stream-failure fixture."""
+        0) after N lines — the mid-stream-failure fixture.
+        `avro_tables` maps "db.table" → a directory of Avro OCF files
+        served (sorted, chunk-streamed) to a REGISTER TYPE=AVRO client
+        as one concatenated stream — the avrorouter's native rendering
+        with file rotation appearing as in-band OCF headers."""
         self.user = user
         self.password = password
         self.tables = tables or {}
         self.file_tables = file_tables or {}
+        self.avro_tables = avro_tables or {}
         self.pre_schema_errs = pre_schema_errs
         self.reset_after = reset_after
         self._srv = socket.create_server(("127.0.0.1", 0))
@@ -369,12 +525,22 @@ class FakeMaxScaleServer:
                 conn.sendall(b"ERR access denied\n")
                 return
             conn.sendall(b"OK\n")
-            # -- REGISTER ... TYPE=JSON (suffix marks completeness)
-            reg = recv_command(complete=lambda b: b.endswith(b"TYPE=JSON")).decode(
-                "ascii", "replace"
-            )
-            if not reg.startswith("REGISTER UUID=") or "TYPE=JSON" not in reg:
+            # -- REGISTER ... TYPE=<JSON|AVRO> (suffix marks completeness;
+            # AVRO is the avrorouter's native rendering — the reference
+            # client only ever sends JSON, client.go:211-216)
+            reg = recv_command(
+                # complete once a ≥4-char TYPE token is present (JSON
+                # and AVRO are both 4; an unknown token of ≥4 chars
+                # also completes and is rejected below)
+                complete=lambda b: b"TYPE=" in b
+                and len(b.rsplit(b"TYPE=", 1)[1]) >= 4
+            ).decode("ascii", "replace")
+            if not reg.startswith("REGISTER UUID=") or "TYPE=" not in reg:
                 conn.sendall(b"ERR malformed REGISTER\n")
+                return
+            data_format = reg.rsplit("TYPE=", 1)[1].strip()
+            if data_format not in ("JSON", "AVRO"):
+                conn.sendall(b"ERR unsupported TYPE\n")
                 return
             uuid = reg[len("REGISTER UUID=") :].split(",")[0].strip()
             if not uuid:
@@ -391,6 +557,22 @@ class FakeMaxScaleServer:
             db_table = ".".join(target.split(".")[:2])
             for _ in range(self.pre_schema_errs):
                 conn.sendall(b"ERR table not found yet\n")
+            if data_format == "AVRO":
+                d = self.avro_tables.get(db_table)
+                if d is None:
+                    conn.sendall(b"ERR no such table\n")
+                    return
+                # the native rendering: concatenated OCF files, sorted
+                # (rotation order), chunk-streamed — bounded memory
+                for fname in sorted(os.listdir(d)):
+                    if fname.startswith(("_", ".")) or not fname.endswith(
+                        ".avro"
+                    ):
+                        continue
+                    with open(os.path.join(d, fname), "rb") as fh:
+                        while chunk := fh.read(1 << 16):
+                            conn.sendall(chunk)
+                return
             if db_table in self.file_tables:
                 # stream file-by-file in bounded chunks — never holds
                 # the dataset in memory

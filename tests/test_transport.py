@@ -344,3 +344,107 @@ def test_max_files_per_trigger_zero_rejected(tmp_path):
     # >=1 stays valid
     src.options = {**opts, "maxfilespertrigger": "1"}
     assert src.streamReader(None).max_files == 1
+
+
+# -- TYPE=AVRO arm (the avrorouter's native rendering) ----------------------
+
+
+def _avro_fixture_dir(tmp_path, n=5000, files=2, block_records=700):
+    import hashlib
+
+    from maxscale_cdc_spark.sources.avro_ocf import CDC_AVRO_SCHEMA, write_ocf
+
+    recs = [
+        {
+            "sequence": i,
+            "dml_type": "insert",
+            "pk": i % 10,
+            "value_cents": 100 * i,
+            "ts_unix": 1693300000 + i,
+            "note": None if i % 3 else str(i),
+        }
+        for i in range(n)
+    ]
+    d = tmp_path / "ocf"
+    d.mkdir()
+    per = n // files
+    for fi in range(files):
+        blob = write_ocf(
+            CDC_AVRO_SCHEMA,
+            recs[fi * per : (fi + 1) * per],
+            codec="deflate" if fi % 2 else "null",
+            sync=hashlib.md5(f"s{fi}".encode()).digest(),
+            block_records=block_records,
+        )
+        (d / f"f-{fi}.avro").write_bytes(blob)
+    return str(d), recs
+
+
+def test_register_type_avro_streams_ocf_blocks(tmp_path):
+    """The REGISTER exchange with the alternate TYPE (mirrors
+    client_test.go's REGISTER arm, TYPE=AVRO instead of the
+    reference's hardcoded JSON): the server streams rotated OCF files
+    (mixed codecs, distinct sync markers) and the pump re-blocks them
+    into standalone, independently-decodable burst files — record-
+    exact, block-granular, rotation-transparent."""
+    from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+    srv_dir, recs = _avro_fixture_dir(tmp_path)
+    server = FakeMaxScaleServer("u", "p", avro_tables={"test.tests": srv_dir})
+    spool = tmp_path / "spool"
+    t = CDCTransport(server.address, "u", "p", UUID)
+    try:
+        t.request_data("test", "tests", spool_dir=str(spool), data_format="AVRO")
+        t.drain(timeout_s=60)
+        t.stop()
+    finally:
+        server.close()
+    bursts = sorted(f for f in os.listdir(spool) if f.endswith(".avro"))
+    # 2 files x ceil(2500/700)=4 blocks -> 8 standalone bursts
+    assert len(bursts) == 8, bursts
+    got = []
+    for f in bursts:
+        _, rr = read_ocf((spool / f).read_bytes())
+        got.extend(rr)
+    assert sorted(got, key=lambda r: r["sequence"]) == recs
+    assert t.events_pumped == len(recs)
+
+
+def test_register_unknown_type_rejected(tmp_path):
+    """REGISTER with a TYPE the server does not speak answers ERR
+    during the handshake — the client surfaces it as an
+    AuthenticationError exactly like the reference's ERR checks
+    (client.go:406-408)."""
+    server = FakeMaxScaleServer("u", "p", tables={"test.tests": _wire_lines()})
+    t = CDCTransport(server.address, "u", "p", UUID)
+    try:
+        t.connect()
+        t.authenticate()
+        with pytest.raises(ValueError):
+            t.register("XML")  # client-side: not a protocol TYPE
+        # drive the raw server path too: a well-formed REGISTER with an
+        # unsupported TYPE token must get ERR from the server
+        t._write(f"REGISTER UUID={UUID}, TYPE=YAML".encode("ascii"))
+        with pytest.raises(AuthenticationError):
+            t._read_response()
+    finally:
+        try:
+            t.stop()
+        except Exception:
+            pass
+        server.close()
+
+
+def test_avro_arm_missing_table_errs(tmp_path):
+    """TYPE=AVRO + unknown table: the server answers the same
+    tolerated-ERR shape as the JSON arm (client.go:137-140)."""
+    server = FakeMaxScaleServer("u", "p", avro_tables={})
+    spool = tmp_path / "spool"
+    t = CDCTransport(server.address, "u", "p", UUID)
+    try:
+        t.request_data("no", "table", spool_dir=str(spool), data_format="AVRO")
+        t.drain(timeout_s=30)
+        t.stop()
+    finally:
+        server.close()
+    assert t.events_pumped == 0
