@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from maxscale_cdc_spark.registry import register
+from maxscale_cdc_spark.registry import oracle_splice, register
 from maxscale_cdc_spark.sources.envelope import gtid_col
 from maxscale_cdc_spark.sources.schema_registry import decode_ddl
 from maxscale_cdc_spark.tables import table
@@ -2013,6 +2013,135 @@ def cdc_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_moved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc_rebalance_apply — EXECUTE the serpentine plan (closing the
+# plan→apply pattern for the rebalance family, as token_budget /
+# modality_budget / replay / rep_policy already have): the move list
+# (bucket → new consumer, only where the plan differs from the pk%16
+# status quo) is applied to the ASSIGNMENT TABLE with one broadcast
+# left join — untouched buckets keep their old consumer — and the
+# post-move state is rolled up per consumer.  The oracle RECOMPUTES
+# the applied assignment from scratch (same serpentine CTEs + the
+# apply join), so the driver hash certifies apply ≡ plan end-state
+# bit-for-bit; tests/test_round12_props cross-pins the apply rollup
+# against cdc_rebalance_plan's registered output row-by-row.
+#
+# The exported skew audit is the serpentine deal's guarantee made
+# checkable: max(consumer load) − min(consumer load) ≤ max(single
+# bucket load).  Both engines compute it from their own rollup (two
+# scalar aggregates broadcast onto 16 rows).
+#
+# Scale: the assignment table is O(buckets) (64 rows here; some 10^5
+# at 100 TB) — the apply join is broadcast-trivial and the DATA never
+# moves during planning; actually re-homing the stream is the
+# consumers' act of re-reading their bucket sets, which is why the
+# movement count (cache re-warm cost) is a first-class audit column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_rebalance_apply",
+    oracle_splice(
+        _REBALANCE_ORACLE,
+        """SELECT new_consumer,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS assigned_load,
+       CAST(sum(CASE WHEN new_consumer <> old_consumer THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM assigned
+GROUP BY new_consumer""",
+        """, applied AS (
+  SELECT l.bucket, l.n,
+         coalesce(m.new_consumer, CAST(l.bucket % 16 AS BIGINT)) AS consumer,
+         CASE WHEN m.bucket IS NOT NULL THEN 1 ELSE 0 END AS moved
+  FROM load l LEFT JOIN (
+    SELECT bucket, new_consumer FROM assigned
+    WHERE new_consumer <> old_consumer
+  ) m ON l.bucket = m.bucket
+), rollup AS (
+  SELECT consumer AS new_consumer,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n) AS BIGINT) AS assigned_load,
+         CAST(sum(moved) AS BIGINT) AS n_moved
+  FROM applied GROUP BY consumer
+), bounds AS (
+  SELECT max(assigned_load) AS mx, min(assigned_load) AS mn FROM rollup
+), mb AS (
+  SELECT max(n) AS max_bucket FROM load
+)
+SELECT r.new_consumer, r.n_buckets, r.assigned_load, r.n_moved,
+       (b.mx - b.mn <= mb.max_bucket) AS skew_bounded
+FROM rollup r, bounds b, mb""",
+    ),
+)
+def cdc_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the serpentine rebalance moves to the bucket→consumer
+    assignment table (broadcast left join; untouched buckets pass
+    through), roll up the post-move state per consumer, and export
+    the serpentine skew bound as an audit column (see block comment).
+
+    The serpentine below mirrors cdc_rebalance_plan VERBATIM (kept
+    duplicated, not refactored — CLAUDE.md rule 1: the plan op is
+    driver-green); the cross-pin props test catches any drift."""
+    cdc = cdc_view(spark, sf_dir)
+    load = cdc.groupBy((F.col("pk") % _REB_BUCKETS).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ranked = load.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "bucket")) - 1
+    )
+    c = _N_CONSUMERS
+    serp = F.when(
+        F.expr(f"div(rk, {c})") % 2 == 0, F.col("rk") % c
+    ).otherwise(c - 1 - (F.col("rk") % c))
+    assigned = ranked.select(
+        "bucket",
+        "n",
+        serp.cast("long").alias("new_consumer"),
+        (F.col("bucket") % c).cast("long").alias("old_consumer"),
+    )
+    # the registered plan's MOVE LIST — only rows that change home
+    moves = assigned.filter(
+        F.col("new_consumer") != F.col("old_consumer")
+    ).select("bucket", "new_consumer")
+    # apply to the assignment table: one broadcast left join
+    applied = (
+        load.join(F.broadcast(moves), "bucket", "left")
+        .select(
+            "bucket",
+            "n",
+            F.coalesce(
+                "new_consumer", (F.col("bucket") % c).cast("long")
+            ).alias("consumer"),
+            F.col("new_consumer").isNotNull().cast("long").alias("moved"),
+        )
+    )
+    rollup = applied.groupBy(
+        F.col("consumer").alias("new_consumer")
+    ).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("assigned_load"),
+        F.sum("moved").cast("long").alias("n_moved"),
+    )
+    bounds = rollup.agg(
+        F.max("assigned_load").alias("mx"), F.min("assigned_load").alias("mn")
+    )
+    max_bucket = load.agg(F.max("n").alias("max_bucket"))
+    return (
+        rollup.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(max_bucket))
+        .select(
+            "new_consumer",
+            "n_buckets",
+            "assigned_load",
+            "n_moved",
+            (F.col("mx") - F.col("mn") <= F.col("max_bucket")).alias(
+                "skew_bounded"
+            ),
+        )
     )
 
 
