@@ -42,7 +42,85 @@ def _warm_udf():
     return warm
 
 
+def _run_isolated(ids: list[str]) -> None:
+    """BENCH_ISOLATE mode: run each listed id in a FRESH PROCESS (own
+    JVM + Spark session), so suite-order residue — state-store
+    providers, block-manager pressure, JIT profile pollution — cannot
+    move its number.  This is the one-env-var replacement for the
+    manual re-measurement of apparent movers (r11: 7 of 7 >1.5x
+    'regressions' reverted under isolation).  Each child pays its own
+    session warmup in SETUP (excluded from the per-query timing, as in
+    suite mode), honors BENCH_REPEAT/BENCH_COLD, and reports through
+    the same BENCH_DETAIL.json contract; the parent merges children
+    into one detail file with "isolated": true."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    for qid in ids:
+        env = dict(os.environ)
+        env.pop("BENCH_ISOLATE", None)
+        env["BENCH_QUERIES"] = qid
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        ok = False
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    payload = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if qid in payload.get("queries", {}):
+                    timings[qid] = payload["queries"][qid]
+                    ok = True
+                break
+        if not ok:
+            print(f"  {qid}: ISOLATED RUN FAILED", file=sys.stderr)
+            timings[qid] = float("nan")
+        else:
+            print(f"  {qid}: {timings[qid]:.3f}s (isolated)", file=sys.stderr)
+    total = round(sum(v for v in timings.values() if v == v), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "total_wall_sec_isolated_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "repeat": int(os.environ.get("BENCH_REPEAT", "1")),
+        "cold": os.environ.get("BENCH_COLD", "0") == "1",
+        "isolated": True,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_isolated_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": timings,
+                "detail": "BENCH_DETAIL.json",
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
 def main() -> None:
+    isolate = os.environ.get("BENCH_ISOLATE")
+    if isolate:
+        _run_isolated([n for n in isolate.split(",") if n])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
