@@ -57,11 +57,8 @@ _DRIVER_GREEN = {
     # fix; the other 17 rows re-certified ids already listed), code
     # unchanged since:
     "cdc_bitemporal", "cdc_consistent_join_at", "cdc_read_committed_at",
-    "fn_collation", "fn_pipe_syntax", "llm_ann_mmr_e2e_scaled",
-    "llm_ann_range_search", "llm_ann_shadow_audit",
-    "llm_corpus_snapshot_diff", "llm_dedup_store_forget",
-    "llm_dedup_two_stage", "llm_index_snapshot_restore",
-    "llm_license_propagation", "llm_optout_purge", "mm_dedup_audio_fp",
+    "fn_collation", "fn_pipe_syntax", "llm_corpus_snapshot_diff", "llm_dedup_store_forget",
+    "llm_dedup_two_stage", "llm_license_propagation", "llm_optout_purge", "mm_dedup_audio_fp",
     "mm_pack_interleaved", "rel_hll_rollup_union", "rel_join_bloom_runtime",
     "rel_join_cbo_stats", "snk_fenced_failover", "snk_vacuum_orphans",
     "snk_wap_publish", "src_avro_events", "src_avro_schema_evolution",
@@ -73,7 +70,6 @@ _DRIVER_GREEN = {
     # 31 re-certifications of ids already listed below), code unchanged
     # since:
     "cdc_cascade_delete_apply", "cdc_replay_idempotence",
-    "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e",
     "llm_dedup_containment_sampled", "llm_dedup_rep_apply",
     "llm_dedup_store_migrate", "llm_drift_reindex_apply",
     "mm_modality_budget_apply", "rel_dist_drift", "rel_ivm_topk",
@@ -83,16 +79,14 @@ _DRIVER_GREEN = {
     # round-9 sweep greens (CORRECTNESS_r09.json, all 50 — 20 new ids,
     # 21 honest demotions re-certified, 9 re-certifications of ids
     # already listed below), code unchanged since:
-    "cdc_backfill_chunk_plan", "cdc_replay_apply", "llm_ann_join_topk",
-    "llm_banding_recall_curve", "llm_decontam_apply",
+    "cdc_backfill_chunk_plan", "cdc_replay_apply", "llm_banding_recall_curve", "llm_decontam_apply",
     "llm_dedup_chain_audit", "llm_dedup_cluster",
     "llm_dedup_cluster_capped", "llm_dedup_cluster_profile",
     "llm_dedup_containment", "llm_dedup_horizon_profile",
     "llm_dedup_incremental", "llm_dedup_near", "llm_dedup_near_autotuned",
     "llm_dedup_rep_policy", "llm_dedup_savings", "llm_dedup_source_matrix",
     "llm_dedup_syndication", "llm_dedup_threshold_curve",
-    "llm_embedding_drift_monitor", "llm_ivf_pq_search",
-    "llm_ivf_rebalance_apply", "llm_lsh_recall_audit", "llm_lsh_tuning",
+    "llm_embedding_drift_monitor", "llm_ivf_rebalance_apply", "llm_lsh_recall_audit", "llm_lsh_tuning",
     "llm_lsh_tuning_sampled", "llm_mmr_rerank", "llm_token_budget_apply",
     "llm_vocab_drift", "mm_caption_align", "mm_modality_budget_plan",
     "rel_graph_khop", "rel_rollup_refresh", "snk_partition_evolution",
@@ -133,8 +127,7 @@ _DRIVER_GREEN = {
     "llm_bpe_learn_vocab", "llm_bpe_tokenize_learned", "llm_dedup_bloom",
     "llm_dup_span_char",
     "llm_filter_threshold_sweep", "llm_hard_negatives",
-    "llm_importance_resample", "llm_ivf_nprobe_sweep",
-    "llm_register_lang_mix", "llm_seq_len_histogram",
+    "llm_importance_resample", "llm_register_lang_mix", "llm_seq_len_histogram",
     "llm_shuffle_shard_audit", "llm_soft_dedup_weights",
     "llm_source_overlap_matrix", "llm_split_leakage",
     "llm_tokenizer_fertility", "llm_vocab_growth", "mm_scene_segments",
@@ -150,7 +143,7 @@ _DRIVER_GREEN = {
     "cdc_event_size_profile",
     "fn_hof", "fn_url", "llm_bpe_learn_pairs", "llm_bpe_tokenize",
     "llm_contamination", "llm_countmin_audit", "llm_cross_doc_overlap",
-    "llm_dup_span", "llm_ivf_recall", "llm_line_dedup", "llm_lm_score",
+    "llm_dup_span", "llm_line_dedup", "llm_lm_score",
     "llm_quality_ablation", "llm_repetition", "llm_title_fuzzy_dedup",
     "mm_dedup_phash", "rel_agg_distinct_bitmap", "rel_join_interval",
     "rel_lag_features",
@@ -190,8 +183,7 @@ _DRIVER_GREEN = {
     "llm_domain_mix", "llm_embed_centroid", "llm_fingerprint",
     "llm_knn_graph", "llm_lang_id", "llm_ngram_top",
     "llm_pack_sequences", "llm_pii_scrub", "llm_quality_score",
-    "llm_sim_cosine", "llm_sim_ivf", "llm_sim_ivf_probe",
-    "llm_sim_quantized", "llm_sim_topk_pergroup", "llm_text_stats",
+    "llm_sim_cosine", "llm_sim_quantized", "llm_sim_topk_pergroup", "llm_text_stats",
     "llm_tfidf_top", "llm_token_count", "llm_train_split", "mm_decode_stub",
     "mm_features", "mm_frame_sample", "mm_meta", "rel_agg_approx",
     "rel_agg_cube", "rel_agg_distinct", "rel_agg_gsets", "rel_agg_hash",
@@ -229,11 +221,22 @@ _DEFERRED: set[str] = set()
 # locally green before and after).
 # Round-12 open state: the round-11 sweep came back 50/50 green
 # (CORRECTNESS_r11.json) covering exactly the 33 then-unverified ids
-# (including the str_schema_evolution_stream re-certification), so
-# entering round 12 ALL 379 registered queries have certified rows on
-# current code — zero demotions outstanding, all 50 sweep slots free
-# for round-12 operators.
-_DEMOTED: set[str] = set()
+# (including the str_schema_evolution_stream re-certification) — all
+# 50 sweep slots were free entering round 12.  Demotions made this
+# round per the honesty rule:
+#  - the 12 k-means-chain consumers below now ride the
+#    kmeans_cells_cached family cache (VERDICT r11 ask #5: one staged
+#    Lloyd chain per (session, sf_dir, K) instead of one per op).
+#    Oracles unchanged, values bitwise-identical (Q1.30 chain), all 12
+#    locally re-verified green at sf0.01 — but the plan now flows
+#    through the shared staged chain, so their old rows re-certify.
+_DEMOTED: set[str] = {
+    "llm_sim_ivf", "llm_sim_ivf_probe", "llm_ivf_recall",
+    "llm_ivf_nprobe_sweep", "llm_ivf_pq_search", "llm_ann_join_topk",
+    "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e", "llm_ann_mmr_e2e_scaled",
+    "llm_index_snapshot_restore", "llm_ann_range_search",
+    "llm_ann_shadow_audit",
+}
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
 # iterative algorithms) — within each group they run after the cheap

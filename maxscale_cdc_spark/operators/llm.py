@@ -1019,6 +1019,41 @@ def _kmeans_cells(
     return cents, assigned
 
 
+# (session, sf_dir, n_cells) → staged (centroids, assignment).  The
+# ANN/IVF family re-derived the SAME Lloyd chain per op (shadow audit
+# alone runs two; at sf10 that tier cost 280 s/op, VERDICT r11 ask
+# #5) — one chain now feeds the family, the trigram/BPE cache
+# precedent.  BENCH_COLD clears it so per-query floors stay honest.
+_KMEANS_CACHE: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = (
+    register_family_cache({})
+)
+
+
+def kmeans_cells_cached(
+    spark: SparkSession, sf_dir: str, n_cells: int = _N_CELLS
+) -> tuple[DataFrame, DataFrame]:
+    """`_kmeans_cells` over the full embeddings table, memoized per
+    (session, sf_dir, n_cells) and staged with localCheckpoint so the
+    K-iteration lineage materializes once per family (CLAUDE.md rule
+    5).  Values are bitwise-identical to a fresh chain (Q1.30 means,
+    deterministic tie-breaks), so every consumer's oracle row is
+    unchanged.  Filtered-slice chains (drift/incremental cut
+    lineages) must NOT use this — their input is not the full table."""
+    key = (*session_cache_key(spark, sf_dir), n_cells)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    prune_dead_cache_entries(_KMEANS_CACHE, spark)
+    e = wide_table(spark, sf_dir, "embeddings")
+    cents, assigned = _kmeans_cells(e, n_cells)
+    pair = (
+        cents.localCheckpoint(eager=False),
+        assigned.localCheckpoint(eager=False),
+    )
+    _KMEANS_CACHE[key] = pair
+    return pair
+
+
 @register("llm_sim_ivf", _IVF_ORACLE)
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN with k-means cells: seed centroids from the first
@@ -1030,7 +1065,7 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for vector search.  (See _kmeans_cells for the exactness
     and shuffle structure.)"""
     e = table(spark, sf_dir, "embeddings")
-    _, assigned = _kmeans_cells(e)
+    _, assigned = kmeans_cells_cached(spark, sf_dir)
     qcell = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     cand = (
@@ -1073,7 +1108,7 @@ def llm_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1).  Scan cost is nprobe·N/cells; at 100 TB this reads
     nprobe partitions instead of one, still pruning the rest."""
     e = table(spark, sf_dir, "embeddings")
-    cents, assigned = _kmeans_cells(e)
+    cents, assigned = kmeans_cells_cached(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     ranked = cents.crossJoin(F.broadcast(q)).select(
         "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
@@ -4067,7 +4102,7 @@ def llm_index_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
 
     e = table(spark, sf_dir, "embeddings")
-    _, assigned = _kmeans_cells(e)
+    _, assigned = kmeans_cells_cached(spark, sf_dir)
     root = _mkdtemp(prefix="ivf_snap_")
     data_dir = os.path.join(root, "cells")
     assigned.write.mode("overwrite").partitionBy("cid").parquet(data_dir)
@@ -4136,7 +4171,7 @@ def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF radius search: every vector with cosine ≥ 0.2 to the query
     inside the nprobe=2 best cells (see block comment)."""
     e = table(spark, sf_dir, "embeddings")
-    cents, assigned = _kmeans_cells(e)
+    cents, assigned = kmeans_cells_cached(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     ranked = cents.crossJoin(F.broadcast(q)).select(
         "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
@@ -4229,7 +4264,7 @@ def llm_ann_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
 
     def top5(n_cells: int) -> DataFrame:
-        _, assigned = _kmeans_cells(e, n_cells)
+        _, assigned = kmeans_cells_cached(spark, sf_dir, n_cells)
         qcell = assigned.filter(F.col("vec_id") == 0).select(
             F.col("cid").alias("qcid")
         )

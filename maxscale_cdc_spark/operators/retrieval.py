@@ -557,10 +557,10 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive half — which is the point: the audit runs on a SAMPLE of
     queries (here the one canonical query vector) to price the index's
     recall, never corpus-wide."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
 
     e = table(spark, sf_dir, "embeddings")
-    _, assigned = _kmeans_cells(e)
+    _, assigned = kmeans_cells_cached(spark, sf_dir)
     qcell = assigned.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     cellv = (
         assigned.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
@@ -753,10 +753,10 @@ def llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan cost vs recall@5 per nprobe: cells ranked ONCE by centroid
     cosine, candidates and hits derived per sweep row from the shared
     assignment — recall is the integer ratio n_hits/5."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
 
     e = table(spark, sf_dir, "embeddings")
-    cents, assigned = _kmeans_cells(e)
+    cents, assigned = kmeans_cells_cached(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
     cellrank = (
         cents.crossJoin(F.broadcast(q))
@@ -1653,7 +1653,7 @@ QUALIFY rk <= {_IVFPQ_TOPK}
 def llm_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(nprobe=2) → PQ/ADC → exact re-rank for query vector 0 (see
     block comment)."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
 
     e = wide_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
@@ -1664,8 +1664,7 @@ def llm_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bit-identical to _kmeans_cells' returned assignment — it IS
     # assign(final cents); CLAUDE.md rule 5: the chain was otherwise
     # re-run by qcells and cand separately)
-    cents, _ = _kmeans_cells(e)
-    cents = cents.localCheckpoint(eager=False)
+    cents, _ = kmeans_cells_cached(spark, sf_dir)  # staged by the cache
     scored0 = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
@@ -1919,14 +1918,13 @@ SELECT qid, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
 def llm_ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN join: top-3 neighbors per sampled query row via
     IVF cell routing (see block comment)."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
 
     e = wide_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
         eager=False
     )
-    cents, _ = _kmeans_cells(e)
-    cents = cents.localCheckpoint(eager=False)
+    cents, _ = kmeans_cells_cached(spark, sf_dir)  # staged by the cache
     scored0 = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
@@ -2265,15 +2263,29 @@ def _ann_mmr_candidates(
     can gate THIS plan with `stage=False` (the full K-stage MMR
     lineage duplicates subplans thousands of times when unstaged; the
     no-full-embedding-scan property lives entirely in this stage)."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import (
+        _N_CELLS,
+        _kmeans_cells,
+        kmeans_cells_cached,
+    )
 
     def st(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=False) if stage else df
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cents, assigned = (
-        _kmeans_cells(e) if n_cells is None else _kmeans_cells(e, n_cells=n_cells)
-    )
+    if stage:
+        # production path rides the family centroid cache (already
+        # staged); stage=False keeps the RAW chain visible so the
+        # no-full-embedding-scan plan gate never goes vacuous
+        cents, assigned = kmeans_cells_cached(
+            spark, sf_dir, _N_CELLS if n_cells is None else n_cells
+        )
+    else:
+        cents, assigned = (
+            _kmeans_cells(e)
+            if n_cells is None
+            else _kmeans_cells(e, n_cells=n_cells)
+        )
     cents = st(cents)
     assigned = st(assigned.select("vec_id", "v", "cid"))
     qset = (
@@ -2825,11 +2837,10 @@ FROM (
 @register("llm_ann_join_topk_scaled", _ann_join_scaled_oracle())
 def llm_ann_join_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched ANN join on the K=32 index (see block comment)."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cents, assigned = _kmeans_cells(e, n_cells=_ANNJ_K_SCALED)
-    cents = cents.localCheckpoint(eager=False)
+    cents, assigned = kmeans_cells_cached(spark, sf_dir, _ANNJ_K_SCALED)
     assigned = assigned.select("vec_id", "v", "cid").localCheckpoint(eager=False)
     qset = (
         e.filter(F.col("vec_id") % _ANNJ_QMOD == 0)

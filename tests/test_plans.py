@@ -1312,3 +1312,25 @@ def test_land_convert_downstream_is_python_free(spark, sf_dir):
         assert marker not in plan, marker
     assert "Scan parquet" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_chain_raw_plan_jvm_side(spark, sf_dir):
+    """The shared Lloyd chain (now consumed via kmeans_cells_cached,
+    whose checkpoint hides it from every op-level gate — CLAUDE.md
+    rule 5): gate the RAW chain directly.  Pure Catalyst (no Python),
+    every assignment join broadcasts the KB-sized centroid side, and
+    the rank window is per-vector (never unpartitioned)."""
+    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.tables import table
+
+    cents, assigned = _kmeans_cells(table(spark, sf_dir, "embeddings"))
+    plan = formatted_plan(assigned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    windows = list(re.finditer(r"windowspecdefinition\(([^)]*)\)", plan))
+    assert windows, "rank window must be visible in the raw chain"
+    for m in windows:
+        assert "vec_id" in m.group(1), m.group(0)
