@@ -735,6 +735,215 @@ def llm_dedup_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# llm_dedup_containment_pairwise — PAIR-TARGETED sampling for the
+# containment blind-spot table (VERDICT r11 ask #4).  The endpoint
+# hash sample keeps a cross-doc pair only when BOTH endpoints survive
+# — expected in-sample pairs fall as pct², which starved the
+# catch-rate denominator at scale (BASELINE r11: 1,337 → 279
+# jacc_missed pairs from sf1.0 → sf10 under the 20k-doc cap).  This
+# op stratifies the SAME capped tuning sample by the PAIR KEY — the
+# duplication-cluster identity `doc_id % 10^8` (the derived corpora's
+# copy-shift unit, tools/gen_sf1x.py; on driver corpora ids are < 10^8
+# so it degenerates to the plain doc sample) — so a snippet and its
+# source enter or leave the sample TOGETHER and the denominator falls
+# as pct.  In production the stratification key is whatever cheap
+# surrogate clusters duplicates (URL host, feed id, source shard);
+# the machinery is key-agnostic (functions/sample.py over any
+# expression).
+#
+# Second difference from llm_dedup_containment_sampled: the catch
+# rate is measured at EVERY chooser config (banding.CONFIGS), not
+# just the chosen one — the blind-spot claim is "banding cannot see
+# containment-only pairs at ANY config", and this table states it
+# per config over a stable denominator without coupling to the
+# endpoint-sampled chooser's pick.  Truth/candidates/counts follow
+# the sampled op exactly (class-level prefix join truth in Spark vs
+# brute-force all-pairs truth in the oracle — the green row re-proves
+# pigeonhole completeness; cross-class doc-pair counts n_a·n_b).
+#
+# Scale: bounded by the CAP_DOCS sample like the sampled op; the
+# oracle embeds the all-pairs truth CTE, so certification runs at
+# sf0.001–0.1 only (CLAUDE.md rule 4) and sf1.0+ measures the Spark
+# estimator (BASELINE round-13 table).
+# ---------------------------------------------------------------------------
+
+_PAIR_KEY_SQL = "doc_id % 100000000"  # gen_sf1x copy-shift unit
+
+
+def _containment_pairwise_oracle() -> str:
+    cfg_values = ", ".join(f"({nb}, {rpb})" for nb, rpb in banding.CONFIGS)
+    return f"""
+WITH {banding.pair_sampled_prefix_sql(key_expr=_PAIR_KEY_SQL)},
+  cnt AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n_docs
+          FROM at_keyed GROUP BY ckey),
+  ctruth AS MATERIALIZED (
+    SELECT CASE WHEN a.rep < b.rep THEN a.ckey ELSE b.ckey END AS ckey_a,
+           CASE WHEN a.rep < b.rep THEN b.ckey ELSE a.ckey END AS ckey_b,
+           a.ckey AS ckey_small, b.ckey AS ckey_big,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+           a.sz AS sz_small, a.sz + b.sz AS sz_sum
+    FROM smh a JOIN smh b
+      ON (a.sz < b.sz) OR (a.sz = b.sz AND a.ckey < b.ckey)
+    WHERE 10 * len(list_intersect(a.shs, b.shs)) >= 9 * a.sz
+  ),
+  cfgs AS (SELECT * FROM (VALUES {cfg_values}) v(bands, rows_per_band)),
+  pairs AS (
+    SELECT cfg.bands, cfg.rows_per_band,
+           (3 * t.n_common < t.sz_sum) AS jacc_missed,
+           ca.n_docs * cb.n_docs AS m,
+           (s.ckey_a IS NOT NULL) AS caught
+    FROM ctruth t
+    JOIN cnt ca ON ca.ckey = t.ckey_small
+    JOIN cnt cb ON cb.ckey = t.ckey_big
+    CROSS JOIN cfgs cfg
+    LEFT JOIN scand s
+      ON s.bands = cfg.bands AND s.rows_per_band = cfg.rows_per_band
+     AND s.ckey_a = t.ckey_a AND s.ckey_b = t.ckey_b
+  ),
+  agg AS (
+    SELECT bands, rows_per_band, jacc_missed,
+           CAST(sum(m) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN caught THEN m ELSE 0 END), 0) AS BIGINT)
+             AS n_caught
+    FROM pairs GROUP BY 1, 2, 3
+  )
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       jacc_missed, n_pairs, n_caught,
+       CAST(n_caught AS DOUBLE) / n_pairs AS catch_rate,
+       (SELECT CAST(pct AS BIGINT) FROM at_pct) AS sample_pct
+FROM agg
+"""
+
+
+@register("llm_dedup_containment_pairwise", _containment_pairwise_oracle())
+def llm_dedup_containment_pairwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-config banding catch rate against class-level containment
+    truth (C >= 0.9) on the PAIR-KEY-stratified tuning sample: the
+    blind-spot table with a denominator that falls as pct, not pct²
+    (see block comment)."""
+    pct = tuning_sample_pct(spark, sf_dir)
+    _, classes = trigram_classes16(
+        spark,
+        sf_dir,
+        doc_filter=hash_sample(F.col("doc_id") % 100000000, pct),
+    )
+    # class-level containment truth — verbatim the sampled op's shape
+    sh = classes.select("ckey", "sz", F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    toks = (
+        sh.join(dfreq, "sh")
+        .groupBy("ckey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"),
+            F.count("*").alias("sz"),
+        )
+    )
+    pref = toks.select(
+        "ckey",
+        "sz",
+        F.expr("slice(ts, 1, sz - div(9 * sz + 9, 10) + 1)").alias("pref"),
+    )
+    small = pref.select("ckey", "sz", F.explode("pref").alias("p")).select(
+        "ckey", "sz", F.col("p.sh").alias("sh")
+    )
+    a = small.alias("a")
+    b = sh.alias("b")
+    role_ok = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.ckey") < F.col("b.ckey"))
+    )
+    cpairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & role_ok)
+        .select(
+            F.col("a.ckey").alias("ckey_small"), F.col("b.ckey").alias("ckey_big")
+        )
+        .distinct()
+    )
+    meta = classes.select("ckey", "rep", "n_docs", "shs", "sz")
+    ms = meta.select(
+        F.col("ckey").alias("ckey_small"),
+        F.col("rep").alias("rep_s"),
+        F.col("n_docs").alias("nd_s"),
+        F.col("shs").alias("shs_s"),
+        F.col("sz").alias("sz_s"),
+    )
+    mb = meta.select(
+        F.col("ckey").alias("ckey_big"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("nd_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    truth = (
+        cpairs.join(ms, "ckey_small")
+        .join(mb, "ckey_big")
+        .select(
+            "ckey_small",
+            "ckey_big",
+            "rep_s",
+            "rep_b",
+            "nd_s",
+            "nd_b",
+            F.size(F.array_intersect("shs_s", "shs_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.col("sz_s").alias("sz_small"),
+            (F.col("sz_s") + F.col("sz_b")).cast("long").alias("sz_sum"),
+        )
+        .filter(10 * F.col("n_common") >= 9 * F.col("sz_small"))
+        .select(
+            F.when(F.col("rep_s") < F.col("rep_b"), F.col("ckey_small"))
+            .otherwise(F.col("ckey_big"))
+            .alias("ckey_a"),
+            F.when(F.col("rep_s") < F.col("rep_b"), F.col("ckey_big"))
+            .otherwise(F.col("ckey_small"))
+            .alias("ckey_b"),
+            (3 * F.col("n_common") < F.col("sz_sum")).alias("jacc_missed"),
+            (F.col("nd_s") * F.col("nd_b")).cast("long").alias("m"),
+        )
+    )
+    cands = None
+    for nb, rpb in banding.CONFIGS:
+        c = class_band_pairs(classes, nb, rpb).select(
+            F.lit(nb).cast("long").alias("bands"),
+            F.lit(rpb).cast("long").alias("rows_per_band"),
+            "ckey_a",
+            "ckey_b",
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cfgs = spark.createDataFrame(
+        [(int(nb), int(rpb)) for nb, rpb in banding.CONFIGS],
+        "bands long, rows_per_band long",
+    )
+    joined = truth.crossJoin(F.broadcast(cfgs)).join(
+        cands.withColumn("hit", F.lit(True)),
+        ["bands", "rows_per_band", "ckey_a", "ckey_b"],
+        "left",
+    )
+    agg = joined.groupBy("bands", "rows_per_band", "jacc_missed").agg(
+        F.sum("m").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit"), F.col("m")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_caught"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "jacc_missed",
+        "n_pairs",
+        "n_caught",
+        (F.col("n_caught").cast("double") / F.col("n_pairs")).alias(
+            "catch_rate"
+        ),
+        F.lit(pct).cast("long").alias("sample_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm_dedup_store_migrate — signature-STORE banding migration (r9
 # verdict ask #5).  llm_dedup_incremental's design stores per-class
 # K=16 minhash signatures at ingest; through round 8 every store was

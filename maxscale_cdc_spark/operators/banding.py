@@ -275,6 +275,52 @@ def chooser_prefix_sql() -> str:
 {chosen_cte()}"""
 
 
+def pair_sampled_prefix_sql(key_expr: str = "doc_id") -> str:
+    """Sample → trigram classes → per-config class band candidates
+    (`scand`), WITHOUT the chooser chain (no bigram cost CTEs, no
+    `chosen`): the prefix for catch-rate tables that stratify the
+    tuning sample by a PAIR/CLUSTER key instead of the doc endpoint
+    (VERDICT r11 ask #4 — an endpoint sample keeps a cross-doc pair
+    only when BOTH endpoints survive, so in-sample pair counts fall
+    as pct²; sampling by the key that makes the pair a pair keeps
+    them together and the denominator falls as pct).  CTE names
+    reuse the chooser's `at_*` plus `sclasses/smh/cand_smh_*/scand`
+    so family oracles read identically."""
+    tri = TRIGRAM_SQL.replace("FROM docw", "FROM at_docw").replace(
+        "  tset AS (", "  at_tset AS ("
+    )
+    cand_ctes = ",\n".join(
+        cand_sql("smh", "ckey", "ckey_a", "ckey_b", nb, rpb)
+        for nb, rpb in CONFIGS
+    )
+    scand_union = "\nUNION ALL\n".join(
+        f"SELECT {nb} AS bands, {rpb} AS rows_per_band, ckey_a, ckey_b "
+        f"FROM cand_smh_{nb}x{rpb}"
+        for nb, rpb in CONFIGS
+    )
+    return f"""{sample_pct_ctes('at')},
+  at_docw AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE {sql_hash_sample_expr(key_expr, 'SELECT pct FROM at_pct')}
+  ),
+{tri},
+  at_keyed AS (
+    SELECT doc_id, shs, md5(array_to_string(shs, chr(31))) AS ckey FROM at_tset
+  ),
+  sclasses AS (
+    SELECT ckey, min(doc_id) AS rep, arg_min(shs, doc_id) AS shs
+    FROM at_keyed GROUP BY ckey
+  ),
+  smh AS MATERIALIZED (
+    SELECT ckey, rep, shs, CAST(len(shs) AS BIGINT) AS sz, {MH16_SET_SQL}
+    FROM sclasses
+  ),
+{cand_ctes},
+  scand AS MATERIALIZED (
+{scand_union}
+  )"""
+
+
 def chosen_doc_cand_ctes(
     mh_src: str,
     ident: str = "doc_id",
