@@ -3081,3 +3081,165 @@ def rel_join_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join (see block comment)."""
     out, _ = cbo_join_result(spark, sf_dir)
     return out
+
+
+# ---------------------------------------------------------------------------
+# rel_win_group_limit — rank-filter PUSHDOWN (Spark 3.5+
+# WindowGroupLimit): `row_number() ... <= k` no longer sorts whole
+# partitions — the optimizer inserts a PARTIAL WindowGroupLimit
+# BEFORE the shuffle (each map task forwards at most k rows per
+# group) and a FINAL one after, so the exchange carries O(groups·k)
+# rows per mapper instead of the full table.  At 100 TB this is the
+# difference between shuffling 100 TB and shuffling megabytes for
+# every "top-k per group" query — the single most common analytics
+# shape.  tests/test_plans.py pins BOTH WindowGroupLimit nodes
+# (Partial + Final) in the physical plan; the rank order is a total
+# order (price DESC, orderkey, linenumber) so the exported rows are
+# engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_win_group_limit",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(rn AS BIGINT) AS rn,
+           l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+    FROM (
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    WHERE rn <= 3
+    """,
+)
+def rel_win_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per (returnflag, linestatus) via a rank filter
+    the optimizer rewrites to map-side WindowGroupLimit pushdown (see
+    block comment; plan-gated)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("rn").cast("long").alias("rn"),
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_lateral — LATERAL correlated subquery (Spark 3.2+ LATERAL join):
+# the SQL-standard "for each row, run this parameterized subquery"
+# shape — here per-customer top-2 orders by price WITH an ORDER BY +
+# LIMIT inside the lateral body.  The point the plan gate pins:
+# Catalyst DECORRELATES the lateral (DecorrelateInnerQuery) into a
+# per-key limited join — the executed plan is a BroadcastHashJoin +
+# per-group limit, NOT a nested loop re-running the subquery per
+# outer row.  At 100 TB a naive per-row subquery is O(outer·inner);
+# the decorrelated plan is one join.  DuckDB executes the IDENTICAL
+# SQL text (both engines speak standard LATERAL), so the oracle is
+# the same query — the parity claim is engine-shape, not translation.
+# Total order inside the lateral (price DESC, orderkey) keeps the
+# LIMIT deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 100) c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+"""
+
+
+@register("fn_lateral", _LATERAL_SQL)
+def fn_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a LATERAL subquery with ORDER
+    BY + LIMIT — decorrelated by Catalyst into a hash join + per-key
+    limit (plan-gated, see block comment).  The oracle runs the SAME
+    SQL text in DuckDB."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fn_sql_udf — SQL-DEFINED functions (Spark 4.0 `CREATE FUNCTION …
+# RETURN`): a scalar SQL UDF and a TABLE-valued SQL UDF, both defined
+# in SQL and INLINED by Catalyst into the calling plan — the UDF
+# abstraction with ZERO execution cost (no Python worker, no codegen
+# boundary; the plan is identical to writing the expression inline,
+# which is exactly what the oracle does).  This is the 100 TB answer
+# to "wrap our business logic in a function": SQL UDFs keep
+# whole-stage codegen and predicate pushdown; only logic that cannot
+# be expressed in SQL should fall back to (Arrow) Python UDFs.
+# Scalar: integer bucket price tiering (exact integer math).  Table
+# UDF: per-tier synthetic quota rows (sequence explode) joined back —
+# exercising the FROM-clause function-call surface.  The plan gate
+# asserts no Python evaluation nodes and that codegen spans the
+# calling aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_sql_udf",
+    """
+    WITH tiers AS (
+      SELECT CAST((CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000)
+                  AS BIGINT) AS tier,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), expanded AS (
+      SELECT t.tier, t.n_orders, CAST(u.i AS BIGINT) AS slot
+      FROM tiers t, LATERAL (
+        SELECT unnest(generate_series(1, CAST(least(t.tier + 1, 3) AS INT))) AS i
+      ) u
+    )
+    SELECT tier, n_orders, slot FROM expanded
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + table SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN)
+    inlined into the plan: price tiering via the scalar UDF, per-tier
+    slot rows via the table UDF — no Python anywhere (plan-gated);
+    the oracle inlines the same expressions (see block comment)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(div(CAST(round(p * 100, 0) AS BIGINT), 5000000) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tier_slots(t BIGINT) "
+        "RETURNS TABLE (slot BIGINT) "
+        "RETURN SELECT explode(sequence(1, CAST(least(t + 1, 3) AS INT)))"
+    )
+    return spark.sql(
+        """
+        WITH tiers AS (
+          SELECT price_tier(o_totalprice) AS tier,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT t.tier, t.n_orders, CAST(s.slot AS BIGINT) AS slot
+        FROM tiers t, LATERAL tier_slots(t.tier) s
+        """
+    )

@@ -1334,3 +1334,35 @@ def test_kmeans_chain_raw_plan_jvm_side(spark, sf_dir):
     assert windows, "rank window must be visible in the raw chain"
     for m in windows:
         assert "vec_id" in m.group(1), m.group(0)
+
+
+def test_win_group_limit_pushdown(spark, sf_dir):
+    """The rank filter must become map-side WindowGroupLimit pushdown:
+    BOTH Partial (before the exchange) and Final nodes present, so the
+    shuffle carries at most k rows per group per mapper."""
+    df = _q("rel_win_group_limit", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_lateral_decorrelated_to_join(spark, sf_dir):
+    """The LATERAL subquery (ORDER BY + LIMIT body) must decorrelate
+    into a hash join + per-key limit — never a nested loop re-running
+    the subquery per outer row."""
+    df = _q("fn_lateral", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_sql_udf_inlined_no_python(spark, sf_dir):
+    """SQL-defined scalar and table UDFs must inline into the plan:
+    zero Python evaluation nodes, aggregate stays in codegen."""
+    df = _q("fn_sql_udf", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+    assert codegen_stage_count(df) >= 1
