@@ -2327,3 +2327,194 @@ def src_tcp_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_note"),
         F.max("sequence").alias("max_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_protobuf_schema_evolution — the protobuf lane's ALTER behavior,
+# and the structural CONTRAST with the Avro lane: protobuf carries NO
+# in-band schema (an OCF file embeds its writer schema; a .pb file is
+# just bytes against an out-of-band .proto), so a mixed-generation
+# landing zone cannot ask each file "what schema are you?" — the
+# reader decodes EVERYTHING with the newest spec and old-generation
+# rows surface as ABSENT fields (proto3: absent optional → no key in
+# the decoded record).  Files through the (max*3)//5 cutover are
+# encoded with spec v1 (no `tags` field); later files with v2 (adds
+# packed `tags`, always ≥2 elements here); one binaryFile scan +
+# newest-spec decode tags each row's generation from field PRESENCE
+# and null-fills the missing column — the same ledger shape as
+# src_avro_schema_evolution, reached without embedded schemas.
+#
+# The production rule this op documents: proto3 cannot distinguish
+# absent from default (an EMPTY tags list would read as generation 1
+# too), so presence-based generation detection is only sound for
+# fields guaranteed non-default when written — otherwise carry an
+# explicit version field.  The envelope here guarantees two elements,
+# making the inference exact; the oracle certifies it against the
+# sequence cutover ground truth.
+# ---------------------------------------------------------------------------
+
+_PROTO_EVO_CACHE: dict[str, str] = {}
+
+
+def _spool_proto_evo_files(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _PROTO_EVO_CACHE:
+        return _PROTO_EVO_CACHE[sf_dir]
+    cdc = cdc_view(spark, sf_dir)
+    cut = cdc.agg(F.expr("div(max(sequence) * 3, 5)").alias("cutoff"))
+    env = cdc.join(F.broadcast(cut)).select(
+        "sequence",
+        "dml_type",
+        "pk",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        ((F.col("pk") % 7) - 3).alias("drift"),
+        "ts_unix",
+        F.when(F.col("pk") % 3 == 0, (F.col("pk") % 7).cast("string")).alias(
+            "note"
+        ),
+        (F.col("sequence") > F.col("cutoff")).alias("v2"),
+    )
+    out = _mkdtemp(prefix="src_proto_evo_")
+
+    def encode(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from maxscale_cdc_spark.sources.proto_wire import (
+            CDC_PROTO_FIELDS,
+            encode_message,
+            write_delimited,
+        )
+
+        v1_fields = {k: v for k, v in CDC_PROTO_FIELDS.items() if k != 8}
+        msgs: list[bytes] = []
+        is_v2 = False
+        for pdf in batches:
+            for seq, dml, pk, vc, dr, ts, note, v2 in zip(
+                pdf["sequence"], pdf["dml_type"], pdf["pk"],
+                pdf["value_cents"], pdf["drift"], pdf["ts_unix"],
+                pdf["note"], pdf["v2"],
+            ):
+                is_v2 = bool(v2)
+                rec = {
+                    "sequence": int(seq),
+                    "dml_type": str(dml),
+                    "pk": int(pk),
+                    "value_cents": int(vc),
+                    "drift": int(dr),
+                    "ts_unix": int(ts),
+                    "note": None if note is None or pd.isna(note) else str(note),
+                }
+                if is_v2:
+                    rec["tags"] = [int(pk) % 3, int(pk) % 5]
+                    msgs.append(encode_message(rec))
+                else:
+                    msgs.append(encode_message(rec, v1_fields))
+        if msgs:
+            pid = TaskContext.get().partitionId()
+            tag = "v2" if is_v2 else "v1"
+            tmp = os.path.join(out, f".part-{tag}-{pid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(write_delimited(msgs))
+            os.replace(tmp, os.path.join(out, f"part-{tag}-{pid:05d}.pb"))
+        yield pd.DataFrame({"n": [len(msgs)]})
+
+    # one producer generation per file: partition WITHIN each generation
+    for flag in (False, True):
+        env.filter(F.col("v2") == flag).repartition(4, "sequence").mapInPandas(
+            encode, "n long"
+        ).collect()
+    _PROTO_EVO_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "src_protobuf_schema_evolution",
+    f"""
+{CDC_SQL}
+, cut AS (SELECT (max(sequence) * 3) // 5 AS c FROM cdc)
+SELECT CASE WHEN sequence <= (SELECT c FROM cut) THEN 1 ELSE 2 END
+         AS schema_version,
+       dml_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(SUM(pk % 7 - 3) AS BIGINT) AS sum_drift,
+       CAST(SUM(CASE WHEN sequence <= (SELECT c FROM cut) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_no_tags,
+       CAST(SUM(CASE WHEN sequence <= (SELECT c FROM cut) THEN 0
+                     ELSE pk % 3 + pk % 5 END) AS BIGINT) AS sum_tags
+FROM cdc
+GROUP BY 1, 2
+""",
+)
+def src_protobuf_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixed-generation protobuf landing zone read with the NEWEST
+    spec in one scan: generation inferred from field presence (no
+    in-band schema — the structural contrast with Avro), added column
+    null-filled for v1 files (see block comment for the proto3
+    absent-vs-default caveat)."""
+    spool = _spool_proto_evo_files(spark, sf_dir)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.proto_wire import (
+            decode_message,
+            read_delimited,
+        )
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = [
+                    decode_message(m) for m in read_delimited(bytes(content))
+                ]
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "schema_version": [
+                                2 if "tags" in r else 1 for r in recs
+                            ],
+                            "sequence": [r["sequence"] for r in recs],
+                            "dml_type": [r["dml_type"] for r in recs],
+                            "pk": [r["pk"] for r in recs],
+                            "value_cents": [r["value_cents"] for r in recs],
+                            "drift": [r["drift"] for r in recs],
+                            "ts_unix": [r["ts_unix"] for r in recs],
+                            "note": [r.get("note") for r in recs],
+                            "tags": [r.get("tags") for r in recs],
+                        }
+                    )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(spool)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "schema_version long, sequence long, dml_type string, pk long, "
+            "value_cents long, drift long, ts_unix long, note string, "
+            "tags array<long>",
+        )
+    )
+    return back.groupBy("schema_version", "dml_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        F.sum("drift").cast("long").alias("sum_drift"),
+        F.sum(F.when(F.col("tags").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_tags"),
+        F.coalesce(
+            F.sum(
+                F.aggregate(
+                    F.coalesce("tags", F.array().cast("array<long>")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_tags"),
+    )

@@ -4328,3 +4328,112 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         "last_ts_unix",
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_upsert_mor — MERGE-ON-READ upsert with EQUALITY DELETES: the
+# other half of the lakehouse write-amplification trade.  The
+# generational sink family (snk_upsert/_compact) is copy-on-write —
+# every merge REWRITES the touched buckets, so writes cost O(bucket)
+# and reads are clean scans.  MoR inverts it (Iceberg equality
+# deletes / Hudi MoR): each epoch APPENDS (a) an equality-delete file
+# listing every pk the batch touched and (b) a data file with the
+# batch's final non-delete images — write cost O(batch), and the READ
+# reconciles: a data row (pk, epoch) is alive iff no delete of that
+# pk carries a LATER epoch (same-epoch deletes supersede only earlier
+# copies — the Iceberg sequence-number rule).  A pk whose final image
+# is a CDC delete leaves a tombstone with no data row, so it
+# disappears at read time.  Reconciliation is one keyed aggregate
+# over the tombstones (O(|touched pks|)) + one join — never a sort.
+#
+# COMPACTION then folds the reconciled state into a fresh base and
+# drops every tombstone; the op RAISES unless compacted == reconciled
+# row-for-row (symmetric exceptAll), and the EXPORT is the read
+# through the compacted base — so the oracle (whole-log latest state)
+# certifies the full MoR lifecycle: append epochs → reconciling read
+# → compaction → clean read.
+#
+# Scale: writes are batch-sized appends (the CDC-rate win); read cost
+# grows with tombstone count until compaction — exactly the knob the
+# props test pins (dead rows = data rows − live state).  At 100 TB
+# data/delete files are bucketed by pk so reconciliation co-locates.
+# ---------------------------------------------------------------------------
+
+
+@register("snk_upsert_mor", _UPSERT_STATE_ORACLE)
+def snk_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four append-only MoR epochs (equality-delete file + data file
+    each) → reconciling read → compaction → the compacted state (see
+    block comment).  Oracle: whole-log latest state."""
+    import os
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    cuts = cdc.agg(
+        F.expr("div(max(sequence) * 1, 4)").alias("m1"),
+        F.expr("div(max(sequence) * 2, 4)").alias("m2"),
+        F.expr("div(max(sequence) * 3, 4)").alias("m3"),
+    )
+    epoch = (
+        F.lit(1)
+        + (F.col("sequence") > F.col("m1")).cast("int")
+        + (F.col("sequence") > F.col("m2")).cast("int")
+        + (F.col("sequence") > F.col("m3")).cast("int")
+    )
+    staged = cdc.join(F.broadcast(cuts)).withColumn("epoch", epoch)
+    w = W.partitionBy("pk", "epoch").orderBy(F.col("sequence").desc())
+    batch_last = (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pk", "epoch", "sequence", "dml_type", "value", "ts_unix")
+    )
+    root = _mkdtemp(prefix="snk_mor_")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    # equality-delete file per epoch: every pk the batch touched
+    batch_last.select("pk", "epoch").repartition("epoch").write.mode(
+        "overwrite"
+    ).partitionBy("epoch").parquet(del_dir)
+    # data file per epoch: the batch's final non-delete images
+    batch_last.filter(F.col("dml_type") != "delete").select(
+        "pk",
+        F.col("sequence").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("ts_unix").alias("last_ts_unix"),
+        "epoch",
+    ).repartition("epoch").write.mode("overwrite").partitionBy(
+        "epoch"
+    ).parquet(data_dir)
+
+    # -- reconciling read (the MoR scan) --
+    data = spark.read.parquet(data_dir)
+    dels = spark.read.parquet(del_dir)
+    dmax = dels.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+    alive = (
+        data.join(dmax, "pk", "left")
+        .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+        .select("pk", "last_seq", "last_value", "last_ts_unix")
+    )
+    n_alive = alive.count()
+    n_pks = alive.select("pk").distinct().count()
+    if n_alive != n_pks:  # reconciliation invariant: one live row per pk
+        raise RuntimeError(f"MoR read not keyed: {n_alive} rows, {n_pks} pks")
+
+    # -- compaction: fold to a fresh base, drop every tombstone --
+    base_dir = os.path.join(root, "base")
+    alive.repartition(4, "pk").write.mode("overwrite").parquet(base_dir)
+    compacted = spark.read.parquet(base_dir)
+    if (
+        compacted.exceptAll(alive).count() != 0
+        or alive.exceptAll(compacted).count() != 0
+    ):
+        raise RuntimeError("compaction changed the reconciled state")
+    return compacted.select("pk", "last_seq", "last_value", "last_ts_unix")

@@ -227,3 +227,49 @@ def test_rebalance_apply_matches_plan_rowwise(spark, sf_dir):
             r["n_moved"],
         ), r
         assert r["skew_bounded"] is True, r
+
+
+def test_upsert_mor_layout_and_dead_row_math(spark, sf_dir, tmp_path, monkeypatch):
+    """MoR invariants: 4 epoch dirs on both the data and delete sides
+    (append-only epochs), dead rows = data rows - live state (the
+    read-cost-until-compaction knob), and the compacted base serves
+    the state WITHOUT the tombstones."""
+    import os
+
+    import maxscale_cdc_spark.tmputil as tmputil
+
+    captured = {}
+    real = tmputil.mkdtemp
+
+    def capture(prefix=""):
+        d = real(prefix=prefix)
+        if prefix == "snk_mor_":
+            captured["root"] = d
+        return d
+
+    monkeypatch.setattr(tmputil, "mkdtemp", capture)
+    from maxscale_cdc_spark.streaming.ops import snk_upsert_mor
+
+    state = snk_upsert_mor(spark, sf_dir)
+    n_state = state.count()
+    root = captured["root"]
+    data_eps = sorted(
+        d for d in os.listdir(os.path.join(root, "data")) if d.startswith("epoch=")
+    )
+    del_eps = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "deletes"))
+        if d.startswith("epoch=")
+    )
+    assert data_eps == ["epoch=1", "epoch=2", "epoch=3", "epoch=4"], data_eps
+    assert del_eps == ["epoch=1", "epoch=2", "epoch=3", "epoch=4"], del_eps
+    n_data = spark.read.parquet(os.path.join(root, "data")).count()
+    assert n_data >= n_state
+    # dead rows: every data row not in the live state was superseded
+    # by a later-epoch touch of the same pk
+    dead = n_data - n_state
+    dels = spark.read.parquet(os.path.join(root, "deletes"))
+    assert dead >= 0 and dels.count() >= n_data
+    # the compacted base alone (no tombstones) serves the exported state
+    base = spark.read.parquet(os.path.join(root, "base"))
+    assert base.count() == n_state
