@@ -3243,3 +3243,134 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tiers t, LATERAL tier_slots(t.tier) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_recursive_cte — WITH RECURSIVE (Spark 4.0+): iterative graph
+# traversal declared ENTIRELY in SQL — no driver loop, no unrolled
+# join chain (rel_graph_khop's shape), the engine's UnionLoop executes
+# rounds until fixpoint.  The workload is the classic BOM explosion:
+# parts form a forest under parent(k) = div(k, 4) (children of m are
+# {4m..4m+3}\{m} — child keys strictly larger, so the recursion
+# provably terminates in ⌈log₄(max key)⌉ rounds); for a deterministic
+# root sample, roll up every descendant's count, max depth and retail
+# value.  Each recursion round is one equi-join of the frontier
+# against the dimension — at 100 TB the frontier stays
+# O(active paths) while the part table is scanned via its join key,
+# and the fixpoint replaces K hand-unrolled self-joins whose plan
+# size grows linearly (the iterated-plan-doubling trap, CLAUDE.md
+# rule 4).  DuckDB runs the same shape (`//` for div — rule-3 integer
+# division discipline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_recursive_cte",
+    """
+    WITH RECURSIVE comp AS (
+      SELECT p_partkey AS root, p_partkey AS part,
+             CAST(0 AS BIGINT) AS depth
+      FROM part WHERE p_partkey % 97 = 0
+      UNION ALL
+      SELECT c.root, p.p_partkey, c.depth + 1
+      FROM comp c JOIN part p
+        ON CAST(p.p_partkey AS BIGINT) // 4 = c.part
+       AND p.p_partkey <> c.part
+    )
+    SELECT c.root,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(max(c.depth) AS BIGINT) AS max_depth,
+           CAST(SUM(CAST(round(p.p_retailprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM comp c JOIN part p ON p.p_partkey = c.part
+    GROUP BY c.root
+    """,
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM explosion via WITH RECURSIVE: per sampled root, descendant
+    count, max depth and rolled-up retail value — the engine's
+    fixpoint loop instead of K unrolled self-joins (see block
+    comment)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE comp AS (
+          SELECT p_partkey AS root, p_partkey AS part,
+                 CAST(0 AS BIGINT) AS depth
+          FROM part WHERE p_partkey % 97 = 0
+          UNION ALL
+          SELECT c.root, p.p_partkey, c.depth + 1
+          FROM comp c JOIN part p
+            ON div(p.p_partkey, 4) = c.part
+           AND p.p_partkey <> c.part
+        )
+        SELECT c.root,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(max(c.depth) AS BIGINT) AS max_depth,
+               CAST(SUM(CAST(round(p.p_retailprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM comp c JOIN part p ON p.p_partkey = c.part
+        GROUP BY c.root
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_observe_metrics — single-pass PIPELINE METRICS (Dataset.observe
+# / Observation, Spark 3.3+): accounting aggregates computed ON THE
+# ROWS FLOWING THROUGH an executed plan — row counts, value totals,
+# sequence bounds — without a second scan.  At 100 TB this is the
+# difference between "the nightly load also reports its row counts"
+# and "the nightly load, then a second full-table audit query": the
+# CollectMetrics node taps the stream between the filter and the
+# sink for free.  The op runs the pipeline to the noop sink with an
+# observation attached, then exports the harvested metrics as the
+# result row; the ORACLE recomputes the same aggregates from the raw
+# table — the green row proves in-flight accounting equals a
+# recomputation.  Integer-only metrics (counts, cents, seq bounds)
+# keep the comparison exact (rule 3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_observe_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(min(event_id) AS BIGINT) AS min_seq,
+           CAST(max(event_id) AS BIGINT) AS max_seq
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline accounting via Dataset.observe: the metrics are
+    harvested from the CollectMetrics node of the EXECUTED pipeline
+    (noop sink), then exported; the oracle recomputes them raw (see
+    block comment)."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("load_audit")
+    pipeline = ev.filter(F.col("event_type") == "purchase").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+    )
+    pipeline.write.format("noop").mode("overwrite").save()
+    m = obs.get  # blocks until the action's metrics arrive
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_purchases"]),
+                int(m["sum_value_cents"]),
+                int(m["min_seq"]),
+                int(m["max_seq"]),
+            )
+        ],
+        "n_purchases long, sum_value_cents long, min_seq long, max_seq long",
+    )

@@ -1366,3 +1366,25 @@ def test_sql_udf_inlined_no_python(spark, sf_dir):
     assert "MapInPandas" not in plan
     assert "HashAggregate" in plan
     assert codegen_stage_count(df) >= 1
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must execute as the engine's fixpoint loop (one
+    plan, engine-driven rounds) — not an unrolled join chain — and
+    stay JVM-side."""
+    df = _q("rel_recursive_cte", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan or "Recursion" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """The observation taps the executed pipeline; the exported frame
+    is a 1-row local relation (metrics harvested, no rescan)."""
+    df = _q("rel_observe_metrics", spark, sf_dir)
+    plan = formatted_plan(df)
+    # harvested metrics plan as a driver-local relation, never a
+    # re-read of the events table
+    assert "Scan parquet" not in plan, plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert df.count() == 1
