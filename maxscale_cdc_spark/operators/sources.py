@@ -2518,3 +2518,104 @@ def src_protobuf_schema_evolution(
         .cast("long")
         .alias("sum_tags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_pyds_writer — custom Python DataSource WRITE path (Spark 4
+# pyspark.sql.datasource, DataSourceArrowWriter): the DSv2 Python API
+# half src_cdc_datasource doesn't cover.  sources/manifest_sink_ds.py
+# implements the classic two-phase file commit in the public writer
+# protocol — executor tasks stream Arrow batches to HIDDEN tmp files
+# and return commit messages; the driver commit renames them visible
+# and atomically publishes the manifest (the commit point); abort
+# deletes the tmps.  The op certifies BOTH arms:
+#
+#   commit  write the purchase slice → read back THROUGH the manifest
+#           → ledger equals the direct aggregation (the oracle), and
+#           the manifest's per-file counts sum to the row count.
+#   abort   a second write with an injected task failure (the writer
+#           raises on partition 0 AFTER consuming its input) must
+#           leave the target directory with NO manifest, NO visible
+#           files and NO tmp residue — a failed job is invisible.
+#
+# Exported audit columns ride every ledger row; the failure arm's
+# cleanliness is also re-raised in-op (RuntimeError, not assert).
+# Scale: one file per task, O(files) driver renames at commit — the
+# FileFormatWriter topology with the commit point in plain sight.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_pyds_writer",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           TRUE AS manifest_counts_match,
+           TRUE AS abort_left_no_trace
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+)
+def snk_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase-commit Python DataSource sink: committed write read
+    back through the manifest, aborted write proven invisible (see
+    block comment)."""
+    import json
+    import os
+
+    from maxscale_cdc_spark.sources.manifest_sink_ds import (
+        MANIFEST,
+        read_committed,
+        register as reg_sink,
+    )
+
+    reg_sink(spark)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "event_type", "value")
+
+    # -- commit arm --
+    good_dir = _mkdtemp(prefix="pyds_sink_")
+    ev.repartition(4, "event_id").write.format("manifest_parquet").option(
+        "path", good_dir
+    ).mode("append").save()
+    got = read_committed(spark, good_dir)
+    if got is None:
+        raise RuntimeError("committed write published no manifest")
+    back, man = got
+    n_back = int(back.count())
+    counts_match = n_back == sum(f["n_rows"] for f in man["files"])
+
+    # -- abort arm: injected task failure must leave no trace --
+    bad_dir = _mkdtemp(prefix="pyds_sink_bad_")
+    failed = False
+    try:
+        ev.repartition(4, "event_id").write.format("manifest_parquet").option(
+            "path", bad_dir
+        ).option("inject_fail", "1").mode("append").save()
+    except Exception:
+        failed = True
+    residue = [
+        f
+        for f in os.listdir(bad_dir)
+        if f == MANIFEST or f.endswith(".parquet")
+    ]
+    abort_clean = failed and not residue
+    if not abort_clean:
+        raise RuntimeError(
+            f"aborted write left trace: failed={failed} residue={residue}"
+        )
+
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    ).select(
+        "*",
+        F.lit(bool(counts_match)).alias("manifest_counts_match"),
+        F.lit(bool(abort_clean)).alias("abort_left_no_trace"),
+    )

@@ -1,0 +1,150 @@
+"""Custom Python DataSource WRITE path (Spark 4 `pyspark.sql.datasource`
+DataSourceArrowWriter) — the other half of the DSv2 Python API surface
+(sources/cdc_datasource.py covers the streaming READ half).
+
+`manifest_parquet` is a batch sink with the classic two-phase commit
+file protocol, implemented entirely in the public writer API:
+
+  write (executors)   each task streams its Arrow batches to ONE
+                      HIDDEN file (".tmp-part-<uuid>.parquet", written
+                      with pyarrow) and returns a commit message
+                      carrying (tmp name, row count).  Hidden names
+                      mean a crashed/retried task can never make rows
+                      visible.
+  commit (driver)     rename every tmp to its visible name, then
+                      atomically publish `_manifest.json` (tmp +
+                      os.replace) listing files and per-file counts —
+                      the manifest IS the commit point: readers
+                      resolve the file list from it, so a dir without
+                      a manifest serves zero rows.
+  abort (driver)      delete every tmp file — a failed job leaves the
+                      directory exactly as it found it.
+
+Readers consume the manifest's file list with the ordinary parquet
+scan (`spark.read.parquet(*files)`) — commit-protocol sinks do not
+need a custom read path.
+
+Scale: one file per task (no driver data movement; commit is O(files)
+renames), the same write topology as every FileFormatWriter — the
+Python layer only decides names and the commit point.
+
+IMPLEMENTATION NOTE — like cdc_datasource, the classes are built in a
+factory so the pickled class graph reaching executors references no
+module globals; all imports are method-local.
+"""
+
+from __future__ import annotations
+
+SINK_NAME = "manifest_parquet"
+MANIFEST = "_manifest.json"
+
+
+def _build_datasource_class():
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _FileMsg(WriterCommitMessage):
+        fname: str | None
+        n_rows: int
+
+    class ManifestParquetWriter(DataSourceArrowWriter):
+        def __init__(self, path: str, inject_fail: bool) -> None:
+            self.path = path
+            self.inject_fail = inject_fail
+
+        def write(self, iterator):  # executor-side
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            batches = list(iterator)
+            if self.inject_fail and pid == 0:
+                # the crash fixture: fail AFTER consuming input so the
+                # abort path has real work to prove it cleans up
+                raise RuntimeError("injected task failure (fixture)")
+            if not batches:
+                return _FileMsg(None, 0)
+            tbl = pa.Table.from_batches(batches)
+            fname = f".tmp-part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, os.path.join(self.path, fname))
+            return _FileMsg(fname, tbl.num_rows)
+
+        def commit(self, messages):  # driver-side: the commit point
+            import json
+            import os
+
+            files = []
+            for m in messages:
+                if m is None or m.fname is None:
+                    continue
+                visible = m.fname[len(".tmp-") :]
+                os.replace(
+                    os.path.join(self.path, m.fname),
+                    os.path.join(self.path, visible),
+                )
+                files.append({"file": visible, "n_rows": m.n_rows})
+            tmp = os.path.join(self.path, f".{MANIFEST}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"files": files}, fh)
+            os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+        def abort(self, messages):  # driver-side: leave no trace
+            import os
+
+            for f in os.listdir(self.path):
+                if f.startswith(".tmp-part-"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+
+    class ManifestParquetSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "manifest_parquet"
+
+        def writer(self, schema, overwrite: bool):
+            import os
+
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("manifest_parquet requires option 'path'")
+            os.makedirs(path, exist_ok=True)
+            return ManifestParquetWriter(
+                path, self.options.get("inject_fail") == "1"
+            )
+
+    return ManifestParquetSink
+
+
+def register(spark) -> None:
+    """Idempotently register the sink with a SparkSession."""
+    spark.dataSource.register(_build_datasource_class())
+
+
+def read_committed(spark, path: str):
+    """Resolve the manifest's file list and scan it with the ordinary
+    parquet reader; a directory without a manifest serves NOTHING
+    (the commit-point contract)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        man = json.load(fh)
+    files = [os.path.join(path, f["file"]) for f in man["files"]]
+    if not files:
+        return None
+    return spark.read.parquet(*files), man
