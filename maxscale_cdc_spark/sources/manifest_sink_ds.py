@@ -108,6 +108,74 @@ def _build_datasource_class():
                     except OSError:
                         pass
 
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    class ManifestParquetStreamWriter(DataSourceStreamArrowWriter):
+        """The streaming twin: one manifest PER EPOCH
+        (`_manifest-<batchId>.json`), each published atomically at
+        commit(batchId) — committed epochs stay readable across a
+        failure, the failing epoch is invisible, and a retried epoch
+        re-publishes its manifest so only ITS files are referenced
+        (orphaned tmp data from the failed attempt is never resolved
+        by a reader) — exactly-once visibility from at-least-once
+        execution."""
+
+        def __init__(self, path: str, fail_epoch: int | None) -> None:
+            self.path = path
+            self.fail_epoch = fail_epoch
+
+        def write(self, iterator):  # executor-side, same as batch
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            batches = list(iterator)
+            if not batches:
+                return _FileMsg(None, 0)
+            tbl = pa.Table.from_batches(batches)
+            fname = f".tmp-part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, os.path.join(self.path, fname))
+            return _FileMsg(fname, tbl.num_rows)
+
+        def commit(self, messages, batchId: int) -> None:
+            import json
+            import os
+
+            if self.fail_epoch is not None and batchId == self.fail_epoch:
+                # crash fixture: die BETWEEN write and manifest publish
+                # (the worst spot — data written, commit point not)
+                raise RuntimeError(
+                    f"injected commit failure at epoch {batchId}"
+                )
+            files = []
+            for m in messages:
+                if m is None or m.fname is None:
+                    continue
+                visible = m.fname[len(".tmp-") :]
+                os.replace(
+                    os.path.join(self.path, m.fname),
+                    os.path.join(self.path, visible),
+                )
+                files.append({"file": visible, "n_rows": m.n_rows})
+            tmp = os.path.join(self.path, f".manifest-{batchId}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"epoch": batchId, "files": files}, fh)
+            os.replace(tmp, os.path.join(self.path, f"_manifest-{batchId}.json"))
+
+        def abort(self, messages, batchId: int) -> None:
+            import os
+
+            for f in os.listdir(self.path):
+                if f.startswith(".tmp-part-"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+
     class ManifestParquetSink(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -122,6 +190,18 @@ def _build_datasource_class():
             os.makedirs(path, exist_ok=True)
             return ManifestParquetWriter(
                 path, self.options.get("inject_fail") == "1"
+            )
+
+        def streamWriter(self, schema, overwrite: bool):
+            import os
+
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("manifest_parquet requires option 'path'")
+            os.makedirs(path, exist_ok=True)
+            fe = self.options.get("fail_epoch")
+            return ManifestParquetStreamWriter(
+                path, int(fe) if fe is not None else None
             )
 
     return ManifestParquetSink
@@ -148,3 +228,26 @@ def read_committed(spark, path: str):
     if not files:
         return None
     return spark.read.parquet(*files), man
+
+
+def read_committed_epochs(spark, path: str):
+    """Union every epoch manifest's file list (the streaming sink's
+    read path): only files a committed epoch references are served —
+    orphans from failed attempts are invisible.  Returns
+    (DataFrame | None, manifests sorted by epoch)."""
+    import json
+    import os
+    import re
+
+    mans = []
+    for f in sorted(os.listdir(path)):
+        if re.fullmatch(r"_manifest-(\d+)\.json", f):
+            with open(os.path.join(path, f)) as fh:
+                mans.append(json.load(fh))
+    mans.sort(key=lambda m: m["epoch"])
+    files = [
+        os.path.join(path, e["file"]) for m in mans for e in m["files"]
+    ]
+    if not files:
+        return None, mans
+    return spark.read.parquet(*files), mans

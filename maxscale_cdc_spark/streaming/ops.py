@@ -4437,3 +4437,125 @@ def snk_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise RuntimeError("compaction changed the reconciled state")
     return compacted.select("pk", "last_seq", "last_value", "last_ts_unix")
+
+
+# ---------------------------------------------------------------------------
+# str_pyds_stream_writer — the STREAMING Python DataSource write path
+# (Spark 4 DataSourceStreamArrowWriter): per-epoch two-phase commit.
+# Each micro-batch's tasks write hidden tmp files; commit(batchId)
+# renames them visible and atomically publishes `_manifest-<epoch>`
+# — the epoch's commit point.  Readers resolve files ONLY through
+# epoch manifests (sources/manifest_sink_ds.read_committed_epochs),
+# which is what turns at-least-once execution into exactly-once
+# VISIBILITY: a crash between data write and manifest publish (the
+# worst spot — injected here at epoch 2) leaves the epoch invisible;
+# the checkpoint re-delivers it on restart and the retried commit
+# references only the retry's own files, so the failed attempt's
+# orphans can never be served.
+#
+# Lifecycle certified: 4 sequence-split epochs under
+# maxFilesPerTrigger=1 → injected commit failure at epoch 2 (exactly
+# manifests 0,1 visible — raised in-op otherwise) → restart from the
+# SAME checkpoint without the fixture → epochs 2,3 commit → the
+# epoch-manifest union equals the whole input (the oracle), each
+# epoch present exactly once.
+#
+# Scale: identical epoch topology to the exactly-once file sinks the
+# lakehouse formats implement in the JVM; commit is O(files) renames
+# per epoch, state is the engine's offset checkpoint — the Python
+# layer owns only names and the commit point.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_pyds_stream_writer",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
+           CAST(4 AS BIGINT) AS n_epochs,
+           TRUE AS failure_left_two_epochs,
+           TRUE AS epochs_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def str_pyds_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-phase-commit sink: injected commit failure at
+    epoch 2, restart from checkpoint, exactly-once visibility proven
+    through the epoch-manifest union (see block comment)."""
+    from maxscale_cdc_spark.sources.manifest_sink_ds import (
+        read_committed_epochs,
+        register as reg_sink,
+    )
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        read_stream,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    reg_sink(spark)
+    staged = stage_as_stream_sequenced(
+        table(spark, sf_dir, "events"),
+        "event_id",
+        n_batches=4,
+        cache_key=f"events:{sf_dir}",
+    )
+    sink_dir = _mkdtemp(prefix="pyds_stream_sink_")
+    ckpt = _mkdtemp(prefix="ckpt_pyds_")
+
+    def run(fail_epoch: int | None) -> Exception | None:
+        stream = read_stream(spark, staged, max_files_per_trigger=1).select(
+            "event_id", "event_type", "value"
+        )
+        writer = (
+            stream.writeStream.format("manifest_parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        if fail_epoch is not None:
+            writer = writer.option("fail_epoch", str(fail_epoch))
+        q = writer.start()
+        try:
+            q.awaitTermination()
+            return None
+        except Exception as exc:
+            return exc
+        finally:
+            if q.isActive:
+                q.stop()
+
+    with _few_state_partitions(spark):
+        # attempt 1: epochs 0,1 commit; epoch 2 dies between data
+        # write and manifest publish
+        err = run(fail_epoch=2)
+        if err is None:
+            raise RuntimeError("injected epoch-2 failure did not surface")
+        _, mans = read_committed_epochs(spark, sink_dir)
+        if [m["epoch"] for m in mans] != [0, 1]:
+            raise RuntimeError(f"partial visibility wrong: {mans}")
+        # attempt 2: restart from the same checkpoint, no fixture —
+        # epoch 2 is re-delivered and committed, then epoch 3
+        err = run(fail_epoch=None)
+        if err is not None:
+            raise err
+
+    back, mans = read_committed_epochs(spark, sink_dir)
+    epochs = [m["epoch"] for m in mans]
+    epochs_unique = epochs == sorted(set(epochs)) and len(epochs) == 4
+    if back is None or not epochs_unique:
+        raise RuntimeError(f"epoch manifests wrong after restart: {epochs}")
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    ).select(
+        "*",
+        F.lit(4).cast("long").alias("n_epochs"),
+        F.lit(True).alias("failure_left_two_epochs"),
+        F.lit(bool(epochs_unique)).alias("epochs_unique"),
+    )
