@@ -1258,3 +1258,134 @@ def mm_pack_interleaved(
         F.coalesce("n_images", F.lit(0)).cast("long").alias("n_images"),
         F.coalesce("n_straddling", F.lit(0)).cast("long").alias("n_straddling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_resolution_buckets — ASPECT-RATIO BUCKETING + patch-budget batch
+# packing for native-resolution ViT training (NaViT / Qwen-VL style):
+# variable-resolution images are snapped to the nearest aspect bucket
+# (integer argmin of |w·bh − h·bw| over a fixed ladder — no floats),
+# their ViT patch counts computed at patch size 4 (ceil(w/4)·ceil(h/4)
+# as div arithmetic), and packed into fixed-budget batches (256
+# patches) by a per-bucket running fill in (patches DESC, doc_id)
+# total order — the mm_pack_interleaved convention: a straddling
+# image keeps its batch assignment from its starting offset and is
+# COUNTED (the padding-cost audit), not silently split.
+#
+# Dims ride the family's stub-decode convention (w = 16 + bytes%32,
+# h = 16 + bytes%24 — mm_decode_stub), so the op measures the real
+# plumbing (bucketing argmin, per-bucket windows, integer packing)
+# over fake pixels.  Export per bucket: image count, total patches,
+# batch count, straddle count.
+#
+# Scale: one broadcast of the 5-row ladder, one per-bucket window
+# over O(images) rows, one 5-group rollup — embarrassingly linear;
+# at 100 TB the window partitions by bucket AND a coarse doc_id
+# range so no single bucket serializes (noted; here buckets ≪ cores).
+# ---------------------------------------------------------------------------
+
+_MMRB_LADDER = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+_MMRB_BUDGET = 256  # patches per packed batch
+_MMRB_PATCH = 4
+
+
+def _mmrb_ladder_sql() -> str:
+    return ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(_MMRB_LADDER))
+
+
+@register(
+    "mm_resolution_buckets",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + length(text) % 32 AS BIGINT) AS w,
+         CAST(16 + length(text) % 24 AS BIGINT) AS h
+  FROM documents
+), ladder AS (
+  SELECT * FROM (VALUES {_mmrb_ladder_sql()}) v(idx, bw, bh)
+), snapped AS (
+  SELECT doc_id, w, h, idx, bw, bh,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY abs(w * bh - h * bw), idx
+         ) AS rn
+  FROM dims CROSS JOIN ladder
+), assigned AS (
+  SELECT doc_id, bw, bh,
+         ((w + {_MMRB_PATCH - 1}) // {_MMRB_PATCH})
+         * ((h + {_MMRB_PATCH - 1}) // {_MMRB_PATCH}) AS patches
+  FROM snapped WHERE rn = 1
+), packed AS (
+  SELECT bw, bh, patches,
+         CAST(sum(patches) OVER (
+           PARTITION BY bw, bh ORDER BY patches DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         - patches AS ds
+  FROM assigned
+)
+SELECT CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(patches) AS BIGINT) AS total_patches,
+       CAST(max(ds // {_MMRB_BUDGET}) + 1 AS BIGINT) AS n_batches,
+       CAST(sum(CASE WHEN ds // {_MMRB_BUDGET}
+                     <> (ds + patches - 1) // {_MMRB_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM packed
+GROUP BY 1, 2
+""",
+)
+def mm_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-bucket snap (integer argmin over the 5-bucket ladder) →
+    ViT patch counts → per-bucket fixed-budget batch packing with the
+    straddle audit (see block comment)."""
+    m = media_frame(spark, sf_dir)
+    dims = m.select(
+        "doc_id",
+        (16 + F.octet_length("content") % 32).cast("long").alias("w"),
+        (16 + F.octet_length("content") % 24).cast("long").alias("h"),
+    )
+    ladder = spark.createDataFrame(
+        [(i, bw, bh) for i, (bw, bh) in enumerate(_MMRB_LADDER)],
+        "idx long, bw long, bh long",
+    )
+    wsnap = W.partitionBy("doc_id").orderBy(
+        F.abs(F.col("w") * F.col("bh") - F.col("h") * F.col("bw")), "idx"
+    )
+    assigned = (
+        dims.crossJoin(F.broadcast(ladder))
+        .withColumn("rn", F.row_number().over(wsnap))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "bw",
+            "bh",
+            (
+                F.expr(f"div(w + {_MMRB_PATCH - 1}, {_MMRB_PATCH})")
+                * F.expr(f"div(h + {_MMRB_PATCH - 1}, {_MMRB_PATCH})")
+            ).alias("patches"),
+        )
+    )
+    wpack = (
+        W.partitionBy("bw", "bh")
+        .orderBy(F.col("patches").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = assigned.withColumn(
+        "ds", F.sum("patches").over(wpack) - F.col("patches")
+    )
+    b = _MMRB_BUDGET
+    return packed.groupBy(
+        F.col("bw").alias("bucket_w"), F.col("bh").alias("bucket_h")
+    ).agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("patches").cast("long").alias("total_patches"),
+        (F.max(F.expr(f"div(ds, {b})")) + 1).cast("long").alias("n_batches"),
+        F.sum(
+            (
+                F.expr(f"div(ds, {b})")
+                != F.expr(f"div(ds + patches - 1, {b})")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_straddling"),
+    )
