@@ -448,3 +448,58 @@ def test_avro_arm_missing_table_errs(tmp_path):
     finally:
         server.close()
     assert t.events_pumped == 0
+
+
+def test_avro_stream_truncation_is_an_error(tmp_path):
+    """A server dying mid-block must surface as a pump error on
+    drain()/stop() — never a silently short spool (the JSON pump's
+    mid-stream-reset rule, on the binary arm)."""
+    srv_dir, recs = _avro_fixture_dir(tmp_path, n=2000, files=1)
+    blob = (tmp_path / "ocf" / "f-0.avro").read_bytes()
+    (tmp_path / "ocf" / "f-0.avro").write_bytes(blob[: len(blob) - 37])
+    server = FakeMaxScaleServer("u", "p", avro_tables={"test.tests": srv_dir})
+    spool = tmp_path / "spool"
+    t = CDCTransport(server.address, "u", "p", UUID)
+    try:
+        t.request_data("test", "tests", spool_dir=str(spool), data_format="AVRO")
+        with pytest.raises((ValueError, EOFError)):
+            t.drain(timeout_s=30)
+    finally:
+        try:
+            t.stop()
+        except Exception:
+            pass
+        server.close()
+
+
+def test_avro_pump_resumes_burst_numbering(tmp_path):
+    """A second AVRO transport against a non-empty spool must APPEND
+    after the existing bursts (same contract as the JSON pump: a
+    committed reader offset must never see renumbered files)."""
+    from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+    srv_dir, recs = _avro_fixture_dir(tmp_path, n=1400, files=1)
+    spool = tmp_path / "spool"
+    for _ in range(2):
+        server = FakeMaxScaleServer(
+            "u", "p", avro_tables={"test.tests": srv_dir}
+        )
+        t = CDCTransport(server.address, "u", "p", UUID)
+        t.request_data(
+            "test", "tests", spool_dir=str(spool), data_format="AVRO"
+        )
+        t.drain(timeout_s=30)
+        t.stop()
+        server.close()
+    bursts = sorted(f for f in os.listdir(spool) if f.endswith(".avro"))
+    # 1400 rows / 700-block = 2 blocks per run -> 4 bursts, numbered
+    # consecutively (no renumbering, no overwrite)
+    assert [b[:15] for b in bursts] == [
+        "burst-000000000", "burst-000000001",
+        "burst-000000002", "burst-000000003",
+    ], bursts
+    total = []
+    for f in bursts:
+        _, rr = read_ocf((spool / f).read_bytes())
+        total.extend(rr)
+    assert len(total) == 2 * len(recs)
