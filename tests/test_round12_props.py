@@ -273,3 +273,28 @@ def test_upsert_mor_layout_and_dead_row_math(spark, sf_dir, tmp_path, monkeypatc
     # the compacted base alone (no tombstones) serves the exported state
     base = spark.read.parquet(os.path.join(root, "base"))
     assert base.count() == n_state
+
+
+def test_resolution_buckets_cover_and_bound(spark, sf_dir):
+    """Bucketing invariants: every document lands in exactly one
+    bucket (Σ n_images = |documents|), batch counts respect the
+    next-fit lower bound ceil(total/256), and straddles never exceed
+    image counts.  Plus a hand-check of the snap rule: 32x24 is
+    exactly 4:3."""
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("mm_resolution_buckets", spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_images"] for r in rows) == n_docs
+    for r in rows:
+        lower = -(-r["total_patches"] // 256)  # ceil
+        assert r["n_batches"] >= lower, r
+        assert 0 <= r["n_straddling"] <= r["n_images"], r
+    # snap rule hand-check: |32*3 - 24*4| = 0 -> the 4:3 bucket wins
+    import duckdb
+
+    (bw, bh) = duckdb.sql(
+        "SELECT bw, bh FROM (VALUES (0,1,1),(1,4,3),(2,3,4),(3,16,9),(4,9,16))"
+        " v(idx, bw, bh) ORDER BY abs(32*bh - 24*bw), idx LIMIT 1"
+    ).fetchone()
+    assert (bw, bh) == (4, 3)
