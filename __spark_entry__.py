@@ -71,11 +71,10 @@ _DRIVER_GREEN = {
     # since:
     "cdc_cascade_delete_apply", "cdc_replay_idempotence",
     "llm_dedup_containment_sampled", "llm_dedup_rep_apply",
-    "llm_dedup_store_migrate", "llm_drift_reindex_apply",
-    "mm_modality_budget_apply", "rel_dist_drift", "rel_ivm_topk",
+    "llm_dedup_store_migrate", "mm_modality_budget_apply", "rel_dist_drift", "rel_ivm_topk",
     "snk_manifest_gc", "snk_time_travel", "src_csv_badrecords",
-    "str_drift_swap_splice", "str_embed_drift_stream",
-    "str_ivf_swap_splice", "str_session_dynamic",
+    "str_embed_drift_stream",
+    "str_session_dynamic",
     # round-9 sweep greens (CORRECTNESS_r09.json, all 50 — 20 new ids,
     # 21 honest demotions re-certified, 9 re-certifications of ids
     # already listed below), code unchanged since:
@@ -86,7 +85,7 @@ _DRIVER_GREEN = {
     "llm_dedup_incremental", "llm_dedup_near", "llm_dedup_near_autotuned",
     "llm_dedup_rep_policy", "llm_dedup_savings", "llm_dedup_source_matrix",
     "llm_dedup_syndication", "llm_dedup_threshold_curve",
-    "llm_embedding_drift_monitor", "llm_ivf_rebalance_apply", "llm_lsh_recall_audit", "llm_lsh_tuning",
+    "llm_embedding_drift_monitor", "llm_lsh_recall_audit", "llm_lsh_tuning",
     "llm_lsh_tuning_sampled", "llm_mmr_rerank", "llm_token_budget_apply",
     "llm_vocab_drift", "mm_caption_align", "mm_modality_budget_plan",
     "rel_graph_khop", "rel_rollup_refresh", "snk_partition_evolution",
@@ -100,12 +99,11 @@ _DRIVER_GREEN = {
     "cdc_gtid_watermark", "cdc_replay_request_plan", "fn_variant",
     "llm_dedup_jaccard_prefix",
     "llm_embedding_coverage", "llm_inference_batch_plan",
-    "llm_ivf_incremental", "llm_ivf_rebalance_plan", "llm_lang_confusion",
+    "llm_lang_confusion",
     "llm_pack_boundary_audit", "llm_pipeline_e2e",
     "llm_quality_decile_dup_rate", "llm_rag_chunk_rank",
     "llm_shard_checksums", "llm_vocab_truncation_curve",
     "mm_dedup_savings", "rel_ivm_distinct",
-    "str_ivf_assign_stream",
     # round-7 sweep greens (CORRECTNESS_r07.json, all 50 — 31 new ids,
     # 6 honest demotions re-certified, 13 re-certifications of ids
     # already listed below), code unchanged since:
@@ -230,7 +228,14 @@ _DEFERRED: set[str] = set()
 #    Oracles unchanged, values bitwise-identical (Q1.30 chain), all 12
 #    locally re-verified green at sf0.01 — but the plan now flows
 #    through the shared staged chain, so their old rows re-certify.
+#  - the 7 CUT-chain consumers (incremental/drift/stream-splice tier)
+#    now ride kmeans_cells_cached_cut — same rationale, same local
+#    re-verification.
 _DEMOTED: set[str] = {
+    "llm_ivf_incremental", "llm_ivf_rebalance_plan",
+    "llm_ivf_rebalance_apply", "llm_drift_reindex_apply",
+    "str_ivf_assign_stream", "str_ivf_swap_splice",
+    "str_drift_swap_splice",
     "llm_sim_ivf", "llm_sim_ivf_probe", "llm_ivf_recall",
     "llm_ivf_nprobe_sweep", "llm_ivf_pq_search", "llm_ann_join_topk",
     "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e", "llm_ann_mmr_e2e_scaled",

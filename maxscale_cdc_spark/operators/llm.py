@@ -1054,6 +1054,43 @@ def kmeans_cells_cached(
     return pair
 
 
+# The 80%-cut twin: every incremental/drift/stream-splice op seeds its
+# "stored index" from the SAME slice — vec_id ≤ div(max(vec_id)·4, 5)
+# — so one staged cut-chain feeds that family too.  Keyed separately
+# from the full-table cache; BENCH_COLD clears both.
+_KMEANS_CUT_CACHE: dict[
+    tuple[str, str, int], tuple[DataFrame, DataFrame, int]
+] = register_family_cache({})
+
+
+def kmeans_cells_cached_cut(
+    spark: SparkSession, sf_dir: str, n_cells: int = _N_CELLS
+) -> tuple[DataFrame, DataFrame, int]:
+    """`_kmeans_cells` over the 80%-cut slice (vec_id ≤
+    div(max·4, 5)), memoized per (session, sf_dir, n_cells) and
+    staged; returns (centroids, assignment, cut).  Values bitwise
+    identical to a fresh chain — see kmeans_cells_cached."""
+    key = (*session_cache_key(spark, sf_dir), n_cells)
+    hit = _KMEANS_CUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    prune_dead_cache_entries(_KMEANS_CUT_CACHE, spark)
+    e = wide_table(spark, sf_dir, "embeddings")
+    cut = int(
+        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
+    )
+    cents, assigned = _kmeans_cells(
+        e.filter(F.col("vec_id") <= cut), n_cells
+    )
+    trio = (
+        cents.localCheckpoint(eager=False),
+        assigned.localCheckpoint(eager=False),
+        cut,
+    )
+    _KMEANS_CUT_CACHE[key] = trio
+    return trio
+
+
 @register("llm_sim_ivf", _IVF_ORACLE)
 def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN with k-means cells: seed centroids from the first

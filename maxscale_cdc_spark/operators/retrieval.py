@@ -1001,13 +1001,10 @@ def _ivf_batch_state(spark: SparkSession, sf_dir: str):
     batch assigned to the EXISTING centroids in one broadcast pass.
     The one driver read is the scalar cutover (the
     llm_dedup_incremental pattern)."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached_cut
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cut = int(
-        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
-    )
-    cents, assigned = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    cents, assigned, cut = kmeans_cells_cached_cut(spark, sf_dir)
     newv = e.filter(F.col("vec_id") > cut).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -2569,16 +2566,12 @@ def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-action index: one row per cell with its action, post-action
     member count, the corpus drift verdict, and the before/after
     recall@5 sample audit."""
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached_cut
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cut = int(
-        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
-    )
-    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
-    # staged once: consumed by both assignments, the decision table,
-    # the non-reclustered half of newcent (CLAUDE.md rule 5)
-    cents = cents.localCheckpoint(eager=False)
+    # the family cut-chain cache stages cents once for the whole
+    # incremental/drift tier (CLAUDE.md rule 5, family level)
+    cents, _, cut = kmeans_cells_cached_cut(spark, sf_dir)
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
 
     def bassign(df: DataFrame) -> DataFrame:

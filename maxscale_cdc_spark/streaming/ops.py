@@ -1935,14 +1935,11 @@ def str_ivf_assign_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked windowed argmax per vector; per-(window, cell) counts;
     oracle = the batch assignment bucketed by integer epoch math."""
     from maxscale_cdc_spark.functions.vectors import as_double, cosine
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached_cut
     from maxscale_cdc_spark.tables import wide_table
 
     e = wide_table(spark, sf_dir, "embeddings")
-    cut = int(
-        e.agg(F.expr("div(max(vec_id) * 4, 5)").alias("c")).collect()[0]["c"]
-    )
-    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
+    cents, _, cut = kmeans_cells_cached_cut(spark, sf_dir)
     base_ts = "timestamp'2024-01-01 00:00:00'"
     newv = e.filter(F.col("vec_id") > cut).select(
         "vec_id",
@@ -2336,7 +2333,7 @@ def str_ivf_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows against the post-surgery centroids (generation 1); oracle =
     both sides recomputed from scratch in batch (see block comment)."""
     from maxscale_cdc_spark.functions.vectors import as_double, cosine
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached_cut
     from maxscale_cdc_spark.operators.retrieval import (
         _ivf_cells,
         _split_cells_lloyd,
@@ -2350,8 +2347,10 @@ def str_ivf_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     cut, maxid = int(row["c"]), int(row["m"])
     swap = cut + ((maxid - cut) * 7) // 10
-    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
-    cents = cents.localCheckpoint(eager=False)
+    # family cut-chain cache: cents arrive staged (CLAUDE.md rule 5)
+    cents, _, _cut = kmeans_cells_cached_cut(spark, sf_dir)
+    if _cut != cut:  # same expr both reads; survives python -O
+        raise RuntimeError(f"cut drift: {_cut} != {cut}")
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
 
     def bassign(df: DataFrame) -> DataFrame:
@@ -3223,7 +3222,7 @@ def str_drift_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped onto the live stream as a generation key; both seam sides
     batch-certified (see block comment)."""
     from maxscale_cdc_spark.functions.vectors import as_double, cosine
-    from maxscale_cdc_spark.operators.llm import _kmeans_cells
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached_cut
     from maxscale_cdc_spark.operators.retrieval import (
         _DRIFT_DIMS_MIN,
         _DRIFT_SENS,
@@ -3238,8 +3237,10 @@ def str_drift_swap_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     cut, maxid = int(row["c"]), int(row["m"])
     swap = cut + ((maxid - cut) * 7) // 10
-    cents, _ = _kmeans_cells(e.filter(F.col("vec_id") <= cut))
-    cents = cents.localCheckpoint(eager=False)
+    # family cut-chain cache: cents arrive staged (CLAUDE.md rule 5)
+    cents, _, _cut = kmeans_cells_cached_cut(spark, sf_dir)
+    if _cut != cut:  # same expr both reads; survives python -O
+        raise RuntimeError(f"cut drift: {_cut} != {cut}")
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
 
     def bassign(df: DataFrame) -> DataFrame:
