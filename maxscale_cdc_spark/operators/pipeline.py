@@ -2185,3 +2185,169 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").cast("long").alias("docs_a"),
         F.sum("n_b").cast("long").alias("docs_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_mixture_temperature — TEMPERATURE-flattened mixture planning
+# (the PaLM/Gopher data-mixing rule): sampling weights wᵢ ∝ nᵢ^α with
+# α = 1/2 flatten source skew — big crawls stop drowning small
+# high-quality sources — and the half-corpus budget is apportioned by
+# largest remainder over the FLATTENED weights (Σ quota == B exactly;
+# llm_token_budget_plan's Hamilton machinery on a different weight
+# vector).  wᵢ = floor(sqrt(nᵢ)) keeps rule-3 exactness: IEEE-754
+# sqrt is correctly rounded in BOTH engines, so floor(sqrt(BIGINT))
+# is bit-identical cross-engine (documented at the site; the
+# cross-multiplied audits stay < 2⁶³ for corpora to ~10⁹ docs).
+#
+# The plan is APPLIED in the same op: each source's quota is served
+# by the md5-ranked deterministic sample (rank ≤ quota — stable under
+# repartitioning, the llm_domain_mix idiom), CAPPED by availability —
+# a small source whose flattened quota exceeds its corpus exports
+# needs_repetition = true, the honest signal that temperature
+# sampling at this α requires data repetition (epochs) on that
+# source, not more sampling.  `flattened` certifies the direction:
+# the quota share sits no farther from uniform than the raw share
+# (integer cross-multiplied, exact).
+#
+# Scale: one corpus count-agg; everything downstream runs on
+# |sources| rows except the md5-rank window, which partitions by
+# source and prunes at rank ≤ quota.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_mixture_temperature",
+    """
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), wts AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw,
+             CAST(sum(n_docs) AS BIGINT) // 2 AS b,
+             CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS s
+      FROM wts
+    ), shares AS (
+      SELECT source, n_docs, w,
+             CAST(b * w // tw AS BIGINT) AS floor_share,
+             CAST(b * w % tw AS BIGINT) AS remainder, b, n, s
+      FROM wts CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY remainder DESC, source)
+                  AS BIGINT) AS rr,
+             CAST(sum(floor_share) OVER () AS BIGINT) AS sum_floor
+      FROM shares
+    ), quotas AS (
+      SELECT source, n_docs, w, b, n, s,
+             CAST(floor_share + CASE WHEN rr <= b - sum_floor
+                                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM ranked
+    ), sel AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_selected
+      FROM (SELECT source,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents) d
+      JOIN quotas q ON q.source = d.source AND d.rk <= q.quota
+      GROUP BY d.source
+    )
+    SELECT q.source, q.n_docs, q.w AS weight, q.quota,
+           CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected,
+           (q.quota > q.n_docs) AS needs_repetition,
+           (abs(q.s * q.quota * q.n - q.b * q.n)
+              <= abs(q.s * q.n_docs * q.b - q.n * q.b)) AS flattened
+    FROM quotas q LEFT JOIN sel ON sel.source = q.source
+    """,
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 temperature mixture: flattened weights → largest-remainder
+    quotas (Σ == B exactly) → md5-ranked deterministic selection capped
+    by availability, with the needs-repetition and flattening audits
+    (see block comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    wts = per_src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("w"),
+    )
+    tot = wts.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.expr("div(CAST(sum(n_docs) AS BIGINT), 2)").alias("b"),
+        F.sum("n_docs").cast("long").alias("n"),
+        F.count("*").cast("long").alias("s"),
+    )
+    shares = wts.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr("div(b * w, tw)").cast("long").alias("floor_share"),
+        (F.col("b") * F.col("w") % F.col("tw")).cast("long").alias("remainder"),
+        "b",
+        "n",
+        "s",
+    )
+    ranked = shares.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("remainder").desc(), "source"))
+        .cast("long")
+        .alias("rr"),
+        F.sum("floor_share").over(W.partitionBy()).cast("long").alias("sum_floor"),
+    )
+    quotas = ranked.select(
+        "source",
+        "n_docs",
+        "w",
+        "b",
+        "n",
+        "s",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rr") <= F.col("b") - F.col("sum_floor"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    sel = (
+        d.select("source", "doc_id")
+        .withColumn("rk", rk)
+        .join(
+            F.broadcast(quotas.select("source", "quota")), "source"
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_selected"))
+    )
+    return (
+        quotas.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight"),
+            "quota",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            (F.col("quota") > F.col("n_docs")).alias("needs_repetition"),
+            (
+                F.abs(F.col("s") * F.col("quota") * F.col("n") - F.col("b") * F.col("n"))
+                <= F.abs(F.col("s") * F.col("n_docs") * F.col("b") - F.col("n") * F.col("b"))
+            ).alias("flattened"),
+        )
+    )
