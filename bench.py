@@ -12,7 +12,11 @@ Each query materializes fully through the `noop` sink (forces every
 operator to execute; no output-write cost).  Set BENCH_QUERIES=a,b,c to
 bench a subset; BENCH_REPEAT=n to take the min of n runs (use 3 when
 recording baselines — host load makes single runs vary 94-157s on
-identical code).  Shuffle partitions are pinned by session.get_spark()
+identical code); BENCH_COLD=1 to clear the family compute caches
+before every attempt (cache-honest per-query floors);
+BENCH_ISOLATE=a,b,c to run each listed id in its own fresh process
+(suite-order-immune floors — the mover adjudicator; see
+_run_isolated).  Shuffle partitions are pinned by session.get_spark()
 so runs compare like with like.
 """
 
