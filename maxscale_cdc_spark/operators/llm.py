@@ -4153,7 +4153,8 @@ def llm_index_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         man = json.load(fh)
     restored = spark.read.parquet(man["path"])
     n_back = int(restored.count())
-    assert n_back == man["n_rows"], (n_back, man)  # loud restore audit
+    if not (n_back == man["n_rows"]):  # contract invariant; survives python -O
+        raise AssertionError((n_back, man))
     qcell = restored.filter(F.col("vec_id") == 0).select(
         F.col("cid").alias("qcid")
     )

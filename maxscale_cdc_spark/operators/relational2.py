@@ -2924,9 +2924,12 @@ def bloom_join_result(spark: SparkSession, sf_dir: str):
             )
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "bloom_filter_agg" in plan, plan[:2000]  # loud: filter built
-        assert "might_contain" in plan, plan[:2000]  # loud: probe pushed
-        assert "BroadcastHashJoin" not in plan  # the shuffle-join case
+        if not ("bloom_filter_agg" in plan):  # contract invariant; survives python -O
+            raise AssertionError(plan[:2000])
+        if not ("might_contain" in plan):  # contract invariant; survives python -O
+            raise AssertionError(plan[:2000])
+        if not ("BroadcastHashJoin" not in plan):  # contract invariant; survives python -O
+            raise AssertionError('"BroadcastHashJoin" not in plan')
         # materialize UNDER the scoped confs so execution uses this plan
         out = j.localCheckpoint(eager=True)
         return out, plan

@@ -1134,9 +1134,11 @@ def snk_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # loud evolution checks: cold partitions byte-untouched, hot
     # partition actually split into hour subdirs
-    assert _mtimes(str(hot)) == cold_before, "cold partitions were rewritten"
+    if not (_mtimes(str(hot)) == cold_before):  # contract invariant; survives python -O
+        raise AssertionError("cold partitions were rewritten")
     n_hours = sum(1 for n in os.listdir(v2_hot) if n.startswith("hour="))
-    assert n_hours >= 1, "hot partition not split"
+    if not (n_hours >= 1):  # contract invariant; survives python -O
+        raise AssertionError("hot partition not split")
 
     cold = spark.read.parquet(v1).filter(F.col("day") != F.lit(hot))
     hot_df = spark.read.parquet(v2_hot).drop("hour")
@@ -1812,7 +1814,8 @@ def str_avro_tail_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the 4 newly landed files — the offset log skipped the
     # already-decoded half
     n_in = sum(int(p["numInputRows"]) for p in prog2)
-    assert n_in == 4, f"restart reprocessed the spool: {n_in} source rows"
+    if not (n_in == 4):  # contract invariant; survives python -O
+        raise AssertionError(f"restart reprocessed the spool: {n_in} source rows")
     return spark.read.parquet(out).select(
         F.col("w.start").alias("wstart"), "dml_type", "n", "sum_value_cents"
     )

@@ -1116,8 +1116,10 @@ def snk_scd2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a success, not a crash; only a log that GREW is a bug.  The
     # strict must-compact check applies once there is anything to
     # compact.
-    assert after <= before, (before, after)
-    assert before < 2 or after < before, (before, after)
+    if not (after <= before):  # contract invariant; survives python -O
+        raise AssertionError((before, after))
+    if not (before < 2 or after < before):  # contract invariant; survives python -O
+        raise AssertionError((before, after))
     _release_stream_state(spark)
     return sink.history()
 
@@ -3042,11 +3044,13 @@ def snk_manifest_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orphan their predecessors too (a full-touch merge supersedes the
     # whole previous generation), so the manifest-reference rule is the
     # SUPERSET — it must contain everything compact reported
-    assert set(gc_list) <= set(dead), (dead, gc_list)
+    if not (set(gc_list) <= set(dead)):  # contract invariant; survives python -O
+        raise AssertionError((dead, gc_list))
     for d in dead:
         shutil.rmtree(d)
     n_before, n_deleted = len(all_dirs), len(dead)
-    assert n_deleted > 0, "GC lifecycle produced nothing to collect"
+    if not (n_deleted > 0):  # contract invariant; survives python -O
+        raise AssertionError("GC lifecycle produced nothing to collect")
     post = sink.state().filter(F.col("last_dml") != "delete")
     return post.select(
         F.lit(n_before).cast("long").alias("n_dirs_before"),
@@ -3711,7 +3715,8 @@ def snk_fenced_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer_a.merge(state_for(*cuts[0]), epoch_id=0)
     # failover: B is promoted over the same root — fences A
     writer_b = ManifestedUpsertSink(spark, root, fenced=True)
-    assert writer_b.epoch == 2 and writer_a.epoch == 1
+    if not (writer_b.epoch == 2 and writer_a.epoch == 1):  # contract invariant; survives python -O
+        raise AssertionError('writer_b.epoch == 2 and writer_a.epoch == 1')
     writer_b.merge(state_for(*cuts[1]), epoch_id=1)
     # the zombie wakes with a POISONED stale view and tries to publish
     import os
@@ -3725,10 +3730,10 @@ def snk_fenced_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer_a.merge(poison, epoch_id=2)
     except StaleWriterError:
         n_fenced = 1
-    assert n_fenced == 1, "zombie publish was NOT fenced"
-    assert (
-        sorted(os.listdir(os.path.join(root, "_manifest"))) == log_before
-    ), "zombie attempt mutated the manifest log"
+    if not (n_fenced == 1):  # contract invariant; survives python -O
+        raise AssertionError("zombie publish was NOT fenced")
+    if not (sorted(os.listdir(os.path.join(root, "_manifest"))) == log_before):  # contract invariant; survives python -O
+        raise AssertionError("zombie attempt mutated the manifest log")
     writer_b.merge(state_for(*cuts[2]), epoch_id=3)
     # disk is the only witness: a fresh recovery sink serves the reads
     recovered = ManifestedUpsertSink(spark, root)
@@ -4037,12 +4042,12 @@ def snk_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped = [d for d in orphans if d not in deleted]
     for d in deleted:
         shutil.rmtree(d)
-    assert deleted == [old_orphan], (deleted, old_orphan)
-    assert skipped == [fresh_orphan], (skipped, fresh_orphan)
-    assert len(all_dirs) == 5 and len(referenced) == 3, (
-        all_dirs,
-        referenced,
-    )  # 3 merges + 2 orphans; constants pinned in the oracle
+    if not (deleted == [old_orphan]):  # contract invariant; survives python -O
+        raise AssertionError((deleted, old_orphan))
+    if not (skipped == [fresh_orphan]):  # contract invariant; survives python -O
+        raise AssertionError((skipped, fresh_orphan))
+    if not (len(all_dirs) == 5 and len(referenced) == 3):  # contract invariant; survives python -O
+        raise AssertionError(( all_dirs, referenced, ))
     post = sink.state().filter(F.col("last_dml") != "delete")
     return post.select(
         F.lit(5).cast("long").alias("n_dirs_before"),
@@ -4140,9 +4145,11 @@ def str_trigger_file_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = sorted(os.listdir(out_dir))
     back = spark.read.parquet(*[os.path.join(out_dir, p) for p in parts])
     rows = back.orderBy("batch_id").collect()  # O(batches) ledger rows
-    assert len(rows) == 4, rows
+    if not (len(rows) == 4):  # contract invariant; survives python -O
+        raise AssertionError(rows)
     for prev, cur in zip(rows, rows[1:]):  # loud in-order proof
-        assert cur["min_seq"] > prev["max_seq"], (prev, cur)
+        if not (cur["min_seq"] > prev["max_seq"]):  # contract invariant; survives python -O
+            raise AssertionError((prev, cur))
     return back
 
 
@@ -4293,7 +4300,8 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = spark.read.parquet(gen_dir)
         n_new = int(staged.filter(F.col("last_seq") > m2).count())
         n_null_pk = int(staged.filter(F.col("pk").isNull()).count())
-        assert n_null_pk == 0  # invariant audit (always holds here)
+        if not (n_null_pk == 0):  # contract invariant; survives python -O
+            raise AssertionError('n_null_pk == 0')
         return n_new
 
     n_expected = int(state_batch(m2, m3).count())
@@ -4304,18 +4312,22 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = manifest_bytes()
     gen_bad, _ = stage(bad)
     n_staged_bad = audit(gen_bad)
-    assert n_staged_bad < n_expected, (n_staged_bad, n_expected)
+    if not (n_staged_bad < n_expected):  # contract invariant; survives python -O
+        raise AssertionError((n_staged_bad, n_expected))
     shutil.rmtree(gen_bad)  # abort: staged files die, manifest untouched
-    assert manifest_bytes() == before, "abort must not move the manifest"
+    if not (manifest_bytes() == before):  # contract invariant; survives python -O
+        raise AssertionError("abort must not move the manifest")
 
     # WAP attempt B: stage correct → audit passes → PUBLISH
     gen_good, touched_b = stage(good)
     n_staged_good = audit(gen_good)
-    assert n_staged_good == n_expected, (n_staged_good, n_expected)
+    if not (n_staged_good == n_expected):  # contract invariant; survives python -O
+        raise AssertionError((n_staged_good, n_expected))
     for b in touched_b:
         sink.gen_of[b] = gen_good
     sink._persist()
-    assert manifest_bytes() != before  # the publish moved the manifest
+    if not (manifest_bytes() != before):  # contract invariant; survives python -O
+        raise AssertionError('manifest_bytes() != before')
 
     post = sink.state().filter(F.col("last_dml") != "delete")
     return post.select(
