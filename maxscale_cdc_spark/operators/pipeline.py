@@ -2205,9 +2205,13 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a small source whose flattened quota exceeds its corpus exports
 # needs_repetition = true, the honest signal that temperature
 # sampling at this α requires data repetition (epochs) on that
-# source, not more sampling.  `flattened` certifies the direction:
-# the quota share sits no farther from uniform than the raw share
-# (integer cross-multiplied, exact).
+# source, not more sampling.  `flattened` certifies the direction
+# WITHIN ONE QUOTA UNIT: the quota share sits no farther from uniform
+# than the raw share plus 1/B (integer cross-multiplied, exact) — the
+# tolerance absorbs the largest-remainder bonus and integer
+# indivisibility (a perfectly uniform corpus with a non-divisible
+# budget would otherwise read false on every source; measured at
+# sf0.001).
 #
 # Scale: one corpus count-agg; everything downstream runs on
 # |sources| rows except the md5-rank window, which partitions by
@@ -2261,7 +2265,8 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected,
            (q.quota > q.n_docs) AS needs_repetition,
            (abs(q.s * q.quota * q.n - q.b * q.n)
-              <= abs(q.s * q.n_docs * q.b - q.n * q.b)) AS flattened
+              <= abs(q.s * q.n_docs * q.b - q.n * q.b) + q.s * q.n)
+             AS flattened
     FROM quotas q LEFT JOIN sel ON sel.source = q.source
     """,
 )
@@ -2348,6 +2353,7 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("s") * F.col("quota") * F.col("n") - F.col("b") * F.col("n"))
                 <= F.abs(F.col("s") * F.col("n_docs") * F.col("b") - F.col("n") * F.col("b"))
+                + F.col("s") * F.col("n")
             ).alias("flattened"),
         )
     )

@@ -298,3 +298,53 @@ def test_resolution_buckets_cover_and_bound(spark, sf_dir):
         " v(idx, bw, bh) ORDER BY abs(32*bh - 24*bw), idx LIMIT 1"
     ).fetchone()
     assert (bw, bh) == (4, 3)
+
+
+def test_mixture_temperature_hamilton_invariants(spark, sf_dir):
+    """The apportionment contract: quotas sum EXACTLY to the
+    half-corpus budget (largest remainder, never per-source rounding
+    drift), selection serves min(quota, availability), and the
+    flattening direction holds on every source."""
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("llm_mixture_temperature", spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert sum(r["quota"] for r in rows) == n // 2
+    for r in rows:
+        assert r["n_selected"] == min(r["quota"], r["n_docs"]), r
+        assert r["needs_repetition"] == (r["quota"] > r["n_docs"]), r
+    # with the one-quota-unit tolerance the audit holds on every
+    # source at certified scales (a perfectly uniform corpus with a
+    # non-divisible budget sits exactly at the tolerance boundary)
+    for r in rows:
+        assert r["flattened"] is True, r
+
+
+def test_recursive_cte_depth_matches_forest_theory(spark, sf_dir):
+    """parent(k) = div(k, 4): a root r's deepest descendant depth is
+    exactly the number of times you can multiply into the key domain
+    — verify max_depth == floor(log4(max_key / root)) shape by
+    recomputing the deepest chain for one root in plain Python."""
+    from maxscale_cdc_spark.tables import table
+
+    rows = {r["root"]: r for r in _q("rel_recursive_cte", spark, sf_dir).collect()}
+    keys = set(
+        r["p_partkey"]
+        for r in table(spark, sf_dir, "part").select("p_partkey").collect()
+    )
+    root = sorted(rows)[1] if len(rows) > 1 else sorted(rows)[0]
+    # BFS the forest in Python
+    depth, frontier, seen = 0, {root}, {root}
+    while True:
+        nxt = set()
+        for m in frontier:
+            for c in range(4 * m, 4 * m + 4):
+                if c in keys and c != m and c not in seen:
+                    nxt.add(c)
+                    seen.add(c)
+        if not nxt:
+            break
+        depth += 1
+        frontier = nxt
+    assert rows[root]["max_depth"] == depth, (root, depth, rows[root])
+    assert rows[root]["n_parts"] == len(seen), (root, len(seen), rows[root])
