@@ -51,6 +51,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-12 sweep greens (CORRECTNESS_r12.json, all 50 — exactly the
+    # 34 ids below were newly certified: the 15 round-12 operators plus
+    # the 19 honest kmeans-cache demotions; the other 16 rows
+    # re-certified ids already listed), code unchanged since:
+    "cdc_rebalance_apply", "fn_lateral", "fn_sql_udf",
+    "llm_ann_join_topk", "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e",
+    "llm_ann_mmr_e2e_scaled", "llm_ann_range_search",
+    "llm_ann_shadow_audit", "llm_dedup_containment_pairwise",
+    "llm_drift_reindex_apply", "llm_index_snapshot_restore",
+    "llm_ivf_incremental", "llm_ivf_nprobe_sweep", "llm_ivf_pq_search",
+    "llm_ivf_rebalance_apply", "llm_ivf_rebalance_plan", "llm_ivf_recall",
+    "llm_mixture_temperature", "llm_sim_ivf", "llm_sim_ivf_probe",
+    "rel_recursive_cte",
+    "rel_win_group_limit", "snk_land_convert",
+    "snk_upsert_mor", "src_protobuf_schema_evolution", "src_tcp_avro",
+    "str_drift_swap_splice", "str_ivf_assign_stream",
+    "str_ivf_swap_splice",
+    # (mm_resolution_buckets, rel_observe_metrics, snk_pyds_writer and
+    # str_pyds_stream_writer were r12-green but are demoted below:
+    # ADVICE r13 fixes touched their code/oracle this round.)
     # round-11 sweep greens (CORRECTNESS_r11.json, all 50 — exactly the
     # 33 ids below were newly certified: every round-11 operator plus
     # the str_schema_evolution_stream re-certification after its oracle
@@ -217,30 +237,24 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-12 open state: the round-11 sweep came back 50/50 green
-# (CORRECTNESS_r11.json) covering exactly the 33 then-unverified ids
-# (including the str_schema_evolution_stream re-certification) — all
-# 50 sweep slots were free entering round 12.  Demotions made this
-# round per the honesty rule:
-#  - the 12 k-means-chain consumers below now ride the
-#    kmeans_cells_cached family cache (VERDICT r11 ask #5: one staged
-#    Lloyd chain per (session, sf_dir, K) instead of one per op).
-#    Oracles unchanged, values bitwise-identical (Q1.30 chain), all 12
-#    locally re-verified green at sf0.01 — but the plan now flows
-#    through the shared staged chain, so their old rows re-certify.
-#  - the 7 CUT-chain consumers (incremental/drift/stream-splice tier)
-#    now ride kmeans_cells_cached_cut — same rationale, same local
-#    re-verification.
+# Round-13 open state: the round-12 sweep came back 50/50 green
+# (CORRECTNESS_r12.json) covering exactly the 34 then-unverified ids
+# (15 new round-12 operators + the 19 honest kmeans-cache demotions) —
+# all 50 sweep slots were free entering round 13.  Demotions made this
+# round per the honesty rule (ADVICE r12 fixes, all locally
+# re-verified green at sf0.01 + sf0.1 after the change):
+#  - mm_resolution_buckets: oracle now derives w/h from
+#    octet_length(encode(text)) (byte count, matching Spark) instead
+#    of character length — exact on today's ASCII corpora, but the
+#    emitted SQL changed.
+#  - rel_observe_metrics: empty-slice guard added before the int()
+#    exports (symmetric error instead of a TypeError crash).
+#  - snk_pyds_writer / str_pyds_stream_writer: the manifest sink's
+#    commit now sweeps orphaned .tmp-part-* files after publishing,
+#    and the expected-abort fixture stage runs with logs quieted.
 _DEMOTED: set[str] = {
-    "llm_ivf_incremental", "llm_ivf_rebalance_plan",
-    "llm_ivf_rebalance_apply", "llm_drift_reindex_apply",
-    "str_ivf_assign_stream", "str_ivf_swap_splice",
-    "str_drift_swap_splice",
-    "llm_sim_ivf", "llm_sim_ivf_probe", "llm_ivf_recall",
-    "llm_ivf_nprobe_sweep", "llm_ivf_pq_search", "llm_ann_join_topk",
-    "llm_ann_join_topk_scaled", "llm_ann_mmr_e2e", "llm_ann_mmr_e2e_scaled",
-    "llm_index_snapshot_restore", "llm_ann_range_search",
-    "llm_ann_shadow_audit",
+    "mm_resolution_buckets", "rel_observe_metrics",
+    "snk_pyds_writer", "str_pyds_stream_writer",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /
@@ -380,7 +394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("_DEMOTED", _DEMOTED),
     ):
         unknown = group - registry.QUERIES.keys()
-        assert not unknown, f"{label} names unregistered queries: {sorted(unknown)}"
+        if unknown:  # real raise, not assert: must survive `python -O`
+            raise ValueError(
+                f"{label} names unregistered queries: {sorted(unknown)}"
+            )
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,10 +86,13 @@ def _run_isolated(ids: list[str]) -> None:
                 break
         if not ok:
             print(f"  {qid}: ISOLATED RUN FAILED", file=sys.stderr)
-            timings[qid] = float("nan")
+            # None (JSON null), never float('nan'): json.dump emits bare
+            # NaN which strict parsers — including this function's own
+            # suite-mode re-parse — reject (ADVICE r12).
+            timings[qid] = None
         else:
             print(f"  {qid}: {timings[qid]:.3f}s (isolated)", file=sys.stderr)
-    total = round(sum(v for v in timings.values() if v == v), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "total_wall_sec_isolated_queries",

@@ -1298,8 +1298,8 @@ def _mmrb_ladder_sql() -> str:
     f"""
 WITH dims AS (
   SELECT doc_id,
-         CAST(16 + length(text) % 32 AS BIGINT) AS w,
-         CAST(16 + length(text) % 24 AS BIGINT) AS h
+         CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS w,
+         CAST(16 + octet_length(encode(text)) % 24 AS BIGINT) AS h
   FROM documents
 ), ladder AS (
   SELECT * FROM (VALUES {_mmrb_ladder_sql()}) v(idx, bw, bh)

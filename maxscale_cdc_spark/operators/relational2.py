@@ -3366,6 +3366,14 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipeline.write.format("noop").mode("overwrite").save()
     m = obs.get  # blocks until the action's metrics arrive
+    if not m["n_purchases"]:
+        # min/max/sum are NULL on an empty slice; int(None) would be an
+        # asymmetric TypeError vs the oracle's NULL row (ADVICE r12).
+        raise ValueError(
+            "rel_observe_metrics: no 'purchase' rows in events at "
+            f"{sf_dir!r} — observed metrics are NULL and cannot be "
+            "exported as BIGINT"
+        )
     return spark.createDataFrame(
         [
             (

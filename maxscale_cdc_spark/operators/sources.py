@@ -2595,10 +2595,15 @@ def snk_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- abort arm: injected task failure must leave no trace --
     bad_dir = _mkdtemp(prefix="pyds_sink_bad_")
     failed = False
+    from maxscale_cdc_spark.session import quiet_expected_failure
+
     try:
-        ev.repartition(4, "event_id").write.format("manifest_parquet").option(
-            "path", bad_dir
-        ).option("inject_fail", "1").mode("append").save()
+        with quiet_expected_failure(spark):
+            ev.repartition(4, "event_id").write.format(
+                "manifest_parquet"
+            ).option("path", bad_dir).option("inject_fail", "1").mode(
+                "append"
+            ).save()
     except Exception:
         failed = True
     residue = [

@@ -86,6 +86,25 @@ def prune_dead_cache_entries(cache: dict, spark: SparkSession) -> None:
         del cache[k]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def quiet_expected_failure(spark: SparkSession):
+    """Silence JVM log output around a stage that is EXPECTED to fail
+    (fault-injection fixtures): executor tracebacks from the injected
+    raise otherwise spray the driver/sweep logs that real failures
+    must be grepped from (VERDICT r12 #3).  The exception itself still
+    propagates to the caller — only the log4j noise is suppressed."""
+    sc = spark.sparkContext
+    sc.setLogLevel("OFF")
+    try:
+        yield
+    finally:
+        # WARN is the level get_spark/driver sessions run at.
+        sc.setLogLevel("WARN")
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings the driver-provided session needs for oracle parity.
 

@@ -97,6 +97,15 @@ def _build_datasource_class():
             with open(tmp, "w") as fh:
                 json.dump({"files": files}, fh)
             os.replace(tmp, os.path.join(self.path, MANIFEST))
+            # Sweep orphaned tmp files from retried/speculative first
+            # attempts: every committed tmp was just renamed, so any
+            # survivor is by construction uncommitted (ADVICE r12).
+            for f in os.listdir(self.path):
+                if f.startswith(".tmp-part-"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
 
         def abort(self, messages):  # driver-side: leave no trace
             import os
@@ -165,6 +174,15 @@ def _build_datasource_class():
             with open(tmp, "w") as fh:
                 json.dump({"epoch": batchId, "files": files}, fh)
             os.replace(tmp, os.path.join(self.path, f"_manifest-{batchId}.json"))
+            # Same orphan sweep as the batch commit: micro-batch epochs
+            # are sequential, so after THIS epoch's renames any
+            # remaining tmp is residue of a failed prior attempt.
+            for f in os.listdir(self.path):
+                if f.startswith(".tmp-part-"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
 
         def abort(self, messages, batchId: int) -> None:
             import os

@@ -4541,10 +4541,14 @@ def str_pyds_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
 
+    from maxscale_cdc_spark.session import quiet_expected_failure
+
     with _few_state_partitions(spark):
         # attempt 1: epochs 0,1 commit; epoch 2 dies between data
-        # write and manifest publish
-        err = run(fail_epoch=2)
+        # write and manifest publish (logs quieted: the abort is the
+        # fixture's expected outcome, not a failure to grep for)
+        with quiet_expected_failure(spark):
+            err = run(fail_epoch=2)
         if err is None:
             raise RuntimeError("injected epoch-2 failure did not surface")
         _, mans = read_committed_epochs(spark, sink_dir)

@@ -21,6 +21,20 @@ def test_rows_only_queries_are_known():
     assert rows_only == [], rows_only
 
 
+def test_priority_set_guard_is_a_real_raise():
+    """A typo'd id in a priority set must raise even under `python -O`
+    (bare asserts are stripped there) — VERDICT r12 finding #2."""
+    import pytest
+
+    saved = entrymod._PRIORITY
+    entrymod._PRIORITY = {"no_such_query_xyz"}
+    try:
+        with pytest.raises(ValueError, match="no_such_query_xyz"):
+            entrymod.queries()
+    finally:
+        entrymod._PRIORITY = saved
+
+
 def test_no_duplicate_output_columns(spark, sf_dir):
     qs = entrymod.queries()
     for name, fn in sorted(qs.items()):
