@@ -379,6 +379,9 @@ _HEAVY = {
     "str_drift_swap_splice",
     # rides the CC closure:
     "llm_dedup_rep_apply",
+    # round-13 full-lifecycle composition (live TCP drain + landing
+    # decode + streaming MERGE run):
+    "str_cdc_e2e_native",
 }
 
 

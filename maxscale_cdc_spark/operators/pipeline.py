@@ -2357,3 +2357,171 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flattened"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_mixture_alpha_sweep — the TEMPERATURE KNOB TABLE: the same
+# flattened-mixture planning as llm_mixture_temperature, priced at
+# every operating point α ∈ {1, 1/2, 1/4} the way the engine prices
+# its other knobs (llm_lsh_tuning's banding curve, llm_ivf_nprobe_
+# sweep's probe curve).  α is THE data-mixing knob (PaLM mixes at
+# α≈1/2, Gopher sweeps it): lower α flattens source skew harder —
+# and forces more repetition on small sources.  This table shows the
+# trade per source at each α so the mixture designer reads off the
+# price before committing a training run.
+#
+# Integer-exact weights (rule 3): α=1 is the identity (wᵢ = nᵢ);
+# α=1/2 is floor(sqrt(nᵢ)); α=1/4 is floor(sqrt(sqrt(nᵢ))) — IEEE-754
+# sqrt is correctly rounded in both engines, so the two-step
+# composition is bit-identical cross-engine even though it is not
+# exactly nᵢ^(1/4).  Quotas are largest-remainder over the same
+# half-corpus budget B at every α (Σ quota == B exactly per α;
+# remainder ties broken by source name — a total order).  Exports per
+# (α, source): the quota, needs_repetition, effective epochs in
+# exact permille (quota·1000 // n_docs — >1000 ⇔ repetition), and the
+# per-α needs_repetition count.  No selection pass: the base op
+# certifies quota application; the sweep is the planning table.
+#
+# Scale: ONE corpus count-agg (the only scan) → |sources| rows →
+# a broadcast 3-row α dimension → windows partitioned by α over
+# 3·|sources| rows.  Driver-free, shuffle-negligible at any corpus.
+# ---------------------------------------------------------------------------
+
+_ALPHA_DIM_SQL = "(VALUES (0, '1'), (1, '1/2'), (2, '1/4')) a(alpha_id, alpha)"
+
+_ALPHA_W_SQL = """
+CASE alpha_id
+  WHEN 0 THEN n_docs
+  WHEN 1 THEN CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+  ELSE CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE)))) AS BIGINT)
+END
+"""
+
+
+@register(
+    "llm_mixture_alpha_sweep",
+    f"""
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), crossed AS (
+      SELECT a.alpha_id, a.alpha, p.source, p.n_docs,
+             CAST({_ALPHA_W_SQL} AS BIGINT) AS w
+      FROM per_src p CROSS JOIN {_ALPHA_DIM_SQL}
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS b
+      FROM per_src
+    ), shares AS (
+      SELECT alpha_id, alpha, source, n_docs, w, b,
+             CAST(sum(w) OVER (PARTITION BY alpha_id) AS BIGINT) AS tw
+      FROM crossed CROSS JOIN tot
+    ), ranked AS (
+      SELECT alpha_id, alpha, source, n_docs, w, b, tw,
+             CAST(b * w // tw AS BIGINT) AS floor_share,
+             CAST(b * w % tw AS BIGINT) AS remainder
+      FROM shares
+    ), rr AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY alpha_id
+               ORDER BY remainder DESC, source) AS BIGINT) AS rn,
+             CAST(sum(floor_share) OVER (PARTITION BY alpha_id)
+                  AS BIGINT) AS sum_floor
+      FROM ranked
+    ), quotas AS (
+      SELECT alpha, alpha_id, source, n_docs, w,
+             CAST(floor_share + CASE WHEN rn <= b - sum_floor
+                                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM rr
+    )
+    SELECT alpha, source, n_docs, w AS weight, quota,
+           (quota > n_docs) AS needs_repetition,
+           CAST(quota * 1000 // n_docs AS BIGINT) AS epochs_permille,
+           CAST(sum(CASE WHEN quota > n_docs THEN 1 ELSE 0 END)
+                OVER (PARTITION BY alpha_id) AS BIGINT)
+             AS n_repeated_sources
+    FROM quotas
+    """,
+)
+def llm_mixture_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture knob table: largest-remainder quotas at
+    α ∈ {1, 1/2, 1/4} with per-source repetition price (see block
+    comment).  One corpus scan; everything downstream is |sources|-row
+    arithmetic."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    alpha_dim = spark.createDataFrame(
+        [(0, "1"), (1, "1/2"), (2, "1/4")], "alpha_id int, alpha string"
+    )
+    crossed = per_src.join(F.broadcast(alpha_dim)).select(
+        "alpha_id",
+        "alpha",
+        "source",
+        "n_docs",
+        F.expr(_ALPHA_W_SQL).cast("long").alias("w"),
+    )
+    tot = per_src.agg(
+        F.expr("div(CAST(sum(n_docs) AS BIGINT), 2)").alias("b")
+    )
+    shares = crossed.join(F.broadcast(tot)).select(
+        "*",
+        F.sum("w").over(W.partitionBy("alpha_id")).cast("long").alias("tw"),
+    )
+    ranked = shares.select(
+        "*",
+        F.expr("div(b * w, tw)").cast("long").alias("floor_share"),
+        (F.col("b") * F.col("w") % F.col("tw"))
+        .cast("long")
+        .alias("remainder"),
+    )
+    rr = ranked.select(
+        "*",
+        F.row_number()
+        .over(
+            W.partitionBy("alpha_id").orderBy(
+                F.col("remainder").desc(), "source"
+            )
+        )
+        .cast("long")
+        .alias("rn"),
+        F.sum("floor_share")
+        .over(W.partitionBy("alpha_id"))
+        .cast("long")
+        .alias("sum_floor"),
+    )
+    quotas = rr.select(
+        "alpha",
+        "alpha_id",
+        "source",
+        "n_docs",
+        "w",
+        (
+            F.col("floor_share")
+            + F.when(
+                F.col("rn") <= F.col("b") - F.col("sum_floor"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    return quotas.select(
+        "alpha",
+        "source",
+        "n_docs",
+        F.col("w").alias("weight"),
+        "quota",
+        (F.col("quota") > F.col("n_docs")).alias("needs_repetition"),
+        F.expr("div(quota * 1000, n_docs)")
+        .cast("long")
+        .alias("epochs_permille"),
+        F.sum(
+            F.when(F.col("quota") > F.col("n_docs"), 1).otherwise(0)
+        )
+        .over(W.partitionBy("alpha_id"))
+        .cast("long")
+        .alias("n_repeated_sources"),
+    )

@@ -4453,6 +4453,205 @@ def snk_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snk_upsert_mor_compact_plan — COMPACTION SCHEDULING for the MoR
+# sink: snk_upsert_mor pins dead_rows = data_rows − live_state as the
+# read-amplification trigger; this op PLANS compaction from it (the
+# plan→apply closure pattern the engine applies everywhere:
+# cdc_rebalance_plan/apply, llm_ivf_rebalance_plan/apply).  Per
+# pk-hash bucket it measures the MoR ledger — data rows (non-delete
+# final images across the 4 append epochs), tombstones (equality-
+# delete entries, one per touched pk-epoch), live state (≤1 per pk) —
+# and applies INTEGER rules: a bucket is ELIGIBLE when dead·10 ≥
+# data·3 (dead ratio ≥ 30%, cross-multiplied — no doubles), and the
+# run compacts the top-K=3 eligible buckets by (dead DESC, bucket) —
+# a total order, bucket being unique.  dead_permille = dead·1000 //
+# data prices the read amplification per bucket.
+#
+# Production semantics: at 100 TB you never compact "the table" — you
+# compact the worst buckets within an I/O budget each cycle; the
+# eligibility threshold keeps churn away from mostly-live buckets and
+# the pick-K bound makes each cycle's write cost predictable.  The
+# cross-pin props test proves the plan's n_live per bucket equals the
+# state snk_upsert_mor's actual compaction produces.
+#
+# Scale: one events scan, two keyed windows (pk,epoch / pk), then an
+# 8-row bucket table — the planning arithmetic is metadata-sized.
+# ---------------------------------------------------------------------------
+
+_MOR_COMPACT_K = 3
+_MOR_DEAD_NUM, _MOR_DEAD_DEN = 3, 10  # eligible iff dead/data >= 3/10
+
+
+@register(
+    "snk_upsert_mor_compact_plan",
+    f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk
+      FROM events
+    ), cuts AS (
+      SELECT CAST(max(sequence) AS BIGINT) * 1 // 4 AS m1,
+             CAST(max(sequence) AS BIGINT) * 2 // 4 AS m2,
+             CAST(max(sequence) AS BIGINT) * 3 // 4 AS m3
+      FROM cdc
+    ), staged AS (
+      SELECT pk, sequence, dml_type,
+             1 + CASE WHEN sequence > m1 THEN 1 ELSE 0 END
+               + CASE WHEN sequence > m2 THEN 1 ELSE 0 END
+               + CASE WHEN sequence > m3 THEN 1 ELSE 0 END AS epoch
+      FROM cdc CROSS JOIN cuts
+    ), batch_last AS (
+      SELECT pk, epoch, dml_type,
+             row_number() OVER (PARTITION BY pk, epoch
+                                ORDER BY sequence DESC) AS rn
+      FROM staged
+    ), bl AS (
+      SELECT pk, epoch, dml_type, pk % 8 AS bucket,
+             row_number() OVER (PARTITION BY pk ORDER BY epoch DESC) AS rpk
+      FROM batch_last WHERE rn = 1
+    ), per_bucket AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_tombstones,
+             CAST(sum(CASE WHEN dml_type <> 'delete' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_data_rows,
+             CAST(sum(CASE WHEN rpk = 1 AND dml_type <> 'delete'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+      FROM bl GROUP BY bucket
+    ), stats AS (
+      SELECT bucket, n_data_rows, n_tombstones, n_live,
+             n_data_rows - n_live AS n_dead
+      FROM per_bucket
+    ), rules AS (
+      SELECT *,
+             CASE WHEN n_data_rows > 0
+                  THEN n_dead * 1000 // n_data_rows ELSE 0 END
+               AS dead_permille,
+             (n_data_rows > 0
+              AND n_dead * {_MOR_DEAD_DEN} >= n_data_rows * {_MOR_DEAD_NUM})
+               AS eligible
+      FROM stats
+    ), rankd AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               ORDER BY CASE WHEN eligible THEN 1 ELSE 0 END DESC,
+                        n_dead DESC, bucket) AS BIGINT) AS rn
+      FROM rules
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           n_data_rows, n_tombstones, n_live, n_dead,
+           CAST(dead_permille AS BIGINT) AS dead_permille,
+           eligible,
+           CAST(CASE WHEN eligible THEN rn ELSE 0 END AS BIGINT)
+             AS pick_rank,
+           (eligible AND rn <= {_MOR_COMPACT_K}) AS chosen
+    FROM rankd
+    """,
+)
+def snk_upsert_mor_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket MoR compaction plan: dead-row ledger → integer
+    eligibility rule → pick-K (see block comment).  Same staged
+    lineage as snk_upsert_mor; no files written — the plan is
+    metadata."""
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+    )
+    cuts = cdc.agg(
+        F.expr("div(max(sequence) * 1, 4)").alias("m1"),
+        F.expr("div(max(sequence) * 2, 4)").alias("m2"),
+        F.expr("div(max(sequence) * 3, 4)").alias("m3"),
+    )
+    epoch = (
+        F.lit(1)
+        + (F.col("sequence") > F.col("m1")).cast("int")
+        + (F.col("sequence") > F.col("m2")).cast("int")
+        + (F.col("sequence") > F.col("m3")).cast("int")
+    )
+    staged = cdc.join(F.broadcast(cuts)).withColumn("epoch", epoch)
+    w = W.partitionBy("pk", "epoch").orderBy(F.col("sequence").desc())
+    bl = (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pk",
+            "epoch",
+            "dml_type",
+            (F.col("pk") % 8).alias("bucket"),
+        )
+        .withColumn(
+            "rpk",
+            F.row_number().over(
+                W.partitionBy("pk").orderBy(F.col("epoch").desc())
+            ),
+        )
+    )
+    per_bucket = bl.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tombstones"),
+        F.sum(F.when(F.col("dml_type") != "delete", 1).otherwise(0))
+        .cast("long")
+        .alias("n_data_rows"),
+        F.sum(
+            F.when(
+                (F.col("rpk") == 1) & (F.col("dml_type") != "delete"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_live"),
+    )
+    stats = per_bucket.withColumn(
+        "n_dead", F.col("n_data_rows") - F.col("n_live")
+    )
+    rules = stats.select(
+        "*",
+        F.when(
+            F.col("n_data_rows") > 0,
+            F.expr("div(n_dead * 1000, n_data_rows)"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dead_permille"),
+        (
+            (F.col("n_data_rows") > 0)
+            & (
+                F.col("n_dead") * _MOR_DEAD_DEN
+                >= F.col("n_data_rows") * _MOR_DEAD_NUM
+            )
+        ).alias("eligible"),
+    )
+    rankd = rules.withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.when(F.col("eligible"), 1).otherwise(0).desc(),
+                F.col("n_dead").desc(),
+                "bucket",
+            )
+        )
+        .cast("long"),
+    )
+    return rankd.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_data_rows",
+        "n_tombstones",
+        "n_live",
+        "n_dead",
+        "dead_permille",
+        "eligible",
+        F.when(F.col("eligible"), F.col("rn"))
+        .otherwise(0)
+        .cast("long")
+        .alias("pick_rank"),
+        (F.col("eligible") & (F.col("rn") <= _MOR_COMPACT_K)).alias(
+            "chosen"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # str_pyds_stream_writer — the STREAMING Python DataSource write path
 # (Spark 4 DataSourceStreamArrowWriter): per-epoch two-phase commit.
 # Each micro-batch's tasks write hidden tmp files; commit(batchId)
@@ -4575,4 +4774,183 @@ def str_pyds_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).cast("long").alias("n_epochs"),
         F.lit(True).alias("failure_left_two_epochs"),
         F.lit(bool(epochs_unique)).alias("epochs_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# str_cdc_e2e_native — the FULL reference lifecycle composed end-to-end
+# at Spark semantics, wire → lake → serving in one certified op
+# (client.go:144-181 executed as a production deployment):
+#
+#   1. WIRE  — REGISTER … TYPE=AVRO over a LIVE TCP socket against the
+#      fake MaxScale listener (the avrorouter's NATIVE rendering,
+#      src_tcp_avro's arm): full handshake, OCF bytes re-blocked by the
+#      transport pump into independently-decodable burst files.
+#   2. LAND  — decode-once conversion (snk_land_convert's discipline):
+#      ONE mapInPandas pass over the burst spool writes the parquet
+#      landing zone with file-level lineage; the incremental re-run
+#      anti-join proves a second pass converts ZERO files.
+#   3. SERVE — Structured Streaming over the LANDED parquet (file
+#      source, availableNow): per-pk latest-state aggregate in UPDATE
+#      output mode, MERGEd per micro-batch into the manifested
+#      bucketed sink (ManifestedUpsertSink — snk_upsert's crash-safe
+#      generational target), final state read back FROM DISK.
+#
+# The post-landing pipeline is plan-gated Python-free (a real raise):
+# the codec ran exactly once, at landing — everything the streaming
+# consumer and the serving read execute is JVM-side.  The oracle is
+# the whole-log latest state in integer cents — one green row
+# certifies the composition bytes-on-socket → spool → landing →
+# streaming MERGE → manifest → serving scan.
+#
+# Scale: each leg keeps its own certified shape — one TCP stream per
+# table (the protocol's), per-file-parallel landing, |changed keys|
+# MERGE input per epoch, O(buckets) manifest — so the composition
+# inherits the 100 TB story of its parts; nothing new is introduced
+# but the glue.
+# ---------------------------------------------------------------------------
+
+_LANDED_AVRO_DDL = (
+    "src_path string, sequence long, dml_type string, pk long, "
+    "value_cents long, ts_unix long, note string"
+)
+
+
+@register(
+    "str_cdc_e2e_native",
+    f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk,
+             CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ), ranked AS (
+      SELECT pk, sequence, dml_type, value_cents, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc
+    )
+    SELECT pk, sequence AS last_seq, value_cents AS last_value_cents,
+           ts_unix AS last_ts_unix,
+           CAST(0 AS BIGINT) AS n_second_pass,
+           TRUE AS full_coverage,
+           TRUE AS downstream_python_free
+    FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+    """,
+)
+def str_cdc_e2e_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live TCP Avro ingest → decode-once parquet landing → streaming
+    latest-state MERGE into the manifested sink → serving read from
+    disk, Python-free past landing (see block comment)."""
+    from maxscale_cdc_spark.operators.sources import _spool_avro_files
+    from maxscale_cdc_spark.sources.transport import (
+        CDCTransport,
+        FakeMaxScaleServer,
+    )
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    # -- 1. wire: OCF bytes over the live socket, re-blocked to bursts
+    ocf_dir = _spool_avro_files(spark, sf_dir)
+    server = FakeMaxScaleServer(
+        "cdcuser", "cdcpw", avro_tables={"app.events": ocf_dir}
+    )
+    spool = _mkdtemp(prefix="e2e_avro_spool_")
+    transport = CDCTransport(server.address, "cdcuser", "cdcpw", "engine-uuid")
+    try:
+        transport.request_data(
+            "app", "events", spool_dir=spool, data_format="AVRO"
+        )
+        transport.drain(timeout_s=120)
+        transport.stop()
+    finally:
+        server.close()
+
+    # -- 2. land: the single codec invocation, parquet with lineage
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    out = pd.DataFrame(recs)
+                    out.insert(0, "src_path", str(path))
+                    yield out
+
+    listing = (
+        spark.read.format("binaryFile").load(spool).select("path", "content")
+    )
+    land = _mkdtemp(prefix="e2e_land_")
+    listing.mapInPandas(decode, _LANDED_AVRO_DDL).write.mode(
+        "overwrite"
+    ).parquet(land)
+    manifest = (
+        spark.read.parquet(land)
+        .select(F.col("src_path").alias("path"))
+        .distinct()
+    )
+    n_second_pass = int(
+        listing.select("path").join(manifest, "path", "left_anti").count()
+    )
+    full_coverage = int(manifest.count()) == int(
+        listing.select("path").distinct().count()
+    )
+
+    # -- 3. serve: streaming latest-state MERGE into the manifested sink
+    stream = read_stream(
+        spark, land, schema=_LANDED_AVRO_DDL, max_files_per_trigger=4
+    )
+    agg = stream.groupBy("pk").agg(
+        F.max("sequence").alias("last_seq"),
+        F.max_by("dml_type", "sequence").alias("last_dml"),
+        F.max_by("value_cents", "sequence").alias("last_value_cents"),
+        F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+    )
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="e2e_upsert_tgt_"))
+    ckpt = _mkdtemp(prefix="ckpt_e2e_")
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink.merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+
+    state = sink.state()
+    if state is None:
+        raise RuntimeError("e2e lifecycle merged no state")
+    serving = state.filter(F.col("last_dml") != "delete").select(
+        "pk", "last_seq", "last_value_cents", "last_ts_unix"
+    )
+    # plan gate: the serving read must be Python-free — the codec ran
+    # once, at landing (a real raise; survives `python -O`)
+    plan = serving._jdf.queryExecution().executedPlan().toString()
+    python_free = not any(
+        marker in plan
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+    )
+    if not python_free:
+        raise RuntimeError(
+            "serving read re-entered the Python codec: " + plan[:2000]
+        )
+    if n_second_pass != 0 or not full_coverage:
+        raise RuntimeError(
+            f"landing not decode-once: n_second_pass={n_second_pass} "
+            f"full_coverage={full_coverage}"
+        )
+    return serving.select(
+        "*",
+        F.lit(n_second_pass).cast("long").alias("n_second_pass"),
+        F.lit(bool(full_coverage)).alias("full_coverage"),
+        F.lit(bool(python_free)).alias("downstream_python_free"),
     )

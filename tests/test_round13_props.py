@@ -1,0 +1,99 @@
+"""Round-13 property tests: cross-operator pins the oracle hash can't
+state — the MoR compaction PLAN against the compaction snk_upsert_mor
+actually performs, the α-sweep's flattening monotonicity, and the e2e
+lifecycle's consistency with its standalone legs."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _q(name, spark, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_mor_compact_plan_live_matches_actual_compaction(spark, sf_dir):
+    """Cross-pin: the plan's per-bucket n_live must equal the state
+    snk_upsert_mor's ACTUAL compaction produces (grouped by the same
+    pk % 8 buckets) — the plan is only a plan if applying it lands on
+    the measured layout."""
+    from pyspark.sql import functions as F
+
+    plan = {
+        r["bucket"]: r["n_live"]
+        for r in _q("snk_upsert_mor_compact_plan", spark, sf_dir).collect()
+    }
+    compacted = _q("snk_upsert_mor", spark, sf_dir)
+    actual = {
+        r["bucket"]: r["n"]
+        for r in compacted.groupBy((F.col("pk") % 8).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for b, n_live in plan.items():
+        assert actual.get(b, 0) == n_live, (b, n_live, actual.get(b, 0))
+    assert set(actual) <= set(plan)
+
+
+def test_mor_compact_plan_rules_are_internally_consistent(spark, sf_dir):
+    """Integer rules: dead = data - live; eligibility is the exact
+    cross-multiplied 30% threshold; chosen = top-K of the eligible by
+    (dead DESC, bucket); pick ranks are 1..E with no gaps."""
+    rows = _q("snk_upsert_mor_compact_plan", spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_dead"] == r["n_data_rows"] - r["n_live"]
+        assert r["eligible"] == (
+            r["n_data_rows"] > 0 and r["n_dead"] * 10 >= r["n_data_rows"] * 3
+        )
+        if r["n_data_rows"] > 0:
+            assert r["dead_permille"] == r["n_dead"] * 1000 // r["n_data_rows"]
+    eligible = sorted(
+        (r for r in rows if r["eligible"]),
+        key=lambda r: (-r["n_dead"], r["bucket"]),
+    )
+    assert [r["pick_rank"] for r in eligible] == list(
+        range(1, len(eligible) + 1)
+    )
+    chosen = {r["bucket"] for r in rows if r["chosen"]}
+    assert chosen == {r["bucket"] for r in eligible[:3]}
+    assert all(r["pick_rank"] == 0 for r in rows if not r["eligible"])
+
+
+def test_alpha_sweep_flattens_monotonically(spark, sf_dir):
+    """Lower α must flatten harder: the max quota share (the biggest
+    source's grab) is non-increasing from α=1 → 1/2 → 1/4, and the
+    α=1 plan is proportional (quota ≈ n_docs/2 within the
+    largest-remainder unit).  Repetition pressure is monotone the
+    other way: n_repeated_sources is non-decreasing as α drops."""
+    rows = _q("llm_mixture_alpha_sweep", spark, sf_dir).collect()
+    by_alpha: dict[str, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    assert set(by_alpha) == {"1", "1/2", "1/4"}
+    budget = {a: sum(r["quota"] for r in rs) for a, rs in by_alpha.items()}
+    # Hamilton: Σ quota == B exactly, the SAME B at every α
+    assert len(set(budget.values())) == 1
+    b = next(iter(budget.values()))
+    max_share = {a: max(r["quota"] for r in rs) for a, rs in by_alpha.items()}
+    assert max_share["1"] >= max_share["1/2"] >= max_share["1/4"]
+    n_rep = {a: rs[0]["n_repeated_sources"] for a, rs in by_alpha.items()}
+    assert n_rep["1"] <= n_rep["1/2"] <= n_rep["1/4"]
+    assert n_rep["1"] == 0  # α=1 never over-asks a source (quota ≤ n/2 + 1)
+    for r in by_alpha["1"]:  # α=1 is the proportional plan
+        assert abs(r["quota"] - r["n_docs"] / 2) <= 1.5
+
+
+def test_e2e_native_state_matches_standalone_upsert(spark, sf_dir):
+    """The composed lifecycle's serving state must equal the
+    standalone streaming-upsert op's state on (pk, last_seq,
+    last_ts_unix) — same log, same total order, different transport
+    and landing path."""
+    e2e = {
+        (r["pk"], r["last_seq"], r["last_ts_unix"])
+        for r in _q("str_cdc_e2e_native", spark, sf_dir).collect()
+    }
+    ref = {
+        (r["pk"], r["last_seq"], r["last_ts_unix"])
+        for r in _q("str_cdc_upsert_e2e", spark, sf_dir).collect()
+    }
+    assert e2e == ref
