@@ -382,6 +382,9 @@ _HEAVY = {
     # round-13 full-lifecycle composition (live TCP drain + landing
     # decode + streaming MERGE run):
     "str_cdc_e2e_native",
+    # round-13 MoR lifecycle (streaming ingest run; plan + layout
+    # writes + hybrid read):
+    "str_mor_stream", "snk_upsert_mor_compact_apply",
 }
 
 

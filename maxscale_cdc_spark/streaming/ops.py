@@ -4482,9 +4482,7 @@ _MOR_COMPACT_K = 3
 _MOR_DEAD_NUM, _MOR_DEAD_DEN = 3, 10  # eligible iff dead/data >= 3/10
 
 
-@register(
-    "snk_upsert_mor_compact_plan",
-    f"""
+_MOR_COMPACT_PLAN_ORACLE = f"""
     WITH cdc AS (
       SELECT event_id AS sequence,
              {_DML_CASE_SQL} AS dml_type,
@@ -4546,8 +4544,10 @@ _MOR_DEAD_NUM, _MOR_DEAD_DEN = 3, 10  # eligible iff dead/data >= 3/10
              AS pick_rank,
            (eligible AND rn <= {_MOR_COMPACT_K}) AS chosen
     FROM rankd
-    """,
-)
+    """
+
+
+@register("snk_upsert_mor_compact_plan", _MOR_COMPACT_PLAN_ORACLE)
 def snk_upsert_mor_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket MoR compaction plan: dead-row ledger → integer
     eligibility rule → pick-K (see block comment).  Same staged
@@ -4953,4 +4953,272 @@ def str_cdc_e2e_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_second_pass).cast("long").alias("n_second_pass"),
         F.lit(bool(full_coverage)).alias("full_coverage"),
         F.lit(bool(python_free)).alias("downstream_python_free"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# snk_upsert_mor_compact_apply — EXECUTES the compaction plan
+# (snk_upsert_mor_compact_plan's chosen set) against the actual MoR
+# layout, the plan→apply closure: the CHOSEN buckets are folded into
+# a clean compacted base (their tombstones dropped — the read-
+# amplification payoff), the REST of the table stays merge-on-read,
+# and the serving read becomes the HYBRID scan every MoR table format
+# actually runs between compaction cycles: base(chosen) ∪
+# reconcile(residual).  The op RAISES unless the hybrid state equals
+# the full reconciling read row-for-row (symmetric exceptAll) — a
+# partial compaction must be invisible to readers.
+#
+# The chosen set comes from CALLING the registered plan query (same
+# code object — plan and apply cannot drift); the export rides the
+# whole-log latest-state oracle plus the plan-derived audit columns
+# (bucket count compacted, tombstones dropped), themselves recomputed
+# independently by the oracle from the plan SQL.
+#
+# Scale: compaction cost is O(chosen buckets' live rows) — the
+# bounded per-cycle write the plan's pick-K exists to guarantee;
+# the residual read cost keeps paying dead_permille until a later
+# cycle picks those buckets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_upsert_mor_compact_apply",
+    f"""
+    WITH plan AS ({_MOR_COMPACT_PLAN_ORACLE}),
+    drops AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_compacted_buckets,
+             CAST(coalesce(sum(n_tombstones), 0) AS BIGINT)
+               AS n_dropped_tombstones
+      FROM plan WHERE chosen
+    ),
+    state AS ({_UPSERT_STATE_ORACLE})
+    SELECT s.pk, s.last_seq, s.last_value, s.last_ts_unix,
+           d.n_compacted_buckets, d.n_dropped_tombstones,
+           TRUE AS compaction_exact
+    FROM state s CROSS JOIN drops d
+    """,
+)
+def snk_upsert_mor_compact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the MoR compaction plan: fold the chosen buckets to a
+    clean base, keep the rest merge-on-read, serve the hybrid read
+    (see block comment).  Raises unless hybrid == full reconciliation."""
+    import os
+
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    # -- the plan: same code object as the registered planning query --
+    plan_rows = snk_upsert_mor_compact_plan(spark, sf_dir).collect()
+    chosen = sorted(r["bucket"] for r in plan_rows if r["chosen"])
+    n_dropped = sum(r["n_tombstones"] for r in plan_rows if r["chosen"])
+
+    # -- the MoR layout (same epoch construction as snk_upsert_mor) --
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    cuts = cdc.agg(
+        F.expr("div(max(sequence) * 1, 4)").alias("m1"),
+        F.expr("div(max(sequence) * 2, 4)").alias("m2"),
+        F.expr("div(max(sequence) * 3, 4)").alias("m3"),
+    )
+    epoch = (
+        F.lit(1)
+        + (F.col("sequence") > F.col("m1")).cast("int")
+        + (F.col("sequence") > F.col("m2")).cast("int")
+        + (F.col("sequence") > F.col("m3")).cast("int")
+    )
+    staged = cdc.join(F.broadcast(cuts)).withColumn("epoch", epoch)
+    w = W.partitionBy("pk", "epoch").orderBy(F.col("sequence").desc())
+    batch_last = (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pk", "epoch", "sequence", "dml_type", "value", "ts_unix")
+    )
+    root = _mkdtemp(prefix="snk_mor_apply_")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    batch_last.select("pk", "epoch").repartition("epoch").write.mode(
+        "overwrite"
+    ).partitionBy("epoch").parquet(del_dir)
+    batch_last.filter(F.col("dml_type") != "delete").select(
+        "pk",
+        F.col("sequence").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("ts_unix").alias("last_ts_unix"),
+        "epoch",
+    ).repartition("epoch").write.mode("overwrite").partitionBy(
+        "epoch"
+    ).parquet(data_dir)
+
+    def reconcile(data, dels):
+        dmax = dels.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+        return (
+            data.join(dmax, "pk", "left")
+            .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+            .select("pk", "last_seq", "last_value", "last_ts_unix")
+        )
+
+    data = spark.read.parquet(data_dir)
+    dels = spark.read.parquet(del_dir)
+    full = reconcile(data, dels)
+
+    # -- apply: fold CHOSEN buckets to a clean base, keep the rest MoR --
+    in_chosen = (F.col("pk") % 8).isin(chosen) if chosen else F.lit(False)
+    base_dir = os.path.join(root, "base")
+    reconcile(
+        data.filter(in_chosen), dels.filter(in_chosen)
+    ).repartition(4, "pk").write.mode("overwrite").parquet(base_dir)
+    residual = reconcile(data.filter(~in_chosen), dels.filter(~in_chosen))
+    hybrid = (
+        spark.read.parquet(base_dir).unionByName(residual)
+        if chosen
+        else residual
+    )
+
+    # partial compaction must be invisible to readers (real raise)
+    if (
+        hybrid.exceptAll(full).count() != 0
+        or full.exceptAll(hybrid).count() != 0
+    ):
+        raise RuntimeError("hybrid read diverged from full reconciliation")
+    return hybrid.select(
+        "pk",
+        "last_seq",
+        "last_value",
+        "last_ts_unix",
+        F.lit(len(chosen)).cast("long").alias("n_compacted_buckets"),
+        F.lit(n_dropped).cast("long").alias("n_dropped_tombstones"),
+        F.lit(True).alias("compaction_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# str_mor_stream — STREAMING merge-on-read ingest: the MoR write path
+# driven by a real Structured Streaming query.  snk_upsert_mor proved
+# the layout and the reconciling read on batch-split epochs; here each
+# MICRO-BATCH is the epoch (foreachBatch over the in-order sequenced
+# spool): per batch, ONE window computes the batch's final image per
+# pk, then two O(batch) appends — the equality-delete file (every pk
+# the batch touched) and the data file (final non-delete images),
+# both under epoch=<batchId>.  No state store at all: MoR ingest is
+# the stateless-writer alternative to the stateful MERGE sink
+# (str_cdc_upsert_e2e) — write cost O(batch) with zero read-side
+# work at ingest, the whole reconciliation deferred to the read.
+#
+# The serving read then reconciles across ALL epochs (alive iff no
+# later-epoch delete of the pk; the Iceberg sequence-number rule) and
+# must equal the whole-log latest state — the oracle.  In-order
+# epoch delivery (ascending disjoint sequence ranges) comes from
+# stage_as_stream_sequenced, the reference socket's delivery contract
+# (client.go:219-251).
+#
+# Scale: ingest never shuffles more than the batch (one keyed window
+# per batch); read amplification grows with tombstones until
+# snk_upsert_mor_compact_plan/apply runs — the triangle is the full
+# MoR lifecycle: stream-append → schedule → fold.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_mor_stream",
+    f"""
+    WITH state AS ({_UPSERT_STATE_ORACLE})
+    SELECT pk, last_seq, last_value, last_ts_unix,
+           CAST(4 AS BIGINT) AS n_epochs,
+           TRUE AS epochs_disjoint
+    FROM state
+    """,
+)
+def str_mor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR ingest as a streaming query: per-micro-batch equality-delete
+    + data appends (no state store), reconciling serving read equals
+    the whole-log latest state (see block comment)."""
+    import os
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream_sequenced(
+        table(spark, sf_dir, "events"),
+        "event_id",
+        n_batches=4,
+        cache_key=f"events:{sf_dir}",
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=1).select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    root = _mkdtemp(prefix="str_mor_")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    seen: list[tuple[int, int, int]] = []  # (epoch, min_seq, max_seq)
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        wb = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+        last = (
+            batch_df.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        bounds = batch_df.agg(
+            F.min("sequence").alias("lo"), F.max("sequence").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        seen.append((int(epoch_id), int(bounds["lo"]), int(bounds["hi"])))
+        last.select("pk").write.mode("append").parquet(
+            os.path.join(del_dir, f"epoch={epoch_id}")
+        )
+        last.filter(F.col("dml_type") != "delete").select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        ).write.mode("append").parquet(
+            os.path.join(data_dir, f"epoch={epoch_id}")
+        )
+
+    ckpt = _mkdtemp(prefix="ckpt_mor_")
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(append_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+
+    # in-order delivery contract: ascending DISJOINT sequence ranges
+    seen.sort()
+    disjoint = all(
+        seen[i][2] < seen[i + 1][1] for i in range(len(seen) - 1)
+    )
+    if len(seen) != 4 or not disjoint:
+        raise RuntimeError(f"epoch delivery violated the contract: {seen}")
+
+    data = spark.read.option("basePath", data_dir).parquet(data_dir)
+    dels = spark.read.option("basePath", del_dir).parquet(del_dir)
+    dmax = dels.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+    alive = (
+        data.join(dmax, "pk", "left")
+        .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+        .select("pk", "last_seq", "last_value", "last_ts_unix")
+    )
+    return alive.select(
+        "*",
+        F.lit(len(seen)).cast("long").alias("n_epochs"),
+        F.lit(bool(disjoint)).alias("epochs_disjoint"),
     )

@@ -97,3 +97,36 @@ def test_e2e_native_state_matches_standalone_upsert(spark, sf_dir):
         for r in _q("str_cdc_upsert_e2e", spark, sf_dir).collect()
     }
     assert e2e == ref
+
+
+def test_mor_triangle_states_agree(spark, sf_dir):
+    """The MoR lifecycle triangle: batch ingest (snk_upsert_mor),
+    streaming ingest (str_mor_stream), and partial compaction
+    (snk_upsert_mor_compact_apply) must all serve the SAME latest
+    state on (pk, last_seq, last_ts_unix)."""
+    batch = {
+        (r["pk"], r["last_seq"], r["last_ts_unix"])
+        for r in _q("snk_upsert_mor", spark, sf_dir).collect()
+    }
+    stream = {
+        (r["pk"], r["last_seq"], r["last_ts_unix"])
+        for r in _q("str_mor_stream", spark, sf_dir).collect()
+    }
+    hybrid = {
+        (r["pk"], r["last_seq"], r["last_ts_unix"])
+        for r in _q("snk_upsert_mor_compact_apply", spark, sf_dir).collect()
+    }
+    assert batch == stream == hybrid
+
+
+def test_mor_compact_apply_matches_plan(spark, sf_dir):
+    """The apply's audit columns must equal what the PLAN said it
+    would do: K chosen buckets, exactly their tombstones dropped."""
+    plan = _q("snk_upsert_mor_compact_plan", spark, sf_dir).collect()
+    chosen = [r for r in plan if r["chosen"]]
+    row = _q("snk_upsert_mor_compact_apply", spark, sf_dir).limit(1).collect()[0]
+    assert row["n_compacted_buckets"] == len(chosen)
+    assert row["n_dropped_tombstones"] == sum(
+        r["n_tombstones"] for r in chosen
+    )
+    assert row["compaction_exact"]
