@@ -4344,3 +4344,279 @@ def llm_ann_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_filtered_search — FILTERED vector search: approximate top-k
+# under a metadata predicate (here: same `label` as the query vector
+# — "find similar items in MY category"), the operation every vector
+# store names as a first-class mode because naive post-filtering of
+# an unfiltered top-k silently starves recall (the filter may wipe
+# out the whole unfiltered result set).  The IVF route: rank cells by
+# query↔centroid cosine, scan nprobe=2 cells, apply the predicate
+# INSIDE the candidate set, top-5 by (cosine DESC, vec_id).  The
+# in_exact_topk audit joins against the brute-force FILTERED top-5
+# (the correct baseline — filtered exact, not unfiltered exact).
+#
+# Rides the kmeans_cells_cached family chain (one Lloyd chain per
+# session/sf/K feeds this consumer too — BENCH_COLD applies).  At
+# 100 TB the assignment is partitioned by cell and the predicate
+# pushes into the parquet scan of the probed partitions — filter and
+# prune compose; the brute-force audit is an oracle-scale test, not
+# the serving path.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ann_filtered_search",
+    f"""
+WITH {_sql_kmeans_ctes()},
+q AS {_QV_SQL},
+qlab AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+qcells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {sql_cosine("q.qv", "c.cv")} DESC, c.cid) AS rn
+    FROM cent{_KMEANS_ITERS} c CROSS JOIN q
+  ) WHERE rn <= {_N_PROBE}
+),
+flt AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e CROSS JOIN qlab
+  WHERE e.label = qlabel AND e.vec_id <> 0
+),
+approx AS (
+  SELECT f.vec_id, {sql_cosine("f.v", "q.qv")} AS cos_sim
+  FROM a{_KMEANS_ITERS} a
+  JOIN qcells ON a.cid = qcells.cid
+  JOIN flt f ON f.vec_id = a.vec_id
+  CROSS JOIN q
+),
+atop AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+  FROM approx
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT f.vec_id,
+           row_number() OVER (
+             ORDER BY {sql_cosine("f.v", "q.qv")} DESC, f.vec_id) AS erk
+    FROM flt f CROSS JOIN q
+  ) WHERE erk <= 5
+)
+SELECT a.vec_id, a.cos_sim, a.rk,
+       (e.vec_id IS NOT NULL) AS in_exact_topk
+FROM atop a LEFT JOIN exact e ON e.vec_id = a.vec_id
+WHERE a.rk <= 5
+""",
+)
+def llm_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF search (nprobe=2, predicate inside the
+    candidate set) with the filtered-exact top-k audit (see block
+    comment)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_cells_cached(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    qlab = e.filter(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel")
+    )
+    ranked = cents.crossJoin(F.broadcast(q)).select(
+        "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
+    )
+    qcells = (
+        ranked.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("qsim").desc(), "cid"))
+        )
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(F.col("cid").alias("qcid"))
+    )
+    flt = (
+        e.crossJoin(F.broadcast(qlab))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    approx = (
+        assigned.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .select("vec_id")
+        .join(flt, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    atop = (
+        approx.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    exact = (
+        flt.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("ecos"))
+        .withColumn(
+            "erk",
+            F.row_number().over(W.orderBy(F.col("ecos").desc(), "vec_id")),
+        )
+        .filter(F.col("erk") <= 5)
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    return (
+        atop.join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cos_sim",
+            "rk",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_rag_rank_fusion — HYBRID retrieval rank fusion: the serving-side
+# complement to llm_bm25_rank (lexical) and llm_sim_cosine (vector).
+# Production RAG retrieves with BOTH signals and fuses the rankings;
+# this op implements integer Borda fusion ("more-like-this" probes:
+# each probe document queries with its own text for the lexical leg
+# and its own embedding for the vector leg):
+#
+#   candidates   docs sharing ≥1 distinct word with the probe (the
+#                lexical recall stage every hybrid retriever runs)
+#   rank_lex     by (distinct-word overlap DESC, doc_id) — integers
+#   rank_vec     by (cosine 6dp DESC, doc_id)
+#   borda        rank_lex + rank_vec; fused top-5 by (borda, doc_id)
+#
+# Rank-sum (Borda) fusion is chosen over RRF because it is INTEGER-
+# exact (RRF's Σ 1/(k+rank) is a float accumulation with engine-
+# dependent summation order); both produce the same topology on
+# these list lengths.  Every ordering key is a total order (doc_id
+# breaks all ties in both engines).
+#
+# Scale: the lexical leg is one per-row array_intersect against the
+# broadcast probe set (linear, no explode); the vector leg joins the
+# candidate pool only — never a full-corpus cosine scan; the windows
+# partition by probe.  At 100 TB the candidate stage would read an
+# inverted posting index instead of scanning — the fusion arithmetic
+# (the part this op certifies) is unchanged.
+# ---------------------------------------------------------------------------
+
+_RAG_PROBES = (0, 1)
+
+
+@register(
+    "llm_rag_rank_fusion",
+    f"""
+WITH docw AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw
+  FROM documents
+),
+probes AS (
+  SELECT doc_id AS probe_id, dw AS pw FROM docw
+  WHERE doc_id IN {_RAG_PROBES}
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT p.probe_id, d.doc_id,
+         CAST(len(list_intersect(d.dw, p.pw)) AS BIGINT) AS overlap
+  FROM docw d CROSS JOIN probes p
+  WHERE d.doc_id <> p.probe_id
+    AND len(list_intersect(d.dw, p.pw)) >= 1
+),
+scored AS (
+  SELECT c.probe_id, c.doc_id, c.overlap,
+         {sql_cosine("dv.v", "pv.v")} AS cos_sim
+  FROM cand c
+  JOIN vecs dv ON dv.vec_id = c.doc_id
+  JOIN vecs pv ON pv.vec_id = c.probe_id
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY overlap DESC, doc_id)
+           AS BIGINT) AS rank_lex,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cos_sim DESC, doc_id)
+           AS BIGINT) AS rank_vec
+  FROM scored
+),
+fused AS (
+  SELECT *, rank_lex + rank_vec AS borda,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY rank_lex + rank_vec, doc_id) AS BIGINT) AS fused_rank
+  FROM ranked
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id, doc_id, overlap, cos_sim,
+       rank_lex, rank_vec, borda, fused_rank
+FROM fused WHERE fused_rank <= 5
+""",
+)
+def llm_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Borda fusion of lexical (distinct-word overlap) and
+    vector (cosine 6dp) rankings per probe document; fused top-5
+    (see block comment)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(words("text")).alias("dw")
+    )
+    probes = d.filter(F.col("doc_id").isin(*_RAG_PROBES)).select(
+        F.col("doc_id").alias("probe_id"), F.col("dw").alias("pw")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cand = (
+        d.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.size(F.array_intersect("dw", "pw")).cast("long").alias("overlap"),
+        )
+        .filter(F.col("overlap") >= 1)
+    )
+    pv = probes.join(e, probes.probe_id == e.vec_id).select(
+        "probe_id", F.col("v").alias("pvv")
+    )
+    scored = (
+        cand.join(e, cand.doc_id == e.vec_id)
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            "doc_id",
+            "overlap",
+            cosine(F.col("v"), F.col("pvv")).alias("cos_sim"),
+        )
+    )
+    wp = W.partitionBy("probe_id")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy(F.col("overlap").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_lex"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_vec"),
+    )
+    fused = ranked.select(
+        "*",
+        (F.col("rank_lex") + F.col("rank_vec")).alias("borda"),
+        F.row_number()
+        .over(wp.orderBy(F.col("rank_lex") + F.col("rank_vec"), "doc_id"))
+        .cast("long")
+        .alias("fused_rank"),
+    )
+    return fused.filter(F.col("fused_rank") <= 5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        "doc_id",
+        "overlap",
+        "cos_sim",
+        "rank_lex",
+        "rank_vec",
+        "borda",
+        "fused_rank",
+    )

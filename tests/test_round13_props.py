@@ -130,3 +130,59 @@ def test_mor_compact_apply_matches_plan(spark, sf_dir):
         r["n_tombstones"] for r in chosen
     )
     assert row["compaction_exact"]
+
+
+def test_filtered_search_predicate_and_audit_sound(spark, sf_dir):
+    """Every returned candidate must satisfy the predicate (query's
+    label), ranks are 1..5, and the in_exact_topk audit marks exactly
+    the members of the brute-force FILTERED top-5."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.functions.vectors import as_double, cosine
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("llm_ann_filtered_search", spark, sf_dir).collect()
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qlabel = e.filter(F.col("vec_id") == 0).collect()[0]["label"]
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in e.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] == qlabel for r in rows)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    exact5 = {
+        r["vec_id"]
+        for r in e.filter((F.col("label") == qlabel) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine(as_double("embedding"), F.col("qv")).alias("c")
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    }
+    for r in rows:
+        assert r["in_exact_topk"] == (r["vec_id"] in exact5)
+
+
+def test_rank_fusion_is_consistent(spark, sf_dir):
+    """Borda arithmetic and per-probe rank shape: borda = rank_lex +
+    rank_vec, fused ranks are 1..5 per probe, and the fused list is
+    ordered by (borda, doc_id)."""
+    rows = _q("llm_rag_rank_fusion", spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["borda"] == r["rank_lex"] + r["rank_vec"]
+        assert r["overlap"] >= 1
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1}
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r["borda"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)
