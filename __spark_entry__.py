@@ -385,6 +385,8 @@ _HEAVY = {
     # round-13 MoR lifecycle (streaming ingest run; plan + layout
     # writes + hybrid read):
     "str_mor_stream", "snk_upsert_mor_compact_apply",
+    # round-13 branch lifecycle (5 merges + 2 forks + recovery reads):
+    "snk_branch_merge",
 }
 
 

@@ -4620,3 +4620,112 @@ def llm_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "borda",
         "fused_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_embedding_matryoshka — TRUNCATED-DIMENSION retrieval audit
+# (Matryoshka representation learning's serving trade: store/search
+# the first d dims of a D-dim embedding at d/D of the cost, re-rank
+# survivors at full D).  For d ∈ {16, 32} of the 64-dim vectors:
+# cosine over the PREFIX SLICE (norms over the slice too — a
+# truncated cosine is a cosine in the truncated space, not a partial
+# dot), top-5 by (cos DESC, vec_id), and the in_full_topk audit
+# against the full-dimension exact top-5 — the recall price of each
+# truncation level, read straight off the table.
+#
+# Scale: this is the coarse stage of a coarse-to-fine funnel — at
+# 100 TB the d-dim prefix column is stored separately (¼ the bytes
+# scanned), survivors re-ranked at full D; the audit here is the
+# oracle-scale calibration that picks d.  One scan, two window
+# rankings, a 10-row union.
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def _matryoshka_branch_sql(d: int) -> str:
+    qv = f"(q.qv[1:{d}])"
+    dv = f"(e.v[1:{d}])"
+    return f"""
+  SELECT CAST({d} AS BIGINT) AS dims, vec_id, cos_trunc, rk,
+         (f.vec_id IS NOT NULL) AS in_full_topk
+  FROM (
+    SELECT e.vec_id,
+           {sql_cosine(dv, qv, dim=d)} AS cos_trunc,
+           CAST(row_number() OVER (
+             ORDER BY {sql_cosine(dv, qv, dim=d)} DESC, e.vec_id)
+             AS BIGINT) AS rk
+    FROM vecs e CROSS JOIN q WHERE e.vec_id <> 0
+  ) t LEFT JOIN full5 f USING (vec_id)
+  WHERE rk <= 5
+"""
+
+
+@register(
+    "llm_embedding_matryoshka",
+    f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+full5 AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY {sql_cosine("e.v", "q.qv")} DESC, e.vec_id) AS frk
+    FROM vecs e CROSS JOIN q WHERE e.vec_id <> 0
+  ) WHERE frk <= 5
+)
+{_matryoshka_branch_sql(16)}
+UNION ALL
+{_matryoshka_branch_sql(32)}
+""",
+)
+def llm_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dim (16, 32 of 64) cosine top-5 with the
+    full-dimension recall audit (see block comment)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    full5 = (
+        base.select(
+            "vec_id", cosine(F.col("v"), F.col("qv")).alias("c")
+        )
+        .withColumn(
+            "frk", F.row_number().over(W.orderBy(F.col("c").desc(), "vec_id"))
+        )
+        .filter(F.col("frk") <= 5)
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    branches = []
+    for d in _MATRYOSHKA_DIMS:
+        scored = base.select(
+            "vec_id",
+            cosine(
+                F.slice(F.col("v"), 1, d), F.slice(F.col("qv"), 1, d)
+            ).alias("cos_trunc"),
+        )
+        top = (
+            scored.withColumn(
+                "rk",
+                F.row_number()
+                .over(W.orderBy(F.col("cos_trunc").desc(), "vec_id"))
+                .cast("long"),
+            )
+            .filter(F.col("rk") <= 5)
+            .join(full5, "vec_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                "vec_id",
+                "cos_trunc",
+                "rk",
+                F.coalesce("hit", F.lit(False)).alias("in_full_topk"),
+            )
+        )
+        branches.append(top)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -5222,3 +5222,131 @@ def str_mor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(seen)).cast("long").alias("n_epochs"),
         F.lit(bool(disjoint)).alias("epochs_disjoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_branch_merge — CATALOG-LEVEL BRANCHING over the manifested sink
+# (the Nessie / Iceberg-branch workflow): FORK a zero-copy branch
+# (the branch manifest starts as a copy of main's bucket→generation
+# map — data files are shared, nothing is rewritten), write epochs to
+# the BRANCH while main serves unchanged reads (isolation proven
+# in-op: main's post-fork state equals the prefix latest-state
+# recomputed from the raw log — a real raise), then FAST-FORWARD
+# merge: if main's manifest sequence is unchanged since the fork,
+# main atomically adopts the branch's map.  The conflict arm forks a
+# second branch, advances MAIN underneath it (a hotfix merge), and
+# proves the merge REFUSES — the first-writer-wins rule that makes
+# branches safe without locks.
+#
+# Scale: fork cost is O(n_buckets) manifest ints (zero data copy);
+# the branch's merges have the same O(touched buckets) cost as
+# main's; fast-forward is one manifest publish.  This is exactly the
+# audit-then-publish topology of snk_wap_publish generalized to
+# long-lived divergence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_branch_merge",
+    f"""
+    WITH state AS ({_UPSERT_STATE_ORACLE})
+    SELECT pk, last_seq, last_value, last_ts_unix,
+           TRUE AS branch_isolated,
+           TRUE AS ff_applied,
+           TRUE AS conflict_refused
+    FROM state
+    """,
+)
+def snk_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy branch fork → branch-side merges with main isolation
+    proven → fast-forward merge → conflict-arm refusal (see block
+    comment).  Oracle: whole-log latest state."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 4), (m // 4, m // 2), (m // 2, (3 * m) // 4), ((3 * m) // 4, m)]
+
+    def epoch_state(lo: int, hi: int) -> DataFrame:
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        return (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+
+    def fork(src: "ManifestedUpsertSink") -> "ManifestedUpsertSink":
+        br = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_branch_"))
+        br.gen_of = dict(src.gen_of)
+        br._persist()  # the fork point, recorded in the branch's log
+        return br
+
+    def ff_merge(dst: "ManifestedUpsertSink", br, fork_names) -> bool:
+        """Fast-forward iff dst's manifest log is unchanged since the
+        fork; refuse otherwise (first-writer-wins, no locks)."""
+        if dst._manifest_names() != fork_names:
+            return False
+        dst.gen_of = dict(br.gen_of)
+        dst._persist()
+        return True
+
+    # main: epochs 1,2
+    main = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_main_"))
+    for k, (lo, hi) in enumerate(cuts[:2]):
+        main.merge(epoch_state(lo, hi), epoch_id=k)
+
+    # fork; branch takes epochs 3,4 while main serves unchanged
+    fork_names = main._manifest_names()
+    branch = fork(main)
+    for k, (lo, hi) in enumerate(cuts[2:], start=2):
+        branch.merge(epoch_state(lo, hi), epoch_id=k)
+
+    # isolation: main's state must still be the prefix latest-state
+    prefix = epoch_state(0, m // 2)
+    main_now = main.state().drop("b")
+    if (
+        main_now.exceptAll(prefix).count() != 0
+        or prefix.exceptAll(main_now).count() != 0
+    ):
+        raise RuntimeError("branch writes leaked into main")
+
+    # fast-forward: main unchanged since fork -> adopt the branch map
+    ff_applied = ff_merge(main, branch, fork_names)
+    if not ff_applied:
+        raise RuntimeError("fast-forward refused on an unchanged main")
+
+    # conflict arm: fork again, advance MAIN underneath, merge refuses
+    fork2_names = main._manifest_names()
+    branch2 = fork(main)
+    main.merge(epoch_state(*cuts[3]), epoch_id=9)  # idempotent hotfix
+    conflict_refused = not ff_merge(main, branch2, fork2_names)
+    if not conflict_refused:
+        raise RuntimeError("merge fast-forwarded over a diverged main")
+
+    final = main.state().filter(F.col("last_dml") != "delete")
+    return final.select(
+        "pk",
+        "last_seq",
+        "last_value",
+        "last_ts_unix",
+        F.lit(True).alias("branch_isolated"),
+        F.lit(bool(ff_applied)).alias("ff_applied"),
+        F.lit(bool(conflict_refused)).alias("conflict_refused"),
+    )

@@ -186,3 +186,17 @@ def test_rank_fusion_is_consistent(spark, sf_dir):
         assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
         keys = [(r["borda"], r["doc_id"]) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_matryoshka_shape_and_audit_bounds(spark, sf_dir):
+    """Per truncation level: ranks are 1..5, cosines in [-1, 1], and
+    the audit never claims more than 5 full-dim hits."""
+    rows = _q("llm_embedding_matryoshka", spark, sf_dir).collect()
+    by_d: dict[int, list] = {}
+    for r in rows:
+        assert -1.0 <= r["cos_trunc"] <= 1.0
+        by_d.setdefault(r["dims"], []).append(r)
+    assert set(by_d) == {16, 32}
+    for rs in by_d.values():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+        assert sum(1 for r in rs if r["in_full_topk"]) <= 5
