@@ -2398,10 +2398,10 @@ END
 """
 
 
-@register(
-    "llm_mixture_alpha_sweep",
-    f"""
-    WITH per_src AS (
+# Shared CTE chain: per-alpha largest-remainder quotas (consumed by
+# llm_mixture_alpha_sweep and llm_mixture_epoch_schedule — one
+# definition, two oracles).
+_ALPHA_QUOTA_CTES_SQL = f"""per_src AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY source
     ), crossed AS (
@@ -2433,7 +2433,13 @@ END
              CAST(floor_share + CASE WHEN rn <= b - sum_floor
                                      THEN 1 ELSE 0 END AS BIGINT) AS quota
       FROM rr
-    )
+    )"""
+
+
+@register(
+    "llm_mixture_alpha_sweep",
+    f"""
+    WITH {_ALPHA_QUOTA_CTES_SQL}
     SELECT alpha, source, n_docs, w AS weight, quota,
            (quota > n_docs) AS needs_repetition,
            CAST(quota * 1000 // n_docs AS BIGINT) AS epochs_permille,
@@ -2448,6 +2454,32 @@ def llm_mixture_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     α ∈ {1, 1/2, 1/4} with per-source repetition price (see block
     comment).  One corpus scan; everything downstream is |sources|-row
     arithmetic."""
+    from pyspark.sql import Window as W
+
+    quotas = _alpha_quotas(spark, sf_dir)
+    return quotas.select(
+        "alpha",
+        "source",
+        "n_docs",
+        F.col("w").alias("weight"),
+        "quota",
+        (F.col("quota") > F.col("n_docs")).alias("needs_repetition"),
+        F.expr("div(quota * 1000, n_docs)")
+        .cast("long")
+        .alias("epochs_permille"),
+        F.sum(
+            F.when(F.col("quota") > F.col("n_docs"), 1).otherwise(0)
+        )
+        .over(W.partitionBy("alpha_id"))
+        .cast("long")
+        .alias("n_repeated_sources"),
+    )
+
+
+def _alpha_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _ALPHA_QUOTA_CTES_SQL: per-alpha largest-
+    remainder quotas over the half-corpus budget (columns alpha,
+    alpha_id, source, n_docs, w, quota)."""
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
@@ -2493,7 +2525,7 @@ def llm_mixture_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_floor"),
     )
-    quotas = rr.select(
+    return rr.select(
         "alpha",
         "alpha_id",
         "source",
@@ -2508,20 +2540,92 @@ def llm_mixture_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
-    return quotas.select(
-        "alpha",
+
+
+# ---------------------------------------------------------------------------
+# llm_mixture_epoch_schedule — the quota TABLE turned into a TRAINING
+# SCHEDULE: the α=1/2 mixture quotas split over T=4 training rounds
+# by a second-level integer apportionment (per source: each round
+# takes quota//T, the first quota%T rounds take one extra — Σ round
+# takes == quota EXACTLY, takes differ by ≤1, both by construction).
+# The cumulative-take column prices repetition IN TIME: `repeating`
+# flips true at the round where the source's cumulative draw first
+# exceeds its corpus — small high-quality sources start repeating
+# mid-run while big crawls never do, and the schedule says exactly
+# when.  This is the artifact a training loop actually consumes (a
+# per-round sampling manifest), derived deterministically from the
+# same one corpus scan as the plan.
+#
+# Scale: |sources| × T rows of integer arithmetic after one
+# count-agg; the windows partition by source.
+# ---------------------------------------------------------------------------
+
+_SCHED_ROUNDS = 4
+
+
+@register(
+    "llm_mixture_epoch_schedule",
+    f"""
+    WITH {_ALPHA_QUOTA_CTES_SQL},
+    rounds AS (SELECT * FROM (VALUES (1), (2), (3), (4)) r(rnd)),
+    sched AS (
+      SELECT q.source, q.n_docs, q.quota, r.rnd,
+             CAST(q.quota // {_SCHED_ROUNDS}
+                  + CASE WHEN r.rnd <= q.quota % {_SCHED_ROUNDS}
+                         THEN 1 ELSE 0 END AS BIGINT) AS take
+      FROM quotas q CROSS JOIN rounds r
+      WHERE q.alpha = '1/2'
+    ),
+    cum AS (
+      SELECT *,
+             CAST(sum(take) OVER (
+               PARTITION BY source ORDER BY rnd) AS BIGINT) AS cum_take
+      FROM sched
+    )
+    SELECT source, CAST(rnd AS BIGINT) AS round, n_docs, quota, take,
+           cum_take, (cum_take > n_docs) AS repeating
+    FROM cum
+    """,
+)
+def llm_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-round sampling schedule from the α=1/2 quotas:
+    second-level integer apportionment over T=4 rounds with the
+    when-does-repetition-start column (see block comment)."""
+    from pyspark.sql import Window as W
+
+    quotas = _alpha_quotas(spark, sf_dir).filter(
+        F.col("alpha") == "1/2"
+    )
+    rounds = spark.createDataFrame(
+        [(r,) for r in range(1, _SCHED_ROUNDS + 1)], "rnd int"
+    )
+    sched = quotas.join(F.broadcast(rounds)).select(
         "source",
         "n_docs",
-        F.col("w").alias("weight"),
         "quota",
-        (F.col("quota") > F.col("n_docs")).alias("needs_repetition"),
-        F.expr("div(quota * 1000, n_docs)")
-        .cast("long")
-        .alias("epochs_permille"),
-        F.sum(
-            F.when(F.col("quota") > F.col("n_docs"), 1).otherwise(0)
+        "rnd",
+        (
+            F.expr(f"div(quota, {_SCHED_ROUNDS})")
+            + F.when(
+                F.col("rnd") <= F.col("quota") % _SCHED_ROUNDS, 1
+            ).otherwise(0)
         )
-        .over(W.partitionBy("alpha_id"))
         .cast("long")
-        .alias("n_repeated_sources"),
+        .alias("take"),
+    )
+    cum = sched.select(
+        "*",
+        F.sum("take")
+        .over(W.partitionBy("source").orderBy("rnd"))
+        .cast("long")
+        .alias("cum_take"),
+    )
+    return cum.select(
+        "source",
+        F.col("rnd").cast("long").alias("round"),
+        "n_docs",
+        "quota",
+        "take",
+        "cum_take",
+        (F.col("cum_take") > F.col("n_docs")).alias("repeating"),
     )

@@ -200,3 +200,26 @@ def test_matryoshka_shape_and_audit_bounds(spark, sf_dir):
     for rs in by_d.values():
         assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
         assert sum(1 for r in rs if r["in_full_topk"]) <= 5
+
+
+def test_epoch_schedule_apportions_quota_exactly(spark, sf_dir):
+    """Per source: Σ round takes == the α=1/2 quota exactly, takes
+    differ by ≤1, `repeating` is monotone in round and agrees with
+    the sweep's needs_repetition at the final round."""
+    sched = _q("llm_mixture_epoch_schedule", spark, sf_dir).collect()
+    sweep = {
+        r["source"]: r
+        for r in _q("llm_mixture_alpha_sweep", spark, sf_dir).collect()
+        if r["alpha"] == "1/2"
+    }
+    by_src: dict[str, list] = {}
+    for r in sched:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["round"])
+        takes = [r["take"] for r in rs]
+        assert sum(takes) == rs[0]["quota"] == sweep[src]["quota"]
+        assert max(takes) - min(takes) <= 1
+        flags = [r["repeating"] for r in rs]
+        assert flags == sorted(flags)  # once repeating, always repeating
+        assert flags[-1] == sweep[src]["needs_repetition"]
