@@ -2496,12 +2496,25 @@ def _alpha_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr(_ALPHA_W_SQL).cast("long").alias("w"),
     )
-    tot = per_src.agg(
-        F.expr("div(CAST(sum(n_docs) AS BIGINT), 2)").alias("b")
-    )
-    shares = crossed.join(F.broadcast(tot)).select(
+    # Budget b from a window over the SAME lineage (not a second
+    # count-agg): keeps the whole op at ONE documents scan — the
+    # per-alpha window sum of n_docs is the corpus total N, so
+    # div(N, 2) equals the oracle's half-corpus budget exactly.
+    shares = crossed.select(
         "*",
         F.sum("w").over(W.partitionBy("alpha_id")).cast("long").alias("tw"),
+        F.sum("n_docs")
+        .over(W.partitionBy("alpha_id"))
+        .cast("long")
+        .alias("n_total"),
+    ).select(
+        "alpha_id",
+        "alpha",
+        "source",
+        "n_docs",
+        "w",
+        "tw",
+        F.expr("div(n_total, 2)").alias("b"),
     )
     ranked = shares.select(
         "*",

@@ -1388,3 +1388,50 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
     assert df.count() == 1
+
+
+def test_mor_compact_plan_shape(spark, sf_dir):
+    """The compaction PLAN is metadata-sized: the only nested-loop
+    join is the broadcast of the 1-row cuts aggregate (never a true
+    CartesianProduct), and the events scan prunes to the 3 needed
+    columns."""
+    df = _q("snk_upsert_mor_compact_plan", spark, sf_dir)
+    assert "CartesianProduct" not in formatted_plan(df)
+    rs = read_schema(df)
+    assert "event_id" in rs and "user_id" in rs and "event_type" in rs
+    assert "props" not in rs and "value" not in rs, rs
+
+
+def test_rank_fusion_no_full_cosine_scan(spark, sf_dir):
+    """The vector leg must score the CANDIDATE POOL only: probe
+    vectors arrive via broadcast (the 2-row probe set is the only
+    nested-loop side), never a true CartesianProduct."""
+    df = _q("llm_rag_rank_fusion", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_alpha_sweep_single_corpus_scan(spark, sf_dir):
+    """The sweep prices 3 operating points off ONE corpus count-agg:
+    exactly one scan of documents in the plan, reading only the
+    grouping column."""
+    df = _q("llm_mixture_alpha_sweep", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan[:1500]
+    rs = read_schema(df)
+    assert "source" in rs and "text" not in rs, rs
+
+
+def test_epoch_schedule_single_corpus_scan(spark, sf_dir):
+    df = _q("llm_mixture_epoch_schedule", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan[:1500]
+
+
+def test_matryoshka_prunes_to_vectors(spark, sf_dir):
+    """Truncated-dim audit reads only (vec_id, embedding) — label and
+    every other column pruned from the scan."""
+    df = _q("llm_embedding_matryoshka", spark, sf_dir)
+    rs = read_schema(df)
+    assert "embedding" in rs and "label" not in rs, rs
+    assert "CartesianProduct" not in formatted_plan(df)
