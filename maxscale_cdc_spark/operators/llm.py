@@ -4505,11 +4505,9 @@ def llm_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RAG_PROBES = (0, 1)
 
-
-@register(
-    "llm_rag_rank_fusion",
-    f"""
-WITH docw AS (
+# Shared CTE chain: the fused per-probe ranking (consumed by
+# llm_rag_rank_fusion and llm_rag_context_pack — one definition).
+_RAG_FUSED_CTES_SQL = f"""docw AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw
   FROM documents
 ),
@@ -4548,7 +4546,13 @@ fused AS (
            PARTITION BY probe_id
            ORDER BY rank_lex + rank_vec, doc_id) AS BIGINT) AS fused_rank
   FROM ranked
-)
+)"""
+
+
+@register(
+    "llm_rag_rank_fusion",
+    f"""
+WITH {_RAG_FUSED_CTES_SQL}
 SELECT CAST(probe_id AS BIGINT) AS probe_id, doc_id, overlap, cos_sim,
        rank_lex, rank_vec, borda, fused_rank
 FROM fused WHERE fused_rank <= 5
@@ -4558,6 +4562,22 @@ def llm_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer Borda fusion of lexical (distinct-word overlap) and
     vector (cosine 6dp) rankings per probe document; fused top-5
     (see block comment)."""
+    return _rag_fused(spark, sf_dir).filter(F.col("fused_rank") <= 5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        "doc_id",
+        "overlap",
+        "cos_sim",
+        "rank_lex",
+        "rank_vec",
+        "borda",
+        "fused_rank",
+    )
+
+
+def _rag_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _RAG_FUSED_CTES_SQL: the full per-probe fused
+    ranking (probe_id, doc_id, overlap, cos_sim, rank_lex, rank_vec,
+    borda, fused_rank)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(words("text")).alias("dw")
     )
@@ -4602,7 +4622,7 @@ def llm_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_vec"),
     )
-    fused = ranked.select(
+    return ranked.select(
         "*",
         (F.col("rank_lex") + F.col("rank_vec")).alias("borda"),
         F.row_number()
@@ -4610,15 +4630,105 @@ def llm_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fused_rank"),
     )
-    return fused.filter(F.col("fused_rank") <= 5).select(
-        F.col("probe_id").cast("long").alias("probe_id"),
+
+
+# ---------------------------------------------------------------------------
+# llm_rag_context_pack — CONTEXT ASSEMBLY, the last retrieval stage:
+# walk the fused ranking in order and pack candidate documents into
+# the prompt until the token budget is spent — what a RAG server
+# actually ships to the model.  Greedy-prefix packing (include doc at
+# fused_rank r iff the cumulative token count through r fits the
+# budget) is the production rule: it is deterministic, respects the
+# ranking (never skips a better doc to fit a worse one), and is pure
+# window arithmetic — cum_tokens = running sum over fused_rank, a
+# total order.  Token counts are integer whitespace tokens (the
+# llm_token_count convention).  Exports the top-10 of each probe's
+# ranking with (n_tokens, cum_tokens, included) plus the per-probe
+# packed summary — the table shows exactly where the budget cut.
+#
+# Scale: rides the fused ranking (one window more); at 100 TB the
+# candidate lists are per-query small — packing is O(list) per query
+# regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_RAG_PACK_BUDGET = 512  # whitespace tokens per assembled context
+
+
+@register(
+    "llm_rag_context_pack",
+    f"""
+WITH {_RAG_FUSED_CTES_SQL},
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+walk AS (
+  SELECT f.probe_id, f.doc_id, f.fused_rank, t.n_tokens,
+         CAST(sum(t.n_tokens) OVER (
+           PARTITION BY f.probe_id ORDER BY f.fused_rank) AS BIGINT)
+           AS cum_tokens
+  FROM fused f JOIN toks t USING (doc_id)
+),
+packed AS (
+  SELECT *, (cum_tokens <= {_RAG_PACK_BUDGET}) AS included FROM walk
+),
+summary AS (
+  SELECT probe_id,
+         CAST(sum(CASE WHEN included THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_included,
+         CAST(sum(CASE WHEN included THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_used
+  FROM packed GROUP BY probe_id
+)
+SELECT CAST(p.probe_id AS BIGINT) AS probe_id, p.doc_id, p.fused_rank,
+       p.n_tokens, p.cum_tokens, p.included,
+       s.n_included, s.tokens_used
+FROM packed p JOIN summary s ON s.probe_id = p.probe_id
+WHERE p.fused_rank <= 10
+""",
+)
+def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-prefix token-budget packing of the fused ranking (512
+    whitespace tokens; see block comment): the assembled RAG context
+    with the per-probe budget accounting."""
+    fused = _rag_fused(spark, sf_dir).select(
+        "probe_id", "doc_id", "fused_rank"
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    wp = W.partitionBy("probe_id").orderBy("fused_rank")
+    walk = fused.join(toks, "doc_id").select(
+        "probe_id",
         "doc_id",
-        "overlap",
-        "cos_sim",
-        "rank_lex",
-        "rank_vec",
-        "borda",
         "fused_rank",
+        "n_tokens",
+        F.sum("n_tokens").over(wp).cast("long").alias("cum_tokens"),
+    )
+    packed = walk.withColumn(
+        "included", F.col("cum_tokens") <= _RAG_PACK_BUDGET
+    )
+    summary = packed.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("included"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_included"),
+        F.sum(F.when(F.col("included"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_used"),
+    )
+    return (
+        packed.filter(F.col("fused_rank") <= 10)
+        .join(F.broadcast(summary), "probe_id")
+        .select(
+            F.col("probe_id").cast("long").alias("probe_id"),
+            "doc_id",
+            "fused_rank",
+            "n_tokens",
+            "cum_tokens",
+            "included",
+            "n_included",
+            "tokens_used",
+        )
     )
 
 

@@ -223,3 +223,25 @@ def test_epoch_schedule_apportions_quota_exactly(spark, sf_dir):
         flags = [r["repeating"] for r in rs]
         assert flags == sorted(flags)  # once repeating, always repeating
         assert flags[-1] == sweep[src]["needs_repetition"]
+
+
+def test_context_pack_is_greedy_prefix(spark, sf_dir):
+    """Packing rule: included iff the running total through this rank
+    fits the budget; once over budget, never included again; the
+    summary equals the recount."""
+    rows = _q("llm_rag_context_pack", spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["fused_rank"])
+        cum = 0
+        for r in rs:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            assert r["included"] == (cum <= 512)
+        flags = [r["included"] for r in rs]
+        assert flags == sorted(flags, reverse=True)  # prefix property
+        shown_inc = [r for r in rs if r["included"]]
+        assert rs[0]["n_included"] >= len(shown_inc)  # summary counts ALL ranks
+        assert all(r["n_included"] == rs[0]["n_included"] for r in rs)
