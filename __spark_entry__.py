@@ -387,6 +387,9 @@ _HEAVY = {
     "str_mor_stream", "snk_upsert_mor_compact_apply",
     # round-13 branch lifecycle (5 merges + 2 forks + recovery reads):
     "snk_branch_merge",
+    # round-13 composed lifecycle restart arm (TCP drain + 2 landing
+    # passes + 2 streaming runs):
+    "str_cdc_e2e_native_restart",
 }
 
 

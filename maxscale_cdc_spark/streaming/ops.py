@@ -5350,3 +5350,203 @@ def snk_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(ff_applied)).alias("ff_applied"),
         F.lit(bool(conflict_refused)).alias("conflict_refused"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_cdc_e2e_native_restart — the composed lifecycle's Stop()/resume
+# arm (client.go:166-181 on the FULL wire→lake→serving path, the
+# production loop str_cdc_e2e_native runs once): the router keeps
+# producing while the consumer is down.
+#
+#   phase 1   land the burst spool's FIRST HALF (decode-once pass 1)
+#             → streaming MERGE run 1 (availableNow) → stop.
+#   phase 2   the remaining bursts "arrive"; landing pass 2 anti-joins
+#             the lineage manifest and converts ONLY the new files
+#             (n_reconverted == 0 — raised otherwise: a resume that
+#             re-decodes the landed zone pays the codec twice);
+#             streaming run 2 resumes from the SAME checkpoint — the
+#             file-source offset log skips run 1's parquet, and its
+#             merge epochs continue strictly after run 1's (raised
+#             otherwise).
+#
+# The final serving state must equal the whole-log latest state (the
+# oracle) — a resume that reprocessed (replace-by-pk hides double
+# processing, so the epoch-continuity check carries that half) or
+# lost offsets (missing pks) breaks the row set.
+#
+# Scale: this IS the steady-state deployment — landing passes are
+# incremental by lineage anti-join (O(new files)), the checkpoint
+# carries the consumer across restarts, and each resume pays only
+# the new data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_cdc_e2e_native_restart",
+    f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk,
+             CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_unix
+      FROM events
+    ), ranked AS (
+      SELECT pk, sequence, dml_type, value_cents, ts_unix,
+             row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+      FROM cdc
+    )
+    SELECT pk, sequence AS last_seq, value_cents AS last_value_cents,
+           ts_unix AS last_ts_unix,
+           CAST(0 AS BIGINT) AS n_reconverted,
+           TRUE AS epochs_resumed
+    FROM ranked WHERE rn = 1 AND dml_type <> 'delete'
+    """,
+)
+def str_cdc_e2e_native_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase wire→lake→serving lifecycle: incremental decode-once
+    landing passes + streaming MERGE resume from the shared
+    checkpoint (see block comment)."""
+    import os
+
+    from maxscale_cdc_spark.operators.sources import _spool_avro_files
+    from maxscale_cdc_spark.sources.transport import (
+        CDCTransport,
+        FakeMaxScaleServer,
+    )
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    # -- wire: one full drain (the router's spool keeps growing in
+    # production; here both halves come from one drain, split below)
+    ocf_dir = _spool_avro_files(spark, sf_dir)
+    server = FakeMaxScaleServer(
+        "cdcuser", "cdcpw", avro_tables={"app.events": ocf_dir}
+    )
+    spool = _mkdtemp(prefix="e2e_rs_spool_")
+    transport = CDCTransport(server.address, "cdcuser", "cdcpw", "engine-uuid")
+    try:
+        transport.request_data(
+            "app", "events", spool_dir=spool, data_format="AVRO"
+        )
+        transport.drain(timeout_s=120)
+        transport.stop()
+    finally:
+        server.close()
+    bursts = sorted(
+        os.path.join(spool, f)
+        for f in os.listdir(spool)
+        if not f.startswith(".")
+    )
+    half1, half2 = bursts[: len(bursts) // 2], bursts[len(bursts) // 2 :]
+    if not half1 or not half2:
+        raise RuntimeError(f"spool too small to split: {len(bursts)} bursts")
+
+    land = _mkdtemp(prefix="e2e_rs_land_")
+    os.makedirs(land, exist_ok=True)
+
+    def decode(batches):
+        import pandas as pd
+
+        from maxscale_cdc_spark.sources.avro_ocf import read_ocf
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    out = pd.DataFrame(recs)
+                    out.insert(0, "src_path", str(path))
+                    yield out
+
+    def land_pass(paths: list[str]) -> int:
+        """Decode-once: anti-join the lineage manifest, convert only
+        new files; returns how many ALREADY-LANDED files would have
+        been reconverted (must be 0)."""
+        listing = (
+            spark.read.format("binaryFile")
+            .load(paths)
+            .select("path", "content")
+        )
+        landed_files = (
+            spark.read.parquet(land)
+            .select(F.col("src_path").alias("path"))
+            .distinct()
+            if os.listdir(land)
+            else None
+        )
+        todo = (
+            listing.join(landed_files, "path", "left_anti")
+            if landed_files is not None
+            else listing
+        )
+        n_reconverted = (
+            int(listing.count() - todo.count()) if landed_files is not None else 0
+        )
+        todo.mapInPandas(decode, _LANDED_AVRO_DDL).write.mode(
+            "append"
+        ).parquet(land)
+        return n_reconverted
+
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="e2e_rs_tgt_"))
+    epochs_seen: list[int] = []
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        epochs_seen.append(int(epoch_id))
+        sink.merge(batch_df, epoch_id)
+
+    ckpt = _mkdtemp(prefix="ckpt_e2e_rs_")
+
+    def serve_run() -> None:
+        stream = read_stream(
+            spark, land, schema=_LANDED_AVRO_DDL, max_files_per_trigger=4
+        )
+        agg = stream.groupBy("pk").agg(
+            F.max("sequence").alias("last_seq"),
+            F.max_by("dml_type", "sequence").alias("last_dml"),
+            F.max_by("value_cents", "sequence").alias("last_value_cents"),
+            F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+        )
+        with _few_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        _release_stream_state(spark)
+
+    # phase 1: first half lands, consumer runs, "process stops"
+    r1 = land_pass(half1)
+    serve_run()
+    run1_last = max(epochs_seen) if epochs_seen else -1
+
+    # phase 2: the rest arrives; incremental landing + resume
+    n_reconverted = land_pass(half2) + r1
+    if n_reconverted != 0:
+        raise RuntimeError(
+            f"landing re-decoded {n_reconverted} already-landed files"
+        )
+    serve_run()
+    run2_epochs = [ep for ep in epochs_seen if ep > run1_last]
+    epochs_resumed = bool(run2_epochs) and min(run2_epochs) > run1_last
+    if not epochs_resumed:
+        raise RuntimeError(
+            f"resume did not continue the epoch sequence: {epochs_seen}"
+        )
+
+    state = sink.state()
+    if state is None:
+        raise RuntimeError("restart lifecycle merged no state")
+    return state.filter(F.col("last_dml") != "delete").select(
+        "pk",
+        "last_seq",
+        "last_value_cents",
+        "last_ts_unix",
+        F.lit(n_reconverted).cast("long").alias("n_reconverted"),
+        F.lit(bool(epochs_resumed)).alias("epochs_resumed"),
+    )
