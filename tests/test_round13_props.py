@@ -245,3 +245,23 @@ def test_context_pack_is_greedy_prefix(spark, sf_dir):
         shown_inc = [r for r in rs if r["included"]]
         assert rs[0]["n_included"] >= len(shown_inc)  # summary counts ALL ranks
         assert all(r["n_included"] == rs[0]["n_included"] for r in rs)
+
+
+def test_backfill_apply_matches_plan_chunks(spark, sf_dir):
+    """Every exported row's chunk_id must agree with the PLAN's range
+    for that pk, and per-chunk row counts never exceed the plan's
+    n_keys (deleted-final pks are the only shortfall)."""
+    plan = {
+        r["chunk_id"]: r
+        for r in _q("cdc_backfill_chunk_plan", spark, sf_dir).collect()
+    }
+    rows = _q("cdc_backfill_chunk_apply", spark, sf_dir).collect()
+    from collections import Counter
+
+    per_chunk = Counter()
+    for r in rows:
+        p = plan[r["chunk_id"]]
+        assert p["lo_pk"] <= r["pk"] <= p["hi_pk"], (r["pk"], r["chunk_id"])
+        per_chunk[r["chunk_id"]] += 1
+    for cid, n in per_chunk.items():
+        assert n <= plan[cid]["n_keys"], (cid, n, plan[cid]["n_keys"])
