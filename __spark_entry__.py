@@ -51,6 +51,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifying these.  Nothing else changes: every query runs the same
 # oracle check whenever reached.
 _DRIVER_GREEN = {
+    # round-13 sweep greens (CORRECTNESS_r13.json, all 50 — exactly the
+    # 17 ids below were newly certified: the 13 round-13 operators plus
+    # the 4 honest ADVICE-fix demotions; the other 33 rows re-certified
+    # ids already listed), code unchanged since:
+    "cdc_backfill_chunk_apply", "llm_ann_filtered_search",
+    "llm_embedding_matryoshka", "llm_mixture_alpha_sweep",
+    "llm_mixture_epoch_schedule", "llm_rag_context_pack",
+    "llm_rag_rank_fusion", "mm_resolution_buckets", "rel_observe_metrics",
+    "snk_upsert_mor_compact_apply",
+    "snk_upsert_mor_compact_plan", "str_cdc_e2e_native",
+    "str_cdc_e2e_native_restart", "str_mor_stream",
+    # (snk_branch_merge, snk_pyds_writer and str_pyds_stream_writer
+    # were r13-green but are demoted below: ADVICE r13 fixes touched
+    # their code this round.)
     # round-12 sweep greens (CORRECTNESS_r12.json, all 50 — exactly the
     # 34 ids below were newly certified: the 15 round-12 operators plus
     # the 19 honest kmeans-cache demotions; the other 16 rows
@@ -237,24 +251,24 @@ _DEFERRED: set[str] = set()
 # HAD a green row and were demoted only because their code was
 # rewritten (sink-path / staging / guard changes — same oracle,
 # locally green before and after).
-# Round-13 open state: the round-12 sweep came back 50/50 green
-# (CORRECTNESS_r12.json) covering exactly the 34 then-unverified ids
-# (15 new round-12 operators + the 19 honest kmeans-cache demotions) —
-# all 50 sweep slots were free entering round 13.  Demotions made this
-# round per the honesty rule (ADVICE r12 fixes, all locally
-# re-verified green at sf0.01 + sf0.1 after the change):
-#  - mm_resolution_buckets: oracle now derives w/h from
-#    octet_length(encode(text)) (byte count, matching Spark) instead
-#    of character length — exact on today's ASCII corpora, but the
-#    emitted SQL changed.
-#  - rel_observe_metrics: empty-slice guard added before the int()
-#    exports (symmetric error instead of a TypeError crash).
+# Round-14 open state: the round-13 sweep came back 50/50 green
+# (CORRECTNESS_r13.json) covering exactly the 17 then-unverified ids
+# (13 new round-13 operators + the 4 honest ADVICE-fix demotions) plus
+# 33 re-certifications — all 50 sweep slots were free entering round
+# 14.  Demotions made this round per the honesty rule (ADVICE r13
+# fixes, all locally re-verified green at sf0.01 + sf0.1 after the
+# change):
 #  - snk_pyds_writer / str_pyds_stream_writer: the manifest sink's
-#    commit now sweeps orphaned .tmp-part-* files after publishing,
-#    and the expected-abort fixture stage runs with logs quieted.
+#    tmp files now carry a per-writer uuid prefix and the commit/abort
+#    orphan sweep is scoped to the writer's own files (two concurrent
+#    writers to one path can no longer delete each other's in-flight
+#    tmps); quiet_expected_failure now restores the CALLER's log level
+#    instead of a hardcoded WARN.
+#  - snk_branch_merge: fork()/ff_merge() promoted to
+#    ManifestedUpsertSink methods (the branch contract now lives next
+#    to the manifest representation it depends on).
 _DEMOTED: set[str] = {
-    "mm_resolution_buckets", "rel_observe_metrics",
-    "snk_pyds_writer", "str_pyds_stream_writer",
+    "snk_branch_merge", "snk_pyds_writer", "str_pyds_stream_writer",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

@@ -46,6 +46,17 @@ def _warm_udf():
     return warm
 
 
+def _detail_path(mode: str | None) -> str:
+    """BENCH_DETAIL.json is the full-suite record of the driver's run —
+    subset (BENCH_QUERIES) and isolated (BENCH_ISOLATE) runs must NOT
+    clobber it (VERDICT r13 #1: a 4-query spot-check destroyed the
+    driver's 407-query detail, and the r12-era committed detail file
+    turned out to be a 9-query isolated run).  Mode-suffixed files keep
+    every instrument's last record side by side."""
+    name = f"BENCH_DETAIL-{mode}.json" if mode else "BENCH_DETAIL.json"
+    return os.path.join(HERE, name)
+
+
 def _run_isolated(ids: list[str]) -> None:
     """BENCH_ISOLATE mode: run each listed id in a FRESH PROCESS (own
     JVM + Spark session), so suite-order residue — state-store
@@ -105,7 +116,7 @@ def _run_isolated(ids: list[str]) -> None:
         "isolated": True,
         "n_queries": len(timings),
     }
-    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
+    with open(_detail_path("isolated"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
@@ -116,7 +127,7 @@ def _run_isolated(ids: list[str]) -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": timings,
-                "detail": "BENCH_DETAIL.json",
+                "detail": "BENCH_DETAIL-isolated.json",
             }
         )
     )
@@ -264,13 +275,14 @@ def main() -> None:
         "cold": cold,
         "n_queries": len(timings),
     }
-    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
+    detail_file = _detail_path("subset" if only else None)
+    with open(detail_file, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # Compact summary as the LAST stdout line; keep it short enough that
     # tail-truncating log collectors still capture the whole line.  The
     # "queries" dict holds only the 10 slowest (name -> sec); the full
-    # per-query dict is in BENCH_DETAIL.json.
+    # per-query dict is in the detail file.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
@@ -281,7 +293,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": slowest,
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_file),
             }
         )
     )

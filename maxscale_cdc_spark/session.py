@@ -97,12 +97,21 @@ def quiet_expected_failure(spark: SparkSession):
     must be grepped from (VERDICT r12 #3).  The exception itself still
     propagates to the caller — only the log4j noise is suppressed."""
     sc = spark.sparkContext
+    # Restore the CALLER's effective root level, not a hardcoded WARN:
+    # verify/bench sessions run at ERROR (the documented recipe) and a
+    # WARN restore silently re-noised them after any manifest-sink
+    # fixture (ADVICE r13).  Spark 4 logs through log4j2.
+    try:
+        prior = str(
+            sc._jvm.org.apache.logging.log4j.LogManager.getRootLogger().getLevel()
+        )
+    except Exception:
+        prior = "WARN"
     sc.setLogLevel("OFF")
     try:
         yield
     finally:
-        # WARN is the level get_spark/driver sessions run at.
-        sc.setLogLevel("WARN")
+        sc.setLogLevel(prior)
 
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:

@@ -55,8 +55,20 @@ def _build_datasource_class():
 
     class ManifestParquetWriter(DataSourceArrowWriter):
         def __init__(self, path: str, inject_fail: bool) -> None:
+            import uuid
+
             self.path = path
             self.inject_fail = inject_fail
+            # Per-writer attempt id, embedded in every tmp name: the
+            # commit/abort orphan sweep removes ONLY this writer's tmp
+            # files, so a second concurrent writer appending to the
+            # same path can never have its in-flight tmps deleted by
+            # this writer's commit (ADVICE r13).  Assigned on the
+            # driver; executors see the same id via the pickled writer.
+            self.wid = uuid.uuid4().hex[:12]
+
+        def _tmp_prefix(self) -> str:
+            return f".tmp-{self.wid}-part-"
 
         def write(self, iterator):  # executor-side
             import os
@@ -75,7 +87,7 @@ def _build_datasource_class():
             if not batches:
                 return _FileMsg(None, 0)
             tbl = pa.Table.from_batches(batches)
-            fname = f".tmp-part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            fname = f"{self._tmp_prefix()}{pid:05d}-{uuid.uuid4().hex}.parquet"
             pq.write_table(tbl, os.path.join(self.path, fname))
             return _FileMsg(fname, tbl.num_rows)
 
@@ -87,7 +99,7 @@ def _build_datasource_class():
             for m in messages:
                 if m is None or m.fname is None:
                     continue
-                visible = m.fname[len(".tmp-") :]
+                visible = "part-" + m.fname[len(self._tmp_prefix()) :]
                 os.replace(
                     os.path.join(self.path, m.fname),
                     os.path.join(self.path, visible),
@@ -98,24 +110,24 @@ def _build_datasource_class():
                 json.dump({"files": files}, fh)
             os.replace(tmp, os.path.join(self.path, MANIFEST))
             # Sweep orphaned tmp files from retried/speculative first
-            # attempts: every committed tmp was just renamed, so any
-            # survivor is by construction uncommitted (ADVICE r12).
+            # attempts OF THIS WRITER: every committed tmp was just
+            # renamed, so any survivor with this writer's id is by
+            # construction uncommitted (ADVICE r12); other writers'
+            # tmps are left alone (ADVICE r13).
+            self._sweep_own_tmps()
+
+        def _sweep_own_tmps(self) -> None:
+            import os
+
             for f in os.listdir(self.path):
-                if f.startswith(".tmp-part-"):
+                if f.startswith(self._tmp_prefix()):
                     try:
                         os.remove(os.path.join(self.path, f))
                     except OSError:
                         pass
 
         def abort(self, messages):  # driver-side: leave no trace
-            import os
-
-            for f in os.listdir(self.path):
-                if f.startswith(".tmp-part-"):
-                    try:
-                        os.remove(os.path.join(self.path, f))
-                    except OSError:
-                        pass
+            self._sweep_own_tmps()
 
     from pyspark.sql.datasource import DataSourceStreamArrowWriter
 
@@ -130,8 +142,27 @@ def _build_datasource_class():
         execution."""
 
         def __init__(self, path: str, fail_epoch: int | None) -> None:
+            import uuid
+
             self.path = path
             self.fail_epoch = fail_epoch
+            # Same per-writer tmp scoping as the batch writer: one id
+            # per streaming query run; a concurrent writer to the same
+            # path keeps its in-flight tmps (ADVICE r13).
+            self.wid = uuid.uuid4().hex[:12]
+
+        def _tmp_prefix(self) -> str:
+            return f".tmp-{self.wid}-part-"
+
+        def _sweep_own_tmps(self) -> None:
+            import os
+
+            for f in os.listdir(self.path):
+                if f.startswith(self._tmp_prefix()):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
 
         def write(self, iterator):  # executor-side, same as batch
             import os
@@ -146,7 +177,7 @@ def _build_datasource_class():
             if not batches:
                 return _FileMsg(None, 0)
             tbl = pa.Table.from_batches(batches)
-            fname = f".tmp-part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            fname = f"{self._tmp_prefix()}{pid:05d}-{uuid.uuid4().hex}.parquet"
             pq.write_table(tbl, os.path.join(self.path, fname))
             return _FileMsg(fname, tbl.num_rows)
 
@@ -164,7 +195,7 @@ def _build_datasource_class():
             for m in messages:
                 if m is None or m.fname is None:
                     continue
-                visible = m.fname[len(".tmp-") :]
+                visible = "part-" + m.fname[len(self._tmp_prefix()) :]
                 os.replace(
                     os.path.join(self.path, m.fname),
                     os.path.join(self.path, visible),
@@ -174,25 +205,14 @@ def _build_datasource_class():
             with open(tmp, "w") as fh:
                 json.dump({"epoch": batchId, "files": files}, fh)
             os.replace(tmp, os.path.join(self.path, f"_manifest-{batchId}.json"))
-            # Same orphan sweep as the batch commit: micro-batch epochs
-            # are sequential, so after THIS epoch's renames any
-            # remaining tmp is residue of a failed prior attempt.
-            for f in os.listdir(self.path):
-                if f.startswith(".tmp-part-"):
-                    try:
-                        os.remove(os.path.join(self.path, f))
-                    except OSError:
-                        pass
+            # Same orphan sweep as the batch commit, scoped to THIS
+            # writer's id: this query's epochs are sequential, so after
+            # this epoch's renames any remaining own-id tmp is residue
+            # of a failed prior attempt.
+            self._sweep_own_tmps()
 
         def abort(self, messages, batchId: int) -> None:
-            import os
-
-            for f in os.listdir(self.path):
-                if f.startswith(".tmp-part-"):
-                    try:
-                        os.remove(os.path.join(self.path, f))
-                    except OSError:
-                        pass
+            self._sweep_own_tmps()
 
     class ManifestParquetSink(DataSource):
         @classmethod

@@ -707,6 +707,52 @@ class ManifestedUpsertSink:
         self._persist()
         return old_dirs
 
+    # -- branch semantics (Nessie/Iceberg-style zero-copy fork).  These
+    # live ON the sink so the branch contract sits next to the manifest
+    # representation it depends on (ADVICE r13: snk_branch_merge used
+    # to reach into gen_of/_persist/_manifest_names from outside; any
+    # manifest refactor would have broken branching at a distance). --
+
+    def fork_point(self) -> list[str]:
+        """Opaque token capturing this sink's commit-log position at
+        fork time; `ff_merge` compares against it to decide whether a
+        fast-forward is safe.  (Currently the manifest-file list —
+        callers must not depend on the representation.)"""
+        return self._manifest_names()
+
+    def fork(self, root: str) -> "ManifestedUpsertSink":
+        """Zero-copy branch: a fresh sink over `root` whose
+        bucket→generation map points at THIS sink's committed
+        generation dirs.  No data is copied — the branch's first merge
+        flips only its own touched buckets to new generation dirs, so
+        the parent is never mutated through the branch (copy-on-write
+        at bucket granularity).  The adopted map is persisted as the
+        branch's first manifest (the fork point, recorded in its own
+        log)."""
+        br = ManifestedUpsertSink(
+            self.spark,
+            root,
+            n_buckets=self.n_buckets,
+            retain_manifests=self.retain_manifests,
+        )
+        br.gen_of = dict(self.gen_of)
+        br._persist()
+        return br
+
+    def ff_merge(
+        self, branch: "ManifestedUpsertSink", fork_names: list[str]
+    ) -> bool:
+        """Fast-forward merge: adopt `branch`'s bucket map iff THIS
+        sink's commit log is unchanged since `fork_names` (the
+        `fork_point()` token taken when the branch was cut); refuse
+        otherwise — first-writer-wins, no locks, the Nessie
+        fast-forward rule.  Returns whether the merge applied."""
+        if self._manifest_names() != fork_names:
+            return False
+        self.gen_of = dict(branch.gen_of)
+        self._persist()
+        return True
+
 
 _UPSERT_STATE_ORACLE = f"""
     WITH cdc AS (
@@ -5292,29 +5338,16 @@ def snk_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def fork(src: "ManifestedUpsertSink") -> "ManifestedUpsertSink":
-        br = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_branch_"))
-        br.gen_of = dict(src.gen_of)
-        br._persist()  # the fork point, recorded in the branch's log
-        return br
-
-    def ff_merge(dst: "ManifestedUpsertSink", br, fork_names) -> bool:
-        """Fast-forward iff dst's manifest log is unchanged since the
-        fork; refuse otherwise (first-writer-wins, no locks)."""
-        if dst._manifest_names() != fork_names:
-            return False
-        dst.gen_of = dict(br.gen_of)
-        dst._persist()
-        return True
-
     # main: epochs 1,2
     main = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_main_"))
     for k, (lo, hi) in enumerate(cuts[:2]):
         main.merge(epoch_state(lo, hi), epoch_id=k)
 
     # fork; branch takes epochs 3,4 while main serves unchanged
-    fork_names = main._manifest_names()
-    branch = fork(main)
+    # (fork/ff_merge are sink methods — the branch contract lives next
+    # to the manifest representation, ADVICE r13)
+    fork_names = main.fork_point()
+    branch = main.fork(_mkdtemp(prefix="snk_branch_"))
     for k, (lo, hi) in enumerate(cuts[2:], start=2):
         branch.merge(epoch_state(lo, hi), epoch_id=k)
 
@@ -5328,15 +5361,15 @@ def snk_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("branch writes leaked into main")
 
     # fast-forward: main unchanged since fork -> adopt the branch map
-    ff_applied = ff_merge(main, branch, fork_names)
+    ff_applied = main.ff_merge(branch, fork_names)
     if not ff_applied:
         raise RuntimeError("fast-forward refused on an unchanged main")
 
     # conflict arm: fork again, advance MAIN underneath, merge refuses
-    fork2_names = main._manifest_names()
-    branch2 = fork(main)
+    fork2_names = main.fork_point()
+    branch2 = main.fork(_mkdtemp(prefix="snk_branch_"))
     main.merge(epoch_state(*cuts[3]), epoch_id=9)  # idempotent hotfix
-    conflict_refused = not ff_merge(main, branch2, fork2_names)
+    conflict_refused = not main.ff_merge(branch2, fork2_names)
     if not conflict_refused:
         raise RuntimeError("merge fast-forwarded over a diverged main")
 
