@@ -404,6 +404,14 @@ _HEAVY = {
     # round-13 composed lifecycle restart arm (TCP drain + 2 landing
     # passes + 2 streaming runs):
     "str_cdc_e2e_native_restart",
+    # round-14 raised-K filtered search (K=32 Lloyd chain) and the
+    # index-RTBF maintenance table (K=8 chain + 64-dim explode):
+    "llm_ann_filtered_search_scaled", "llm_ivf_forget",
+    # round-14 MoR restart lifecycle (two streaming runs + replay arm):
+    "str_mor_stream_restart",
+    # round-14 graph-ANN beam search (LSH band join + 3 staged hops +
+    # brute-force audit):
+    "llm_knn_graph_search",
 }
 
 

@@ -4426,6 +4426,12 @@ def llm_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cents.crossJoin(F.broadcast(q)).select(
         "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
     )
+    # NOTE: the rank windows in this op are UNPARTITIONED (global
+    # orderBy) — bounded today because the input is ONE query's
+    # K-row centroid table / cell∩filter candidate set.  A batched
+    # multi-query variant must partition by query id (the
+    # llm_ann_join_topk pattern) or it inherits a global sort
+    # (VERDICT r13 #3).
     qcells = (
         ranked.withColumn(
             "rn", F.row_number().over(W.orderBy(F.col("qsim").desc(), "cid"))
@@ -4471,6 +4477,106 @@ def llm_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             "rk",
             F.coalesce("hit", F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_filtered_search_scaled — the filtered search on the RAISED-K
+# production index (K=32, the llm_ann_join_topk_scaled knob), with the
+# index granularity exported as `k_cells` so the serving table
+# self-describes (VERDICT r13 #2: filtered search is the op most
+# sensitive to cell granularity — predicate ∩ cell selectivity
+# compounds — so the K knob must be visible on this op too).  Same
+# routing rule, predicate placement and filtered-exact audit as the
+# base op; only the index generation changes, so the two registered
+# results are directly comparable.  Oracle spliced from the base
+# oracle (registry.oracle_splice — import-time anchor check).
+# ---------------------------------------------------------------------------
+
+_FILT_K_SCALED = 32
+
+
+def _filtered_scaled_oracle() -> str:
+    from maxscale_cdc_spark.registry import ORACLE, oracle_splice
+
+    sql = oracle_splice(
+        ORACLE["llm_ann_filtered_search"],
+        f"WHERE vec_id < {_N_CELLS})",
+        f"WHERE vec_id < {_FILT_K_SCALED})",
+    )
+    return oracle_splice(
+        sql,
+        "(e.vec_id IS NOT NULL) AS in_exact_topk",
+        "(e.vec_id IS NOT NULL) AS in_exact_topk,\n"
+        f"       CAST({_FILT_K_SCALED} AS BIGINT) AS k_cells",
+    )
+
+
+@register("llm_ann_filtered_search_scaled", _filtered_scaled_oracle())
+def llm_ann_filtered_search_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF search on the K=32 index, k_cells
+    exported (see block comment)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_cells_cached(spark, sf_dir, _FILT_K_SCALED)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    qlab = e.filter(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel")
+    )
+    ranked = cents.crossJoin(F.broadcast(q)).select(
+        "cid", cosine(F.col("cv"), F.col("qv")).alias("qsim")
+    )
+    # Single-query op: unpartitioned rank windows are bounded (one
+    # centroid table / one cell∩filter set) — a batched variant must
+    # partition by query id (see the base op's note).
+    qcells = (
+        ranked.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("qsim").desc(), "cid"))
+        )
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(F.col("cid").alias("qcid"))
+    )
+    flt = (
+        e.crossJoin(F.broadcast(qlab))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    approx = (
+        assigned.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .select("vec_id")
+        .join(flt, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    )
+    atop = (
+        approx.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    exact = (
+        flt.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("ecos"))
+        .withColumn(
+            "erk",
+            F.row_number().over(W.orderBy(F.col("ecos").desc(), "vec_id")),
+        )
+        .filter(F.col("erk") <= 5)
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    return (
+        atop.join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cos_sim",
+            "rk",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_topk"),
+            F.lit(_FILT_K_SCALED).cast("long").alias("k_cells"),
         )
     )
 

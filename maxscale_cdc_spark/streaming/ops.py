@@ -5271,6 +5271,218 @@ def str_mor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# str_mor_stream_restart — Stop()/resume for the MoR STREAMING lane
+# (the r13 verdict's ask #4): str_mor_stream proves the in-order epoch
+# contract in one run; this op certifies the restart semantics of an
+# EPOCH-KEYED STATELESS writer, whose specific failure mode is the
+# double-append — a checkpoint restart that re-delivers an epoch's
+# files re-appends the same rows under the same epoch, and the
+# reconciling read (alive iff no later-epoch delete) HIDES neither
+# duplicate, it serves both.
+#
+#   run 1    quarters 1,2 land (sequence-ordered files) → availableNow
+#            stream writes epochs 0,1 → stop (the kill: no driver
+#            memory survives — only the checkpoint, the epoch dirs and
+#            the spool).
+#   run 2    quarters 3,4 land → resume from the SAME checkpoint: the
+#            file-source offset log skips run 1's files, and run 2's
+#            epochs must continue STRICTLY after run 1's (raised
+#            otherwise — replace-by-epoch hides reprocessing, so the
+#            continuity check carries that half of the proof).
+#   replay   the last epoch's write is re-applied out-of-band
+#            (simulating the crash between foreachBatch and the
+#            checkpoint commit, which replays the batch): the
+#            reconciling read must be row-identical before and after
+#            (raised otherwise).
+#
+# The writer is replay-idempotent BY CONSTRUCTION: each epoch writes
+# its data/delete files with per-epoch-dir OVERWRITE (not append), so
+# a re-delivered epoch rewrites identical content instead of doubling
+# it — the dynamic-partition-overwrite discipline every epoch-keyed
+# lake writer needs.  Final serving read == whole-log latest state
+# (the oracle).  Reference contract: client.go:166-181 Stop(),
+# client_test.go:169-266 reconnect-and-continue, on the MoR path.
+#
+# Scale: identical to str_mor_stream (no state store, O(batch) writes)
+# — the restart adds only the checkpoint read; the replay guard costs
+# nothing at ingest because overwrite-per-epoch IS the write mode.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_mor_stream_restart",
+    f"""
+    WITH state AS ({_UPSERT_STATE_ORACLE})
+    SELECT pk, last_seq, last_value, last_ts_unix,
+           CAST(4 AS BIGINT) AS n_epochs,
+           TRUE AS epochs_resumed,
+           TRUE AS replay_idempotent
+    FROM state
+    """,
+)
+def str_mor_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR streaming ingest killed mid-log and resumed from the shared
+    checkpoint, with epoch continuity and replayed-epoch idempotency
+    both proven in-op (see block comment)."""
+    import os
+    import shutil
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    quarters = ev.withColumn(
+        "__b", F.ntile(4).over(W.orderBy("event_id"))
+    ).localCheckpoint(eager=False)
+    src = _mkdtemp(prefix="mor_restart_src_")
+    ckpt = _mkdtemp(prefix="mor_restart_ckpt_")
+    root = _mkdtemp(prefix="mor_restart_")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+
+    def land(idx: int) -> None:
+        # one sequence-ordered file per quarter, mtime after the prior
+        # quarter so the file source keeps delivery order
+        tmp = _mkdtemp(prefix="mor_restart_part_")
+        quarters.filter(F.col("__b") == idx + 1).drop("__b").orderBy(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        i = 0
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"part-{idx}-{i:05d}.parquet")
+                shutil.copy(os.path.join(tmp, f), dst)
+                os.utime(dst, (1_000_000_000 + idx, 1_000_000_000 + idx))
+                i += 1
+        shutil.rmtree(tmp)
+
+    seen: list[tuple[int, int, int]] = []  # (epoch, min_seq, max_seq)
+
+    def write_epoch(last: DataFrame, epoch_id: int) -> None:
+        # replay-idempotent by construction: OVERWRITE the epoch dirs
+        last.select("pk").write.mode("overwrite").parquet(
+            os.path.join(del_dir, f"epoch={epoch_id}")
+        )
+        last.filter(F.col("dml_type") != "delete").select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch={epoch_id}")
+        )
+
+    def batch_image(batch_df: DataFrame) -> DataFrame:
+        wb = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+        return (
+            batch_df.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        last = batch_image(batch_df)
+        bounds = batch_df.agg(
+            F.min("sequence").alias("lo"), F.max("sequence").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        seen.append((int(epoch_id), int(bounds["lo"]), int(bounds["hi"])))
+        write_epoch(last, epoch_id)
+
+    def run_once() -> None:
+        stream = read_stream(spark, src, max_files_per_trigger=1).select(
+            F.col("event_id").alias("sequence"),
+            F.expr(_DML_CASE_SQL).alias("dml_type"),
+            F.col("user_id").alias("pk"),
+            "value",
+            F.unix_timestamp("ts").alias("ts_unix"),
+        )
+        with _few_state_partitions(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(append_epoch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    # phase 1: quarters 1,2 land; run; "kill" (only disk survives)
+    land(0)
+    land(1)
+    run_once()
+    run1 = sorted(e for e, _, _ in seen)
+
+    # phase 2: quarters 3,4 arrive; resume from the SAME checkpoint
+    land(2)
+    land(3)
+    run_once()
+    _release_stream_state(spark)
+    run2 = sorted(e for e, _, _ in seen if e not in run1)
+
+    # epoch continuity: run 2 continues strictly after run 1 (the
+    # checkpoint's batch counter survived the kill) and the in-order
+    # disjoint-range contract holds across BOTH runs
+    seen.sort()
+    disjoint = all(seen[i][2] < seen[i + 1][1] for i in range(len(seen) - 1))
+    if (
+        len(run1) != 2
+        or len(run2) != 2
+        or min(run2) != max(run1) + 1
+        or not disjoint
+    ):
+        raise RuntimeError(
+            f"restart broke the epoch contract: run1={run1} run2={run2} "
+            f"seen={seen}"
+        )
+
+    def reconcile() -> DataFrame:
+        data = spark.read.option("basePath", data_dir).parquet(data_dir)
+        dels = spark.read.option("basePath", del_dir).parquet(del_dir)
+        dmax = dels.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+        return (
+            data.join(dmax, "pk", "left")
+            .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+            .select("pk", "last_seq", "last_value", "last_ts_unix")
+        )
+
+    before = reconcile().localCheckpoint()  # materialized pre-replay
+
+    # replay arm: re-apply the LAST epoch's write out-of-band (the
+    # crash-between-write-and-checkpoint-commit delivery)
+    last_epoch, lo, hi = seen[-1]
+    replay_batch = (
+        spark.read.parquet(src)
+        .select(
+            F.col("event_id").alias("sequence"),
+            F.expr(_DML_CASE_SQL).alias("dml_type"),
+            F.col("user_id").alias("pk"),
+            "value",
+            F.unix_timestamp("ts").alias("ts_unix"),
+        )
+        .filter((F.col("sequence") >= lo) & (F.col("sequence") <= hi))
+    )
+    write_epoch(batch_image(replay_batch), last_epoch)
+    after = reconcile()
+    if (
+        after.exceptAll(before).count() != 0
+        or before.exceptAll(after).count() != 0
+    ):
+        raise RuntimeError("replayed epoch changed the reconciling read")
+
+    return after.select(
+        "*",
+        F.lit(len(seen)).cast("long").alias("n_epochs"),
+        F.lit(True).alias("epochs_resumed"),
+        F.lit(True).alias("replay_idempotent"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # snk_branch_merge — CATALOG-LEVEL BRANCHING over the manifested sink
 # (the Nessie / Iceberg-branch workflow): FORK a zero-copy branch
 # (the branch manifest starts as a copy of main's bucket→generation
