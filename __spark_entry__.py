@@ -404,9 +404,11 @@ _HEAVY = {
     # round-13 composed lifecycle restart arm (TCP drain + 2 landing
     # passes + 2 streaming runs):
     "str_cdc_e2e_native_restart",
-    # round-14 raised-K filtered search (K=32 Lloyd chain) and the
-    # index-RTBF maintenance table (K=8 chain + 64-dim explode):
+    # round-14 raised-K filtered search (K=32 Lloyd chain), the
+    # index-RTBF maintenance table (K=8 chain + 64-dim explode), and
+    # the merge-arm apply (reassignment + brute-force recall audit):
     "llm_ann_filtered_search_scaled", "llm_ivf_forget",
+    "llm_ivf_forget_merge_apply",
     # round-14 MoR restart lifecycle (two streaming runs + replay arm):
     "str_mor_stream_restart",
     # round-14 graph-ANN beam search (LSH band join + 3 staged hops +

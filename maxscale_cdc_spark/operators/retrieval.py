@@ -1598,6 +1598,28 @@ def llm_ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FORGET_MOD = 13
 _FORGET_RES = 5
+_FORGET_QMOD = 100  # the probe-query modulus (_ANNJ_QMOD, defined later in file)
+
+
+def _ivf_forget_prefix() -> str:
+    """Shared WITH-chain body through surv / cells / tot — consumed by
+    llm_ivf_forget (which extends it with the displacement + nearest
+    tables) and llm_ivf_forget_merge_apply (which extends it with the
+    post-merge reassignment).  One definition, two oracles."""
+    k = _KMEANS_ITERS
+    return f"""{_sql_kmeans_ctes()},
+surv AS (SELECT * FROM a{k} WHERE vec_id % {_FORGET_MOD} <> {_FORGET_RES}),
+cb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_before FROM a{k} GROUP BY cid),
+ca AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_after FROM surv GROUP BY cid),
+cells AS (
+  SELECT cb.cid, cb.n_before,
+         CAST(coalesce(ca.n_after, 0) AS BIGINT) AS n_after
+  FROM cb LEFT JOIN ca ON ca.cid = cb.cid
+),
+tot AS (
+  SELECT CAST(sum(n_after) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM cells
+)"""
 
 
 def _ivf_forget_oracle() -> str:
@@ -1609,8 +1631,7 @@ def _ivf_forget_oracle() -> str:
     )
     k = _KMEANS_ITERS
     return f"""
-WITH {_sql_kmeans_ctes()},
-surv AS (SELECT * FROM a{k} WHERE vec_id % {_FORGET_MOD} <> {_FORGET_RES}),
+WITH {_ivf_forget_prefix()},
 all_flat AS ({flat.format(src=f'a{k}')}),
 surv_flat AS ({flat.format(src='surv')}),
 all_dim AS (
@@ -1630,17 +1651,6 @@ disp AS (
          CAST(max(a.nb * s.na) AS BIGINT) AS disp_den
   FROM all_dim a JOIN surv_dim s USING (cid, dim)
   GROUP BY a.cid
-),
-cb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_before FROM a{k} GROUP BY cid),
-ca AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_after FROM surv GROUP BY cid),
-cells AS (
-  SELECT cb.cid, cb.n_before,
-         CAST(coalesce(ca.n_after, 0) AS BIGINT) AS n_after
-  FROM cb LEFT JOIN ca ON ca.cid = cb.cid
-),
-tot AS (
-  SELECT CAST(sum(n_after) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
-  FROM cells
 ),
 cpair AS (
   SELECT a.cid, b.cid AS other,
@@ -1746,6 +1756,218 @@ def llm_ivf_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
             F.when((F.col("n_after") > 0) & merge_pred, F.col("other")).alias(
                 "merge_target"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ivf_forget_merge_apply — EXECUTE the forget plan's merge arm:
+# the detect→plan→apply closure for the RTBF direction (the family
+# convention: llm_ivf_rebalance_plan→apply for growth, this pair for
+# shrinkage).  After the deletion projection, cells below ¼ of the
+# mean are uneconomic to probe (same integer rule as the plan);
+# following llm_ivf_rebalance_apply's discipline the apply RETIRES
+# the merge cells' centroids (and the emptied 'drop' cells'), keeps
+# the 'keep' centroids verbatim, and FULLY REASSIGNS the survivors
+# over the post-merge centroid set — so absorbed members land at
+# their nearest surviving centroid by the same argmax rule that
+# built the index (no per-cell special-casing to go wrong).
+#
+# Output: one row per post-merge centroid (member count + how many
+# members it ABSORBED from retired cells) with constant audit
+# columns: retired-cell counts and the recall@5 containment audit on
+# the survivor query sample (vec_id % 100) — the fraction of each
+# query's brute-force top-5 living in the query's own cell, before
+# vs after the merge (`not_worse` exported, the rebalance_apply
+# convention: merging small cells into their argmax-nearest homes
+# typically RAISES 1-probe containment).
+#
+# Scale: the reassignment is one broadcast argmax over the KB-sized
+# post centroid table — only retired cells' members actually move
+# (kept cells' argmax is unchanged only if their centroid still wins;
+# the full reassignment proves it rather than assuming it); the
+# brute-force audit is oracle-scale, not the serving path.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_forget_apply_oracle() -> str:
+    k = _KMEANS_ITERS
+    cos = sql_cosine("s.v", "q.qv")
+    return f"""
+WITH {_ivf_forget_prefix()},
+keepc AS (
+  SELECT c.cid FROM cells c CROSS JOIN tot t
+  WHERE c.n_after > 0 AND NOT (4 * c.n_after * t.k < t.n)
+),
+kcent AS (SELECT c.cid, c.cv FROM cent{k} c JOIN keepc ON keepc.cid = c.cid),
+reass AS (
+  SELECT vec_id, v, cid, pre_cid FROM (
+    SELECT s.vec_id, s.v, kc.cid, s.cid AS pre_cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {sql_cosine('s.v', 'kc.cv')} DESC, kc.cid) AS rn
+    FROM surv s CROSS JOIN kcent kc
+  ) WHERE rn = 1
+),
+post AS (
+  SELECT cid,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN pre_cid <> cid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_absorbed
+  FROM reass GROUP BY cid
+),
+retired AS (
+  SELECT
+    CAST(sum(CASE WHEN c.n_after = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dropped_cells,
+    CAST(sum(CASE WHEN c.n_after > 0 AND 4 * c.n_after * t.k < t.n
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_cells
+  FROM cells c CROSS JOIN tot t
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM surv WHERE vec_id % {_FORGET_QMOD} = 0),
+b5 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, s.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, s.vec_id) AS rn
+    FROM surv s JOIN qs q ON s.vec_id <> q.qid
+  ) WHERE rn <= {_RECALL_K}
+),
+qpre AS (SELECT vec_id AS qid, cid AS q_pre FROM surv WHERE vec_id % {_FORGET_QMOD} = 0),
+qpost AS (SELECT vec_id AS qid, cid AS q_post FROM reass WHERE vec_id % {_FORGET_QMOD} = 0),
+epre AS (SELECT vec_id, cid AS e_pre FROM surv),
+epost AS (SELECT vec_id, cid AS e_post FROM reass),
+recall AS (
+  SELECT
+    CAST(sum(CASE WHEN ep.e_pre = qp.q_pre THEN 1 ELSE 0 END) AS BIGINT)
+      AS recall_pre_num,
+    CAST(sum(CASE WHEN eo.e_post = qo.q_post THEN 1 ELSE 0 END) AS BIGINT)
+      AS recall_post_num,
+    CAST(count(*) AS BIGINT) AS recall_den
+  FROM b5 b
+  JOIN qpre qp ON qp.qid = b.qid
+  JOIN qpost qo ON qo.qid = b.qid
+  JOIN epre ep ON ep.vec_id = b.vec_id
+  JOIN epost eo ON eo.vec_id = b.vec_id
+)
+SELECT p.cid, p.n_members, p.n_absorbed,
+       rt.n_dropped_cells, rt.n_merged_cells,
+       r.recall_pre_num, r.recall_post_num, r.recall_den,
+       (r.recall_post_num >= r.recall_pre_num) AS not_worse
+FROM post p CROSS JOIN retired rt CROSS JOIN recall r
+"""
+
+
+@register("llm_ivf_forget_merge_apply", _ivf_forget_apply_oracle())
+def llm_ivf_forget_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the forget plan's merge arm: retire merge/drop cells,
+    reassign survivors over the post-merge centroid set, audit 1-probe
+    recall containment before/after (see block comment)."""
+    from maxscale_cdc_spark.operators.llm import kmeans_cells_cached
+
+    cents, assigned = kmeans_cells_cached(spark, sf_dir)
+    surv = assigned.filter(
+        F.col("vec_id") % _FORGET_MOD != _FORGET_RES
+    ).localCheckpoint(eager=False)
+    cb = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_before"))
+    ca = surv.groupBy("cid").agg(F.count("*").cast("long").alias("n_after"))
+    cells = cb.join(ca, "cid", "left").select(
+        "cid",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+    )
+    tot = cells.agg(
+        F.sum("n_after").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    ct = cells.crossJoin(F.broadcast(tot))
+    merge_pred = 4 * F.col("n_after") * F.col("k") < F.col("n")
+    keepc = ct.filter(
+        (F.col("n_after") > 0) & ~merge_pred
+    ).select("cid")
+    kcent = cents.join(F.broadcast(keepc), "cid").select("cid", "cv")
+    scored = surv.select(
+        "vec_id", "v", F.col("cid").alias("pre_cid")
+    ).crossJoin(F.broadcast(kcent)).select(
+        "vec_id",
+        "pre_cid",
+        "cid",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    wr = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    reass = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pre_cid", "cid")
+        .localCheckpoint(eager=False)
+    )
+    post = reass.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.when(F.col("pre_cid") != F.col("cid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_absorbed"),
+    )
+    retired = ct.agg(
+        F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_cells"),
+        F.sum(F.when((F.col("n_after") > 0) & merge_pred, 1).otherwise(0))
+        .cast("long")
+        .alias("n_merged_cells"),
+    )
+    qs = surv.filter(F.col("vec_id") % _FORGET_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    brute = (
+        surv.select("vec_id", "v")
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
+        )
+    )
+    wb = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    b5 = (
+        brute.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    qpre = surv.filter(F.col("vec_id") % _FORGET_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("q_pre")
+    )
+    qpost = reass.filter(F.col("vec_id") % _FORGET_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("q_post")
+    )
+    epre = surv.select("vec_id", F.col("cid").alias("e_pre"))
+    epost = reass.select("vec_id", F.col("cid").alias("e_post"))
+    recall = (
+        b5.join(F.broadcast(qpre), "qid")
+        .join(F.broadcast(qpost), "qid")
+        .join(epre, "vec_id")
+        .join(epost, "vec_id")
+        .agg(
+            F.sum(F.when(F.col("e_pre") == F.col("q_pre"), 1).otherwise(0))
+            .cast("long")
+            .alias("recall_pre_num"),
+            F.sum(F.when(F.col("e_post") == F.col("q_post"), 1).otherwise(0))
+            .cast("long")
+            .alias("recall_post_num"),
+            F.count("*").cast("long").alias("recall_den"),
+        )
+    )
+    return (
+        post.crossJoin(F.broadcast(retired))
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "cid",
+            "n_members",
+            "n_absorbed",
+            "n_dropped_cells",
+            "n_merged_cells",
+            "recall_pre_num",
+            "recall_post_num",
+            "recall_den",
+            (F.col("recall_post_num") >= F.col("recall_pre_num")).alias(
+                "not_worse"
             ),
         )
     )

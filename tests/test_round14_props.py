@@ -74,6 +74,32 @@ def test_ivf_forget_table_is_consistent(spark, sf_dir):
             assert r["disp_l1_q30"] == r["disp_l1_num"] / r["disp_den"]
 
 
+def test_ivf_forget_merge_apply_consistent_with_plan(spark, sf_dir):
+    """Cross-pin plan↔apply: the post-merge centroid set is EXACTLY
+    the plan's keep cells; absorbed members are EXACTLY the retired
+    merge cells' survivors (a kept cell's member can never move —
+    its argmax winner survived, so its argmax over the post set is
+    unchanged); retired-cell counts match the plan's action column."""
+    plan = {r["cid"]: r for r in _q("llm_ivf_forget", spark, sf_dir).collect()}
+    rows = _q("llm_ivf_forget_merge_apply", spark, sf_dir).collect()
+    keep = {c for c, r in plan.items() if r["action"] == "keep"}
+    assert {r["cid"] for r in rows} == keep
+    merged_members = sum(
+        r["n_after"] for r in plan.values() if r["action"] == "merge"
+    )
+    assert sum(r["n_absorbed"] for r in rows) == merged_members
+    kept_members = sum(r["n_after"] for r in plan.values() if r["action"] == "keep")
+    assert sum(r["n_members"] for r in rows) == kept_members + merged_members
+    r0 = rows[0]
+    assert r0["n_dropped_cells"] == sum(
+        1 for r in plan.values() if r["action"] == "drop"
+    )
+    assert r0["n_merged_cells"] == sum(
+        1 for r in plan.values() if r["action"] == "merge"
+    )
+    assert r0["not_worse"] == (r0["recall_post_num"] >= r0["recall_pre_num"])
+
+
 def test_knn_graph_search_plan_has_no_cartesian(spark, sf_dir):
     """The plan gate VERDICT r13 asked for: every hop is an equi-join
     (frontier⋈edges on src, scoring on node/qid) — no CartesianProduct
