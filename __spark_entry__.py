@@ -411,6 +411,9 @@ _HEAVY = {
     "llm_ivf_forget_merge_apply",
     # round-14 MoR restart lifecycle (two streaming runs + replay arm):
     "str_mor_stream_restart",
+    # round-14 CDF lifecycle (3 merges + 2 manifest reads + the
+    # v1 ⊕ feed == v2 sufficiency audit):
+    "snk_change_feed",
     # round-14 graph-ANN beam search (LSH band join + 3 staged hops +
     # brute-force audit):
     "llm_knn_graph_search",

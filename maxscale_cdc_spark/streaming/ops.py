@@ -2767,6 +2767,161 @@ def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snk_change_feed — CHANGE DATA FEED between two manifest versions of
+# the sink (the Delta CDF / Iceberg incremental-read feature): "what
+# changed between commit v1 and v2" answered from the SINK's own
+# commit log, without replaying the source stream.  Both snapshots
+# are read THROUGH their retained manifests (the snk_time_travel read
+# path — immutable generation dirs make each manifest a full
+# consistent version), alive-filtered, and full-outer-joined on pk:
+#
+#   insert             absent alive@v1, present alive@v2
+#   update_postimage   alive in both with a different last_seq
+#                      (sequences are unique, so any touched pk moves)
+#   delete             alive@v1, tombstoned by v2
+#   (untouched pks are NOT emitted — the feed is the delta)
+#
+# The op PROVES the feed is sufficient before returning it: applying
+# the changes to snapshot v1 (drop deleted+updated pks, add the
+# insert/update after-images) must reproduce snapshot v2 row-for-row
+# — a real raise otherwise.  This is the downstream-consumer contract
+# a CDF exists for: v2 = v1 ⊕ feed.
+#
+# Scale: each snapshot read is manifest-bounded (O(n_buckets) driver
+# state, scans only referenced generation dirs); the diff is one
+# full-outer join keyed on pk.  At 100 TB a CDF consumer reads the
+# feed instead of diffing snapshots — but the certified diff IS the
+# semantics that feed must satisfy, and the retention knob
+# (retain_manifests) is the CDF horizon, exactly as in Delta.
+# ---------------------------------------------------------------------------
+
+
+def _change_feed_oracle() -> str:
+    def alive(pred: str) -> str:
+        return f"""(
+      SELECT pk, sequence AS last_seq, value AS last_value
+      FROM (
+        SELECT pk, sequence, dml_type, value,
+               row_number() OVER (PARTITION BY pk ORDER BY sequence DESC) AS rn
+        FROM cdc WHERE {pred}
+      ) WHERE rn = 1 AND dml_type <> 'delete')"""
+
+    return f"""
+    WITH cdc AS (
+      SELECT event_id AS sequence,
+             {_DML_CASE_SQL} AS dml_type,
+             user_id AS pk, value
+      FROM events
+    ),
+    mx AS (SELECT max(sequence) AS m FROM cdc),
+    s1 AS {alive("sequence <= 2 * (SELECT m FROM mx) // 3")},
+    s2 AS {alive("true")}
+    SELECT coalesce(s2.pk, s1.pk) AS pk,
+           CASE WHEN s1.pk IS NULL THEN 'insert'
+                WHEN s2.pk IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS change_type,
+           s1.last_seq AS before_seq, s2.last_seq AS after_seq,
+           s1.last_value AS before_value, s2.last_value AS after_value
+    FROM s1 FULL JOIN s2 ON s1.pk = s2.pk
+    WHERE s1.pk IS NULL OR s2.pk IS NULL OR s1.last_seq <> s2.last_seq
+    """
+
+
+@register("snk_change_feed", _change_feed_oracle())
+def snk_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF between manifest v1 and v2 of the sink, with the
+    v2 == v1 ⊕ feed sufficiency audit raised in-op (see block
+    comment)."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        F.col("value"),
+        F.unix_timestamp("ts").alias("ts_unix"),
+    ).localCheckpoint(eager=False)
+    m = int(cdc.agg(F.max("sequence").alias("m")).collect()[0]["m"])
+    cuts = [(0, m // 3), (m // 3, (2 * m) // 3), ((2 * m) // 3, m)]
+    sink = ManifestedUpsertSink(spark, _mkdtemp(prefix="snk_cdf_"))
+    for k, (lo, hi) in enumerate(cuts):
+        touched = (
+            cdc.filter((F.col("sequence") > lo) & (F.col("sequence") <= hi))
+            .select("pk")
+            .distinct()
+        )
+        state = (
+            cdc.filter(F.col("sequence") <= hi)
+            .join(touched, "pk")
+            .groupBy("pk")
+            .agg(
+                F.max("sequence").alias("last_seq"),
+                F.max_by("dml_type", "sequence").alias("last_dml"),
+                F.max_by("value", "sequence").alias("last_value"),
+                F.max_by("ts_unix", "sequence").alias("last_ts_unix"),
+            )
+        )
+        sink.merge(state, epoch_id=k)
+
+    def alive_asof(seq: int) -> DataFrame:
+        return (
+            read_state_asof(spark, sink.root, seq)
+            .filter(F.col("last_dml") != "delete")
+            .select("pk", "last_seq", "last_value")
+            .localCheckpoint(eager=False)
+        )
+
+    s1 = alive_asof(1)
+    s2 = alive_asof(2)
+    a = s1.select(
+        F.col("pk").alias("pk1"),
+        F.col("last_seq").alias("before_seq"),
+        F.col("last_value").alias("before_value"),
+    )
+    b = s2.select(
+        F.col("pk").alias("pk2"),
+        F.col("last_seq").alias("after_seq"),
+        F.col("last_value").alias("after_value"),
+    )
+    feed = (
+        a.join(b, a["pk1"] == b["pk2"], "full")
+        .filter(
+            F.col("pk1").isNull()
+            | F.col("pk2").isNull()
+            | (F.col("before_seq") != F.col("after_seq"))
+        )
+        .select(
+            F.coalesce("pk2", "pk1").alias("pk"),
+            F.when(F.col("pk1").isNull(), F.lit("insert"))
+            .when(F.col("pk2").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("change_type"),
+            "before_seq",
+            "after_seq",
+            "before_value",
+            "after_value",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # sufficiency audit: v1 ⊕ feed must reproduce v2 exactly
+    touched_pks = feed.select("pk")
+    kept = s1.join(touched_pks, "pk", "left_anti")
+    added = feed.filter(F.col("change_type") != "delete").select(
+        "pk",
+        F.col("after_seq").alias("last_seq"),
+        F.col("after_value").alias("last_value"),
+    )
+    applied = kept.unionByName(added)
+    if (
+        applied.exceptAll(s2).count() != 0
+        or s2.exceptAll(applied).count() != 0
+    ):
+        raise RuntimeError("change feed applied to v1 did not reproduce v2")
+    return feed
+
+
+# ---------------------------------------------------------------------------
 # str_session_dynamic — session windows with a PER-EVENT gap (Spark's
 # dynamic-gap session_window): a purchase keeps the session alive 60
 # minutes, views/clicks 30, everything else 15 — the

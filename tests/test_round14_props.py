@@ -130,6 +130,35 @@ def test_knn_graph_search_beam_is_frontier_bounded(spark, sf_dir):
         assert all(r["vec_id"] != qid for r in rs)
 
 
+def test_change_feed_consistent_with_time_travel(spark, sf_dir):
+    """Cross-pin CDF ↔ time travel (same 2m/3 cut): every feed row's
+    membership claims must hold against the two snapshots, and every
+    pk the snapshots DISAGREE on must appear in the feed (the feed is
+    complete, not just sound)."""
+    tt = _q("snk_time_travel", spark, sf_dir).collect()
+    s1 = {r["pk"]: r["last_seq"] for r in tt if r["as_of"] == 1}
+    s2 = {r["pk"]: r["last_seq"] for r in tt if r["as_of"] == 2}
+    feed = _q("snk_change_feed", spark, sf_dir).collect()
+    seen = set()
+    for r in feed:
+        seen.add(r["pk"])
+        if r["change_type"] == "insert":
+            assert r["pk"] not in s1 and r["pk"] in s2
+            assert r["before_seq"] is None and r["after_seq"] == s2[r["pk"]]
+        elif r["change_type"] == "delete":
+            assert r["pk"] in s1 and r["pk"] not in s2
+            assert r["after_seq"] is None and r["before_seq"] == s1[r["pk"]]
+        else:
+            assert r["change_type"] == "update_postimage"
+            assert s1[r["pk"]] == r["before_seq"] != r["after_seq"] == s2[r["pk"]]
+    differing = {
+        pk
+        for pk in set(s1) | set(s2)
+        if s1.get(pk) != s2.get(pk)
+    }
+    assert differing == seen
+
+
 def test_manifest_sink_concurrent_writers_keep_foreign_tmps(tmp_path):
     """ADVICE r13: one writer's commit sweep must not delete ANOTHER
     writer's in-flight tmp files in the same path.  Simulate writer B's
