@@ -223,7 +223,7 @@ _DRIVER_GREEN = {
     "rel_cohort_retention", "rel_corr", "rel_filter", "rel_funnel",
     "rel_gapfill", "rel_graph_pagerank", "rel_having", "rel_histogram",
     "rel_join_anti", "rel_join_asof", "rel_join_asof_tol",
-    "rel_join_broadcast", "rel_join_bucketed", "rel_join_full",
+    "rel_join_bucketed", "rel_join_full",
     "rel_join_inner", "rel_join_left", "rel_join_range_bucket",
     "rel_join_right", "rel_join_semi", "rel_join_skew_salt", "rel_join_theta",
     "rel_markov_transitions", "rel_pivot", "rel_project", "rel_resample_ohlc",
@@ -267,8 +267,13 @@ _DEFERRED: set[str] = set()
 #  - snk_branch_merge: fork()/ff_merge() promoted to
 #    ManifestedUpsertSink methods (the branch contract now lives next
 #    to the manifest representation it depends on).
+#  - rel_join_broadcast: the round-15 derived-sf1.0 sweep caught its
+#    scale-8 revenue sum 1 ulp off (DuckDB int128→double double-rounds
+#    past 2^53 unscaled); both sides now re-cast the exact sum to
+#    DECIMAL(18,4) (value-exact) before the double cast.
 _DEMOTED: set[str] = {
-    "snk_branch_merge", "snk_pyds_writer", "str_pyds_stream_writer",
+    "rel_join_broadcast", "snk_branch_merge", "snk_pyds_writer",
+    "str_pyds_stream_writer",
 }
 
 # Long-pole queries (streaming setup / Python DataSource cold start /

@@ -452,7 +452,7 @@ def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_join_broadcast",
     """
     SELECT p_brand,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -460,14 +460,26 @@ def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim with an explicit broadcast hint: no shuffle of the fact
-    side — the pattern every 100 TB star-join should compile to."""
+    side — the pattern every 100 TB star-join should compile to.
+
+    The scale-8 product sum is re-cast to DECIMAL(18,4) BEFORE the
+    double cast (value-exact: extendedprice and discount carry 2 real
+    decimals each, so the product's scale-8 tail is zeros) — DuckDB's
+    int128->double conversion double-rounds once the unscaled value
+    exceeds 2^53, which first bites at the derived sf1.0's ~1.2e10
+    revenue sums (1 ulp off on 9 of 25 brands; round-15 sweep
+    finding).  At scale 4 the unscaled sum stays < 2^53 through sf10,
+    making both engines' casts single-rounding, hence identical."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     rev = _d12("l_extendedprice") * _d12(F.lit(1) - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
     )
 
 
