@@ -496,6 +496,163 @@ def _minhash_accuracy_frame(spark: SparkSession, sf_dir: str, stage: bool) -> Da
 
 
 # ---------------------------------------------------------------------------
+# llm_minhash_bbit — b-BIT MINHASH audit (Li & König 2010, "b-Bit
+# Minwise Hashing"): the signature-STORAGE knob for the dedup store.
+# Storing only the lowest b bits of each minhash cuts signature bytes
+# to b/128 of the md5 width; the price is chunk collisions — two
+# DIFFERENT minhash values agree on their low b bits with probability
+# 2^-b, so the raw match rate inflates to J + (1-J)·2^-b and the
+# unbiased estimate inverts that: est_b = (match·2^b − K)/(K·(2^b−1)).
+# For every LSH candidate pair (the llm_minhash_accuracy set — never
+# all-pairs) the op tabulates, at b ∈ {1, 2, 4}: the b-bit match
+# count, the corrected estimate, the full-width estimate, and the
+# exact Jaccard — the table that prices how many bits the 100 TB
+# signature store actually has to keep.
+#
+# Exactness: match counts are integer; every estimate is ONE double
+# division of identical integer operands in both engines (negative
+# estimates on low-J pairs are the estimator's documented noise, not
+# an error).  The low-b-bit value of a hex minhash is derived with
+# pure string/locate arithmetic (no engine hex-parse differences).
+# Oracle spliced from the base audit's CTE chain (import-time anchor
+# check — the two ops share one candidate-set definition).
+# ---------------------------------------------------------------------------
+
+_BBIT_BS = (1, 2, 4)
+
+
+def _bbit_oracle() -> str:
+    parts = _MH_ACC_ORACLE.split("\nSELECT c.doc_a,")
+    if len(parts) != 2:  # same contract as registry.oracle_splice
+        raise AssertionError("llm_minhash_bbit: base oracle anchor drifted")
+    prefix = parts[0]
+
+    def low(side: str, j: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({side}.m{j}, 32, 1)) - 1)"
+
+    cols = []
+    for b in _BBIT_BS:
+        match = " + ".join(
+            f"CASE WHEN {low('sa', j)} % {1 << b} = {low('sb', j)} % {1 << b}"
+            f" THEN 1 ELSE 0 END"
+            for j in range(_MH_K)
+        )
+        den = _MH_K * ((1 << b) - 1)
+        cols.append(f"CAST(({match}) AS BIGINT) AS n_match_b{b}")
+        cols.append(
+            f"CAST(({match}) * {1 << b} - {_MH_K} AS DOUBLE) / {den}"
+            f" AS est_b{b}"
+        )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(_MH_K)
+    )
+    col_sql = ",\n       ".join(cols)
+    return f"""{prefix}
+SELECT c.doc_a, c.doc_b,
+       {col_sql},
+       CAST(({agree}) AS DOUBLE) / {_MH_K} AS est_full,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+         AS exact_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register("llm_minhash_bbit", _bbit_oracle())
+def llm_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash storage-knob audit over the LSH candidate set:
+    b-bit match counts + corrected estimates at b ∈ {1,2,4} next to
+    the full-width estimate and exact Jaccard (see block comment)."""
+    d = wide_table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w"))
+    docw = split.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("shs"),
+    )
+
+    def _mh(j: int):
+        # closure-bound permutation (the 2-param-HOF-lambda gotcha)
+        return F.array_min(
+            F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{j}:"), x)))
+        ).alias(f"m{j}")
+
+    # signature lineage consumed four times (two band selects + both
+    # join-back sides) — staged once, the llm_minhash_accuracy rule
+    sig = docw.select(
+        "doc_id", "shs", *[_mh(j) for j in range(_MH_K)]
+    ).localCheckpoint(eager=False)
+    bands = None
+    for b in range(2):
+        cols = [f"m{j}" for j in range(b * 4, b * 4 + 4)]
+        one = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.concat(*cols).alias("key")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_K)],
+    )
+
+    def low(col: str) -> F.Column:
+        return F.expr(f"locate(substring({col}, 32, 1), '0123456789abcdef') - 1")
+
+    out_cols = []
+    for b in _BBIT_BS:
+        match = sum(
+            (low(f"a{j}") % (1 << b) == low(f"b{j}") % (1 << b)).cast("long")
+            for j in range(_MH_K)
+        )
+        den = _MH_K * ((1 << b) - 1)
+        out_cols.append(match.alias(f"n_match_b{b}"))
+        out_cols.append(
+            ((match * (1 << b) - _MH_K).cast("double") / den).alias(f"est_b{b}")
+        )
+    n_agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(_MH_K)
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *out_cols,
+            (n_agree.cast("double") / _MH_K).alias("est_full"),
+            (inter.cast("double") / union).alias("exact_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm_vocab_coverage — tokenizer-vocabulary audit: per document, the
 # fraction of word tokens outside a fixed vocabulary (the OOV rate a
 # team measures before committing to a tokenizer/vocab size; rising

@@ -226,6 +226,32 @@ def test_sink_branch_api_fork_isolation_and_ff_rules(spark, tmp_path):
     assert got == {1, 2, 3, 4}
 
 
+def test_minhash_bbit_estimator_rules(spark, sf_dir):
+    """b-bit invariants: match counts are monotone non-increasing in b
+    (fewer bits = more chunk collisions = more matches), every b-bit
+    match count dominates the full-width agreement, and each estimate
+    is exactly the documented inversion (match·2^b − K)/(K·(2^b−1)).
+    Cross-pin: est_full equals llm_minhash_accuracy's est_jaccard on
+    the identical candidate pair set."""
+    rows = _q("llm_minhash_bbit", spark, sf_dir).collect()
+    assert rows
+    base = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in _q("llm_minhash_accuracy", spark, sf_dir).collect()
+    }
+    K = 8
+    seen = set()
+    for r in rows:
+        seen.add((r["doc_a"], r["doc_b"]))
+        n_full = round(r["est_full"] * K)
+        assert r["n_match_b1"] >= r["n_match_b2"] >= r["n_match_b4"] >= n_full
+        for b in (1, 2, 4):
+            n = r[f"n_match_b{b}"]
+            assert r[f"est_b{b}"] == (n * 2**b - K) / (K * (2**b - 1))
+        assert base[(r["doc_a"], r["doc_b"])] == r["est_full"]
+    assert seen == set(base)
+
+
 def test_bench_detail_path_modes():
     """Subset/isolated bench runs must never clobber the full-suite
     BENCH_DETAIL.json (VERDICT r13 #1)."""
