@@ -2627,3 +2627,141 @@ def snk_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(counts_match)).alias("manifest_counts_match"),
         F.lit(bool(abort_clean)).alias("abort_left_no_trace"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_file_skipping — DATA SKIPPING from parquet footer statistics:
+# the metadata path that makes a 100 TB table readable.  The fixture
+# lays the orders table out as range-bucketed parquet (bucket =
+# o_orderkey div width, one file per bucket — a deterministic layout),
+# then builds a STATS MANIFEST the way a lakehouse table format does:
+# per-file min/max/num_rows harvested from the parquet FOOTER, read
+# DISTRIBUTED via mapInPandas over the file listing (pyarrow footer
+# reads on executors — never a driver loop over footers).  A range
+# predicate is planned against the manifest (file overlaps [lo, hi]),
+# ONLY the candidate files are scanned (with the residual predicate
+# pushed into the parquet reader), and the exported aggregate is the
+# pruned-read answer.  The oracle computes the same numbers from the
+# logical table — the driver's hash compare IS the proof that
+# stats-pruned read == full-table filter.
+#
+# Scale: this is exactly Iceberg/Delta data skipping re-expressed in
+# plain parquet.  At 100 TB the listing + footer harvest is the
+# (bounded, file-count-sized) metadata job — production formats amortize
+# it by writing the stats into the commit manifest at write time; the
+# manifest filter is O(files) metadata; the data scan touches only
+# overlapping files, and the pushed residual filter additionally prunes
+# row groups inside them.  Nothing here is proportional to table bytes
+# except the final (pruned) scan.
+# ---------------------------------------------------------------------------
+
+_SKIP_ORACLE = """
+WITH w AS (
+  SELECT (max(o_orderkey) // 32) + 1 AS width FROM orders
+), b AS (
+  SELECT o_orderkey, o_totalprice,
+         o_orderkey // (SELECT width FROM w) AS bucket
+  FROM orders
+), stats AS (
+  SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+  FROM b GROUP BY bucket
+), sel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM b
+  WHERE o_orderkey BETWEEN (SELECT width FROM w) * 8 + 3
+                       AND (SELECT width FROM w) * 19 + 7
+)
+SELECT CAST((SELECT count(*) FROM stats) AS BIGINT) AS n_files_total,
+       CAST((SELECT count(*) FROM stats
+             WHERE mn <= (SELECT width FROM w) * 19 + 7
+               AND mx >= (SELECT width FROM w) * 8 + 3) AS BIGINT)
+         AS n_files_scanned,
+       n_rows, revenue_cents
+FROM sel
+"""
+
+
+def _parquet_footer_stats(batches):
+    """mapInPandas kernel: per-file min/max/num_rows for `o_orderkey`
+    from the parquet FOOTER only (no data pages touched)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        rows = []
+        for p in pdf["path"]:
+            md = pq.ParquetFile(p).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "o_orderkey"
+            )
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            rows.append((p, int(mn), int(mx), int(md.num_rows)))
+        yield pd.DataFrame(rows, columns=["path", "mn", "mx", "n_rows"])
+
+
+def file_skipping_parts(spark: SparkSession, sf_dir: str):
+    """(manifest DF, candidate paths, n_files_total, lo, hi) — split out
+    so tests can gate the manifest and the pruned-scan plan separately."""
+    o = table(spark, sf_dir, "orders")
+    mk = int(o.agg(F.max("o_orderkey")).collect()[0][0])  # scalar cutover
+    width = mk // 32 + 1
+    lo, hi = width * 8 + 3, width * 19 + 7
+    out = _mkdtemp(prefix="src_skip_")
+    (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(f"div(o_orderkey, {width})").alias("bucket"),
+        )
+        .repartition("bucket")  # one file per bucket dir
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    paths = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    manifest = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).mapInPandas(
+        _parquet_footer_stats, schema="path string, mn long, mx long, n_rows long"
+    )
+    cand = [
+        r["path"]
+        for r in manifest.filter(
+            (F.col("mn") <= hi) & (F.col("mx") >= lo)
+        ).collect()  # O(files) metadata cutover
+    ]
+    return manifest, cand, len(paths), lo, hi
+
+
+@register("src_file_skipping", _SKIP_ORACLE)
+def src_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats file pruning with a pruned==full hash proof (see
+    block comment)."""
+    _, cand, n_total, lo, hi = file_skipping_parts(spark, sf_dir)
+    pruned = spark.read.parquet(*cand).filter(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    return pruned.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    ).select(
+        F.lit(n_total).cast("long").alias("n_files_total"),
+        F.lit(len(cand)).cast("long").alias("n_files_scanned"),
+        "n_rows",
+        "revenue_cents",
+    )
