@@ -2765,3 +2765,223 @@ def src_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "revenue_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_delete_vectors — POSITION-DELETE merge-on-read (the Iceberg v2 /
+# Delta "deletion vector" shape): base files are IMMUTABLE; a delete
+# predicate is executed ONCE into a positional index of
+# (file_path, row_index) pairs (Spark's parquet `_metadata` struct
+# supplies both natively); every subsequent read serves
+# base ANTI JOIN dv — no predicate re-evaluation, no base rewrite.
+# The export is the per-file maintenance ledger: rows / deleted / live
+# counts, live revenue from the ANTI-JOIN READ (so the driver's hash
+# compare proves MoR-read == logical delete), and the compaction
+# verdict (deleted fraction >= 10%, integer cross-multiply).
+#
+# Scale: deletes cost O(|matched rows|) index entries, not a rewrite
+# of 100 TB of base files.  The DV is partitioned by file at
+# production scale, so the anti join is file-local (no global shuffle
+# of the base: both sides are already keyed by the file the scan task
+# is reading — Iceberg executes it as a per-task bitmap probe).  The
+# ledger is one keyed agg; the rewrite decision feeds
+# snk_delete_vectors_apply.
+# ---------------------------------------------------------------------------
+
+_DV_ORACLE = """
+WITH w AS (
+  SELECT (max(o_orderkey) // 16) + 1 AS width FROM orders
+), b AS (
+  SELECT o_orderkey // (SELECT width FROM w) AS bucket,
+         (o_orderstatus = 'F' AND o_custkey % 3 = 0) AS del,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+       CAST(sum(CASE WHEN del THEN 0 ELSE cents END) AS BIGINT) AS live_cents,
+       (sum(CASE WHEN del THEN 1 ELSE 0 END) * 10 >= count(*)) AS rewrite
+FROM b GROUP BY bucket
+"""
+
+_DV_PRED = "o_orderstatus = 'F' AND o_custkey % 3 = 0"
+
+
+def delete_vector_parts(spark: SparkSession, sf_dir: str):
+    """(base DF with bucket+_metadata cols, dv DF, base root dir) —
+    the shared fixture for the DV ledger and its compaction arm."""
+    o = table(spark, sf_dir, "orders")
+    mk = int(o.agg(F.max("o_orderkey")).collect()[0][0])  # scalar cutover
+    width = mk // 16 + 1
+    out = _mkdtemp(prefix="snk_dv_")
+    (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.expr(f"div(o_orderkey, {width})").alias("bucket"),
+        )
+        .repartition("bucket")  # one immutable base file per bucket
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    base = spark.read.parquet(out).select(
+        "*",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    # the delete predicate runs ONCE, into a positional index
+    dv_dir = _mkdtemp(prefix="snk_dv_idx_")
+    base.filter(F.expr(_DV_PRED)).select("bucket", "fp", "pos").write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+    dv = spark.read.parquet(dv_dir)
+    return base, dv, out
+
+
+@register("snk_delete_vectors", _DV_ORACLE)
+def snk_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete MoR ledger: live side computed from the
+    base-ANTI-JOIN-dv read, never from the predicate (see block
+    comment)."""
+    base, dv, _ = delete_vector_parts(spark, sf_dir)
+    live = base.join(dv.select("fp", "pos"), ["fp", "pos"], "left_anti")
+    file_stats = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    dv_stats = dv.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_deleted")
+    )
+    live_stats = live.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("live_cents"),
+    )
+    return (
+        file_stats.join(dv_stats, "bucket", "left")
+        .join(live_stats, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce("live_cents", F.lit(0)).cast("long").alias("live_cents"),
+            (
+                F.coalesce("n_deleted", F.lit(0)) * 10 >= F.col("n_rows")
+            ).alias("rewrite"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# snk_delete_vectors_apply — the compaction arm of the DV lifecycle:
+# buckets whose deleted fraction crossed the threshold are REWRITTEN
+# (survivors only, a new generation-2 file; their DV entries are
+# dropped), cold buckets keep their generation-1 file + DV.  The
+# serving read becomes union(gen1-cold ANTI JOIN dv', gen2) and the
+# export proves the post-compaction read is row-identical to the
+# pre-compaction logical table (same per-bucket live counts/cents),
+# with the generation and residual-DV-entry ledger alongside.
+#
+# Scale: compaction touches ONLY flagged buckets' bytes (the
+# amortization rule every MoR table needs: DV probes cost read-side
+# CPU forever; rewrite when deleted% makes the probe loss exceed the
+# one-time rewrite).  Cold buckets move zero bytes — the gen1 read
+# prunes to them via the bucket partition column.
+# ---------------------------------------------------------------------------
+
+_DV_APPLY_ORACLE = """
+WITH w AS (
+  SELECT (max(o_orderkey) // 16) + 1 AS width FROM orders
+), b AS (
+  SELECT o_orderkey // (SELECT width FROM w) AS bucket,
+         (o_orderstatus = 'F' AND o_custkey % 3 = 0) AS del,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+         CAST(sum(CASE WHEN del THEN 0 ELSE cents END) AS BIGINT) AS live_cents
+  FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN n_deleted * 10 >= n_rows THEN 2 ELSE 1 END AS BIGINT)
+         AS generation,
+       n_live, live_cents,
+       CAST(CASE WHEN n_deleted * 10 >= n_rows THEN 0 ELSE n_deleted END
+            AS BIGINT) AS dv_remaining
+FROM per
+"""
+
+
+@register("snk_delete_vectors_apply", _DV_APPLY_ORACLE)
+def snk_delete_vectors_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV compaction: rewrite hot buckets, drop their DV entries, and
+    certify the hybrid gen1+gen2 read against the logical table (see
+    block comment)."""
+    base, dv, _ = delete_vector_parts(spark, sf_dir)
+    file_stats = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    dv_stats = dv.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_deleted")
+    )
+    verdict = file_stats.join(dv_stats, "bucket", "left").select(
+        "bucket",
+        (
+            F.coalesce("n_deleted", F.lit(0)) * 10 >= F.col("n_rows")
+        ).alias("rewrite"),
+        F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+    )
+    hot = [int(r["bucket"]) for r in verdict.filter("rewrite").collect()]
+    # rewrite: survivors of hot buckets -> generation-2 files
+    gen2_dir = _mkdtemp(prefix="snk_dv_gen2_")
+    live = base.join(dv.select("fp", "pos"), ["fp", "pos"], "left_anti")
+    (
+        live.filter(F.col("bucket").isin(hot))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "bucket")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(gen2_dir)
+    )
+    # post-compaction serving read: cold gen1 (anti-join surviving DV) + gen2
+    dv2 = dv.filter(~F.col("bucket").isin(hot))
+    cold = base.filter(~F.col("bucket").isin(hot)).join(
+        dv2.select("fp", "pos"), ["fp", "pos"], "left_anti"
+    )
+    gen2 = spark.read.parquet(gen2_dir)
+    cols = ["bucket", "o_totalprice"]
+    serving = cold.select(*cols).withColumn("generation", F.lit(1)).unionByName(
+        gen2.select(*cols).withColumn("generation", F.lit(2))
+    )
+    out = serving.groupBy("bucket").agg(
+        F.max("generation").cast("long").alias("generation"),
+        F.count("*").cast("long").alias("n_live"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("live_cents"),
+    )
+    return out.join(
+        verdict.select(
+            "bucket",
+            F.when(F.col("rewrite"), F.lit(0))
+            .otherwise(F.col("n_deleted"))
+            .cast("long")
+            .alias("dv_remaining"),
+        ),
+        "bucket",
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "generation",
+        "n_live",
+        "live_cents",
+        "dv_remaining",
+    )

@@ -50,3 +50,44 @@ def test_file_skipping_residual_pushdown(spark, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(o_orderkey" in plan
+
+
+def test_delete_vectors_read_equals_predicate(spark, sf_dir):
+    """The MoR contract: base ANTI JOIN dv must be ROW-IDENTICAL to
+    filtering the base with the delete predicate — positions are a
+    faithful, predicate-free encoding of the delete set."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.operators.sources import (
+        _DV_PRED,
+        delete_vector_parts,
+    )
+
+    base, dv, _ = delete_vector_parts(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    live_mor = base.join(
+        dv.select("fp", "pos"), ["fp", "pos"], "left_anti"
+    ).select(*cols)
+    live_logical = base.filter(~F.expr(_DV_PRED)).select(*cols)
+    assert live_mor.exceptAll(live_logical).count() == 0
+    assert live_logical.exceptAll(live_mor).count() == 0
+
+
+def test_delete_vectors_apply_preserves_live_table(spark, sf_dir):
+    """Compaction must not change the logical table: per-bucket
+    (n_live, live_cents) identical before and after the rewrite, and
+    rewritten buckets carry zero residual DV entries."""
+    pre = {
+        r["bucket"]: (r["n_live"], r["live_cents"], r["rewrite"])
+        for r in _q("snk_delete_vectors", spark, sf_dir).collect()
+    }
+    post = {
+        r["bucket"]: (r["n_live"], r["live_cents"], r["generation"], r["dv_remaining"])
+        for r in _q("snk_delete_vectors_apply", spark, sf_dir).collect()
+    }
+    assert set(post) == {b for b, (n, _, _) in pre.items() if n > 0}
+    for b, (n_live, cents, gen, dv_rem) in post.items():
+        assert (n_live, cents) == pre[b][:2]
+        assert gen == (2 if pre[b][2] else 1)
+        if gen == 2:
+            assert dv_rem == 0
