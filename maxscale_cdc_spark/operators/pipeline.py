@@ -2642,3 +2642,141 @@ def llm_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_take",
         (F.col("cum_take") > F.col("n_docs")).alias("repeating"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_dpo_pair_mining — PREFERENCE-PAIR construction for DPO/RLHF-style
+# post-training: within each source (domain), rank documents by the
+# registered quality signal (llm_quality_score's integer-rational
+# score) and pair rank-i best with rank-i worst, keeping a pair only
+# when the quality margin clears 0.15 — evaluated as an INTEGER
+# cross-multiplication (20·(num_c·den_r − num_r·den_c) ≥ 3·den_c·den_r,
+# exactly 0.15 = 3/20), so the keep/drop decision never touches float
+# rounding.  Pairing high-vs-low WITHIN a domain (not globally) is the
+# standard recipe: cross-domain pairs teach the reward model domain ID,
+# not quality.  Caps: ≤ 32 pairs per source and ≤ ⌊n/2⌋ (the floor
+# guarantees chosen ∩ rejected = ∅ without an explicit exclusion join).
+#
+# Exactness: quality doubles are the same integer-rational division in
+# both engines (bit-identical); rankings are total orders (quality,
+# doc_id); the exported gap is one IEEE subtraction of bit-identical
+# operands.  Integer bound: num,den ≤ 40·n_words, so the cross terms
+# stay under 2^63 for documents up to ~2·10^5 words — far above any
+# real document.
+#
+# Scale: two rank windows partitioned BY SOURCE (shuffle on source; at
+# 100 TB with giant domains this becomes rank-within-salted-subdomain
+# + a merge rank, same discipline as the zorder/compaction sorts), one
+# self-equi-join on (source, rank) whose right side is ≤ 32 rows per
+# source after the cap — effectively a broadcast.  Nothing all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dpo_pair_mining",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM t WHERE len(w) >= 1
+    ), q AS (
+      SELECT doc_id, source,
+             20 * n_uniq + 12 * (n_words - n_stop) + least(8 * n_words, sum_wlen) AS num,
+             40 * n_words AS den,
+             CAST(20 * n_uniq + 12 * (n_words - n_stop) + least(8 * n_words, sum_wlen) AS DOUBLE)
+               / (40.0 * n_words) AS quality
+      FROM m
+    ), r AS (
+      SELECT doc_id, source, num, den, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk_hi,
+             row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id DESC) AS rk_lo,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM q
+    )
+    SELECT c.source AS source,
+           CAST(c.rk_hi AS BIGINT) AS pair_rank,
+           c.doc_id AS chosen_doc,
+           rj.doc_id AS rejected_doc,
+           c.quality AS q_chosen,
+           rj.quality AS q_rejected,
+           c.quality - rj.quality AS gap
+    FROM r c JOIN r rj ON c.source = rj.source AND c.rk_hi = rj.rk_lo
+    WHERE c.rk_hi <= least(32, c.cnt // 2)
+      AND 20 * (c.num * rj.den - rj.num * c.den) >= 3 * c.den * rj.den
+    """,
+)
+def llm_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source chosen/rejected preference pairs under an exact
+    integer quality-margin rule (see block comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", "source", words("text").alias("w")).filter(
+        F.size("w") >= 1
+    )
+    m = split.select(
+        "doc_id",
+        "source",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    num = (
+        20 * F.col("n_uniq")
+        + 12 * (F.col("n_words") - F.col("n_stop"))
+        + F.least(8 * F.col("n_words"), F.col("sum_wlen"))
+    )
+    q = m.select(
+        "doc_id",
+        "source",
+        num.alias("num"),
+        (40 * F.col("n_words")).alias("den"),
+        (num.cast("double") / (40.0 * F.col("n_words").cast("double"))).alias(
+            "quality"
+        ),
+    )
+    w_hi = W.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    w_lo = W.partitionBy("source").orderBy(F.col("quality"), F.col("doc_id").desc())
+    r = q.select(
+        "*",
+        F.row_number().over(w_hi).alias("rk_hi"),
+        F.row_number().over(w_lo).alias("rk_lo"),
+        F.count("*").over(W.partitionBy("source")).alias("cnt"),
+    )
+    c = r.alias("c")
+    rj = r.alias("rj")
+    return (
+        c.join(
+            rj,
+            (F.col("c.source") == F.col("rj.source"))
+            & (F.col("c.rk_hi") == F.col("rj.rk_lo")),
+        )
+        .filter(
+            (F.col("c.rk_hi") <= F.least(F.lit(32), F.expr("div(c.cnt, 2)")))
+            & (
+                20
+                * (
+                    F.col("c.num") * F.col("rj.den")
+                    - F.col("rj.num") * F.col("c.den")
+                )
+                >= 3 * F.col("c.den") * F.col("rj.den")
+            )
+        )
+        .select(
+            F.col("c.source").alias("source"),
+            F.col("c.rk_hi").cast("long").alias("pair_rank"),
+            F.col("c.doc_id").alias("chosen_doc"),
+            F.col("rj.doc_id").alias("rejected_doc"),
+            F.col("c.quality").alias("q_chosen"),
+            F.col("rj.quality").alias("q_rejected"),
+            (F.col("c.quality") - F.col("rj.quality")).alias("gap"),
+        )
+    )

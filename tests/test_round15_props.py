@@ -91,3 +91,22 @@ def test_delete_vectors_apply_preserves_live_table(spark, sf_dir):
         assert gen == (2 if pre[b][2] else 1)
         if gen == 2:
             assert dv_rem == 0
+
+
+def test_dpo_pairs_disjoint_capped_margined(spark, sf_dir):
+    """Structural rules the oracle hash can't state directly: within a
+    source, chosen and rejected sets are disjoint, pair count <= 32,
+    and every kept pair clears the 0.15 margin."""
+    import collections
+
+    rows = _q("llm_dpo_pair_mining", spark, sf_dir).collect()
+    assert rows
+    per = collections.defaultdict(lambda: ([], []))
+    for r in rows:
+        per[r["source"]][0].append(r["chosen_doc"])
+        per[r["source"]][1].append(r["rejected_doc"])
+        assert r["gap"] >= 0.15 - 1e-12
+        assert r["q_chosen"] > r["q_rejected"]
+    for src, (ch, rj) in per.items():
+        assert len(ch) <= 32
+        assert not set(ch) & set(rj), src
