@@ -2780,3 +2780,93 @@ def llm_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c.quality") - F.col("rj.quality")).alias("gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_span_corruption_plan — T5/UL2-style DENOISING span plan: per
+# document, pick ~15% of tokens as non-overlapping 3-token mask spans
+# and price the objective's length arithmetic (masked tokens, sentinel
+# count, target length) plus an order-sensitive checksum of the span
+# START offsets, so the plan itself — not just its totals — is pinned
+# cross-engine.  Span placement is STRIDE-PARTITIONED determinism:
+# the token stream splits into n_spans equal strides and span k starts
+# at k·stride + h(doc_id, k) mod (stride−2) — non-overlap holds by
+# construction (stride ≥ 20 > 3 whenever more than one span exists),
+# no RNG, both engines evaluate the identical integer recurrence.
+# h caps doc_id at 2^20 BEFORE the Knuth multiply (the cdc_bitemporal
+# id-overflow rule: derived-scale ids × 2654435761 would pass 2^63).
+#
+# Why it matters at 100 TB: objective-aware length planning feeds
+# sequence packing (llm_pack_sequences) — target_len, not raw length,
+# is what fills an encoder-decoder batch; this is the scan-speed
+# narrow map that computes it.  One projection, zero shuffles, zero
+# UDFs.
+# ---------------------------------------------------------------------------
+
+_SPAN_EXPR = (
+    "(k - 1) * stride + "
+    "((doc_id % 1048576) * 2654435761 + (k - 1) * 97) % (stride - 2)"
+)
+
+
+@register(
+    "llm_span_corruption_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n,
+             greatest(CAST(1 AS BIGINT), (n * 15) // 300) AS n_spans
+      FROM t WHERE n >= 4
+    ), s AS (
+      SELECT doc_id, n, n_spans, n // n_spans AS stride FROM p
+    )
+    SELECT doc_id,
+           n AS n_words,
+           n_spans,
+           CAST(3 * n_spans AS BIGINT) AS n_masked,
+           CAST(n - 2 * n_spans AS BIGINT) AS target_len,
+           CAST(list_sum(list_transform(generate_series(1, n_spans),
+                k -> {_SPAN_EXPR})) AS BIGINT) AS start_sum,
+           CAST(list_sum(list_transform(generate_series(1, n_spans),
+                k -> k * ({_SPAN_EXPR}))) AS BIGINT) AS start_wsum,
+           CAST(3 * n_spans AS DOUBLE) / n AS corruption_ratio
+    FROM s
+    """,
+)
+def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-partitioned span-corruption plan with
+    length arithmetic and start-offset checksums (see block comment)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n")
+    ).filter(F.col("n") >= 4)
+    s = t.select(
+        "doc_id",
+        "n",
+        F.greatest(F.lit(1).cast("long"), F.expr("div(n * 15, 300)")).alias(
+            "n_spans"
+        ),
+    ).withColumn("stride", F.expr("div(n, n_spans)"))
+    span = _SPAN_EXPR
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        "n_spans",
+        (3 * F.col("n_spans")).cast("long").alias("n_masked"),
+        (F.col("n") - 2 * F.col("n_spans")).cast("long").alias("target_len"),
+        F.expr(
+            f"aggregate(sequence(1L, n_spans), 0L, (acc, k) -> acc + ({span}))"
+        )
+        .cast("long")
+        .alias("start_sum"),
+        F.expr(
+            f"aggregate(sequence(1L, n_spans), 0L, (acc, k) -> acc + k * ({span}))"
+        )
+        .cast("long")
+        .alias("start_wsum"),
+        ((3 * F.col("n_spans")).cast("double") / F.col("n")).alias(
+            "corruption_ratio"
+        ),
+    )

@@ -110,3 +110,25 @@ def test_dpo_pairs_disjoint_capped_margined(spark, sf_dir):
     for src, (ch, rj) in per.items():
         assert len(ch) <= 32
         assert not set(ch) & set(rj), src
+
+
+def test_span_plan_nonoverlap_in_bounds(spark, sf_dir):
+    """Reconstruct every doc's span starts from the published
+    recurrence and pin the geometric contract: spans are disjoint
+    (gap >= 3), in-bounds, and the checksums match the reconstruction."""
+    rows = _q("llm_span_corruption_plan", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, k_n = r["n_words"], r["n_spans"]
+        stride = n // k_n
+        starts = [
+            (k - 1) * stride
+            + ((r["doc_id"] % 1048576) * 2654435761 + (k - 1) * 97)
+            % (stride - 2)
+            for k in range(1, k_n + 1)
+        ]
+        assert all(b - a >= 3 for a, b in zip(starts, starts[1:]))
+        assert starts[0] >= 0 and starts[-1] + 3 <= n
+        assert sum(starts) == r["start_sum"]
+        assert sum(k * s for k, s in enumerate(starts, 1)) == r["start_wsum"]
+        assert r["n_masked"] == 3 * k_n and r["target_len"] == n - 2 * k_n
