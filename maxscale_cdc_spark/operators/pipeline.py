@@ -2870,3 +2870,90 @@ def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corruption_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_kv_prefix_cache_plan — PAGED-ATTENTION KV-cache accounting with
+# PREFIX SHARING (the vLLM block-table / SGLang radix-cache shape):
+# every sequence from a source shares that source's system prompt, so
+# the prompt's FULL 16-token blocks are allocated once per source and
+# only the boundary partial block + the private suffix + the
+# generation budget are per-sequence.  The export compares naive
+# (per-sequence ceil) allocation against the shared plan — the
+# capacity-planning table a serving fleet sizes GPU memory with.
+# Everything is integer block arithmetic (ceil = (x+15) div 16); the
+# per-source prompt length derives from the source string itself, so
+# both engines compute it without a lookup table.
+#
+# Scale: one narrow scan + one keyed agg per source — the plan for a
+# 100-billion-request log is the same two-stage map/combine rollup;
+# nothing is proportional to anything but the request count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_kv_prefix_cache_plan",
+    """
+    WITH s AS (
+      SELECT source,
+             48 + (length(source) * 17) % 40 AS p_tok,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> (length(x) + 3) // 4)) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(p_tok AS BIGINT) AS prefix_tok,
+           CAST(p_tok // 16 AS BIGINT) AS shared_blocks,
+           CAST(sum((p_tok + n_tok + 64 + 15) // 16) AS BIGINT) AS naive_blocks,
+           CAST(p_tok // 16 + sum((p_tok % 16 + n_tok + 64 + 15) // 16) AS BIGINT)
+             AS paged_blocks,
+           CAST(sum((p_tok + n_tok + 64 + 15) // 16)
+                - (p_tok // 16 + sum((p_tok % 16 + n_tok + 64 + 15) // 16))
+                AS BIGINT) AS saved_blocks,
+           CAST(sum((p_tok + n_tok + 64 + 15) // 16)
+                - (p_tok // 16 + sum((p_tok % 16 + n_tok + 64 + 15) // 16))
+                AS DOUBLE)
+             / sum((p_tok + n_tok + 64 + 15) // 16) AS savings_ratio
+    FROM s
+    GROUP BY source, p_tok
+    """,
+)
+def llm_kv_prefix_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix paged KV block plan vs naive allocation (see
+    block comment)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        (48 + (F.length("source") * 17) % 40).cast("long").alias("p_tok"),
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    naive = F.sum(F.expr("div(p_tok + n_tok + 64 + 15, 16)")).cast("long")
+    shared = F.expr("div(first(p_tok), 16)").cast("long")
+    private = F.sum(F.expr("div(p_tok % 16 + n_tok + 64 + 15, 16)")).cast("long")
+    return s.groupBy("source", "p_tok").agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        naive.alias("naive_blocks"),
+        private.alias("_private"),
+    ).select(
+        "source",
+        "n_seqs",
+        F.col("p_tok").cast("long").alias("prefix_tok"),
+        F.expr("div(p_tok, 16)").cast("long").alias("shared_blocks"),
+        "naive_blocks",
+        (F.expr("div(p_tok, 16)") + F.col("_private")).cast("long").alias(
+            "paged_blocks"
+        ),
+        (F.col("naive_blocks") - (F.expr("div(p_tok, 16)") + F.col("_private")))
+        .cast("long")
+        .alias("saved_blocks"),
+        (
+            (
+                F.col("naive_blocks")
+                - (F.expr("div(p_tok, 16)") + F.col("_private"))
+            ).cast("double")
+            / F.col("naive_blocks")
+        ).alias("savings_ratio"),
+    )

@@ -132,3 +132,15 @@ def test_span_plan_nonoverlap_in_bounds(spark, sf_dir):
         assert sum(starts) == r["start_sum"]
         assert sum(k * s for k, s in enumerate(starts, 1)) == r["start_wsum"]
         assert r["n_masked"] == 3 * k_n and r["target_len"] == n - 2 * k_n
+
+
+def test_kv_prefix_plan_identities(spark, sf_dir):
+    """Block-arithmetic identities: savings are non-negative and
+    bounded by (n_seqs − 1) · shared_blocks (the sharing upper bound),
+    and paged + saved == naive."""
+    rows = _q("llm_kv_prefix_cache_plan", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["paged_blocks"] + r["saved_blocks"] == r["naive_blocks"]
+        assert 0 <= r["saved_blocks"] <= (r["n_seqs"] - 1) * r["shared_blocks"] + r["n_seqs"]
+        assert r["shared_blocks"] == r["prefix_tok"] // 16
