@@ -3512,3 +3512,150 @@ def llm_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic entry point, visited-pool top-5 per probe query with
     the brute-force recall audit (see block comment)."""
     return _knn_graph_search_plan(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# llm_ann_binary_hamming — BINARY-QUANTIZED retrieval: the 32×
+# compression storage knob (sign-bit binarization, Jégou-family
+# baseline; what production vector stores ship as "binary quantization
+# + rescore").  Each 64-dim float vector becomes TWO packed BIGINTs
+# (sign bits of dims 1–32 / 33–64; two words because bit 63 of a
+# single 64-bit pack would overflow signed BIGINT arithmetic in the
+# Σ2^(i−1) formulation both engines share).  Candidate generation
+# ranks by Hamming distance (bit_count(xor)) — integer, exact, and at
+# scale a popcount over packed words at ~1/32 the scan bytes of the
+# float index — then the top-20 candidates are RESCORED with exact
+# cosine and the top-5 audited against brute-force float top-5
+# (recall@5), per probe.
+#
+# Determinism: Hamming is integer with (hd, vec_id) tie-break; cosines
+# cross the boundary 6-dp rounded; recall is an integer ratio /5.
+#
+# Scale: probes = every 100th vector (bounded probe TABLE, broadcast);
+# the Hamming pass is probe×corpus over TWO BIGINT columns (the whole
+# point: the float corpus is never scanned for candidates); rescoring
+# touches 20 floats-vectors per probe; the brute-force arm exists ONLY
+# as the audit (sampled probes), exactly like llm_ivf_recall.
+# ---------------------------------------------------------------------------
+
+_BH_QMOD = 100
+_BH_CAND = 20
+_BH_K = 5
+
+
+def _bh_oracle() -> str:
+    cos = sql_cosine("c.v", "q.qv")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_sum(list_transform(generate_series(1, 32),
+           i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                     ELSE CAST(0 AS BIGINT) END)) AS lo,
+         list_sum(list_transform(generate_series(33, 64),
+           i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+                     ELSE CAST(0 AS BIGINT) END)) AS hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv, lo AS qlo, hi AS qhi
+  FROM v0 WHERE vec_id % {_BH_QMOD} = 0
+), cand AS (
+  SELECT q.qid, c.vec_id, q.qv, c.v,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)),
+                      c.vec_id) AS hrk
+  FROM q JOIN v0 c ON c.vec_id <> q.qid
+), rr AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM (
+    SELECT c.qid, c.vec_id, {sql_cosine("c.v", "c.qv")} AS cos_sim
+    FROM cand c WHERE c.hrk <= {_BH_CAND}
+  ) c
+), exact AS (
+  SELECT q.qid, c.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY {cos} DESC, c.vec_id) AS erk
+  FROM q JOIN v0 c ON c.vec_id <> q.qid
+)
+SELECT r.qid,
+       max(CASE WHEN r.rk = 1 THEN r.cos_sim END) AS best_cos,
+       CAST(count(e.vec_id) AS BIGINT) AS n_hit,
+       CAST(count(e.vec_id) AS DOUBLE) / {_BH_K}.0 AS recall
+FROM rr r
+LEFT JOIN exact e
+  ON r.qid = e.qid AND r.vec_id = e.vec_id AND e.erk <= {_BH_K}
+WHERE r.rk <= {_BH_K}
+GROUP BY r.qid
+"""
+
+
+@register("llm_ann_binary_hamming", _bh_oracle())
+def llm_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary quantization: Hamming candidates → exact-cosine
+    rescore → recall@5 audit vs brute force (see block comment)."""
+    e = wide_table(spark, sf_dir, "embeddings")
+    pack = lambda a, b, off: F.expr(
+        f"aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc + "
+        f"CASE WHEN element_at(embedding, i) > 0D THEN shiftleft(1L, i - {off}) "
+        f"ELSE 0L END)"
+    )
+    v0 = e.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        pack(1, 32, 1).alias("lo"),
+        pack(33, 64, 33).alias("hi"),
+    ).localCheckpoint(eager=False)  # packed+float lineage consumed 3×
+    q = v0.filter(F.col("vec_id") % _BH_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        v0.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "qv",
+            "v",
+            (
+                F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
+            ).alias("hd"),
+        )
+    )
+    wh = W.partitionBy("qid").orderBy("hd", "vec_id")
+    rr = (
+        ham.withColumn("hrk", F.row_number().over(wh))
+        .filter(F.col("hrk") <= _BH_CAND)
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= _BH_K)
+    )
+    exact = (
+        v0.crossJoin(F.broadcast(q.select("qid", "qv")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("ecos"))
+        .withColumn(
+            "erk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("ecos").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("erk") <= _BH_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        rr.join(exact.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cos_sim"))).alias("best_cos"),
+            F.count("hit").cast("long").alias("n_hit"),
+            (F.count("hit").cast("double") / float(_BH_K)).alias("recall"),
+        )
+    )

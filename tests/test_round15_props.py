@@ -144,3 +144,33 @@ def test_kv_prefix_plan_identities(spark, sf_dir):
         assert r["paged_blocks"] + r["saved_blocks"] == r["naive_blocks"]
         assert 0 <= r["saved_blocks"] <= (r["n_seqs"] - 1) * r["shared_blocks"] + r["n_seqs"]
         assert r["shared_blocks"] == r["prefix_tok"] // 16
+
+
+def test_binary_hamming_codes_faithful(spark, sf_dir):
+    """The packed sign codes must reproduce the float signs exactly:
+    unpack lo/hi bit-by-bit and compare against embedding[i] > 0."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").limit(20)
+    pack = lambda a, b, off: F.expr(
+        f"aggregate(sequence({a}, {b}), 0L, (acc, i) -> acc + "
+        f"CASE WHEN element_at(embedding, i) > 0D THEN shiftleft(1L, i - {off}) "
+        f"ELSE 0L END)"
+    )
+    rows = e.select("embedding", pack(1, 32, 1).alias("lo"), pack(33, 64, 33).alias("hi")).collect()
+    assert rows
+    for r in rows:
+        for i, x in enumerate(r["embedding"]):
+            word, bit = (r["lo"], i) if i < 32 else (r["hi"], i - 32)
+            assert ((word >> bit) & 1) == (1 if x > 0 else 0)
+
+
+def test_binary_hamming_recall_bounds(spark, sf_dir):
+    rows = _q("llm_ann_binary_hamming", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hit"] == round(r["recall"] * 5)
+        assert -1.0 <= r["best_cos"] <= 1.0
