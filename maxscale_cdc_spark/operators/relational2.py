@@ -3385,3 +3385,88 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_purchases long, sum_value_cents long, min_seq long, max_seq long",
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_pseudonymize_consistent — GDPR-style KEYED PSEUDONYMIZATION with
+# a referential-consistency proof: customer keys are replaced by a
+# deterministic token (minstd multiplicative hash — (k mod p)·48271
+# mod p, p = 2^31−1; gcd(48271, p) = 1 makes it INJECTIVE for every
+# key below 2^31, so joinability survives tokenization by
+# construction, not by luck), the SAME tokenization is applied
+# independently to the orders fact table, and the export rolls revenue
+# up per nation THROUGH THE TOKEN JOIN.  The oracle builds the
+# identical token tree — the driver's hash compare therefore proves
+# (a) both engines tokenize identically (token_checksum) and (b) the
+# token join reproduces the key join's revenue exactly.  A production
+# system swaps the public mixing constant for an HMAC under a rotated
+# secret; the plan shape is identical.
+#
+# Scale: tokenization is a scan-speed narrow map on both tables (no
+# lookup table to build, ship, or protect — the token is a pure
+# function); the join/rollup is the same shuffle the un-masked query
+# would run.  Nothing materializes a key↔token mapping, which is the
+# point: there is no re-identification table to leak.
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SQL = "(({k} % 2147483647) * 48271) % 2147483647"
+
+
+@register(
+    "rel_pseudonymize_consistent",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey, {_PSEUDO_SQL.format(k="c_custkey")} AS tok
+      FROM customer
+    ), o AS (
+      SELECT {_PSEUDO_SQL.format(k="o_custkey")} AS tok,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), cust AS (
+      SELECT c_nationkey,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+             CAST(sum(tok) AS BIGINT) AS token_checksum
+      FROM c GROUP BY c_nationkey
+    ), fact AS (
+      SELECT c_nationkey,
+             CAST(count(o.tok) AS BIGINT) AS n_orders,
+             CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS revenue_cents
+      FROM c LEFT JOIN o ON c.tok = o.tok
+      GROUP BY c_nationkey
+    )
+    SELECT CAST(cust.c_nationkey AS BIGINT) AS nationkey,
+           n_tokens, token_checksum, n_orders, revenue_cents
+    FROM cust JOIN fact ON cust.c_nationkey = fact.c_nationkey
+    """,
+)
+def rel_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic injective tokenization of the customer key on
+    both sides of a fact join, certified through the token join (see
+    block comment)."""
+    tok = lambda k: ((F.col(k) % 2147483647) * 48271) % 2147483647
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey", tok("c_custkey").alias("tok")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        tok("o_custkey").alias("tok"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = c.groupBy("c_nationkey").agg(
+        F.countDistinct("tok").cast("long").alias("n_tokens"),
+        F.sum("tok").cast("long").alias("token_checksum"),
+    )
+    fact = (
+        c.join(o.withColumnRenamed("tok", "otok"), c["tok"] == F.col("otok"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("otok").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("revenue_cents"),
+        )
+    )
+    return cust.join(fact, "c_nationkey").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n_tokens",
+        "token_checksum",
+        "n_orders",
+        "revenue_cents",
+    )

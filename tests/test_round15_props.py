@@ -174,3 +174,29 @@ def test_binary_hamming_recall_bounds(spark, sf_dir):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hit"] == round(r["recall"] * 5)
         assert -1.0 <= r["best_cos"] <= 1.0
+
+
+def test_pseudonymize_injective_and_join_preserving(spark, sf_dir):
+    """The token must be injective on real keys (distinct tokens ==
+    distinct custkeys) and the token join must reproduce the key
+    join's revenue per nation exactly."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n_keys = c.select("c_custkey").distinct().count()
+    got = _q("rel_pseudonymize_consistent", spark, sf_dir)
+    assert got.agg(F.sum("n_tokens")).collect()[0][0] == n_keys
+    key_rev = {
+        r["c_nationkey"]: r["cents"]
+        for r in c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+        )
+        .collect()
+    }
+    for r in got.collect():
+        assert r["revenue_cents"] == key_rev.get(r["nationkey"], 0)
