@@ -2957,3 +2957,82 @@ def llm_kv_prefix_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("naive_blocks")
         ).alias("savings_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_pack_xdoc_attention — the COST OF MASKLESS PACKING: when packed
+# documents are trained WITHOUT document-boundary attention masks (the
+# common throughput shortcut), every token attends across document
+# boundaries to all earlier docs in its pack.  Per pack this op prices
+# that contamination exactly: cross-doc attended pairs =
+# Σ_i t_i · (Σ_{j<i} t_j) (docs in pack order), against the causal
+# total L·(L+1)/2 — the table that decides whether the run needs block-
+# diagonal masks (cf. the attention-mask ablations in T5 / Llama data
+# prep).  Builds ON the registered llm_pack_sequences layout (same
+# DataFrame lineage; oracle spliced from the same base SQL via the
+# import-checked anchor rule) so the audit prices the ACTUAL packer,
+# not a re-derived one.
+#
+# Everything integer (window prefix-sum, products, one div-2 triangle
+# number); the exported fraction is one integer-ratio division.
+# Scale: one extra window + one keyed agg over the packer's existing
+# (lang, pack) partitioning — no new shuffle key.
+# ---------------------------------------------------------------------------
+
+
+def _xdoc_oracle() -> str:
+    from maxscale_cdc_spark.operators import llm  # noqa: F401  (registers base)
+    from maxscale_cdc_spark.registry import ORACLE
+
+    base = ORACLE["llm_pack_sequences"].strip()
+    return f"""
+WITH packed AS (
+{base}
+), pre AS (
+  SELECT lang, pack_id, n_tok,
+         coalesce(SUM(n_tok) OVER (PARTITION BY lang, pack_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM packed
+)
+SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       CAST(sum(n_tok * prefix) AS BIGINT) AS xdoc_pairs,
+       CAST(sum(n_tok) * (sum(n_tok) + 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(sum(n_tok * prefix) AS DOUBLE)
+         / (sum(n_tok) * (sum(n_tok) + 1) // 2) AS xdoc_frac
+FROM pre
+GROUP BY lang, pack_id
+"""
+
+
+@register("llm_pack_xdoc_attention", _xdoc_oracle())
+def llm_pack_xdoc_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention contamination per pack, priced on the
+    registered packer's own layout (see block comment)."""
+    from pyspark.sql import Window as W
+
+    from maxscale_cdc_spark.operators.llm import llm_pack_sequences
+
+    p = llm_pack_sequences(spark, sf_dir)
+    wpre = (
+        W.partitionBy("lang", "pack_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = p.withColumn(
+        "prefix", F.coalesce(F.sum("n_tok").over(wpre), F.lit(0).cast("long"))
+    )
+    L = F.sum("n_tok")
+    return pre.groupBy("lang", F.col("pack_id").cast("long").alias("pack_id")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        L.cast("long").alias("pack_tokens"),
+        F.sum(F.col("n_tok") * F.col("prefix")).cast("long").alias("xdoc_pairs"),
+        F.expr("div(sum(n_tok) * (sum(n_tok) + 1), 2)")
+        .cast("long")
+        .alias("total_pairs"),
+        (
+            F.sum(F.col("n_tok") * F.col("prefix")).cast("double")
+            / F.expr("div(sum(n_tok) * (sum(n_tok) + 1), 2)")
+        ).alias("xdoc_frac"),
+    )

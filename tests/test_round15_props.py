@@ -200,3 +200,27 @@ def test_pseudonymize_injective_and_join_preserving(spark, sf_dir):
     }
     for r in got.collect():
         assert r["revenue_cents"] == key_rev.get(r["nationkey"], 0)
+
+
+def test_xdoc_attention_identities(spark, sf_dir):
+    """Triangle-number identities: a single-doc pack has zero cross-doc
+    pairs; xdoc_pairs < total_pairs always; and the pack token sums
+    reconcile with the packer's own output."""
+    from pyspark.sql import functions as F
+
+    rows = _q("llm_pack_xdoc_attention", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_docs"] == 1:
+            assert r["xdoc_pairs"] == 0
+        assert 0 <= r["xdoc_pairs"] < r["total_pairs"]
+        L = r["pack_tokens"]
+        assert r["total_pairs"] == L * (L + 1) // 2
+    packer = (
+        _q("llm_pack_sequences", spark, sf_dir)
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    )
+    got = {(r["lang"], r["pack_id"]): r["pack_tokens"] for r in rows}
+    assert got == {(r["lang"], r["pack_id"]): r["t"] for r in packer}
