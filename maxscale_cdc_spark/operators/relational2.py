@@ -3470,3 +3470,85 @@ def rel_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_expectations_suite — declarative DATA-QUALITY EXPECTATIONS (the
+# dbt-test / Great-Expectations shape) evaluated in ONE pass: not-null,
+# key uniqueness, accepted values, referential integrity against the
+# customer dimension, and a range rule — five verdict rows (checked /
+# failed / passed) from a single scan of the fact table plus one
+# broadcast of the distinct dimension keys.  The point of the operator
+# is the PLAN: expectation suites that run one query per rule re-scan
+# the 100 TB fact N times; folding every rule into CASE-sums over one
+# scan (uniqueness as count − count distinct) makes the suite cost one
+# pass regardless of rule count.  The 5-row pivot at the end is
+# `stack` over a single aggregate row — driver-free.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_expectations_suite",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             c.c_custkey AS fk
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_notnull,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_unique,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS f_vals,
+             CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_rel,
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS f_range
+      FROM j
+    )
+    SELECT 'not_null_custkey' AS expectation, n AS n_checked, f_notnull AS n_failed, f_notnull = 0 AS passed FROM agg
+    UNION ALL SELECT 'unique_orderkey', n, f_unique, f_unique = 0 FROM agg
+    UNION ALL SELECT 'accepted_status', n, f_vals, f_vals = 0 FROM agg
+    UNION ALL SELECT 'fk_customer', n, f_rel, f_rel = 0 FROM agg
+    UNION ALL SELECT 'positive_price', n, f_range, f_range = 0 FROM agg
+    """,
+)
+def rel_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five data-quality expectations in one fact scan + one broadcast
+    dim (see block comment)."""
+    o = table(spark, sf_dir, "orders")
+    dim = table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    j = o.join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "fk")),
+        o["o_custkey"] == F.col("fk"),
+        "left",
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("f_notnull"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("f_unique"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1))
+        .cast("long")
+        .alias("f_vals"),
+        F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0)).cast("long").alias("f_rel"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+        .cast("long")
+        .alias("f_range"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "'not_null_custkey', n, f_notnull, "
+            "'unique_orderkey', n, f_unique, "
+            "'accepted_status', n, f_vals, "
+            "'fk_customer', n, f_rel, "
+            "'positive_price', n, f_range"
+            ") AS (expectation, n_checked, n_failed)"
+        )
+    ).select(
+        "expectation",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )

@@ -224,3 +224,23 @@ def test_xdoc_attention_identities(spark, sf_dir):
     )
     got = {(r["lang"], r["pack_id"]): r["pack_tokens"] for r in rows}
     assert got == {(r["lang"], r["pack_id"]): r["t"] for r in packer}
+
+
+def test_expectations_one_scan_plan(spark, sf_dir):
+    """The whole suite must cost ONE scan of the fact table: exactly
+    one orders parquet scan in the executed plan, and the dim join is
+    a broadcast."""
+    df = _q("rel_expectations_suite", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    rows = {r["expectation"]: r for r in df.collect()}
+    assert set(rows) == {
+        "not_null_custkey",
+        "unique_orderkey",
+        "accepted_status",
+        "fk_customer",
+        "positive_price",
+    }
+    for r in rows.values():
+        assert r["passed"] == (r["n_failed"] == 0)
