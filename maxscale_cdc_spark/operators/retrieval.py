@@ -3659,3 +3659,106 @@ def llm_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / float(_BH_K)).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_centroid_classifier — nearest-centroid EVALUATION (Rocchio
+# classification): label prototypes are fit on the TRAIN split
+# (vec_id % 5 ≠ 0, the deterministic split convention) with the Q1.30
+# exact elementwise mean, held-out vectors (vec_id % 5 = 0) are
+# assigned to their max-cosine prototype, and the export is the
+# CONFUSION MATRIX plus per-true-label recall share — the quality
+# gate a pipeline runs on embedding+label integrity before using
+# labels for mixture/curriculum decisions (the eval-side complement
+# of llm_embed_outliers, which scores only the own-label similarity).
+#
+# Exactness: centroids are integer-Q1.30 rationals; cosines cross the
+# boundary 6-dp rounded; argmax is the (cos DESC, pred) total order;
+# share is one integer-ratio division.
+#
+# Scale: the train pass is one (label, dim) combinable aggregation;
+# prototypes are |labels| rows — BROADCAST; the test pass is a
+# map-side cross with |labels| rows per vector then a per-vector
+# argmax window — scan-speed, no corpus shuffle; the confusion
+# rollup is |labels|² rows.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_cls_oracle() -> str:
+    cos = sql_cosine("t.v", "c.cv")
+    return f"""
+WITH flat AS (
+  SELECT label, i.i AS dim,
+         CAST(floor(CAST(embedding AS DOUBLE[])[i.i] * {_Q30F}) AS BIGINT) AS q30
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE vec_id % 5 <> 0
+), m AS (
+  SELECT label, dim,
+         CAST(sum(q30) AS DOUBLE) / (count(*) * {_Q30F}) AS m
+  FROM flat GROUP BY label, dim
+), cent AS (
+  SELECT label, list(m ORDER BY dim) AS cv FROM m GROUP BY label
+), test AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+), best AS (
+  SELECT vec_id, label, pred FROM (
+    SELECT t.vec_id, t.label, c.label AS pred,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos} DESC, c.label) AS rn
+    FROM test t CROSS JOIN cent c
+  ) WHERE rn = 1
+), tot AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM best GROUP BY label
+)
+SELECT CAST(b.label AS BIGINT) AS label,
+       CAST(b.pred AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / min(t.n_label) AS share
+FROM best b JOIN tot t ON b.label = t.label
+GROUP BY b.label, b.pred
+"""
+
+
+@register("llm_centroid_classifier", _centroid_cls_oracle())
+def llm_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-split Rocchio prototypes → held-out argmax assignment →
+    confusion matrix + per-label recall share (see block comment)."""
+    e = table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 5 != 0).select(
+        "label", as_double("embedding").alias("v")
+    )
+    cent = q30_mean_arrays(train, "label")
+    test = e.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.col("label").alias("tlabel"), as_double("embedding").alias("v")
+    )
+    cos = F.round(
+        dot(F.col("v"), F.col("cv"))
+        / F.sqrt(norm_sq(F.col("v")) * norm_sq(F.col("cv"))),
+        6,
+    )
+    scored = test.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "tlabel", F.col("label").alias("pred"), cos.alias("cos")
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "pred")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "tlabel", "pred")
+    )
+    tot = best.groupBy("tlabel").agg(F.count("*").cast("long").alias("n_label"))
+    return (
+        best.join(tot, "tlabel")
+        .groupBy(
+            F.col("tlabel").cast("long").alias("label"),
+            F.col("pred").cast("long").alias("pred"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.count("*").cast("double") / F.min("n_label")).alias("share"),
+        )
+    )

@@ -2809,9 +2809,10 @@ FROM b GROUP BY bucket
 _DV_PRED = "o_orderstatus = 'F' AND o_custkey % 3 = 0"
 
 
-def delete_vector_parts(spark: SparkSession, sf_dir: str):
-    """(base DF with bucket+_metadata cols, dv DF, base root dir) —
-    the shared fixture for the DV ledger and its compaction arm."""
+def dv_base(spark: SparkSession, sf_dir: str):
+    """(base DF with bucket+(file,pos) `_metadata` cols, base root) —
+    the immutable range-bucketed base layout shared by the batch DV
+    ops and the streaming delete lane (str_delete_vector_stream)."""
     o = table(spark, sf_dir, "orders")
     mk = int(o.agg(F.max("o_orderkey")).collect()[0][0])  # scalar cutover
     width = mk // 16 + 1
@@ -2834,6 +2835,13 @@ def delete_vector_parts(spark: SparkSession, sf_dir: str):
         F.col("_metadata.file_path").alias("fp"),
         F.col("_metadata.row_index").alias("pos"),
     )
+    return base, out
+
+
+def delete_vector_parts(spark: SparkSession, sf_dir: str):
+    """(base DF with bucket+_metadata cols, dv DF, base root dir) —
+    the shared fixture for the DV ledger and its compaction arm."""
+    base, out = dv_base(spark, sf_dir)
     # the delete predicate runs ONCE, into a positional index
     dv_dir = _mkdtemp(prefix="snk_dv_idx_")
     base.filter(F.expr(_DV_PRED)).select("bucket", "fp", "pos").write.mode(

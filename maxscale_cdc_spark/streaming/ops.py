@@ -5950,3 +5950,135 @@ def str_cdc_e2e_native_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_reconverted).cast("long").alias("n_reconverted"),
         F.lit(bool(epochs_resumed)).alias("epochs_resumed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_delete_vector_stream — STREAMING deletes into the position-delete
+# index: delete REQUESTS (key predicates) arrive as micro-batches; each
+# foreachBatch epoch resolves its keys against the immutable base
+# (snk_delete_vectors' layout — sources.dv_base) into (file, pos)
+# entries appended under the epoch's own dir; the serving read is the
+# same predicate-free base-ANTI-JOIN-dv, now over the accumulated
+# index.  Certified: after three delete epochs (o_custkey mod 10 ∈
+# {0,1,2}) the MoR read must equal the batch delete of the UNION
+# predicate — streamed takedown requests compose exactly.
+#
+# This is the takedown/GDPR lane at 100 TB: each request batch costs
+# one pruned base probe (O(matched rows) index entries appended, no
+# rewrite, no state store — the DV dir IS the state, append-only and
+# epoch-keyed like the MoR delete files), and compaction remains the
+# separate amortization decision (snk_delete_vectors_apply).
+#
+# Exports per bucket: rows / deleted / live / live-cents (live side
+# FROM the anti-join read) + n_delete_epochs (distinct request
+# epochs that touched the bucket — the churn signal a compaction
+# scheduler watches).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_delete_vector_stream",
+    """
+    WITH w AS (
+      SELECT (max(o_orderkey) // 16) + 1 AS width FROM orders
+    ), b AS (
+      SELECT o_orderkey // (SELECT width FROM w) AS bucket,
+             o_custkey % 10 AS m,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN m IN (0, 1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN m IN (0, 1, 2) THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN m IN (0, 1, 2) THEN 0 ELSE cents END) AS BIGINT) AS live_cents,
+           CAST(count(DISTINCT CASE WHEN m IN (0, 1, 2) THEN m END) AS BIGINT) AS n_delete_epochs
+    FROM b GROUP BY bucket
+    """,
+)
+def str_delete_vector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed delete requests resolved per-epoch into the positional
+    index; accumulated MoR read == batch union-predicate delete (see
+    block comment)."""
+    import os
+
+    from maxscale_cdc_spark.operators.sources import dv_base
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        read_stream,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    base, _root = dv_base(spark, sf_dir)
+    reqs = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "req_id bigint, mod bigint"
+    )
+    staged = stage_as_stream_sequenced(reqs, "req_id", n_batches=3)
+    stream = read_stream(
+        spark, staged, schema="req_id bigint, mod bigint", max_files_per_trigger=1
+    )
+    dv_dir = _mkdtemp(prefix="str_dv_idx_")
+    seen: list[int] = []
+
+    def apply_requests(batch_df: DataFrame, epoch_id: int) -> None:
+        mods = [int(r["mod"]) for r in batch_df.collect()]  # config rows
+        if not mods:
+            return
+        seen.append(int(epoch_id))
+        (
+            base.filter((F.col("o_custkey") % 10).isin(mods))
+            .select(
+                "bucket",
+                "fp",
+                "pos",
+                (F.col("o_custkey") % 10).alias("m"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(dv_dir, f"epoch={epoch_id}"))
+        )
+
+    ckpt = _mkdtemp(prefix="ckpt_str_dv_")
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(apply_requests)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+    if len(seen) != 3:
+        raise RuntimeError(f"expected 3 delete epochs, saw {seen}")
+
+    dv = spark.read.option("basePath", dv_dir).parquet(dv_dir)
+    live = base.join(dv.select("fp", "pos"), ["fp", "pos"], "left_anti")
+    file_stats = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    dv_stats = dv.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_deleted"),
+        F.countDistinct("m").cast("long").alias("n_delete_epochs"),
+    )
+    live_stats = live.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("live_cents"),
+    )
+    return (
+        file_stats.join(dv_stats, "bucket", "left")
+        .join(live_stats, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce("live_cents", F.lit(0)).cast("long").alias("live_cents"),
+            F.coalesce("n_delete_epochs", F.lit(0))
+            .cast("long")
+            .alias("n_delete_epochs"),
+        )
+    )

@@ -244,3 +244,57 @@ def test_expectations_one_scan_plan(spark, sf_dir):
     }
     for r in rows.values():
         assert r["passed"] == (r["n_failed"] == 0)
+
+
+def test_centroid_classifier_shares_sum_to_one(spark, sf_dir):
+    """Per true label, the confusion-row shares must sum to exactly 1
+    (they are integer ratios over the same denominator), and n sums to
+    the held-out count."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("llm_centroid_classifier", spark, sf_dir).collect()
+    assert rows
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r["label"]].append(r)
+    for label, rs in per.items():
+        tot = sum(r["n"] for r in rs)
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-9
+        for r in rs:
+            assert r["share"] == r["n"] / tot
+    n_test = (
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0).count()
+    )
+    assert sum(r["n"] for r in rows) == n_test
+
+
+def test_delete_vector_stream_matches_batch_union(spark, sf_dir):
+    """Streamed per-epoch deletes must compose to the batch union
+    predicate: per-bucket live counts equal orders minus the union
+    delete, and every bucket's epochs count matches its distinct
+    touched mods."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.operators.sources import dv_base
+
+    rows = {r["bucket"]: r for r in _q("str_delete_vector_stream", spark, sf_dir).collect()}
+    base, _ = dv_base(spark, sf_dir)
+    want = {
+        r["bucket"]: (r["n_live"], r["n_epochs"])
+        for r in base.groupBy("bucket")
+        .agg(
+            F.sum(((F.col("o_custkey") % 10) >= 3).cast("long")).alias("n_live"),
+            F.countDistinct(
+                F.when((F.col("o_custkey") % 10) < 3, F.col("o_custkey") % 10)
+            ).alias("n_epochs"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(want)
+    for b, (n_live, n_epochs) in want.items():
+        assert rows[b]["n_live"] == n_live
+        assert rows[b]["n_delete_epochs"] == n_epochs
