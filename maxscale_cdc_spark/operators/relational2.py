@@ -3552,3 +3552,76 @@ def rel_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_failed").cast("long").alias("n_failed"),
         (F.col("n_failed") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_mv_rewrite_answer — MATERIALIZED-VIEW QUERY REWRITE: a dashboard
+# aggregate (per-type totals over a day range) is answered FROM the
+# stored per-(day, type) rollup MV — never from the base event log —
+# and the driver's hash compare against the oracle (which computes
+# from base) IS the rewrite-correctness proof.  The export carries
+# n_mv_rows_read so the plan's input cardinality (|days|·|types|
+# rows, not |events|) is part of the certified result.
+#
+# Exactness: the MV stores its measure as DECIMAL(18,4) (not double),
+# so the rewrite RE-SUMS exact decimals; decimal addition is
+# associative, making two-level (MV then query) summation equal to
+# the oracle's one-level sum; both engines re-cast to DECIMAL(18,4)
+# before the single double surface (the CLAUDE.md scale-8 rule).
+#
+# Scale: this is why rollup MVs exist — the 100 TB base is scanned
+# once per refresh cycle (rel_rollup_refresh's incremental job), and
+# every dashboard query reads the KB-sized MV with day-range pruning.
+# The rewrite path here reads ONLY the materialized parquet.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_mv_rewrite_answer",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value
+      FROM events
+    ), mv AS (
+      SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv
+      FROM d GROUP BY day, event_type
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_mv_rows_read
+    FROM mv WHERE day(day) BETWEEN 5 AND 12
+    GROUP BY event_type
+    """,
+)
+def rel_mv_rewrite_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer the day-ranged dashboard rollup from the STORED MV and
+    certify it against the base-table oracle (see block comment)."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    mv = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("sv"),
+        )
+    )
+    mv_dir = _mkdtemp(prefix="rel_mv_")
+    mv.write.mode("overwrite").parquet(mv_dir)  # the materialization
+    stored = spark.read.parquet(mv_dir)
+    return (
+        stored.filter(F.dayofmonth("day").between(5, 12))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("sv").cast("decimal(18,4)").cast("double").alias("total_value"),
+            F.count("*").cast("long").alias("n_mv_rows_read"),
+        )
+    )

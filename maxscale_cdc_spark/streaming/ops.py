@@ -6082,3 +6082,166 @@ def str_delete_vector_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_delete_epochs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# str_mor_compact_midstream — COMPACTION CONCURRENT WITH INGEST: the
+# invariant every lakehouse table must hold is that a compaction cycle
+# running between micro-batches is invisible to readers AND to the
+# still-running writer.  Here the MoR stream (str_mor_stream's
+# stateless epoch-keyed writer) ingests 4 epochs; when epoch 2 opens,
+# epochs 0–1 are FOLDED into a clean base (their reconciled alive
+# rows, carried forward at epoch 1 — the Iceberg sequence-number rule
+# keeps later deletes authoritative over folded rows), their data and
+# equality-delete files GC'd, and ingest continues into the same
+# tree.  The serving read afterwards is base ∪ residual epochs with
+# the SAME reconciliation rule, and the op raises unless it equals
+# the whole-log latest state recomputed from the spool (the oracle
+# then re-certifies value-by-value).
+#
+# Scale: the fold touches only epochs 0–1's rows (the bounded
+# per-cycle write); the stream never pauses — foreachBatch boundaries
+# are the natural fence a table format's optimistic-concurrency
+# commit gives a real OPTIMIZE job; base carry-forward at the folded
+# epoch's number is what makes writer and compactor commute.
+# (Production swaps dir deletes for a manifest swap + orphan GC —
+# snk_manifest_gc's discipline; the scratch fixture deletes in place.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_mor_compact_midstream",
+    f"""
+    WITH state AS ({_UPSERT_STATE_ORACLE})
+    SELECT pk, last_seq, last_value, last_ts_unix,
+           CAST(2 AS BIGINT) AS n_epochs_folded,
+           TRUE AS folded_dirs_gone
+    FROM state
+    """,
+)
+def str_mor_compact_midstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold epochs 0-1 into a base while the MoR stream is still
+    ingesting epochs 2-3; post-stream hybrid read == whole-log latest
+    state, raised in-op and oracle-certified (see block comment)."""
+    import os
+    import shutil
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream_sequenced(
+        table(spark, sf_dir, "events"),
+        "event_id",
+        n_batches=4,
+        cache_key=f"events:{sf_dir}",
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=1).select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    root = _mkdtemp(prefix="str_mor_cmp_")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    base_dir = os.path.join(root, "base")
+    seen: list[int] = []
+    folded: list[int] = []
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        # mid-stream compaction fence: fold 0-1 when epoch 2 opens
+        if int(epoch_id) == 2 and not folded:
+            data01 = spark.read.option("basePath", data_dir).parquet(data_dir)
+            dels01 = spark.read.option("basePath", del_dir).parquet(del_dir)
+            dmax01 = dels01.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+            alive01 = (
+                data01.join(dmax01, "pk", "left")
+                .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+                .select("pk", "last_seq", "last_value", "last_ts_unix")
+            )
+            alive01.write.mode("overwrite").parquet(base_dir)
+            for e in (0, 1):
+                shutil.rmtree(os.path.join(data_dir, f"epoch={e}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(del_dir, f"epoch={e}"), ignore_errors=True)
+            folded.extend([0, 1])
+        wb = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+        last = (
+            batch_df.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if last.isEmpty():
+            return
+        seen.append(int(epoch_id))
+        last.select("pk").write.mode("append").parquet(
+            os.path.join(del_dir, f"epoch={epoch_id}")
+        )
+        last.filter(F.col("dml_type") != "delete").select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        ).write.mode("append").parquet(os.path.join(data_dir, f"epoch={epoch_id}"))
+
+    ckpt = _mkdtemp(prefix="ckpt_mor_cmp_")
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+    if len(seen) != 4 or folded != [0, 1]:
+        raise RuntimeError(f"epoch/compaction schedule violated: {seen} {folded}")
+    gone = not any(
+        os.path.exists(os.path.join(d, f"epoch={e}"))
+        for d in (data_dir, del_dir)
+        for e in (0, 1)
+    )
+    if not gone:
+        raise RuntimeError("folded epoch dirs survived GC")
+
+    base = spark.read.parquet(base_dir).withColumn("epoch", F.lit(1))
+    resid = spark.read.option("basePath", data_dir).parquet(data_dir)
+    dels = spark.read.option("basePath", del_dir).parquet(del_dir)
+    datau = base.select(resid.columns).unionByName(resid)
+    dmax = dels.groupBy("pk").agg(F.max("epoch").alias("dmax"))
+    hybrid = (
+        datau.join(dmax, "pk", "left")
+        .filter(F.col("dmax").isNull() | (F.col("epoch") >= F.col("dmax")))
+        .select("pk", "last_seq", "last_value", "last_ts_unix")
+    )
+    # in-op proof: hybrid == whole-log latest state from the spool
+    cdc = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    wfull = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    full = (
+        cdc.withColumn("rn", F.row_number().over(wfull))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        )
+    )
+    if hybrid.exceptAll(full).count() != 0 or full.exceptAll(hybrid).count() != 0:
+        raise RuntimeError("mid-stream compaction changed the serving state")
+    return hybrid.select(
+        "*",
+        F.lit(2).cast("long").alias("n_epochs_folded"),
+        F.lit(bool(gone)).alias("folded_dirs_gone"),
+    )

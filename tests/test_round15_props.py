@@ -298,3 +298,33 @@ def test_delete_vector_stream_matches_batch_union(spark, sf_dir):
     for b, (n_live, n_epochs) in want.items():
         assert rows[b]["n_live"] == n_live
         assert rows[b]["n_delete_epochs"] == n_epochs
+
+
+def test_mv_rewrite_reads_mv_not_base(spark, sf_dir):
+    """The rewrite's certified input cardinality must be the MV's
+    (|days|x|types|), orders of magnitude below the base row count."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("rel_mv_rewrite_answer", spark, sf_dir).collect()
+    assert rows
+    n_base = table(spark, sf_dir, "events").count()
+    n_mv_read = sum(r["n_mv_rows_read"] for r in rows)
+    n_answered = sum(r["n_rows"] for r in rows)
+    assert n_mv_read < n_answered <= n_base
+
+
+def test_mor_midstream_compaction_state_matches_plain_stream(spark, sf_dir):
+    """Compaction concurrent with ingest must be invisible: the
+    mid-stream-compacted lane serves exactly the same pk state as the
+    never-compacted streaming lane."""
+    a = {
+        r["pk"]: (r["last_seq"], r["last_value"], r["last_ts_unix"])
+        for r in _q("str_mor_compact_midstream", spark, sf_dir).collect()
+    }
+    b = {
+        r["pk"]: (r["last_seq"], r["last_value"], r["last_ts_unix"])
+        for r in _q("str_mor_stream", spark, sf_dir).collect()
+    }
+    assert a == b
