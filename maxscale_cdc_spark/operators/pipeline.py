@@ -3036,3 +3036,74 @@ def llm_pack_xdoc_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr("div(sum(n_tok) * (sum(n_tok) + 1), 2)")
         ).alias("xdoc_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_prompt_cache_ttl — TEMPORAL prefix-cache hit accounting: treating
+# the event log as a serving request log (user = conversation), a
+# request HITS the prompt cache iff the same conversation was seen
+# within the TTL (3600 s) — computed as ONE lag window per user under
+# the (t, event_id) total order, hits attributed to the request's
+# type.  This is the time axis llm_kv_prefix_cache_plan's capacity
+# table doesn't have: capacity says how many blocks sharing saves,
+# TTL hit rate says how often the shared blocks are actually still
+# resident.  saved_prefix_tokens prices the hits at the 64-token
+# shared prefix.
+#
+# Scale: one keyed window (shuffle on user/conversation id — the
+# natural serving-log partition) + one rollup; integer seconds, ratio
+# exports.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_prompt_cache_ttl",
+    """
+    WITH r AS (
+      SELECT event_type, user_id,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ), lagged AS (
+      SELECT event_type, t,
+             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+      FROM r
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND t - prev <= 3600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND t - prev <= 3600
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_rate,
+           CAST(64 * sum(CASE WHEN prev IS NOT NULL AND t - prev <= 3600
+                              THEN 1 ELSE 0 END) AS BIGINT) AS saved_prefix_tokens
+    FROM lagged GROUP BY event_type
+    """,
+)
+def llm_prompt_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL prompt-cache hit rate per request type from one per-
+    conversation lag window (see block comment)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    )
+    lagged = r.select(
+        "event_type",
+        "t",
+        F.lag("t").over(W.partitionBy("user_id").orderBy("t", "event_id")).alias(
+            "prev"
+        ),
+    )
+    hit = F.when(
+        F.col("prev").isNotNull() & ((F.col("t") - F.col("prev")) <= 3600), 1
+    ).otherwise(0)
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("hit_rate"),
+        (64 * F.sum(hit)).cast("long").alias("saved_prefix_tokens"),
+    )

@@ -2993,3 +2993,92 @@ def snk_delete_vectors_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "live_cents",
         "dv_remaining",
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_column_encryption — ENVELOPE COLUMN ENCRYPTION with
+# crypto-shredding: the PII column (c_name) is encrypted at write time
+# with a PER-NATION data-encryption key (AES-128, deterministic
+# derivation from the partition key standing in for a KMS lookup; ECB
+# so the fixture is deterministic — production wraps random DEKs with
+# a KMS master key and uses GCM), the encrypted table is what lands
+# in parquet, and the serving read joins the KEYRING to decrypt.
+# GDPR erasure is then KEY DESTRUCTION: nation 0's DEK is dropped
+# from the keyring and its rows become unreadable without touching a
+# byte of data — the crypto-shred alternative to physical deletes
+# (snk_delete_vectors covers the positional kind).  The export's
+# name_digest comes from the DECRYPTED reads, so the oracle's
+# plaintext digest certifies the full encrypt→land→decrypt roundtrip;
+# n_decrypted = 0 + NULL digest certify the shred.
+#
+# Scale: encryption is a scan-speed JVM expression (no UDF, no extra
+# shuffle); the keyring is |partitions| rows broadcast; key rotation
+# or shredding touches the keyring only — O(1) metadata against
+# 100 TB of immutable ciphertext.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_column_encryption",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN c_nationkey = 0 THEN 0 ELSE count(*) END AS BIGINT)
+             AS n_decrypted,
+           (c_nationkey <> 0) AS readable,
+           CASE WHEN c_nationkey = 0 THEN NULL
+                ELSE md5(string_agg(c_name, '' ORDER BY c_custkey)) END
+             AS name_digest
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def snk_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition-key envelope encryption, keyring-joined decrypt
+    read, and crypto-shred of nation 0 (see block comment)."""
+    c = table(spark, sf_dir, "customer")
+    dek = F.substring(F.md5(F.col("c_nationkey").cast("string")), 1, 16)
+    enc_dir = _mkdtemp(prefix="snk_enc_")
+    (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.expr(
+                "aes_encrypt(c_name, substr(md5(CAST(c_nationkey AS STRING)), 1, 16), 'ECB')"
+            ).alias("name_enc"),
+        )
+        .write.mode("overwrite")
+        .parquet(enc_dir)
+    )
+    stored = spark.read.parquet(enc_dir)
+    # the keyring, minus the shredded nation's DEK
+    keyring = (
+        c.select("c_nationkey").distinct().filter(F.col("c_nationkey") != 0)
+        .select("c_nationkey", dek.alias("dek"))
+    )
+    served = stored.join(F.broadcast(keyring), "c_nationkey", "left").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(try_aes_decrypt(name_enc, dek, 'ECB') AS STRING)").alias(
+            "name"
+        ),
+        F.col("dek").isNotNull().alias("has_key"),
+    )
+    return served.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("name").cast("long").alias("n_decrypted"),
+        F.max("has_key").alias("readable"),
+        F.when(
+            F.max("has_key"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("c_custkey", "name"))),
+                        lambda s: s["name"],
+                    ),
+                )
+            ),
+        ).alias("name_digest"),
+    )

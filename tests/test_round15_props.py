@@ -328,3 +328,47 @@ def test_mor_midstream_compaction_state_matches_plain_stream(spark, sf_dir):
         for r in _q("str_mor_stream", spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_prompt_cache_identities(spark, sf_dir):
+    rows = _q("llm_prompt_cache_ttl", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_requests"]
+        assert r["hit_rate"] == r["n_hits"] / r["n_requests"]
+        assert r["saved_prefix_tokens"] == 64 * r["n_hits"]
+
+
+def test_column_encryption_shred_and_roundtrip(spark, sf_dir):
+    """Crypto-shred semantics: nation 0 is unreadable (0 decrypts,
+    NULL digest), every other nation decrypts ALL rows and its digest
+    matches the plaintext digest recomputed here."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = {r["nationkey"]: r for r in _q("snk_column_encryption", spark, sf_dir).collect()}
+    assert rows[0]["n_decrypted"] == 0 and rows[0]["name_digest"] is None
+    assert not rows[0]["readable"]
+    want = {
+        r["c_nationkey"]: r["d"]
+        for r in table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+                        lambda s: s["c_name"],
+                    ),
+                )
+            ).alias("d")
+        )
+        .collect()
+    }
+    for nk, r in rows.items():
+        if nk == 0:
+            continue
+        assert r["readable"] and r["n_decrypted"] == r["n_rows"]
+        assert r["name_digest"] == want[nk]
