@@ -3107,3 +3107,116 @@ def llm_prompt_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(hit).cast("double") / F.count("*")).alias("hit_rate"),
         (64 * F.sum(hit)).cast("long").alias("saved_prefix_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_moe_capacity_plan — MIXTURE-OF-EXPERTS routing ledger: top-2
+# hash-routed expert assignment (E = 8) with the CAPACITY-FACTOR
+# token-dropping arithmetic every MoE data pipeline budgets for
+# (Switch/GShard: per batch, each expert accepts at most
+# ceil(cf · 2 · batch_tokens / E) with cf = 1.25 = 5/4; overflow
+# tokens are DROPPED).  Routing is the capped-multiply hash (doc_id
+# capped at 2^20 BEFORE the Knuth multiply — the overflow rule), slot
+# 2 deterministically deflected off a slot-1 collision; batches are
+# doc_id div 256.  Exports per expert: routed slots, assigned tokens,
+# total capacity, dropped tokens, drop rate — the load-balance table
+# that says whether the router needs an aux loss.
+#
+# Everything integer (ceil = (10·bt + 31) div 32); one scan + two
+# keyed rollups; the per-batch capacity join is |batches| rows.
+# ---------------------------------------------------------------------------
+
+_MOE_TOK = (
+    "CAST(list_sum(list_transform(string_split(text, ' '), "
+    "x -> (length(x) + 3) // 4)) AS BIGINT)"
+)
+
+
+@register(
+    "llm_moe_capacity_plan",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_MOE_TOK} AS n_tok,
+             doc_id // 256 AS batch,
+             ((doc_id % 1048576) * 2654435761) % 2147483648 AS h
+      FROM documents
+    ), routed AS (
+      SELECT batch, n_tok, h % 8 AS e FROM toks
+      UNION ALL
+      SELECT batch, n_tok,
+             CASE WHEN (h // 8) % 8 = h % 8 THEN (h % 8 + 1) % 8
+                  ELSE (h // 8) % 8 END
+      FROM toks
+    ), bt AS (
+      SELECT batch, CAST(sum(n_tok) AS BIGINT) AS btok FROM toks GROUP BY batch
+    ), pe AS (
+      SELECT r.e AS expert, r.batch,
+             CAST(count(*) AS BIGINT) AS n_slots,
+             CAST(sum(r.n_tok) AS BIGINT) AS assigned,
+             CAST((10 * b.btok + 31) // 32 AS BIGINT) AS cap
+      FROM routed r JOIN bt b ON r.batch = b.batch
+      GROUP BY r.e, r.batch, b.btok
+    ), caps AS (
+      SELECT CAST(sum((10 * btok + 31) // 32) AS BIGINT) AS cap_total FROM bt
+    )
+    SELECT CAST(expert AS BIGINT) AS expert,
+           CAST(sum(n_slots) AS BIGINT) AS n_docs_routed,
+           CAST(sum(assigned) AS BIGINT) AS assigned_tokens,
+           (SELECT cap_total FROM caps) AS capacity_tokens,
+           CAST(sum(greatest(assigned - cap, 0)) AS BIGINT) AS dropped_tokens,
+           CAST(sum(greatest(assigned - cap, 0)) AS DOUBLE) / sum(assigned)
+             AS drop_rate
+    FROM pe GROUP BY expert
+    """,
+)
+def llm_moe_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 hash routing + capacity-factor token-drop ledger per
+    expert (see block comment)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+        ).alias("n_tok"),
+        F.expr("div(doc_id, 256)").alias("batch"),
+        F.expr("((doc_id % 1048576) * 2654435761) % 2147483648").alias("h"),
+    )
+    e1 = F.expr("h % 8")
+    e2 = F.expr(
+        "CASE WHEN div(h, 8) % 8 = h % 8 THEN (h % 8 + 1) % 8 ELSE div(h, 8) % 8 END"
+    )
+    routed = toks.select("batch", "n_tok", e1.alias("e")).unionByName(
+        toks.select("batch", "n_tok", e2.alias("e"))
+    )
+    bt = toks.groupBy("batch").agg(F.sum("n_tok").cast("long").alias("btok"))
+    pe = (
+        routed.join(F.broadcast(bt), "batch")
+        .groupBy("e", "batch", "btok")
+        .agg(
+            F.count("*").cast("long").alias("n_slots"),
+            F.sum("n_tok").cast("long").alias("assigned"),
+        )
+        .withColumn("cap", F.expr("div(10 * btok + 31, 32)").cast("long"))
+    )
+    caps = bt.agg(
+        F.sum(F.expr("div(10 * btok + 31, 32)")).cast("long").alias("cap_total")
+    )
+    dropped = F.sum(F.greatest(F.col("assigned") - F.col("cap"), F.lit(0)))
+    return (
+        pe.groupBy(F.col("e").cast("long").alias("expert"))
+        .agg(
+            F.sum("n_slots").cast("long").alias("n_docs_routed"),
+            F.sum("assigned").cast("long").alias("assigned_tokens"),
+            dropped.cast("long").alias("dropped_tokens"),
+            (dropped.cast("double") / F.sum("assigned")).alias("drop_rate"),
+        )
+        .crossJoin(F.broadcast(caps))
+        .select(
+            "expert",
+            "n_docs_routed",
+            "assigned_tokens",
+            F.col("cap_total").alias("capacity_tokens"),
+            "dropped_tokens",
+            "drop_rate",
+        )
+    )

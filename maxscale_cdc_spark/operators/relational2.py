@@ -3625,3 +3625,93 @@ def rel_mv_rewrite_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_mv_rows_read"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_feature_pit_audit — POINT-IN-TIME-correct feature join + LEAKAGE
+# audit (the feature-store contract that prevents training/serving
+# skew): labels (purchases) take each user's latest click FEATURE
+# at-or-before the label timestamp — the PIT join, computed with the
+# rel_join_asof union+window formulation (one keyed sort, no range
+# self-join) — while the audit column counts how many labels a NAIVE
+# latest-feature join would have contaminated with future information
+# (the user's latest click strictly AFTER the label).  staleness_sec
+# sums label−feature age: the freshness mass a feature-store SLA
+# tracks.  Exports roll up per user shard (user_id % 16).
+#
+# Scale: one union scan + one per-user window; the naive-leak check
+# rides the SAME window partition (max over the full frame) — zero
+# extra shuffles.  At 100 TB this is the backfill join a feature
+# platform runs per training-set build.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_feature_pit_audit",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), pit AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             (SELECT max(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = l.user_id
+                 AND c.ts <= l.ts) AS pit_ts,
+             (SELECT max(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = l.user_id) AS any_ts
+      FROM l
+    )
+    SELECT CAST(user_id % 16 AS BIGINT) AS user_shard,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(count(pit_ts) AS BIGINT) AS n_with_feature,
+           CAST(sum(CASE WHEN any_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_naive_leak,
+           CAST(sum(CASE WHEN any_ts > ts THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS leak_rate,
+           CAST(sum(CASE WHEN pit_ts IS NOT NULL THEN
+                  CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                  - CAST(floor(extract(epoch FROM pit_ts)) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS staleness_sec
+    FROM pit GROUP BY user_id % 16
+    """,
+)
+def rel_feature_pit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT feature join with naive-leak and staleness accounting (see
+    block comment)."""
+    ev = table(spark, sf_dir, "events")
+    marked = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    order = [
+        F.col("ts"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
+        F.col("event_id"),
+    ]
+    w_pit = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("user_id")
+    enriched = marked.select(
+        "*",
+        F.last("click_ts", ignorenulls=True).over(w_pit).alias("pit_ts"),
+        F.max("click_ts").over(w_all).alias("any_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    leak = F.when(F.col("any_ts") > F.col("ts"), 1).otherwise(0)
+    stale = F.when(
+        F.col("pit_ts").isNotNull(),
+        F.unix_timestamp("ts") - F.unix_timestamp("pit_ts"),
+    ).otherwise(F.lit(0).cast("long"))
+    return enriched.groupBy(
+        (F.col("user_id") % 16).cast("long").alias("user_shard")
+    ).agg(
+        F.count("*").cast("long").alias("n_labels"),
+        F.count("pit_ts").cast("long").alias("n_with_feature"),
+        F.sum(leak).cast("long").alias("n_naive_leak"),
+        (F.sum(leak).cast("double") / F.count("*")).alias("leak_rate"),
+        F.sum(stale).cast("long").alias("staleness_sec"),
+    )

