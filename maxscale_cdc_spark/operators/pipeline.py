@@ -3220,3 +3220,101 @@ def llm_moe_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_eval_pass_at_k — the UNBIASED pass@k estimator (Chen et al.
+# 2021, Codex): given n sampled attempts per task with c successes,
+# pass@k = 1 − C(n−c, k)/C(n, k), computed as the exact integer
+# product Π (n−c−i)/(n−i) — never the naive (c/n)^k-style biased
+# average.  Tasks are doc_id div 16 attempt groups; an attempt
+# "succeeds" when the llm_quality_score rational clears 1/2, decided
+# by INTEGER cross-multiplication (2·num ≥ den).  pass@4 falls back
+# to exactly 1.0 when fewer than 4 failures exist (C(n−c,4) = 0) and
+# NULL when the tail group has n < 4 (estimator undefined).
+#
+# Exactness: numerator/denominator products are BIGINTs (n ≤ 16);
+# both engines evaluate ONE double division + subtraction on
+# identical integers.  Scale: one scan, one keyed rollup — eval
+# harness accounting at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_eval_pass_at_k",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM t WHERE len(w) >= 1
+    ), att AS (
+      SELECT doc_id // 16 AS task,
+             CASE WHEN 2 * (20 * n_uniq + 12 * (n_words - n_stop)
+                            + least(8 * n_words, sum_wlen))
+                       >= 40 * n_words
+                  THEN 1 ELSE 0 END AS ok
+      FROM m
+    ), per AS (
+      SELECT task, CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS c
+      FROM att GROUP BY task
+    )
+    SELECT CAST(task AS BIGINT) AS task, n, c,
+           CAST(c AS DOUBLE) / n AS pass1,
+           CASE WHEN n < 4 THEN NULL
+                WHEN n - c < 4 THEN 1.0
+                ELSE 1.0 - CAST((n-c) * (n-c-1) * (n-c-2) * (n-c-3) AS DOUBLE)
+                           / ((n) * (n-1) * (n-2) * (n-3))
+           END AS pass4
+    FROM per
+    """,
+)
+def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@{1,4} per attempt group, exact integer
+    combinatorics (see block comment)."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 1)
+    m = split.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    num = (
+        20 * F.col("n_uniq")
+        + 12 * (F.col("n_words") - F.col("n_stop"))
+        + F.least(8 * F.col("n_words"), F.col("sum_wlen"))
+    )
+    att = m.select(
+        F.expr("div(doc_id, 16)").alias("task"),
+        F.when(2 * num >= 40 * F.col("n_words"), 1).otherwise(0).alias("ok"),
+    )
+    per = att.groupBy("task").agg(
+        F.count("*").cast("long").alias("n"), F.sum("ok").cast("long").alias("c")
+    )
+    f = F.col("n") - F.col("c")
+    pass4 = (
+        F.when(F.col("n") < 4, F.lit(None).cast("double"))
+        .when(f < 4, F.lit(1.0))
+        .otherwise(
+            1.0
+            - (f * (f - 1) * (f - 2) * (f - 3)).cast("double")
+            / (
+                F.col("n") * (F.col("n") - 1) * (F.col("n") - 2) * (F.col("n") - 3)
+            )
+        )
+    )
+    return per.select(
+        F.col("task").cast("long").alias("task"),
+        "n",
+        "c",
+        (F.col("c").cast("double") / F.col("n")).alias("pass1"),
+        pass4.alias("pass4"),
+    )

@@ -3715,3 +3715,56 @@ def rel_feature_pit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(leak).cast("double") / F.count("*")).alias("leak_rate"),
         F.sum(stale).cast("long").alias("staleness_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_hll_precision_knob — the HLL SKETCH-SIZE knob (the
+# llm_minhash_bbit discipline applied to distinct counting): per
+# event type, the exact distinct-user count (the oracle-certified
+# export) next to in-op DataSketches HLL estimates at lgK ∈ {4, 8,
+# 12} (2^lgK registers — 16 B / 256 B / 4 KB of sketch state), each
+# RAISE-CHECKED against its ~3σ relative-error envelope (1.04/√2^lgK
+# → 0.78 / 0.20 / 0.05) and exported as a certified boolean.  This
+# is the table that prices a 100 TB rollup's distinct-count memory:
+# HLL register merges are max-operations — order- and
+# partitioning-invariant (re-verified under repartition in tests) —
+# so the booleans are deterministic even though the estimates stay
+# engine-specific (which is exactly why the estimate itself doesn't
+# cross the oracle boundary).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_hll_precision_knob",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS err_ok_lgk4, TRUE AS err_ok_lgk8, TRUE AS err_ok_lgk12
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_hll_precision_knob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts + lgK-swept HLL estimates raise-checked
+    inside their error envelopes (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 4))").alias("e4"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 8))").alias("e8"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("e12"),
+    )
+    rows = agg.collect()  # |event types| rows — scalar cutover
+    for r in rows:
+        for est, tol in ((r["e4"], 0.78), (r["e8"], 0.20), (r["e12"], 0.05)):
+            if abs(est - r["n_exact"]) > tol * r["n_exact"]:
+                raise RuntimeError(
+                    f"HLL estimate {est} outside {tol} envelope of "
+                    f"{r['n_exact']} for {r['event_type']}"
+                )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.lit(True).alias("err_ok_lgk4"),
+        F.lit(True).alias("err_ok_lgk8"),
+        F.lit(True).alias("err_ok_lgk12"),
+    )

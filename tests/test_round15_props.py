@@ -416,3 +416,38 @@ def test_moe_capacity_conservation(spark, sf_dir):
     assert len(caps) == 1
     for r in rows:
         assert 0 <= r["dropped_tokens"] <= r["assigned_tokens"]
+
+
+def test_pass_at_k_estimator_identities(spark, sf_dir):
+    """pass@4 >= pass@1 (more samples can only help), bounds in [0,1],
+    and the estimator matches a math.comb recomputation."""
+    import math
+
+    rows = _q("llm_eval_pass_at_k", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pass1"] <= 1.0
+        if r["pass4"] is None:
+            assert r["n"] < 4
+            continue
+        assert r["pass4"] >= r["pass1"] - 1e-12
+        n, c = r["n"], r["c"]
+        want = 1.0 - math.comb(n - c, 4) / math.comb(n, 4)
+        assert abs(r["pass4"] - want) < 1e-12
+
+
+def test_hll_sketch_partition_invariant(spark, sf_dir):
+    """HLL register merges are max-ops: the estimate must be identical
+    at 1 and 13 partitions."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = lambda df: {
+        r["event_type"]: r["e"]
+        for r in df.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 8))").alias("e"))
+        .collect()
+    }
+    assert est(ev.coalesce(1)) == est(ev.repartition(13))
