@@ -2138,3 +2138,69 @@ def llm_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(oov_l).cast("double") / F.count("*")).alias("oov_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_watermark_detect — decoder WATERMARK detection at corpus scale
+# (Kirchenbauer et al. 2023, "A Watermark for Large Language Models"):
+# a watermarking decoder seeds a "greenlist" from each previous token
+# and boosts green logits; detection asks whether a document's green
+# fraction is statistically too high.  Here the greenlist rule is the
+# public md5 bigram hash (first byte < 128 ⇒ green, p = 1/2) and the
+# one-sided z > 4 test is evaluated in INTEGERS: z = (2g − n)/√n > 4
+# ⟺ 2g > n AND (2g − n)² > 16n — no float boundary anywhere in the
+# verdict.  The exported green_frac is one integer-ratio division.
+#
+# Why a data engine ships this: provenance filtering — a pretraining
+# pipeline that must exclude (or quota) model-generated text runs
+# exactly this scan.  Scale: narrow per-row map over the bigram
+# array (split projected once, the CollapseProject rule), zero
+# shuffles before the per-doc rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_watermark_detect",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+             CAST(list_sum(list_transform(generate_series(2, len(w)),
+               i -> CASE WHEN CAST(('0x' || substr(md5(w[i-1] || ' ' || w[i]), 1, 2))
+                              AS INTEGER) < 128 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_green
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT doc_id, n_bigrams, n_green,
+           CAST(n_green AS DOUBLE) / n_bigrams AS green_frac,
+           (2 * n_green > n_bigrams
+            AND (2 * n_green - n_bigrams) * (2 * n_green - n_bigrams)
+                > 16 * n_bigrams) AS watermark_suspect
+    FROM g
+    """,
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist-fraction watermark detection with the integer z>4
+    verdict (see block comment)."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 2)
+    g = split.select(
+        "doc_id",
+        (F.size("w") - 1).cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(aggregate(sequence(2, size(w)), 0L, (acc, i) -> acc + "
+            "CASE WHEN conv(substr(md5(concat(element_at(w, i - 1), ' ', "
+            "element_at(w, i))), 1, 2), 16, 10) < 128 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_green"),
+    )
+    dlt = 2 * F.col("n_green") - F.col("n_bigrams")
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        "n_green",
+        (F.col("n_green").cast("double") / F.col("n_bigrams")).alias("green_frac"),
+        ((dlt > 0) & (dlt * dlt > 16 * F.col("n_bigrams"))).alias(
+            "watermark_suspect"
+        ),
+    )

@@ -3768,3 +3768,73 @@ def rel_hll_precision_knob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("err_ok_lgk8"),
         F.lit(True).alias("err_ok_lgk12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_dp_contribution_bound — DIFFERENTIAL-PRIVACY release prep: the
+# deterministic half of a DP aggregate is CONTRIBUTION BOUNDING — cap
+# each user at C = 8 events per (type) cell (keep the C earliest by
+# (ts, event_id), a total order) so the query's L1 sensitivity is a
+# known constant before calibrated noise is added at serving time
+# (the noise draw is the one genuinely random step and happens OUTSIDE
+# the pipeline; what the 100 TB job must produce is the bounded
+# aggregate + the sensitivity ledger this op certifies).  Exports per
+# type: raw vs bounded counts, users clamped, the sensitivity C, and
+# the epsilon share under a uniform 4-query budget split of ε = 1
+# (integer-ratio 0.25) — the accounting a privacy review signs.
+#
+# Scale: one rank window per (user, type) + one rollup; bounding is
+# the shuffle the raw aggregate already needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_dp_contribution_bound",
+    """
+    WITH r AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), per_user AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM r GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(n_raw) AS BIGINT) AS n_raw,
+           CAST(sum(n_kept) AS BIGINT) AS n_bounded,
+           CAST(sum(CASE WHEN n_raw > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_clamped,
+           CAST(8 AS BIGINT) AS sensitivity,
+           CAST(1 AS DOUBLE) / 4 AS epsilon_share
+    FROM per_user GROUP BY event_type
+    """,
+)
+def rel_dp_contribution_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding + sensitivity ledger for a DP
+    release (see block comment)."""
+    ev = table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id", "event_type").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    per_user = r.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("rn") <= 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_raw").cast("long").alias("n_raw"),
+        F.sum("n_kept").cast("long").alias("n_bounded"),
+        F.sum(F.when(F.col("n_raw") > 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_clamped"),
+        F.lit(8).cast("long").alias("sensitivity"),
+        (F.lit(1).cast("double") / 4).alias("epsilon_share"),
+    )

@@ -451,3 +451,46 @@ def test_hll_sketch_partition_invariant(spark, sf_dir):
         .collect()
     }
     assert est(ev.coalesce(1)) == est(ev.repartition(13))
+
+
+def test_watermark_verdict_matches_float_z(spark, sf_dir):
+    """The integer verdict must equal the float z>4 test it encodes."""
+    import math
+
+    rows = _q("llm_watermark_detect", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, g = r["n_bigrams"], r["n_green"]
+        z = (2 * g - n) / math.sqrt(n)
+        assert r["watermark_suspect"] == (z > 4.0 or (z == 4.0 and False))
+        assert 0.0 <= r["green_frac"] <= 1.0
+
+
+def test_dp_bound_conservation(spark, sf_dir):
+    """Bounded <= raw; bounded = raw exactly when nobody clamps; and
+    per-user kept counts never exceed the sensitivity."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.tables import table
+
+    rows = _q("rel_dp_contribution_bound", spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    raw = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_raw"] == raw[r["event_type"]]
+        assert r["n_bounded"] <= r["n_raw"]
+        if r["n_users_clamped"] == 0:
+            assert r["n_bounded"] == r["n_raw"]
+        assert r["sensitivity"] == 8
+    mx = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.least(F.count("*"), F.lit(8)).alias("kept"))
+        .agg(F.sum("kept").alias("s"), F.max("kept").alias("m"))
+        .collect()[0]
+    )
+    assert mx["m"] <= 8
+    assert sum(r["n_bounded"] for r in rows) == mx["s"]
