@@ -1389,3 +1389,86 @@ def mm_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_straddling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_tiling_plan — VLM DYNAMIC TILING (the LLaVA-NeXT / InternVL
+# preprocessing step): each image is split into a grid of fixed
+# 16-px tiles, the grid chosen from all (cols, rows) with
+# cols·rows ≤ 6 as the ASPECT-RATIO argmin — distance
+# |cols·h − rows·w| / rows compared identically in both engines, ties
+# broken (n_tiles DESC, cols ASC) — plus the global thumbnail tile;
+# vision_tokens = (tiles + 1) · 64.  This is the table that prices a
+# multimodal batch's vision-token budget (mm_modality_budget_plan
+# consumes exactly such counts) and fixes the crop geometry every
+# tile-level cache keys on.
+#
+# Scale: a 14-row candidate grid BROADCAST against the decode
+# metadata (never the pixels), one per-doc argmin window — scan
+# speed; the pixel-touching crop runs once per chosen tile in the
+# real codec path (stubbed here, mm_decode_stub's contract).
+# ---------------------------------------------------------------------------
+
+_TILE_GRIDS = [(c, r) for c in range(1, 7) for r in range(1, 7) if c * r <= 6]
+
+
+def _tiling_oracle() -> str:
+    vals = ", ".join(f"({c}, {r})" for c, r in _TILE_GRIDS)
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + length(text) % 32 AS BIGINT) AS w,
+         CAST(16 + length(text) % 24 AS BIGINT) AS h
+  FROM documents
+), grids(c, r) AS (VALUES {vals}),
+scored AS (
+  SELECT d.doc_id, d.w, d.h, g.c, g.r,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY CAST(abs(g.c * d.h - g.r * d.w) AS DOUBLE) / g.r,
+                    g.c * g.r DESC, g.c
+         ) AS rn
+  FROM dims d CROSS JOIN grids g
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS grid_cols, CAST(r AS BIGINT) AS grid_rows,
+       CAST(c * r AS BIGINT) AS n_tiles,
+       CAST((c * r + 1) * 64 AS BIGINT) AS vision_tokens
+FROM scored WHERE rn = 1
+"""
+
+
+@register("mm_tiling_plan", _tiling_oracle())
+def mm_tiling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio-matched dynamic tile grid + vision-token budget
+    per image (see block comment)."""
+    dims = mm_decode_stub(spark, sf_dir).select(
+        "doc_id",
+        F.col("width").cast("long").alias("w"),
+        F.col("height").cast("long").alias("h"),
+    )
+    grids = spark.createDataFrame(_TILE_GRIDS, "c long, r long")
+    scored = dims.crossJoin(F.broadcast(grids)).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                (
+                    F.abs(F.col("c") * F.col("h") - F.col("r") * F.col("w")).cast(
+                        "double"
+                    )
+                    / F.col("r")
+                ),
+                (F.col("c") * F.col("r")).desc(),
+                "c",
+            )
+        ),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("w").alias("width"),
+        F.col("h").alias("height"),
+        F.col("c").alias("grid_cols"),
+        F.col("r").alias("grid_rows"),
+        (F.col("c") * F.col("r")).cast("long").alias("n_tiles"),
+        ((F.col("c") * F.col("r") + 1) * 64).cast("long").alias("vision_tokens"),
+    )

@@ -494,3 +494,23 @@ def test_dp_bound_conservation(spark, sf_dir):
     )
     assert mx["m"] <= 8
     assert sum(r["n_bounded"] for r in rows) == mx["s"]
+
+
+def test_tiling_plan_argmin_valid(spark, sf_dir):
+    """The chosen grid must be a legal candidate (<= 6 tiles) and be
+    the true aspect-ratio argmin under the documented tie-breaks,
+    recomputed in Python per doc."""
+    from maxscale_cdc_spark.operators.multimodal import _TILE_GRIDS
+
+    rows = _q("mm_tiling_plan", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r["grid_cols"], r["grid_rows"]) in _TILE_GRIDS
+        assert r["n_tiles"] == r["grid_cols"] * r["grid_rows"] <= 6
+        assert r["vision_tokens"] == (r["n_tiles"] + 1) * 64
+        w, h = r["width"], r["height"]
+        best = min(
+            _TILE_GRIDS,
+            key=lambda g: (abs(g[0] * h - g[1] * w) / g[1], -g[0] * g[1], g[0]),
+        )
+        assert (r["grid_cols"], r["grid_rows"]) == best
