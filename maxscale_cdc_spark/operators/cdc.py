@@ -3708,3 +3708,97 @@ def cdc_backfill_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("chunks_key_atomic"),
         F.lit(True).alias("coverage_complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_retention_policy_apply — CLASS-BASED RETENTION enforcement (the
+# data-governance purge distinct from tombstone GC, which reclaims
+# physically-dead rows): a per-class policy table — clicks 30 days,
+# views 7 days, purchases/signups retained forever — is BROADCAST
+# against the event log, the horizon anchored at max(ts) (the
+# deterministic "now"), survivors are MATERIALIZED (the purge is a
+# rewrite into the retained layout, not a filtered view someone can
+# forget to apply), and the export is the conservation ledger
+# (before = purged + after, per class) plus each class's oldest
+# retained second — what an auditor checks against the policy.
+#
+# Scale: one scalar anchor read, one broadcast policy join, one
+# filtered rewrite of O(survivors) — at 100 TB with day-partitioned
+# layout the filter becomes partition PRUNING and the rewrite touches
+# only the horizon-straddling partition (whole expired partitions
+# drop by manifest).  The ledger aggregates come FROM the retained
+# materialization (plus purged = before − after), so the oracle hash
+# certifies the rewrite, not just the plan.
+# ---------------------------------------------------------------------------
+
+_RETENTION_DAYS = {"click": 30, "view": 7}  # absent ⇒ retain forever
+
+
+@register(
+    "cdc_retention_policy_apply",
+    """
+    WITH anchor AS (SELECT max(ts) AS now FROM events),
+    pol AS (
+      SELECT event_type,
+             CASE event_type WHEN 'click' THEN 30 WHEN 'view' THEN 7
+                  ELSE NULL END AS days
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), marked AS (
+      SELECT e.event_type,
+             CAST(floor(extract(epoch FROM e.ts)) AS BIGINT) AS t,
+             (p.days IS NOT NULL AND
+              e.ts < (SELECT now FROM anchor) - to_days(CAST(p.days AS INTEGER)))
+               AS expired
+      FROM events e JOIN pol p ON e.event_type = p.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(sum(CASE WHEN expired THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(min(CASE WHEN NOT expired THEN t END) AS BIGINT)
+             AS oldest_retained_unix
+    FROM marked GROUP BY event_type
+    """,
+)
+def cdc_retention_policy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast policy join + survivor rewrite + conservation ledger
+    (see block comment)."""
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    ev = table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).collect()[0][0]  # the deterministic anchor
+    pol = spark.createDataFrame(
+        [(k, v) for k, v in _RETENTION_DAYS.items()], "event_type string, days int"
+    )
+    marked = ev.join(F.broadcast(pol), "event_type", "left").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.col("days").isNotNull()
+            & (F.col("ts") < F.lit(now) - F.expr("make_dt_interval(days)"))
+        ).alias("expired"),
+    )
+    out = _mkdtemp(prefix="cdc_retain_")
+    marked.filter(~F.col("expired")).drop("expired").write.mode(
+        "overwrite"
+    ).parquet(out)
+    retained = spark.read.parquet(out)
+    before = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    after = retained.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_after"),
+        F.min(F.unix_timestamp("ts")).cast("long").alias("oldest_retained_unix"),
+    )
+    return before.join(after, "event_type", "left").select(
+        "event_type",
+        "n_before",
+        (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+        .cast("long")
+        .alias("n_purged"),
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        "oldest_retained_unix",
+    )

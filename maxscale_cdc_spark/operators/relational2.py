@@ -3838,3 +3838,147 @@ def rel_dp_contribution_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).cast("long").alias("sensitivity"),
         (F.lit(1).cast("double") / 4).alias("epsilon_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rel_bloom_fpr_knob — BLOOM-FILTER sizing knob with EXACTLY-verified
+# false positives: because the k=2 hash functions are the public md5
+# slices, the filter's entire behavior is deterministic and BOTH
+# engines can build the identical bit set and replay the identical
+# probes — so unlike the HLL knob (whose estimates stay in-op), the
+# false-positive COUNTS themselves cross the oracle boundary.  Build:
+# distinct customer keys → 2 positions each into m ∈ {1024, 4096}
+# bits; probe: shifted order keys (guaranteed non-members at every
+# oracle-checked scale, and membership is computed exactly anyway);
+# export per m: bits set, probes, true members, maybes, false
+# positives, measured FPR — the table that picks the runtime-filter
+# size rel_join_bloom_runtime ships to the scan side.
+#
+# Scale: the filter is O(m) bits broadcast; build and probe are one
+# narrow map + one distinct each; the exact-membership audit column
+# is the oracle-scale instrument, not the production path.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SHIFT = 10000019
+
+
+def _bloom_sql_block(m: int) -> str:
+    h = lambda col, a: (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), {a}, 8)) AS BIGINT) % {m}"
+    )
+    return f"""
+  SELECT CAST({m} AS BIGINT) AS m,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT pos FROM (
+              SELECT {h("k", 1)} AS pos FROM keys
+              UNION SELECT {h("k", 9)} FROM keys))) AS n_bits_set,
+         CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_members,
+         CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+         CAST(sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positive,
+         CAST(sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN is_member THEN 0 ELSE 1 END) AS fpr
+  FROM (
+    SELECT mb.p, mb.is_member,
+           (p1.pos IS NOT NULL AND p2.pos IS NOT NULL) AS maybe
+    FROM member mb
+    LEFT JOIN (SELECT DISTINCT pos FROM (
+                 SELECT {h("k", 1)} AS pos FROM keys
+                 UNION SELECT {h("k", 9)} FROM keys)) p1
+      ON p1.pos = {h("mb.p", 1)}
+    LEFT JOIN (SELECT DISTINCT pos FROM (
+                 SELECT {h("k", 1)} AS pos FROM keys
+                 UNION SELECT {h("k", 9)} FROM keys)) p2
+      ON p2.pos = {h("mb.p", 9)}
+  )
+"""
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+probes AS (SELECT DISTINCT o_custkey + {_BLOOM_SHIFT} AS p FROM orders),
+member AS (
+  SELECT p, (k IS NOT NULL) AS is_member FROM probes LEFT JOIN keys ON p = k
+)
+{_bloom_sql_block(1024)}
+UNION ALL
+{_bloom_sql_block(4096)}
+"""
+
+
+@register("rel_bloom_fpr_knob", _BLOOM_ORACLE)
+def rel_bloom_fpr_knob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-hash Bloom filter at two sizes with exact FP
+    accounting (see block comment)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    keys = c.select(F.col("c_custkey").alias("k")).distinct().localCheckpoint(
+        eager=False
+    )  # key set consumed 2× per m (build) + probes
+    probes = o.select(
+        (F.col("o_custkey") + _BLOOM_SHIFT).alias("p")
+    ).distinct()
+    member = probes.join(
+        keys.withColumnRenamed("k", "mk"), probes["p"] == F.col("mk"), "left"
+    ).select("p", F.col("mk").isNotNull().alias("is_member"))
+
+    def h(col, a, m):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), a, 8), 16, 10)
+            .cast("long")
+            % m
+        )
+
+    out = None
+    for m in (1024, 4096):
+        pos = (
+            keys.select(h("k", 1, m).alias("pos"))
+            .union(keys.select(h("k", 9, m).alias("pos")))
+            .distinct()
+        )
+        n_bits = pos.count()  # O(1) scalar per m
+        chk = (
+            member.withColumn("h1", h("p", 1, m))
+            .withColumn("h2", h("p", 9, m))
+            .join(
+                F.broadcast(pos.withColumnRenamed("pos", "b1")),
+                F.col("h1") == F.col("b1"),
+                "left",
+            )
+            .join(
+                F.broadcast(pos.withColumnRenamed("pos", "b2")),
+                F.col("h2") == F.col("b2"),
+                "left",
+            )
+            .select(
+                "is_member",
+                (F.col("b1").isNotNull() & F.col("b2").isNotNull()).alias("maybe"),
+            )
+        )
+        fp = F.sum(F.when(F.col("maybe") & ~F.col("is_member"), 1).otherwise(0))
+        block = chk.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_members"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe"),
+            fp.cast("long").alias("n_false_positive"),
+            (
+                fp.cast("double")
+                / F.sum(F.when(F.col("is_member"), 0).otherwise(1))
+            ).alias("fpr"),
+        ).select(
+            F.lit(m).cast("long").alias("m"),
+            F.lit(n_bits).cast("long").alias("n_bits_set"),
+            "n_probes",
+            "n_true_members",
+            "n_maybe",
+            "n_false_positive",
+            "fpr",
+        )
+        out = block if out is None else out.unionByName(block)
+    return out

@@ -514,3 +514,41 @@ def test_tiling_plan_argmin_valid(spark, sf_dir):
             key=lambda g: (abs(g[0] * h - g[1] * w) / g[1], -g[0] * g[1], g[0]),
         )
         assert (r["grid_cols"], r["grid_rows"]) == best
+
+
+def test_retention_conservation_and_policy(spark, sf_dir):
+    """before = purged + after; forever-classes purge nothing; every
+    purged class's oldest retained second respects its horizon."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_spark.operators.cdc import _RETENTION_DAYS
+    from maxscale_cdc_spark.tables import table
+
+    rows = {r["event_type"]: r for r in _q("cdc_retention_policy_apply", spark, sf_dir).collect()}
+    assert rows
+    now = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_timestamp("ts")))
+        .collect()[0][0]
+    )
+    for t, r in rows.items():
+        assert r["n_before"] == r["n_purged"] + r["n_after"]
+        days = _RETENTION_DAYS.get(t)
+        if days is None:
+            assert r["n_purged"] == 0
+        elif r["n_after"] > 0:
+            assert r["oldest_retained_unix"] >= now - days * 86400
+
+
+def test_bloom_fpr_monotone_in_m(spark, sf_dir):
+    """More bits => no more false positives; maybes cover every true
+    member (no false negatives, the Bloom guarantee)."""
+    rows = {r["m"]: r for r in _q("rel_bloom_fpr_knob", spark, sf_dir).collect()}
+    assert set(rows) == {1024, 4096}
+    for r in rows.values():
+        assert r["n_false_positive"] == r["n_maybe"] - r["n_true_members"] or (
+            r["n_true_members"] == 0 and r["n_false_positive"] == r["n_maybe"]
+        )
+        assert r["n_bits_set"] <= r["m"]
+        assert 0.0 <= r["fpr"] <= 1.0
+    assert rows[4096]["n_false_positive"] <= rows[1024]["n_false_positive"]
