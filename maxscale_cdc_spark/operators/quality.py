@@ -2183,7 +2183,10 @@ def llm_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenlist-fraction watermark detection with the integer z>4
     verdict (see block comment)."""
-    d = table(spark, sf_dir, "documents")
+    # wide_table: one md5 per bigram is exactly the per-row-expensive
+    # kernel the parallelism floor exists for (A/B at sf0.1 min-of-3:
+    # 0.64 -> 0.50 s; no-op once the scan carries >= cores splits)
+    d = wide_table(spark, sf_dir, "documents")
     split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 2)
     g = split.select(
         "doc_id",
