@@ -552,3 +552,16 @@ def test_bloom_fpr_monotone_in_m(spark, sf_dir):
         assert r["n_bits_set"] <= r["m"]
         assert 0.0 <= r["fpr"] <= 1.0
     assert rows[4096]["n_false_positive"] <= rows[1024]["n_false_positive"]
+
+
+def test_dv_anti_join_broadcasts_the_index(spark, sf_dir):
+    """The MoR serving read must never shuffle the base: the DV side
+    builds a broadcast for the anti join (the per-task bitmap-probe
+    stand-in)."""
+    from maxscale_cdc_spark.operators.sources import delete_vector_parts
+
+    base, dv, _ = delete_vector_parts(spark, sf_dir)
+    live = base.join(dv.select("fp", "pos"), ["fp", "pos"], "left_anti")
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
