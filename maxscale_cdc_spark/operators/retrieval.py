@@ -3611,23 +3611,32 @@ def llm_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),
     )
+    # The candidate pass carries ONLY (qid, vec_id, hd) — 24 bytes/row
+    # — through the per-probe top-20 window; the float vectors are
+    # re-joined for the <=20 survivors.  Carrying both 64-dim arrays
+    # through the window sort spills |probes|x|corpus| KB-rows (the
+    # sf10 probe filled 50+ GB of spill before this split).
     ham = (
-        v0.crossJoin(F.broadcast(q))
+        v0.select("vec_id", "lo", "hi")
+        .crossJoin(F.broadcast(q.select("qid", "qlo", "qhi")))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            "qv",
-            "v",
             (
                 F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
             ).alias("hd"),
         )
     )
     wh = W.partitionBy("qid").orderBy("hd", "vec_id")
-    rr = (
+    cand = (
         ham.withColumn("hrk", F.row_number().over(wh))
         .filter(F.col("hrk") <= _BH_CAND)
+        .select("qid", "vec_id")
+    )
+    rr = (
+        cand.join(v0.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
         .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
         .withColumn(
             "rk",
