@@ -3318,3 +3318,89 @@ def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c").cast("double") / F.col("n")).alias("pass1"),
         pass4.alias("pass4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm_grpo_advantage — GROUP-RELATIVE advantage construction (the GRPO
+# recipe: no value network, each attempt's advantage is its reward
+# relative to its sampling group's mean): attempts are the pass@k
+# groups (doc_id div 16), reward is the quality rational floored to
+# integer MICRO-units ((num·10⁶) div den — the llm_lm_score
+# quantization discipline), and the exported advantage is the exact
+# integer numerator n·r_i − Σr (= n·(r_i − mean)): consumers divide by
+# n (and by the group σ if they normalize — a serving-side float step
+# kept out of the certified pipeline on purpose).  rank_in_group gives
+# the preference order the group induces.
+#
+# One scan + one group window; at 100 TB the group key is the rollout
+# batch id and this is a scan-speed map + one keyed window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_grpo_advantage",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM t WHERE len(w) >= 1
+    ), r AS (
+      SELECT doc_id, doc_id // 16 AS task,
+             ((20 * n_uniq + 12 * (n_words - n_stop)
+               + least(8 * n_words, sum_wlen)) * 1000000) // (40 * n_words)
+               AS r_micro
+      FROM m
+    )
+    SELECT doc_id, CAST(task AS BIGINT) AS task,
+           CAST(r_micro AS BIGINT) AS r_micro,
+           CAST(count(*) OVER (PARTITION BY task) AS BIGINT) AS n,
+           CAST(count(*) OVER (PARTITION BY task) * r_micro
+                - sum(r_micro) OVER (PARTITION BY task) AS BIGINT) AS adv_num,
+           CAST(row_number() OVER (PARTITION BY task
+                ORDER BY r_micro DESC, doc_id) AS BIGINT) AS rank_in_group
+    FROM r
+    """,
+)
+def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer group-relative advantages per attempt (see block
+    comment)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 1)
+    m = split.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    r = m.select(
+        "doc_id",
+        F.expr("div(doc_id, 16)").alias("task"),
+        F.expr(
+            "div((20 * n_uniq + 12 * (n_words - n_stop) "
+            "+ least(8 * n_words, sum_wlen)) * 1000000, 40 * n_words)"
+        ).alias("r_micro"),
+    )
+    wt = W.partitionBy("task")
+    return r.select(
+        "doc_id",
+        F.col("task").cast("long").alias("task"),
+        F.col("r_micro").cast("long").alias("r_micro"),
+        F.count("*").over(wt).cast("long").alias("n"),
+        (F.count("*").over(wt) * F.col("r_micro") - F.sum("r_micro").over(wt))
+        .cast("long")
+        .alias("adv_num"),
+        F.row_number()
+        .over(W.partitionBy("task").orderBy(F.col("r_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_in_group"),
+    )

@@ -6245,3 +6245,154 @@ def str_mor_compact_midstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("n_epochs_folded"),
         F.lit(bool(gone)).alias("folded_dirs_gone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_two_sink_fanout — DUAL-SINK fan-out consistency: one streaming
+# query feeds TWO sinks from the same foreachBatch (the classic
+# lakehouse topology: an append LOG for replay/audit + a latest-state
+# lane for serving).  The failure mode unique to fan-out is the crash
+# BETWEEN the two writes (sink A has the epoch, sink B doesn't, the
+# checkpoint hasn't committed): on restart the batch replays into
+# BOTH.  Correctness therefore requires every per-sink write to be
+# epoch-keyed idempotent (per-epoch-dir OVERWRITE — the
+# str_mor_stream_restart discipline applied to each lane), which this
+# op certifies by RE-APPLYING the last epoch to the log lane ONLY
+# (the torn-crash shape) and then raising unless the two sinks still
+# agree: the log lane replayed whole (one window) must equal the
+# state lane reconciled (latest epoch per pk) row-for-row.  The
+# oracle re-certifies the agreed state against the whole spool.
+#
+# Scale: fan-out costs one extra O(batch) write per sink; no state
+# store; cross-sink agreement is the invariant that lets the audit
+# log BE the recovery source for the serving lane.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_two_sink_fanout",
+    f"""
+    WITH state AS ({_UPSERT_STATE_ORACLE})
+    SELECT pk, last_seq, last_value, last_ts_unix,
+           CAST(4 AS BIGINT) AS n_epochs,
+           TRUE AS sinks_consistent,
+           TRUE AS replay_torn_crash_safe
+    FROM state
+    """,
+)
+def str_two_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, two epoch-idempotent sinks; torn-replay arm +
+    cross-sink agreement raised in-op (see block comment)."""
+    import os
+
+    from maxscale_cdc_spark.streaming.runners import (
+        _few_state_partitions,
+        _release_stream_state,
+        stage_as_stream_sequenced,
+    )
+    from maxscale_cdc_spark.tmputil import mkdtemp as _mkdtemp
+
+    staged = stage_as_stream_sequenced(
+        table(spark, sf_dir, "events"),
+        "event_id",
+        n_batches=4,
+        cache_key=f"events:{sf_dir}",
+    )
+    stream = read_stream(spark, staged, max_files_per_trigger=1).select(
+        F.col("event_id").alias("sequence"),
+        F.expr(_DML_CASE_SQL).alias("dml_type"),
+        F.col("user_id").alias("pk"),
+        "value",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    root = _mkdtemp(prefix="str_fan_")
+    log_dir = os.path.join(root, "log")       # sink A: append/audit log
+    state_dir = os.path.join(root, "state")   # sink B: latest-state lane
+    seen: list[int] = []
+    last_batch_path: list[str] = []
+
+    def fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen.append(int(epoch_id))
+        staged_b = batch_df.localCheckpoint(eager=True)  # one compute, two writes
+        # sink A: the raw epoch log (epoch-keyed OVERWRITE = idempotent)
+        staged_b.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"epoch={epoch_id}")
+        )
+        # sink B: the epoch's final image per pk
+        wb = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+        (
+            staged_b.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
+        )
+        last_batch_path.append(os.path.join(log_dir, f"epoch={epoch_id}"))
+
+    ckpt = _mkdtemp(prefix="ckpt_fan_")
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(fanout)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _release_stream_state(spark)
+    if len(seen) != 4:
+        raise RuntimeError(f"expected 4 epochs, saw {seen}")
+
+    # torn-crash replay: the LAST epoch re-applies to the LOG lane only
+    # (staging copy OUTSIDE the sink tree — a dir inside it would be
+    # picked up by partition discovery)
+    import shutil
+
+    replay_stage = os.path.join(root, "replay_stage")
+    spark.read.parquet(last_batch_path[-1]).write.mode("overwrite").parquet(
+        replay_stage
+    )
+    spark.read.parquet(replay_stage).write.mode("overwrite").parquet(
+        last_batch_path[-1]
+    )
+    shutil.rmtree(replay_stage, ignore_errors=True)
+
+    # cross-sink agreement: log replayed whole == state lane reconciled
+    log = spark.read.option("basePath", log_dir).parquet(log_dir)
+    wfull = W.partitionBy("pk").orderBy(F.col("sequence").desc())
+    from_log = (
+        log.withColumn("rn", F.row_number().over(wfull))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        )
+    )
+    st = spark.read.option("basePath", state_dir).parquet(state_dir)
+    wst = W.partitionBy("pk").orderBy(F.col("epoch").desc())
+    from_state = (
+        st.withColumn("rn", F.row_number().over(wst))
+        .filter((F.col("rn") == 1) & (F.col("dml_type") != "delete"))
+        .select(
+            "pk",
+            F.col("sequence").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("ts_unix").alias("last_ts_unix"),
+        )
+    )
+    consistent = (
+        from_log.exceptAll(from_state).count() == 0
+        and from_state.exceptAll(from_log).count() == 0
+    )
+    if not consistent:
+        raise RuntimeError("fan-out sinks diverged after torn replay")
+    return from_log.select(
+        "*",
+        F.lit(4).cast("long").alias("n_epochs"),
+        F.lit(True).alias("sinks_consistent"),
+        F.lit(True).alias("replay_torn_crash_safe"),
+    )

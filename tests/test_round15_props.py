@@ -565,3 +565,35 @@ def test_dv_anti_join_broadcasts_the_index(spark, sf_dir):
     plan = live._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grpo_advantage_zero_sum_and_rank(spark, sf_dir):
+    """Per group: advantages sum to zero exactly; ranks are a
+    permutation; adv_num ordering agrees with r_micro ordering."""
+    import collections
+
+    rows = _q("llm_grpo_advantage", spark, sf_dir).collect()
+    assert rows
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r["task"]].append(r)
+    for task, rs in per.items():
+        assert sum(r["adv_num"] for r in rs) == 0
+        assert sorted(r["rank_in_group"] for r in rs) == list(range(1, len(rs) + 1))
+        rs.sort(key=lambda r: r["rank_in_group"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["adv_num"] >= b["adv_num"]
+
+
+def test_two_sink_fanout_state_matches_mor_stream(spark, sf_dir):
+    """Cross-lane pin: the fan-out's agreed state equals the MoR
+    streaming lane's reconciled state (same spool, same contract)."""
+    a = {
+        r["pk"]: (r["last_seq"], r["last_value"], r["last_ts_unix"])
+        for r in _q("str_two_sink_fanout", spark, sf_dir).collect()
+    }
+    b = {
+        r["pk"]: (r["last_seq"], r["last_value"], r["last_ts_unix"])
+        for r in _q("str_mor_stream", spark, sf_dir).collect()
+    }
+    assert a == b
