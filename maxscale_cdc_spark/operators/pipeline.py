@@ -2644,6 +2644,43 @@ def llm_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared lexical-stats lineage for the quality-rational family
+# (llm_dpo_pair_mining / llm_eval_pass_at_k / llm_grpo_advantage):
+# ONE definition of the (n_words, n_uniq, sum_wlen, n_stop) block on
+# both sides of the engine boundary — the shared-CTE discipline.
+# `source` rides along; Catalyst prunes it where unused.
+
+_QSTATS_CTES = """t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM t WHERE len(w) >= 1
+    )"""
+
+
+def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source + the four integer lexical stats (split projected
+    once — the CollapseProject rule)."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select("doc_id", "source", words("text").alias("w")).filter(
+        F.size("w") >= 1
+    )
+    return split.select(
+        "doc_id",
+        "source",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_wlen"),
+        F.size(F.filter("w", lambda x: x.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # llm_dpo_pair_mining — PREFERENCE-PAIR construction for DPO/RLHF-style
 # post-training: within each source (domain), rank documents by the
@@ -2674,16 +2711,8 @@ def llm_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dpo_pair_mining",
-    """
-    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-    m AS (
-      SELECT doc_id, source,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
-             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-      FROM t WHERE len(w) >= 1
-    ), q AS (
+    f"""
+    WITH {_QSTATS_CTES}, q AS (
       SELECT doc_id, source,
              20 * n_uniq + 12 * (n_words - n_stop) + least(8 * n_words, sum_wlen) AS num,
              40 * n_words AS den,
@@ -2714,21 +2743,7 @@ def llm_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quality-margin rule (see block comment)."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    split = d.select("doc_id", "source", words("text").alias("w")).filter(
-        F.size("w") >= 1
-    )
-    m = split.select(
-        "doc_id",
-        "source",
-        F.size("w").cast("long").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
-        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .alias("sum_wlen"),
-        F.size(F.filter("w", lambda x: x.isin("the", "a")))
-        .cast("long")
-        .alias("n_stop"),
-    )
+    m = _quality_stats(spark, sf_dir)
     num = (
         20 * F.col("n_uniq")
         + 12 * (F.col("n_words") - F.col("n_stop"))
@@ -3242,16 +3257,8 @@ def llm_moe_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_eval_pass_at_k",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
-             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-      FROM t WHERE len(w) >= 1
-    ), att AS (
+    f"""
+    WITH {_QSTATS_CTES}, att AS (
       SELECT doc_id // 16 AS task,
              CASE WHEN 2 * (20 * n_uniq + 12 * (n_words - n_stop)
                             + least(8 * n_words, sum_wlen))
@@ -3275,18 +3282,7 @@ def llm_moe_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbiased pass@{1,4} per attempt group, exact integer
     combinatorics (see block comment)."""
-    d = table(spark, sf_dir, "documents")
-    split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 1)
-    m = split.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
-        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .alias("sum_wlen"),
-        F.size(F.filter("w", lambda x: x.isin("the", "a")))
-        .cast("long")
-        .alias("n_stop"),
-    )
+    m = _quality_stats(spark, sf_dir)
     num = (
         20 * F.col("n_uniq")
         + 12 * (F.col("n_words") - F.col("n_stop"))
@@ -3339,16 +3335,8 @@ def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_grpo_advantage",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
-             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
-             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-      FROM t WHERE len(w) >= 1
-    ), r AS (
+    f"""
+    WITH {_QSTATS_CTES}, r AS (
       SELECT doc_id, doc_id // 16 AS task,
              ((20 * n_uniq + 12 * (n_words - n_stop)
                + least(8 * n_words, sum_wlen)) * 1000000) // (40 * n_words)
@@ -3370,18 +3358,7 @@ def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment)."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
-    split = d.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 1)
-    m = split.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
-        F.aggregate("w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .alias("sum_wlen"),
-        F.size(F.filter("w", lambda x: x.isin("the", "a")))
-        .cast("long")
-        .alias("n_stop"),
-    )
+    m = _quality_stats(spark, sf_dir)
     r = m.select(
         "doc_id",
         F.expr("div(doc_id, 16)").alias("task"),
