@@ -46,6 +46,11 @@ def production_conf(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024**2),
+        # production keeps the default 1 MB coalesce floor: partitions at
+        # 100 TB exceed any floor, and the local 64k default (session.py
+        # — prices expression-heavy KB-scale stages the byte heuristic
+        # serializes at bench scale) would be inert here anyway
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(1024**2),
         "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024**2),
         "spark.executor.instances": str(executors),
         "spark.executor.cores": str(cores_per_executor),

@@ -1020,9 +1020,17 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _mkdtemp(prefix="src_binf_")
     # Distributed spool: one hive dir per doc, one single-row text file
     # inside (the text writer appends '\n' — mirrored in the oracle).
-    sub.select("doc_id", "text").write.mode("overwrite").partitionBy(
-        "doc_id"
-    ).text(out)
+    # The filtered scan arrives as ONE partition at bench scale, so an
+    # un-spread write creates every per-doc dir serially in one task
+    # (measured r14: 6.3-7.1 s vs 1.2 s spread over the cores —
+    # guide §2.6 idle capacity; no-op at scale where the scan already
+    # carries >= cores splits).
+    spool = sub.select("doc_id", "text")
+    if spool.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        spool = spool.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    spool.write.mode("overwrite").partitionBy("doc_id").text(out)
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")

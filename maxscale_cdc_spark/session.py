@@ -22,6 +22,25 @@ def get_spark(app_name: str = "maxscale-cdc-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's byte-based coalescing can't see per-row EXPRESSION cost:
+        # at bench scale a few MB of class/candidate rows carrying
+        # md5-minhash transforms or array_intersect verifies coalesce to
+        # 1-3 post-shuffle partitions and the whole stage serializes on
+        # one core (measured r14: the staged trigram class table
+        # materialized as ONE partition, 1.8 s vs 0.3 s spread; the
+        # dedup/banding heavies min-of-4 improved 13.5→10.2, 12.4→9.8,
+        # 8.4→6.9 s with a 64k floor, kmeans/streaming/tail flat-to-
+        # better — interleaved A/B, OPTIMIZATION_r14.md).  64k keeps
+        # genuinely tiny scalar stages fully coalesced while spreading
+        # KB-per-row compute stages across cores.  Scale-adaptive: at
+        # production volumes every partition exceeds any floor, so the
+        # knob is inert there (conf.py keeps the 128 MB advisory/1m
+        # profile); env-parameterised so the driver's lower-core bench
+        # run compares like with like.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
