@@ -212,7 +212,16 @@ def main() -> None:
     # Arrow/pandas-UDF path: the first pandas_udf call pays the Python
     # worker pool + Arrow serializer spin-up (~2 s); warm it with a
     # 100-row batch so udf_* queries measure the operator, not the pool.
-    _li.limit(100).select(_warm_udf()(_F.col("l_quantity").cast("double"))).collect()
+    # Spread over core-count partitions: a single-partition warmup
+    # starts ONE worker, and the first wide mapInPandas stage then
+    # forks the other ~31 inside its own timing (r14 profile: 28-task
+    # Python stages with ~1 s/task wall at ~0.05 s/task CPU).
+    (
+        _li.limit(3200)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(_warm_udf()(_F.col("l_quantity").cast("double")))
+        .collect()
+    )
     # Vector + staging shapes (round 4b): md5-over-array transforms
     # (minhash signatures), zip_with folds (kmeans/PQ distances), and
     # one localCheckpoint round-trip (block-manager first-touch) — the
