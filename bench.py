@@ -222,6 +222,15 @@ def main() -> None:
         .select(_warm_udf()(_F.col("l_quantity").cast("double")))
         .collect()
     )
+    # Collation machinery: the first UNICODE_CI/UTF8_LCASE expression
+    # in a JVM initializes the ICU collation tables — measured charged
+    # to fn_collation as 14.8-48.9 s in-suite on a cold host vs a
+    # 0.7-5 s isolated floor.  Two-row warmup absorbs it in setup.
+    spark.sql(
+        "SELECT count(DISTINCT collate(c, 'UNICODE_CI')), "
+        "count(DISTINCT collate(c, 'UTF8_LCASE')) "
+        "FROM VALUES ('a'), ('A') t(c)"
+    ).collect()
     # Vector + staging shapes (round 4b): md5-over-array transforms
     # (minhash signatures), zip_with folds (kmeans/PQ distances), and
     # one localCheckpoint round-trip (block-manager first-touch) — the
