@@ -52,7 +52,13 @@ def _detail_path(mode: str | None) -> str:
     clobber it (VERDICT r13 #1: a 4-query spot-check destroyed the
     driver's 407-query detail, and the r12-era committed detail file
     turned out to be a 9-query isolated run).  Mode-suffixed files keep
-    every instrument's last record side by side."""
+    every instrument's last record side by side.  Full-suite runs at a
+    non-default core count get their own file too (VERDICT r14 #7: the
+    driver's 8-core scaling run clobbered the 32-core per-query
+    detail) — BENCH_DETAIL-c8.json next to BENCH_DETAIL.json."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if mode is None and cpus and cpus != "32":
+        mode = f"c{cpus}"
     name = f"BENCH_DETAIL-{mode}.json" if mode else "BENCH_DETAIL.json"
     return os.path.join(HERE, name)
 
@@ -134,38 +140,11 @@ def _run_isolated(ids: list[str]) -> None:
     sys.stdout.flush()
 
 
-def main() -> None:
-    isolate = os.environ.get("BENCH_ISOLATE")
-    if isolate:
-        _run_isolated([n for n in isolate.split(",") if n])
-        return
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
-    from maxscale_cdc_spark.session import get_spark
-
-    spark = get_spark("maxscale-cdc-spark-bench")
-
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    only = os.environ.get("BENCH_QUERIES")
-    if only:
-        names = [n for n in only.split(",") if n in qs]
-    else:
-        # Streaming / sink / Python-DataSource queries run LAST: they
-        # spin up state stores, checkpoint dirs and streaming-specific
-        # session machinery whose residue taxes whatever runs after them
-        # in a shared session (round-3 driver bench: unchanged tpch_q3 /
-        # tpch_q10 measured 6-9x slower purely from running after the
-        # alphabetically-earlier str_* suite).  Batch queries first,
-        # stream-lifecycle queries at the end.
-        def _is_stream_lifecycle(n: str) -> bool:
-            return n.startswith(("str_", "snk_", "src_cdc", "src_tcp"))
-
-        names = sorted(qs, key=lambda n: (_is_stream_lifecycle(n), n))
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
-
+def warm_session(spark, sf_dir: str) -> None:
+    """The bench warmup block, callable by the profiling/experiment
+    tools so they measure against the SAME warm state as the bench
+    (tools/tail_experiment.py etc.).  Body unchanged from the inline
+    block it replaces; the timed region in main() is untouched."""
     # Warm the session: JVM JIT + whole-stage-codegen compile paths +
     # parquet footers.  The round-3 lesson: a tiny region-count warmup
     # leaves ~6 s of one-time compile cost to be absorbed by whichever
@@ -247,6 +226,122 @@ def main() -> None:
         ).alias("d"),
     ).localCheckpoint(eager=False)
     _staged.groupBy().count().collect()
+    # Python-DataSource worker pools (Spark 4 DSv2-in-Python): the
+    # batch/stream write workers (write_into_data_source), the
+    # driver-side DS planner workers and the DS read partition workers
+    # run in their OWN worker-module pools — the pandas-UDF warmup
+    # never touches them (PythonWorkerFactory pools are keyed by worker
+    # module), so the first pyds query paid the fork+import of a whole
+    # pool inside its own timing (r15 profile: snk_pyds_writer
+    # first-run 7.1 s warm-session vs 3.4 s with warm pools at an
+    # unchanged ~1.8 s min-of-3 floor; the suite runs repeat=1, so the
+    # driver bench always pays first-run cost).  Warm both halves with
+    # FIXTURE-FREE micro-jobs (nothing the queries read is
+    # precomputed): an n-partition two-phase-commit write, and a
+    # 2-line wire-spool availableNow read through a stateful
+    # complete-mode aggregate — the latter also pulls the one-time
+    # streaming machinery (MicroBatchExecution, state-store provider,
+    # memory sink) into setup, where the round-3 warmup rationale says
+    # one-time machinery belongs.
+    import tempfile as _tf
+
+    from maxscale_cdc_spark.sources.cdc_datasource import (
+        SOURCE_NAME as _CDC_DS,
+        register as _reg_cdc_ds,
+    )
+    from maxscale_cdc_spark.sources.manifest_sink_ds import (
+        register as _reg_sink_ds,
+    )
+    from maxscale_cdc_spark.streaming.runners import run_to_memory as _rtm
+
+    _reg_sink_ds(spark)
+    _reg_cdc_ds(spark)
+    _n = spark.sparkContext.defaultParallelism
+    _wdir = _tf.mkdtemp(prefix="bench_warm_pyds_sink_")
+    (
+        spark.range(_n)
+        .repartition(_n)
+        .write.format("manifest_parquet")
+        .option("path", _wdir)
+        .mode("append")
+        .save()
+    )
+    _sdir = _tf.mkdtemp(prefix="bench_warm_pyds_src_")
+    with open(os.path.join(_sdir, "w.txt"), "w") as _fh:
+        for _i in (1, 2):
+            _fh.write(
+                '{"domain":0,"server_id":1,"sequence":%d,"event_number":1,'
+                '"timestamp":0,"event_type":"insert","table_name":"warm",'
+                '"table_schema":"warm","pk":%d}\n' % (_i, _i)
+            )
+    _warm_stream = (
+        spark.readStream.format(_CDC_DS)
+        .option("path", _sdir)
+        .option("database", "warm")
+        .option("table", "warm")
+        .load()
+    )
+    _rtm(_warm_stream.groupBy("event_type").count(), "complete")
+    # … and the STREAMING half of the DSv2 write path: per-epoch
+    # commits run through a dedicated driver-side Python stream-writer
+    # runner that the batch write above does not start (measured:
+    # str_pyds_stream_writer first-run 8.7 s vs a 4.5 s warm floor
+    # with only the batch-write warmup).
+    _wdir2 = _tf.mkdtemp(prefix="bench_warm_pyds_ssink_")
+    _ckpt2 = _tf.mkdtemp(prefix="bench_warm_pyds_ckpt_")
+    _q = (
+        spark.readStream.format(_CDC_DS)
+        .option("path", _sdir)
+        .option("database", "warm")
+        .option("table", "warm")
+        .load()
+        .writeStream.format("manifest_parquet")
+        .option("path", _wdir2)
+        .option("checkpointLocation", _ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _q.awaitTermination()
+    from maxscale_cdc_spark.streaming.runners import (
+        _release_stream_state as _rss,
+    )
+
+    _rss(spark)
+
+
+def main() -> None:
+    isolate = os.environ.get("BENCH_ISOLATE")
+    if isolate:
+        _run_isolated([n for n in isolate.split(",") if n])
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from maxscale_cdc_spark.session import get_spark
+
+    spark = get_spark("maxscale-cdc-spark-bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        names = [n for n in only.split(",") if n in qs]
+    else:
+        # Streaming / sink / Python-DataSource queries run LAST: they
+        # spin up state stores, checkpoint dirs and streaming-specific
+        # session machinery whose residue taxes whatever runs after them
+        # in a shared session (round-3 driver bench: unchanged tpch_q3 /
+        # tpch_q10 measured 6-9x slower purely from running after the
+        # alphabetically-earlier str_* suite).  Batch queries first,
+        # stream-lifecycle queries at the end.
+        def _is_stream_lifecycle(n: str) -> bool:
+            return n.startswith(("str_", "snk_", "src_cdc", "src_tcp"))
+
+        names = sorted(qs, key=lambda n: (_is_stream_lifecycle(n), n))
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+
+    warm_session(spark, sf_dir)
 
     from maxscale_cdc_spark.streaming.runners import _release_stream_state
 

@@ -452,7 +452,18 @@ def min_label_closure(
         )
         nxt = _os.path.join(base, f"r{i}")
         new.write.mode("overwrite").parquet(nxt)
-        new = spark.read.schema(label_schema).parquet(nxt)
+        if i == 1:
+            # drift guard (VERDICT r14 #4): one post-capture inference
+            # round-trips the loud failure an explicit schema masks
+            new = spark.read.parquet(nxt)
+            if new.schema != label_schema:
+                raise RuntimeError(
+                    f"closure round schema drifted: "
+                    f"{new.schema.simpleString()} != "
+                    f"{label_schema.simpleString()}"
+                )
+        else:
+            new = spark.read.schema(label_schema).parquet(nxt)
         # convergence check: labels only ever DECREASE (min-propagation
         # is monotone), so sum(rep) is strictly decreasing until the
         # fixed point — one scalar aggregate per round, no join

@@ -59,6 +59,17 @@ def get_spark(app_name: str = "maxscale-cdc-spark") -> SparkSession:
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-Xms16g"),
         )
     )
+    # A/B instrument + ops escape hatch: `SPARK_EXTRA_CONF="k=v;k2=v2"`
+    # applies arbitrary conf overrides at session build.  Unset (the
+    # driver default) this is a no-op, so the bench contract is
+    # unchanged; it exists so config experiments (GC, codegen cache,
+    # shuffle knobs) run the REAL get_spark() path instead of a
+    # hand-rolled session that silently drifts from it.
+    extra = os.environ.get("SPARK_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -541,7 +541,10 @@ class ManifestedUpsertSink:
         # explicit schema (measured r14) — merge/state re-read
         # generations several times per lifecycle op.  The provided
         # schema equals the inferred one, so plans are byte-identical.
+        # _read_gen re-infers ONE post-capture dir as a drift guard.
         self._gen_schema = None
+        self._gen_schema_dir = None
+        self._gen_schema_checked = False
         names = self._manifest_names()
         if names:
             with open(os.path.join(self.mdir, names[-1])) as fh:
@@ -692,11 +695,28 @@ class ManifestedUpsertSink:
     def _read_gen(self, gen_dir: str) -> DataFrame:
         """Read one generation dir, skipping schema inference after the
         first read (see __init__ — byte-identical plans, ~82 ms less
-        driver work per read)."""
+        driver work per read).
+
+        Drift guard (VERDICT r14 #4): an explicit read schema silently
+        null-fills / drops columns if a later generation's schema ever
+        drifted, where inference + unionByName used to fail loudly.
+        The FIRST read of a dir other than the capture dir re-infers
+        once and compares — one inference total, loud failure kept."""
         if self._gen_schema is None:
             df = self.spark.read.parquet(gen_dir)
             self._gen_schema = df.schema
+            self._gen_schema_dir = gen_dir
             return df
+        if not self._gen_schema_checked and gen_dir != self._gen_schema_dir:
+            inferred = self.spark.read.parquet(gen_dir)
+            if inferred.schema != self._gen_schema:
+                raise RuntimeError(
+                    f"generation schema drifted in {gen_dir}: "
+                    f"{inferred.schema.simpleString()} != "
+                    f"{self._gen_schema.simpleString()}"
+                )
+            self._gen_schema_checked = True
+            return inferred
         return self.spark.read.schema(self._gen_schema).parquet(gen_dir)
 
     def compact(self) -> list[str]:
@@ -983,12 +1003,25 @@ class Scd2HistorySink:
         # and byte-identical-plan property as ManifestedUpsertSink.
         # _read_gen — the log's rows are deterministic 5-col intervals)
         self._closed_schema = None
+        self._closed_schema_checked = False
 
     def _read_closed(self) -> DataFrame:
         if self._closed_schema is None:
             df = self.spark.read.parquet(self.closed_dir)
             self._closed_schema = df.schema
             return df
+        if not self._closed_schema_checked:
+            # drift guard (VERDICT r14 #4): one post-capture inference
+            # keeps the loud failure an explicit schema would mask
+            inferred = self.spark.read.parquet(self.closed_dir)
+            if inferred.schema != self._closed_schema:
+                raise RuntimeError(
+                    f"closed-log schema drifted: "
+                    f"{inferred.schema.simpleString()} != "
+                    f"{self._closed_schema.simpleString()}"
+                )
+            self._closed_schema_checked = True
+            return inferred
         return self.spark.read.schema(self._closed_schema).parquet(
             self.closed_dir
         )

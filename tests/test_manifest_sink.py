@@ -266,3 +266,45 @@ def test_scd2_sink_ignores_delete_events(spark):
     h = _hist_dict(s)
     assert set(h) == {(5, 1)} and h[(5, 1)][1] is None
     shutil.rmtree(root)
+
+
+def test_read_gen_schema_drift_raises(spark):
+    """r15 drift guard: the cached-read-schema fast path must FAIL
+    LOUDLY if a post-capture generation dir carries a different schema
+    (an explicit read schema would otherwise silently null-fill /
+    drop the drifted column — VERDICT r14 #4)."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="msink_drift_")
+    s = ManifestedUpsertSink(spark, root, n_buckets=4)
+    s.merge(_batch(spark, [(1, 10, "insert", 1.0)]), 0)
+    s.state().collect()  # captures _gen_schema from the r0 generation
+    # forge a drifted generation dir and point one bucket at it
+    bad_dir = os.path.join(root, "gen_forged_drift")
+    spark.createDataFrame(
+        [(1, 99, 0)], "pk bigint, last_seq bigint, b int"
+    ).write.mode("overwrite").partitionBy("b").parquet(bad_dir)
+    with pytest.raises(RuntimeError, match="schema drifted"):
+        s._read_gen(bad_dir).collect()
+    shutil.rmtree(root)
+
+
+def test_read_gen_same_schema_gen_passes_drift_check(spark):
+    """The one-time drift check must PASS (and stop re-inferring) when
+    later generations carry the captured schema — the optimized path."""
+    root = tempfile.mkdtemp(prefix="msink_nodrift_")
+    s = ManifestedUpsertSink(spark, root, n_buckets=4)
+    s.merge(_batch(spark, [(1, 10, "insert", 1.0)]), 0)
+    s.merge(_batch(spark, [(2, 11, "insert", 2.0)]), 1)
+    s.merge(_batch(spark, [(1, 12, "update_after", 1.5)]), 2)
+    assert _state_dict(s) == {
+        1: (12, "update_after", 1.5),
+        2: (11, "insert", 2.0),
+    }
+    # state() read a post-capture generation dir → the check ran once
+    assert s._gen_schema_checked
+    assert _state_dict(s) == {
+        1: (12, "update_after", 1.5),
+        2: (11, "insert", 2.0),
+    }
+    shutil.rmtree(root)
