@@ -128,7 +128,17 @@ def trigram_classes16(
         *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K16)],
     )
     if stage:
-        classes = classes.localCheckpoint(eager=False)
+        # Filtered (per-query) chains materialize EAGERLY: they are not
+        # family-cached, and a lazy checkpoint here is consumed by many
+        # CONCURRENT AQE query stages (truth prefix join + one band join
+        # per chooser config), which then race to materialize the same
+        # parent — measured r15 on llm_dedup_containment_pairwise as a
+        # convoy of 16-task stages blocked with runTime >> cpuTime and
+        # 6.8-19.7 s attempt swings; eager build serializes the staged
+        # table once (~2 s) and the consumers read cached blocks.  The
+        # unfiltered family chain stays lazy (first consumer pays under
+        # BENCH_COLD attribution, CLAUDE.md rule 6).
+        classes = classes.localCheckpoint(eager=doc_filter is not None)
     if stage and doc_filter is None:
         _TCLASS_CACHE[cache_key] = (doc_map, classes)
     return doc_map, classes
@@ -252,7 +262,10 @@ def _banding_curve_frame(
     )
     truth = _class_exact_pairs(classes)
     if stage:
-        truth = truth.localCheckpoint(eager=False)
+        # eager: consumed by one recall join PER CONFIG — concurrent
+        # AQE stages raced to materialize it (the r14 convoy, still
+        # measured r15 at 8.3-15.1 s attempt swings when lazy)
+        truth = truth.localCheckpoint(eager=True)
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
     # PRODUCTION-space (bigram class) lineage on the SAME sampled docs
     # — each config's candidate cost is counted where the dedup family
@@ -271,8 +284,9 @@ def _banding_curve_frame(
     for nb, rpb in _AUTOTUNE_CONFIGS:
         cand = class_band_pairs(classes, nb, rpb).select("ckey_a", "ckey_b")
         if stage:
-            # consumed twice below (cost count + recall join)
-            cand = cand.localCheckpoint(eager=False)
+            # consumed twice below (cost count + recall join); eager
+            # for the same anti-convoy reason as `truth`
+            cand = cand.localCheckpoint(eager=True)
         counts = cand.agg(
             F.count("*").cast("long").alias("n_candidates")
         ).crossJoin(

@@ -227,7 +227,9 @@ def shingle_classes(
         "doc_id", "shs", F.md5(F.concat_ws("\x1f", "shs")).alias("ckey")
     )
     if stage:
-        base = base.localCheckpoint(eager=False)
+        # eager for filtered (per-query, non-cached) chains — the
+        # anti-convoy rule, see trigram_classes16 in autotune.py
+        base = base.localCheckpoint(eager=doc_filter is not None)
     doc_map = base.select("doc_id", "ckey")
     classes = base.groupBy("ckey").agg(
         F.min("doc_id").alias("rep"),
@@ -247,7 +249,9 @@ def shingle_classes(
         *[_mh_over_set(F.col("shs"), j).alias(f"m{j}") for j in range(_K16)],
     )
     if stage:
-        classes = classes.localCheckpoint(eager=False)
+        # eager for filtered (per-query, non-cached) chains — the
+        # anti-convoy rule, see trigram_classes16 in autotune.py
+        classes = classes.localCheckpoint(eager=doc_filter is not None)
     if stage and doc_filter is None:
         _SHINGLE_CACHE[cache_key] = (doc_map, classes)
     return doc_map, classes
@@ -1693,7 +1697,9 @@ def trigram_sets(
         )
     )
     if stage:
-        out = out.localCheckpoint(eager=False)
+        # eager for filtered (per-query, non-cached) chains — the
+        # anti-convoy rule, see trigram_classes16 in autotune.py
+        out = out.localCheckpoint(eager=doc_filter is not None)
     if stage and doc_filter is None:
         _TRIGRAM_CACHE[cache_key] = out
     return out

@@ -34,6 +34,18 @@ TABLE_NAMES = [
 # action still computes from the parquet inputs).  Keyed by
 # applicationId like the session caches so a new session never sees a
 # dead context's handle.
+#
+# Two caveats for operator authors (ADVICE r14):
+# * SHARED INSTANCE: two table() calls for the same table return the
+#   SAME DataFrame object, so a self-join built from two calls with
+#   Column-object conditions hits Spark's ambiguous-self-join path
+#   where distinct instances would resolve.  Use df.alias("l") /
+#   df.alias("r") (every current self-join does) or string join keys.
+# * PINNED FILE LISTING: the cached plan pins the InMemoryFileIndex at
+#   first construction — the fixture dirs under sf_dir are IMMUTABLE
+#   for a session's lifetime (they are; the generators never rewrite
+#   in place), and any future in-session fixture mutation would be
+#   silently invisible through this cache.
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _WIDE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
