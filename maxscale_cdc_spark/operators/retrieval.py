@@ -281,7 +281,7 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
     # A/B-measured 5.7 s → 4.1 s at sf0.1 (min-of-3)
     assigned = _sd_kmeans_cells(e)
     if stage:
-        assigned = assigned.localCheckpoint(eager=False)
+        assigned = assigned.localCheckpoint(eager=True)
     cells = assigned.withColumn(
         "n_cell", F.count("*").over(W.partitionBy("cid")).cast("long")
     )
@@ -461,7 +461,7 @@ def _sim_pq_frame(spark: SparkSession, sf_dir: str, stage: bool) -> DataFrame:
     # stage=False keeps the lineage visible for plan gates)
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
     if stage:
-        vecs = vecs.localCheckpoint(eager=False)
+        vecs = vecs.localCheckpoint(eager=True)
 
     def l2sq(a, b):
         return F.round(
@@ -770,7 +770,7 @@ def llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(cellrank), "cid")
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "crn")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     scored = (
         e.filter(F.col("vec_id") != 0)
@@ -783,7 +783,7 @@ def llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_RECALL_K)
         .select("vec_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     out = None
     for np in _NPROBE_SWEEP:
@@ -853,7 +853,7 @@ def llm_ivf_nprobe_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(cellrank), "cid")
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "crn")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     scored = (
         e.filter(F.col("vec_id") != 0)
@@ -866,7 +866,7 @@ def llm_ivf_nprobe_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_RECALL_K)
         .select("vec_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     out = None
     for np in _NPROBE_SWEEP:
@@ -1410,7 +1410,10 @@ def llm_ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the post reassignment, and the brute-force audit; unstaged, each
     # consumer re-runs the whole Lloyd chain (CLAUDE.md rule 5;
     # measured 36 s → 6 s at sf0.01)
-    cents = cents.localCheckpoint(eager=False)
+    # eager (anti-convoy rule, see autotune.trigram_classes16): the
+    # staged cents/assignments each feed several CONCURRENT downstream
+    # stages (plan + split Lloyd + post reassignment + brute audit)
+    cents = cents.localCheckpoint(eager=True)
     e = wide_table(spark, sf_dir, "embeddings")
     # same cutover scalar _ivf_batch_state derives (one config read)
     cut = int(
@@ -1430,10 +1433,10 @@ def llm_ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
-        eager=False
+        eager=True
     )
     nassign = bassign(vecs.filter(F.col("vec_id") > cut)).localCheckpoint(
-        eager=False
+        eager=True
     )
     cells = _ivf_cells(assigned, nassign)
     tot = cells.agg(
@@ -1868,7 +1871,7 @@ def llm_ivf_forget_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = kmeans_cells_cached(spark, sf_dir)
     surv = assigned.filter(
         F.col("vec_id") % _FORGET_MOD != _FORGET_RES
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cb = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_before"))
     ca = surv.groupBy("cid").agg(F.count("*").cast("long").alias("n_after"))
     cells = cb.join(ca, "cid", "left").select(
@@ -1899,7 +1902,7 @@ def llm_ivf_forget_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .select("vec_id", "pre_cid", "cid")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     post = reass.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
@@ -2106,7 +2109,7 @@ def llm_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(qcells), "cid")
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "v")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def l2sq(a, b):
@@ -2496,7 +2499,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("r0", F.row_number().over(w0))
         .filter(F.col("r0") <= _MMR_C)
         .select("qid", "vec_id", "rel_u")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     candv = cand.join(
         e.select("vec_id", as_double("embedding").alias("v")), "vec_id"
@@ -2516,7 +2519,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_u"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     w = W.partitionBy("qid").orderBy(F.col("rel_u").desc(), "vec_id")
     selected = (
@@ -2529,7 +2532,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (7 * F.col("rel_u")).alias("score_u"),
             F.lit(1).cast("long").alias("rk"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     out = selected
     for k in range(2, _MMR_K + 1):
@@ -2555,7 +2558,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).cast("long").alias("rk"),
             )
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
         out = selected
     return out.select("qid", "rk", "vec_id", "rel_u", "score_u")
 
@@ -2687,7 +2690,7 @@ def _ann_mmr_candidates(
     )
 
     def st(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if stage else df
+        return df.localCheckpoint(eager=True) if stage else df  # eager: anti-convoy (r15)
 
     e = wide_table(spark, sf_dir, "embeddings")
     if stage:
@@ -2748,7 +2751,7 @@ def _ann_mmr_frame(
     skips the localCheckpoints so tests can inspect lineage."""
 
     def st(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if stage else df
+        return df.localCheckpoint(eager=True) if stage else df  # eager: anti-convoy (r15)
 
     e = wide_table(spark, sf_dir, "embeddings")
     cand = _ann_mmr_candidates(spark, sf_dir, stage=stage, n_cells=n_cells)
@@ -3005,11 +3008,15 @@ def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "v", "cid")
         )
 
+    # eager: assigned/nassign feed the displacement aggs, allv's four
+    # consumers (rm / post / qs / brute) and the recall joins — lazy,
+    # those AQE stages raced to materialize the same parent (the r15
+    # anti-convoy rule, see autotune.trigram_classes16)
     assigned = bassign(vecs.filter(F.col("vec_id") <= cut)).localCheckpoint(
-        eager=False
+        eager=True
     )
     nassign = bassign(vecs.filter(F.col("vec_id") > cut)).localCheckpoint(
-        eager=False
+        eager=True
     )
 
     # per-cell displacement (the llm_ivf_incremental integers)
@@ -3127,7 +3134,9 @@ def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cv",
             )
         )
-        .localCheckpoint(eager=False)
+        # eager: consumed by the post-assignment broadcast AND the
+        # final select (anti-convoy rule)
+        .localCheckpoint(eager=True)
     )
     post = (
         allv.select("vec_id", "v")
@@ -3139,7 +3148,8 @@ def llm_drift_reindex_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
-        .localCheckpoint(eager=False)
+        # eager: consumed by members + both recall joins (anti-convoy)
+        .localCheckpoint(eager=True)
     )
     members = post.groupBy("cid").agg(F.count("*").cast("long").alias("n_members"))
     qs = allv.filter(
@@ -3254,7 +3264,7 @@ def llm_ann_join_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = wide_table(spark, sf_dir, "embeddings")
     cents, assigned = kmeans_cells_cached(spark, sf_dir, _ANNJ_K_SCALED)
-    assigned = assigned.select("vec_id", "v", "cid").localCheckpoint(eager=False)
+    assigned = assigned.select("vec_id", "v", "cid").localCheckpoint(eager=True)
     qset = (
         e.filter(F.col("vec_id") % _ANNJ_QMOD == 0)
         .select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
@@ -3439,7 +3449,7 @@ def _knn_graph_search_plan(
     from maxscale_cdc_spark.operators.llm import llm_knn_graph
 
     def st(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if stage else df
+        return df.localCheckpoint(eager=True) if stage else df  # eager: anti-convoy (r15)
 
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", as_double("embedding").alias("v"))
@@ -3604,7 +3614,7 @@ def llm_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double("embedding").alias("v"),
         pack(1, 32, 1).alias("lo"),
         pack(33, 64, 33).alias("hi"),
-    ).localCheckpoint(eager=False)  # packed+float lineage consumed 3×
+    ).localCheckpoint(eager=True)  # packed+float lineage consumed 3×
     q = v0.filter(F.col("vec_id") % _BH_QMOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
